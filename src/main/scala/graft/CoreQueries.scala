@@ -1,0 +1,466 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.etl.{Merge, Ops, Tables => T}
+
+/** Reference-parity operator queries (SURVEY.md §2) over the driver fixtures.
+  *
+  * Output discipline (drives the DuckDB hash-compare):
+  *  - numeric outputs are long or double; aggregates of doubles accumulate
+  *    as DECIMAL(18,4) then cast to double, so values are independent of
+  *    partitioning/addition order and identical across engines;
+  *  - no raw timestamps in outputs (cast to date / formatted string);
+  *  - every query ends with an ORDER BY on non-null unique keys, mirrored
+  *    verbatim in the oracle SQL.
+  */
+object CoreQueries {
+
+  private def dec(c: Column, s: Int = 4) = c.cast(DecimalType(18, s))
+  private def dsum(c: Column) = sum(dec(c)).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** O14/O33/O34 — projection + multi-key hash aggregate (TPC-H Q1 shape;
+    * ref S1:103-128 grouped merchant aggregate). */
+  val q01PricingSummary: Q = (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** O15/O18 — IN-list + LIKE predicates (ref S1:94-98 country/MCC whitelist,
+    * S3:57-58 LIKE patches). */
+  val q02FilterInLike: Q = (s, d) =>
+    T.part(s, d)
+      .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#3") &&
+        (col("p_name").like("%re%") || col("p_type").like("%ECO%")) &&
+        !col("p_name").like("%_x%"))
+      .select(col("p_partkey").cast("long").as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  /** O20/O32 — star join with broadcast dimension lookups
+    * (fact ⋈ dim chains of S2:33-34, Seg:131-133). */
+  val q03StarJoinAgg: Q = (s, d) =>
+    T.lineitem(s, d)
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** O21/O17 — left outer enrich + null-state handling (ref S1:18-25). */
+  val q04LeftJoinEnrich: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_f_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("f_spend"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("n_f_orders"),
+        col("f_spend"))
+      .orderBy(col("c_custkey"))
+
+  /** O22 — anti-join idiom: customers with no 'F' order (insert-only-new
+    * pattern, P-Pat:48-62). */
+  val q05AntiJoin: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** O23 — semi-join (`IN` subquery, P-Rest:25): customers with >= 1 urgent
+    * open order. */
+  val q06SemiJoin: Q = (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** O24 + §2.8 hash surface — the flagship fingerprint pipeline (S1):
+    * detail ⋈ header, canonical merchant fingerprint over normalized attrs,
+    * join the fingerprint dimension on the recomputed hash, aggregate per
+    * fingerprint. md5 here because the DuckDB oracle lacks sha1; the library
+    * supports both (Ops.fingerprint). */
+  val q07FingerprintPipeline: Q = (s, d) => {
+    val sup = T.supplier(s, d).join(broadcast(T.nation(s, d)),
+      col("s_nationkey") === col("n_nationkey"))
+    val fpParts = Seq(col("s_name"), col("n_name"), col("s_nationkey").cast("string"))
+    val fpDim = sup.select(Ops.fingerprint(fpParts, "md5").as("fp"),
+      col("s_suppkey").cast("long").as("fp_suppkey"))
+    val detail = T.lineitem(s, d).join(T.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("fp", Ops.fingerprint(fpParts, "md5"))
+    detail.join(broadcast(fpDim), Seq("fp"), "left")
+      .groupBy(col("fp"), col("fp_suppkey"))
+      .agg(count(lit(1)).as("n_txn"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        max(col("o_orderdate").cast("date")).as("last_order"))
+      .orderBy(col("fp"))
+  }
+
+  /** O25 — join on concatenated composite key with the pad-last-4 idiom
+    * (S2:70, P-Pat:139). */
+  val q08CompositeKeyJoin: Q = (s, d) => {
+    val cust = T.customer(s, d)
+    val proxyDim = cust.select(
+      concat_ws("_", col("c_mktsegment"),
+        Ops.padLast4(col("c_custkey").cast("string"))).as("proxy_id"),
+      col("c_custkey").cast("long").as("dim_custkey"))
+    T.orders(s, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .withColumn("proxy_id", concat_ws("_", col("c_mktsegment"),
+        Ops.padLast4(col("o_custkey").cast("string"))))
+      .join(proxyDim, Seq("proxy_id"))
+      .groupBy(col("proxy_id"))
+      .agg(countDistinct(col("dim_custkey")).as("n_dim_hits"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("proxy_id"))
+  }
+
+  /** O26 — theta self-join: per duplicate group, count dominated twins
+    * (`th.txncount > t2.txncount` dup resolution, P-Pat:53-55). */
+  val q09ThetaSelfJoin: Q = (s, d) => {
+    val c1 = T.customer(s, d).alias("c1")
+    val c2 = T.customer(s, d).alias("c2")
+    c1.join(c2,
+        col("c1.c_nationkey") === col("c2.c_nationkey") &&
+        col("c1.c_mktsegment") === col("c2.c_mktsegment") &&
+        col("c1.c_acctbal") > col("c2.c_acctbal"))
+      .groupBy(col("c1.c_custkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("n_dominated"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** O27 — join on a CASE-derived key (P-Rest:113-125). */
+  val q10CaseExprJoin: Q = (s, d) => {
+    val grpDim = s.createDataFrame(Seq(
+      ("INDUSTRY", 1L), ("CONSTRUCTION", 2L), ("OTHER", 3L)))
+      .toDF("grp_name", "grp_id")
+    T.customer(s, d)
+      .withColumn("grp", when(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "INDUSTRY")
+        .when(col("c_mktsegment").isin("BUILDING", "FURNITURE"), "CONSTRUCTION")
+        .otherwise("OTHER"))
+      .join(broadcast(grpDim), col("grp") === col("grp_name"))
+      .groupBy(col("grp_id"), col("grp_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("grp_id"))
+  }
+
+  /** O28 — multi-predicate OR fuzzy name join, rewritten as the
+    * scale-preferred union of equi-joins + distinct (P-Rest:448-451). */
+  val q11UnionFuzzyJoin: Q = (s, d) => {
+    val sup = T.supplier(s, d)
+    val dim = sup.select(col("s_suppkey").cast("long").as("clean_id"),
+      when(col("s_suppkey") % 3 === 0, col("s_name"))
+        .when(col("s_suppkey") % 3 === 1, regexp_replace(col("s_name"), "#", ""))
+        .otherwise(regexp_replace(col("s_name"), "e", "é")).as("clean_name"))
+    val left = sup.select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"))
+    val b1 = left.join(dim, col("s_name") === col("clean_name"))
+    val b2 = left.join(dim, regexp_replace(col("s_name"), "#", "") === col("clean_name"))
+    val b3 = left.join(dim, col("s_name") === regexp_replace(col("clean_name"), "é", "e"))
+    b1.unionByName(b2).unionByName(b3)
+      .select(col("s_suppkey"), col("clean_id"))
+      .distinct()
+      .orderBy(col("s_suppkey"), col("clean_id"))
+  }
+
+  /** O4/O5 — MERGE upsert with conditional update (S4:15-46, P-SF:55-70). */
+  val q12MergeUpsert: Q = (s, d) => {
+    val sup = T.supplier(s, d)
+    val target = sup.filter(col("s_suppkey") <= 80)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("s_acctbal"), lit("old").as("status"))
+    val source = sup.filter(col("s_suppkey").between(41, 120))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        (col("s_acctbal") + 1000.0).as("s_acctbal"), lit("new").as("status"))
+    Merge.mergeUpsert(target, source, Seq("s_suppkey"),
+        updateCols = Seq("s_acctbal", "status"),
+        updateCondition = Some(col("t.s_acctbal") =!= col("s.s_acctbal")))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** O6 — MERGE incl. NOT-MATCHED-BY-SOURCE delete with guard rows
+    * (P-SF:201-202, 302-303). */
+  val q13MergeDeleteGuard: Q = (s, d) => {
+    val sup = T.supplier(s, d)
+    val target = sup.filter(col("s_suppkey") <= 80)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        col("s_acctbal"), lit("old").as("status"))
+    val source = sup.filter(col("s_suppkey").between(41, 120) && col("s_suppkey") % 2 === 0)
+      .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+        (col("s_acctbal") + 1000.0).as("s_acctbal"), lit("new").as("status"))
+    Merge.mergeUpsert(target, source, Seq("s_suppkey"),
+        updateCols = Seq("s_acctbal", "status"),
+        deleteNotMatched = true,
+        deleteGuard = Some(col("t.s_suppkey") <= 10))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** O3 — insert-if-absent (left-anti + union, P-Pat:48-62). */
+  val q14InsertIfAbsent: Q = (s, d) => {
+    val cust = T.customer(s, d)
+    val existing = cust.filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+    val incoming = cust
+      .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+    Merge.insertIfAbsent(existing, incoming, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** O7 — the correlated UPDATE..FROM workhorse: map unmapped fact rows
+    * inside a date window, preserve everything else untouched
+    * (S2:31-37, P-Rest:466-484). Sentinel 0 = unmapped. */
+  val q15MapUpdateFact: Q = (s, d) => {
+    val fact = T.orders(s, d).select(
+      col("o_orderkey").cast("long").as("o_orderkey"),
+      col("o_custkey"),
+      Ops.dateKey(col("o_orderdate")).cast("long").as("datekey"),
+      when(col("o_orderstatus") === "O", lit(0L))
+        .otherwise(col("o_custkey").cast("long")).as("patron_key"))
+    val mapping = T.customer(s, d)
+      .select(col("c_custkey"), col("c_custkey").cast("long").as("mapped_key"))
+    val guard = col("patron_key") === 0 &&
+      col("datekey").between(19960101L, 19971231L)
+    Merge.mapUpdate(fact, mapping, Seq(col("o_custkey") === col("c_custkey")),
+        Map("patron_key" -> col("mapped_key")), guard)
+      .select(col("o_orderkey"), col("datekey"), col("patron_key"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** O8 + §2.8 string chains — replace-chain canonicalization and U+FFFD
+    * cleanup (S4:19-29, S3:19-23). */
+  val q16StringClean: Q = (s, d) =>
+    T.supplier(s, d).select(
+      col("s_suppkey").cast("long").as("s_suppkey"),
+      Ops.cleanName(col("s_name"),
+        Seq("#" -> "-", "Supplier" -> "SUPP", "000" -> "")).as("cleaned"),
+      Ops.stripReplacementChar(concat(col("s_name"), lit("�!�"))).as("stripped"),
+      Ops.emptyToNull(when(col("s_suppkey") % 5 === 0, lit("  "))
+        .otherwise(col("s_name"))).as("maybe_null"))
+    .orderBy(col("s_suppkey"))
+
+  /** O37 — rank-dedup pick-latest (S4:76; Cui passim). */
+  val q17DedupRank: Q = (s, d) =>
+    Merge.pickLatest(T.orders(s, d), Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .orderBy(col("o_custkey"))
+
+  /** O38 — RANK by CASE priority score, ties kept (P-Rest:22, 30-41). */
+  val q18PriorityRank: Q = (s, d) =>
+    Merge.rankPick(
+        T.orders(s, d).withColumn("prio",
+          substring(col("o_orderpriority"), 1, 1).cast("int")),
+        Seq(col("o_custkey")), col("prio"))
+      .select(col("o_custkey").cast("long").as("o_custkey"),
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_orderpriority"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+
+  /** O39 — surrogate-key sequencing from a max-key offset (S4:65). */
+  val q19SequenceKeys: Q = (s, d) =>
+    Merge.sequenceKeys(
+        T.customer(s, d).select(col("c_mktsegment")).distinct(),
+        Seq(col("c_mktsegment")), "segment_key", 100L)
+      .select(col("segment_key"), col("c_mktsegment"))
+      .orderBy(col("segment_key"))
+
+  /** O40 — top-k per group (Seg:391-399 `MMRank <= 10`). */
+  val q20TopKPerGroup: Q = (s, d) =>
+    T.orders(s, d)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rnk") <= 5)
+      .select(col("o_orderpriority"), col("rnk").cast("long").as("rnk"),
+        col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+
+  /** O41 — most-frequent value per group (Cui:28-46 mode imputation). */
+  val q21ModePerGroup: Q = (s, d) =>
+    Merge.modePerGroup(T.part(s, d), "p_brand", "p_type")
+      .withColumnRenamed("p_type_mode", "type_mode")
+      .orderBy(col("p_brand"))
+
+  /** O35/O36 — conditional aggregates + HAVING over them (Cui:199-203). */
+  val q22HavingConditional: Q = (s, d) =>
+    T.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(count(when(col("p_size") <= 5, 1)).as("n_small"),
+        count(lit(1)).as("n_parts"))
+      .filter(col("n_small") >= 5 && col("n_parts") > 10)
+      .orderBy(col("p_brand"))
+
+  /** O36b — SELECT DISTINCT projection. */
+  val q23Distinct: Q = (s, d) =>
+    T.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("long").as("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  /** O36d — aggregate-of-aggregate ratio via two grouping levels joined on
+    * the coarser key (Seg:144-169 TerritoryAmount/TotalAmount). */
+  val q24AggRatio: Q = (s, d) => {
+    val enriched = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+    val perNation = enriched.groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("nation_spend"))
+    val perSeg = enriched.groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("seg_spend"))
+    perNation.join(perSeg, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_name"), col("nation_spend"),
+        round(Ops.safeRatio(col("nation_spend"), col("seg_spend")), 6).as("spend_ratio"))
+      .orderBy(col("c_mktsegment"), col("n_name"))
+  }
+
+  /** O44 + Seg semantics — persona classification via UNION ALL branches at
+    * the 0.8 spend-ratio threshold, plus the Undefined anti-join backfill
+    * (Seg:184-217). */
+  val q25PersonasUnion: Q = (s, d) => {
+    val spend = T.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent")
+          .otherwise("rest"))
+      .groupBy(col("o_custkey"), col("bucket"))
+      .agg(sum(dec(col("o_totalprice"))).as("bucket_spend"))
+    val total = spend.groupBy(col("o_custkey"))
+      .agg(sum(col("bucket_spend")).as("total_spend"))
+    val ratios = spend.join(total, Seq("o_custkey"))
+      .withColumn("ratio", col("bucket_spend").cast("double") / col("total_spend").cast("double"))
+    val urgent = ratios.filter(col("bucket") === "urgent" && col("ratio") >= 0.8)
+      .select(col("o_custkey"), lit("URGENT_BUYER").as("persona"))
+    val relaxed = ratios.filter(col("bucket") === "rest" && col("ratio") >= 0.8)
+      .select(col("o_custkey"), lit("RELAXED_BUYER").as("persona"))
+    val classified = urgent.unionByName(relaxed)
+    val undefinedB = T.customer(s, d)
+      .join(classified, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("o_custkey"), lit("UNDEFINED").as("persona"))
+    classified.unionByName(undefinedB)
+      .select(col("o_custkey").cast("long").as("custkey"), col("persona"))
+      .orderBy(col("custkey"), col("persona"))
+  }
+
+  /** O16 + §2.8 date surface — DateKey math, month window, EOMONTH
+    * (S2:14-18, S1:46-48) over the events table. */
+  val q26DateKeyWindows: Q = (s, d) =>
+    T.events(s, d)
+      .withColumn("datekey", Ops.dateKey(col("ts")).cast("long"))
+      .filter(col("datekey").between(20240105L, 20240120L))
+      .groupBy(col("datekey"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        max(Ops.endOfMonth(col("ts"))).as("month_end"))
+      .orderBy(col("datekey"), col("event_type"))
+
+  /** O42/O43 — global sort + TOP-k (S3:46, 92). */
+  val q27OrderLimit: Q = (s, d) =>
+    T.lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+      .select(col("l_orderkey").cast("long").as("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+
+  /** O36c — scalar aggregate subquery pulled to the driver (S1:48, S4:55). */
+  val q28ScalarSubquery: Q = (s, d) => {
+    val maxPrice = T.orders(s, d).agg(max(col("o_totalprice"))).first().getDouble(0)
+    T.orders(s, d)
+      .filter(col("o_totalprice") > lit(maxPrice) * 0.9)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** §2.8 scalar-function surface in one projection: empty->NULL, pad-last-4,
+    * zip normalization, safe ratio, try-parse date. */
+  val q29ScalarFuncs: Q = (s, d) =>
+    T.customer(s, d).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      Ops.emptyToNull(when(col("c_custkey") % 7 === 0, lit("   "))
+        .otherwise(col("c_mktsegment"))).as("seg_or_null"),
+      Ops.padLast4(col("c_custkey").cast("string")).as("pad4"),
+      Ops.normZip(
+        when(col("c_custkey") % 3 === 0,
+          concat(lpad((col("c_custkey") % 90000).cast("string"), 5, "0"), lit("-1234")))
+          .when(col("c_custkey") % 3 === 1, lpad((col("c_custkey") % 9000).cast("string"), 4, "0"))
+          .otherwise(lpad((col("c_custkey") % 90000).cast("string"), 5, "0"))).as("zip_norm"),
+      round(coalesce(Ops.safeRatio(col("c_acctbal"), col("c_custkey") % 5), lit(-1.0)), 6).as("ratio"),
+      Ops.tryDate(when(col("c_custkey") % 2 === 0, lit("2024-01-15"))
+        .otherwise(lit("not-a-date"))).as("parsed_date"))
+    .orderBy(col("c_custkey"))
+
+  /** O31 — zip-normalization join: raw zip variants normalized then joined
+    * to a zip dimension (P-SF:120-125, P-Pat:57). */
+  val q30ZipNormalizeJoin: Q = (s, d) => {
+    val cust = T.customer(s, d).withColumn("raw_zip",
+      when(col("c_custkey") % 3 === 0,
+        concat(lpad((col("c_custkey") % 100).cast("string"), 5, "0"), lit("-1234")))
+        .when(col("c_custkey") % 3 === 1, lpad((col("c_custkey") % 100).cast("string"), 4, "0"))
+        .otherwise(lpad((col("c_custkey") % 100).cast("string"), 5, "0")))
+    val zipDim = cust.select(Ops.normZip(col("raw_zip")).as("zip"))
+      .distinct()
+      .withColumn("geo_id", row_number().over(Window.orderBy(col("zip"))).cast("long"))
+    cust.join(broadcast(zipDim), Ops.normZip(col("raw_zip")) === col("zip"))
+      .groupBy(col("zip"), col("geo_id"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("zip"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_in_like" -> q02FilterInLike,
+    "q03_star_join_agg" -> q03StarJoinAgg,
+    "q04_left_join_enrich" -> q04LeftJoinEnrich,
+    "q05_anti_join" -> q05AntiJoin,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_fingerprint_pipeline" -> q07FingerprintPipeline,
+    "q08_composite_key_join" -> q08CompositeKeyJoin,
+    "q09_theta_selfjoin" -> q09ThetaSelfJoin,
+    "q10_case_expr_join" -> q10CaseExprJoin,
+    "q11_union_fuzzy_join" -> q11UnionFuzzyJoin,
+    "q12_merge_upsert" -> q12MergeUpsert,
+    "q13_merge_delete_guard" -> q13MergeDeleteGuard,
+    "q14_insert_if_absent" -> q14InsertIfAbsent,
+    "q15_map_update_fact" -> q15MapUpdateFact,
+    "q16_string_clean" -> q16StringClean,
+    "q17_dedup_rank" -> q17DedupRank,
+    "q18_priority_rank" -> q18PriorityRank,
+    "q19_sequence_keys" -> q19SequenceKeys,
+    "q20_topk_per_group" -> q20TopKPerGroup,
+    "q21_mode_per_group" -> q21ModePerGroup,
+    "q22_having_conditional" -> q22HavingConditional,
+    "q23_distinct" -> q23Distinct,
+    "q24_agg_ratio" -> q24AggRatio,
+    "q25_personas_union" -> q25PersonasUnion,
+    "q26_datekey_windows" -> q26DateKeyWindows,
+    "q27_order_limit" -> q27OrderLimit,
+    "q28_scalar_subquery" -> q28ScalarSubquery,
+    "q29_scalar_funcs" -> q29ScalarFuncs,
+    "q30_zip_normalize_join" -> q30ZipNormalizeJoin,
+  )
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Tables => T}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators over the `documents` / `embeddings` /
+  * `events` fixtures: text analysis, dedup (exact / MinHash-LSH / SimHash /
+  * Jaccard), similarity search, multimodal plumbing, streaming-shaped aggs.
+  *
+  * The fixtures contain no genuine near-duplicates (500 distinct random
+  * texts), so the near-dup queries union each document with a deterministic
+  * perturbed copy (id + 100000, first token dropped) — the operators then
+  * must find exactly those planted pairs.
+  */
+object DataQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** docs ∪ perturbed-copy-of-docs (id+100000, first token dropped). */
+  private def withPlantedDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val perturbed = base.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
+    base.unionByName(perturbed)
+  }
+
+  /** Text analysis: token counts (whitespace + BPE-ish), quality score,
+    * language ID, content fingerprint. */
+  val t01DocStats: Q = (s, d) =>
+    TextOps.documentStats(T.documents(s, d))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+        col("n_chars_measured").cast("long").as("n_chars_measured"),
+        col("quality"), col("lang_pred"), col("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Exact-dedup clusters keyed on a 2-token-prefix fingerprint (the full
+    * corpus has no identical texts; the prefix key demonstrates the
+    * hash-groupBy dedup on real collisions). */
+  val t02ExactDedup: Q = (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), md5(concat_ws(" ",
+        slice(split(lower(trim(col("text"))), "\\s+"), 1, 2))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("fp"))
+
+  /** MinHash + LSH near-dup detection end to end: shingle -> minhash ->
+    * band -> bucket join -> Jaccard verify >= 0.5. Must recover the planted
+    * (i, i+100000) pairs. */
+  val t03MinHashLsh: Q = (s, d) => {
+    val docs = withPlantedDups(T.documents(s, d))
+    val cands = Dedup.minHashLshCandidates(docs, bands = 8, rowsPerBand = 4,
+      shingleSize = 3)
+    Dedup.jaccardVerify(cands, docs, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact n-gram Jaccard on the deterministic planted pairs — the
+    * oracle-checkable core of near-dup verification. */
+  val t04JaccardPairs: Q = (s, d) => {
+    val docs = withPlantedDups(T.documents(s, d))
+    val pairs = T.documents(s, d).select(col("doc_id").as("id_a"),
+      (col("doc_id") + 100000L).as("id_b"))
+    Dedup.jaccardVerify(pairs, docs, shingleSize = 3, threshold = 0.0)
+      .orderBy(col("id_a"))
+  }
+
+  /** SimHash near-dup candidates over planted dups: 64-bit simhash, 4-block
+    * bucketing, Hamming <= 8. */
+  val t05SimHash: Q = (s, d) =>
+    Dedup.simHashCandidates(withPlantedDups(T.documents(s, d)),
+        blocks = 4, maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-k ANN baseline: 8 query vectors vs the corpus. */
+  val t06AnnBrute: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (random hyperplanes, multi-probe): the 100 TB scale
+    * path — each query scans ~corpus/2^bits instead of everything. */
+  val t07AnnLsh: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, bits = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Multimodal plumbing: documents wrapped as binary media assets, decoded
+    * partition-wise through the (stubbed) codec into typed metadata. */
+  val t08MediaMeta: Q = (s, d) =>
+    Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d)))
+      .toDF()
+      .select(col("asset_id"), col("modality"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms").cast("long").as("duration_ms"))
+      .orderBy(col("asset_id"))
+
+  /** Frame-sampling plan for the video assets (1 frame/s, max 32). */
+  val t09FramePlan: Q = (s, d) =>
+    Multimodal.frameSamplePlan(
+        Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d))))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("ts_ms").cast("long").as("ts_ms"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+
+  /** Hourly event rollup — the batch twin of the Structured Streaming
+    * pipeline in graft.streaming.Streams (same grouping, same results). */
+  val t10EventHourly: Q = (s, d) =>
+    T.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val all: Map[String, Q] = Map(
+    "t01_doc_stats" -> t01DocStats,
+    "t02_exact_dedup" -> t02ExactDedup,
+    "t03_minhash_lsh" -> t03MinHashLsh,
+    "t04_jaccard_pairs" -> t04JaccardPairs,
+    "t05_simhash" -> t05SimHash,
+    "t06_ann_brute" -> t06AnnBrute,
+    "t07_ann_lsh" -> t07AnnLsh,
+    "t08_media_meta" -> t08MediaMeta,
+    "t09_frame_plan" -> t09FramePlan,
+    "t10_event_hourly" -> t10EventHourly,
+  )
+}

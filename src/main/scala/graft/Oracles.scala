@@ -1,0 +1,413 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per oracle-checkable query in
+  * CoreQueries/DataQueries. Each statement is the semantic mirror of its
+  * Spark query — identical column names/types (bigint/double/varchar/date),
+  * identical decimal-accumulation of double aggregates, identical ORDER BY
+  * on non-null unique keys. Queries with no entry here (LSH candidate
+  * generation, simhash, media stubs) are checked rows-only by the driver.
+  */
+object Oracles {
+
+  private val fpExpr =
+    "md5(concat_ws('|', upper(trim(coalesce(s_name,''))), " +
+      "upper(trim(coalesce(n_name,''))), " +
+      "upper(trim(coalesce(cast(s_nationkey as varchar),'')))))"
+
+  val core: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice*(1.0-l_discount) as decimal(18,4))) as double) AS sum_disc_price,
+        | count(*) AS count_order,
+        | count(distinct l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_filter_in_like" ->
+      """SELECT cast(p_partkey as bigint) AS p_partkey, p_name, p_brand, p_type
+        |FROM part
+        |WHERE p_brand IN ('Brand#11','Brand#22','Brand#3')
+        |  AND (p_name LIKE '%re%' OR p_type LIKE '%ECO%')
+        |  AND p_name NOT LIKE '%_x%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q03_star_join_agg" ->
+      """SELECT r_name, n_name,
+        | cast(sum(cast(l_extendedprice*(1.0-l_discount) as decimal(18,4))) as double) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |JOIN nation ON s_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q04_left_join_enrich" ->
+      """SELECT cast(c_custkey as bigint) AS c_custkey,
+        | count(o_orderkey) AS n_f_orders,
+        | cast(sum(cast(coalesce(o_totalprice,0.0) as decimal(18,4))) as double) AS f_spend
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus='F') o ON c_custkey=o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT cast(c_custkey as bigint) AS c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderstatus='F' AND o.o_custkey=c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT cast(c_custkey as bigint) AS c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_orderpriority='1-URGENT' AND o.o_orderstatus='O'
+        |    AND o.o_custkey=c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_fingerprint_pipeline" ->
+      s"""WITH sup AS (SELECT s_suppkey, s_name, s_nationkey, n_name
+         |  FROM supplier JOIN nation ON s_nationkey=n_nationkey),
+         |fpdim AS (SELECT $fpExpr AS fp, cast(s_suppkey as bigint) AS fp_suppkey FROM sup),
+         |detail AS (SELECT o.o_orderkey AS ok, o.o_orderdate, $fpExpr AS fp
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         |  JOIN sup ON l.l_suppkey=sup.s_suppkey
+         |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01')
+         |SELECT d.fp, fpdim.fp_suppkey, count(*) AS n_txn,
+         |  count(distinct d.ok) AS n_orders,
+         |  max(cast(d.o_orderdate as date)) AS last_order
+         |FROM detail d LEFT JOIN fpdim ON d.fp=fpdim.fp
+         |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+
+    "q08_composite_key_join" ->
+      """WITH proxy_dim AS (SELECT concat_ws('_', c_mktsegment,
+        |    right(concat('0000', coalesce(cast(c_custkey as varchar),'')),4)) AS proxy_id,
+        |  cast(c_custkey as bigint) AS dim_custkey FROM customer)
+        |SELECT proxy_id, count(distinct dim_custkey) AS n_dim_hits, count(*) AS n_orders
+        |FROM (SELECT concat_ws('_', c_mktsegment,
+        |    right(concat('0000', coalesce(cast(o_custkey as varchar),'')),4)) AS proxy_id
+        |  FROM orders JOIN customer ON o_custkey=c_custkey) o
+        |JOIN proxy_dim USING (proxy_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_theta_selfjoin" ->
+      """SELECT cast(c1.c_custkey as bigint) AS c_custkey, count(*) AS n_dominated
+        |FROM customer c1 JOIN customer c2
+        |  ON c1.c_nationkey=c2.c_nationkey AND c1.c_mktsegment=c2.c_mktsegment
+        |  AND c1.c_acctbal>c2.c_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_case_expr_join" ->
+      """SELECT cast(grp_id as bigint) AS grp_id, grp_name, count(*) AS n_cust,
+        | cast(sum(cast(c_acctbal as decimal(18,4))) as double) AS sum_bal
+        |FROM (SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE','MACHINERY') THEN 'INDUSTRY'
+        |   WHEN c_mktsegment IN ('BUILDING','FURNITURE') THEN 'CONSTRUCTION'
+        |   ELSE 'OTHER' END AS grp, c_acctbal FROM customer) c
+        |JOIN (VALUES ('INDUSTRY',1),('CONSTRUCTION',2),('OTHER',3)) g(grp_name, grp_id)
+        |  ON grp=grp_name
+        |GROUP BY 1,2 ORDER BY 1""".stripMargin,
+
+    "q11_union_fuzzy_join" ->
+      """WITH dim AS (SELECT cast(s_suppkey as bigint) AS clean_id,
+        |  CASE WHEN s_suppkey%3=0 THEN s_name
+        |       WHEN s_suppkey%3=1 THEN replace(s_name,'#','')
+        |       ELSE replace(s_name,'e','é') END AS clean_name FROM supplier),
+        |l AS (SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name FROM supplier)
+        |SELECT DISTINCT s_suppkey, clean_id FROM (
+        |  SELECT l.s_suppkey, dim.clean_id FROM l JOIN dim ON l.s_name=dim.clean_name
+        |  UNION ALL
+        |  SELECT l.s_suppkey, dim.clean_id FROM l JOIN dim ON replace(l.s_name,'#','')=dim.clean_name
+        |  UNION ALL
+        |  SELECT l.s_suppkey, dim.clean_id FROM l JOIN dim ON l.s_name=replace(dim.clean_name,'é','e'))
+        |ORDER BY s_suppkey, clean_id""".stripMargin,
+
+    "q12_merge_upsert" ->
+      """WITH t AS (SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name, s_acctbal,
+        |    'old' AS status FROM supplier WHERE s_suppkey<=80),
+        |s AS (SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name,
+        |    s_acctbal+1000.0 AS s_acctbal, 'new' AS status FROM supplier
+        |  WHERE s_suppkey BETWEEN 41 AND 120)
+        |SELECT coalesce(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+        | CASE WHEN t.s_suppkey IS NULL THEN s.s_name ELSE t.s_name END AS s_name,
+        | CASE WHEN s.s_suppkey IS NOT NULL AND t.s_suppkey IS NOT NULL AND t.s_acctbal<>s.s_acctbal THEN s.s_acctbal
+        |      WHEN s.s_suppkey IS NOT NULL AND t.s_suppkey IS NULL THEN s.s_acctbal
+        |      ELSE t.s_acctbal END AS s_acctbal,
+        | CASE WHEN s.s_suppkey IS NOT NULL AND t.s_suppkey IS NOT NULL AND t.s_acctbal<>s.s_acctbal THEN s.status
+        |      WHEN s.s_suppkey IS NOT NULL AND t.s_suppkey IS NULL THEN s.status
+        |      ELSE t.status END AS status
+        |FROM t FULL JOIN s ON t.s_suppkey=s.s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q13_merge_delete_guard" ->
+      """WITH t AS (SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name, s_acctbal,
+        |    'old' AS status FROM supplier WHERE s_suppkey<=80),
+        |s AS (SELECT cast(s_suppkey as bigint) AS s_suppkey, s_name,
+        |    s_acctbal+1000.0 AS s_acctbal, 'new' AS status FROM supplier
+        |  WHERE s_suppkey BETWEEN 41 AND 120 AND s_suppkey%2=0)
+        |SELECT coalesce(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+        | CASE WHEN t.s_suppkey IS NULL THEN s.s_name ELSE t.s_name END AS s_name,
+        | CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal ELSE t.s_acctbal END AS s_acctbal,
+        | CASE WHEN s.s_suppkey IS NOT NULL THEN s.status ELSE t.status END AS status
+        |FROM t FULL JOIN s ON t.s_suppkey=s.s_suppkey
+        |WHERE s.s_suppkey IS NOT NULL OR t.s_suppkey<=10
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q14_insert_if_absent" ->
+      """WITH existing AS (SELECT cast(c_custkey as bigint) AS c_custkey, c_name,
+        |    c_mktsegment FROM customer WHERE c_custkey<=500),
+        |incoming AS (SELECT DISTINCT cast(c_custkey as bigint) AS c_custkey, c_name,
+        |    c_mktsegment FROM customer JOIN orders ON c_custkey=o_custkey
+        |  WHERE o_orderpriority='1-URGENT')
+        |SELECT * FROM existing
+        |UNION ALL
+        |SELECT * FROM incoming i WHERE NOT EXISTS
+        |  (SELECT 1 FROM existing e WHERE e.c_custkey=i.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_map_update_fact" ->
+      """WITH fact AS (SELECT cast(o_orderkey as bigint) AS o_orderkey, o_custkey,
+        |  cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint) AS datekey,
+        |  CASE WHEN o_orderstatus='O' THEN 0 ELSE cast(o_custkey as bigint) END AS patron_key
+        |  FROM orders)
+        |SELECT o_orderkey, datekey,
+        | CASE WHEN patron_key=0 AND datekey BETWEEN 19960101 AND 19971231
+        |        AND m.mapped_key IS NOT NULL
+        |      THEN m.mapped_key ELSE patron_key END AS patron_key
+        |FROM fact LEFT JOIN
+        |  (SELECT c_custkey, cast(c_custkey as bigint) AS mapped_key FROM customer) m
+        |  ON fact.o_custkey=m.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_string_clean" ->
+      """SELECT cast(s_suppkey as bigint) AS s_suppkey,
+        | replace(replace(replace(s_name,'#','-'),'Supplier','SUPP'),'000','') AS cleaned,
+        | replace(concat(s_name,'�!�'),'�','') AS stripped,
+        | CASE WHEN trim(CASE WHEN s_suppkey%5=0 THEN '  ' ELSE s_name END)=''
+        |      THEN NULL ELSE CASE WHEN s_suppkey%5=0 THEN '  ' ELSE s_name END
+        |   END AS maybe_null
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q17_dedup_rank" ->
+      """SELECT cast(o_custkey as bigint) AS o_custkey,
+        | cast(o_orderkey as bigint) AS o_orderkey,
+        | cast(o_orderdate as date) AS o_orderdate
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn=1 ORDER BY o_custkey""".stripMargin,
+
+    "q18_priority_rank" ->
+      """SELECT cast(o_custkey as bigint) AS o_custkey,
+        | cast(o_orderkey as bigint) AS o_orderkey, o_orderpriority
+        |FROM (SELECT *, rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY cast(substring(o_orderpriority,1,1) as int)) AS rk FROM orders)
+        |WHERE rk=1 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q19_sequence_keys" ->
+      """SELECT cast(row_number() OVER (ORDER BY c_mktsegment) as bigint)+100 AS segment_key,
+        | c_mktsegment
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        |ORDER BY segment_key""".stripMargin,
+
+    "q20_topk_per_group" ->
+      """SELECT o_orderpriority, cast(rnk as bigint) AS rnk,
+        | cast(o_orderkey as bigint) AS o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders)
+        |WHERE rnk<=5 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q21_mode_per_group" ->
+      """SELECT p_brand, p_type AS type_mode
+        |FROM (SELECT p_brand, p_type, row_number() OVER (PARTITION BY p_brand
+        |    ORDER BY cnt DESC, p_type) AS rn
+        |  FROM (SELECT p_brand, p_type, count(*) AS cnt FROM part
+        |    WHERE p_type IS NOT NULL GROUP BY 1,2))
+        |WHERE rn=1 ORDER BY p_brand""".stripMargin,
+
+    "q22_having_conditional" ->
+      """SELECT p_brand, count(CASE WHEN p_size<=5 THEN 1 END) AS n_small,
+        | count(*) AS n_parts
+        |FROM part GROUP BY 1
+        |HAVING count(CASE WHEN p_size<=5 THEN 1 END)>=5 AND count(*)>10
+        |ORDER BY p_brand""".stripMargin,
+
+    "q23_distinct" ->
+      """SELECT DISTINCT c_mktsegment, cast(c_nationkey as bigint) AS c_nationkey
+        |FROM customer ORDER BY 1,2""".stripMargin,
+
+    "q24_agg_ratio" ->
+      """WITH e AS (SELECT c_mktsegment, n_name, o_totalprice FROM orders
+        |  JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation ON c_nationkey=n_nationkey),
+        |pn AS (SELECT c_mktsegment, n_name,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS nation_spend
+        |  FROM e GROUP BY 1,2),
+        |ps AS (SELECT c_mktsegment,
+        |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS seg_spend
+        |  FROM e GROUP BY 1)
+        |SELECT pn.c_mktsegment, n_name, nation_spend,
+        | round(CASE WHEN seg_spend=0 THEN NULL
+        |   ELSE nation_spend/seg_spend END, 6) AS spend_ratio
+        |FROM pn JOIN ps ON pn.c_mktsegment=ps.c_mktsegment
+        |ORDER BY 1,2""".stripMargin,
+
+    "q25_personas_union" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'urgent'
+        |    ELSE 'rest' END AS bucket,
+        |  sum(cast(o_totalprice as decimal(18,4))) AS bucket_spend
+        |  FROM orders GROUP BY 1,2),
+        |total AS (SELECT o_custkey, sum(bucket_spend) AS total_spend
+        |  FROM spend GROUP BY 1),
+        |ratios AS (SELECT s.o_custkey, bucket,
+        |  cast(bucket_spend as double)/cast(total_spend as double) AS ratio
+        |  FROM spend s JOIN total t ON s.o_custkey=t.o_custkey),
+        |classified AS (
+        |  SELECT o_custkey, 'URGENT_BUYER' AS persona FROM ratios
+        |    WHERE bucket='urgent' AND ratio>=0.8
+        |  UNION ALL
+        |  SELECT o_custkey, 'RELAXED_BUYER' AS persona FROM ratios
+        |    WHERE bucket='rest' AND ratio>=0.8)
+        |SELECT cast(o_custkey as bigint) AS custkey, persona FROM classified
+        |UNION ALL
+        |SELECT cast(c_custkey as bigint) AS custkey, 'UNDEFINED' AS persona
+        |FROM customer WHERE NOT EXISTS
+        |  (SELECT 1 FROM classified cl WHERE cl.o_custkey=c_custkey)
+        |ORDER BY custkey, persona""".stripMargin,
+
+    "q26_datekey_windows" ->
+      """SELECT datekey, event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value,
+        | max(last_day(ts)) AS month_end
+        |FROM (SELECT cast(cast(strftime(ts,'%Y%m%d') as int) as bigint) AS datekey,
+        |  event_type, value, ts FROM events)
+        |WHERE datekey BETWEEN 20240105 AND 20240120
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q27_order_limit" ->
+      """SELECT cast(l_orderkey as bigint) AS l_orderkey,
+        | cast(l_linenumber as bigint) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q28_scalar_subquery" ->
+      """SELECT cast(o_orderkey as bigint) AS o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders)*0.9
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q29_scalar_funcs" ->
+      """SELECT cast(c_custkey as bigint) AS c_custkey,
+        | CASE WHEN trim(CASE WHEN c_custkey%7=0 THEN '   ' ELSE c_mktsegment END)=''
+        |   THEN NULL ELSE CASE WHEN c_custkey%7=0 THEN '   ' ELSE c_mktsegment END
+        |   END AS seg_or_null,
+        | right(concat('0000', coalesce(cast(c_custkey as varchar),'')),4) AS pad4,
+        | CASE WHEN length(z)=10 AND contains(z,'-') THEN split_part(z,'-',1)
+        |      WHEN length(z)=4 THEN lpad(z,5,'0') ELSE z END AS zip_norm,
+        | round(coalesce(CASE WHEN c_custkey%5=0 THEN NULL
+        |   ELSE cast(c_acctbal as double)/cast(c_custkey%5 as double) END, -1.0),6) AS ratio,
+        | cast(try_strptime(CASE WHEN c_custkey%2=0 THEN '2024-01-15'
+        |   ELSE 'not-a-date' END, '%Y-%m-%d') as date) AS parsed_date
+        |FROM (SELECT *, CASE
+        |   WHEN c_custkey%3=0 THEN concat(lpad(cast(c_custkey%90000 as varchar),5,'0'),'-1234')
+        |   WHEN c_custkey%3=1 THEN lpad(cast(c_custkey%9000 as varchar),4,'0')
+        |   ELSE lpad(cast(c_custkey%90000 as varchar),5,'0') END AS z FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q30_zip_normalize_join" ->
+      """WITH cust AS (SELECT *, CASE
+        |   WHEN c_custkey%3=0 THEN concat(lpad(cast(c_custkey%100 as varchar),5,'0'),'-1234')
+        |   WHEN c_custkey%3=1 THEN lpad(cast(c_custkey%100 as varchar),4,'0')
+        |   ELSE lpad(cast(c_custkey%100 as varchar),5,'0') END AS raw_zip FROM customer),
+        |norm AS (SELECT *, CASE WHEN length(raw_zip)=10 AND contains(raw_zip,'-')
+        |    THEN split_part(raw_zip,'-',1)
+        |   WHEN length(raw_zip)=4 THEN lpad(raw_zip,5,'0') ELSE raw_zip END AS zip_n FROM cust),
+        |dim AS (SELECT zip, cast(row_number() OVER (ORDER BY zip) as bigint) AS geo_id
+        |  FROM (SELECT DISTINCT zip_n AS zip FROM norm))
+        |SELECT zip, geo_id, count(*) AS n_cust
+        |FROM norm JOIN dim ON zip_n=zip
+        |GROUP BY 1,2 ORDER BY zip""".stripMargin,
+  )
+
+  private val shingleSql =
+    """list_distinct(list_filter(list_transform(range(1, greatest(len(%s)-2,0)+1),
+      | i -> array_to_string(%s[i:i+2],' ')),
+      | s -> len(string_split(s,' '))=3))""".stripMargin
+
+  val data: Map[String, String] = Map(
+    "t01_doc_stats" ->
+      """WITH tok AS (SELECT doc_id, text, lower(trim(text)) AS lt,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS toks
+        |  FROM documents),
+        |scored AS (SELECT *,
+        |  len(list_filter(toks, x -> x='the'))+len(list_filter(toks, x -> x='and'))+len(list_filter(toks, x -> x='of'))+len(list_filter(toks, x -> x='to'))+len(list_filter(toks, x -> x='in'))+len(list_filter(toks, x -> x='is'))+len(list_filter(toks, x -> x='that'))+len(list_filter(toks, x -> x='it')) AS s_en,
+        |  len(list_filter(toks, x -> x='der'))+len(list_filter(toks, x -> x='die'))+len(list_filter(toks, x -> x='und'))+len(list_filter(toks, x -> x='das'))+len(list_filter(toks, x -> x='ist'))+len(list_filter(toks, x -> x='nicht'))+len(list_filter(toks, x -> x='ein'))+len(list_filter(toks, x -> x='mit')) AS s_de,
+        |  len(list_filter(toks, x -> x='le'))+len(list_filter(toks, x -> x='la'))+len(list_filter(toks, x -> x='et'))+len(list_filter(toks, x -> x='les'))+len(list_filter(toks, x -> x='des'))+len(list_filter(toks, x -> x='est'))+len(list_filter(toks, x -> x='pas'))+len(list_filter(toks, x -> x='une')) AS s_fr,
+        |  len(list_filter(toks, x -> x='el'))+len(list_filter(toks, x -> x='la'))+len(list_filter(toks, x -> x='de'))+len(list_filter(toks, x -> x='que'))+len(list_filter(toks, x -> x='los'))+len(list_filter(toks, x -> x='es'))+len(list_filter(toks, x -> x='una'))+len(list_filter(toks, x -> x='por')) AS s_es,
+        |  len(list_filter(toks, x -> x='il'))+len(list_filter(toks, x -> x='di'))+len(list_filter(toks, x -> x='che'))+len(list_filter(toks, x -> x='la'))+len(list_filter(toks, x -> x='per'))+len(list_filter(toks, x -> x='con'))+len(list_filter(toks, x -> x='una'))+len(list_filter(toks, x -> x='sono')) AS s_it
+        |  FROM tok)
+        |SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        | cast(len(regexp_extract_all(text,'[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as bigint) AS n_bpe_tokens,
+        | cast(length(text) as bigint) AS n_chars_measured,
+        | round(least(1.0, greatest(0.0,
+        |   (CASE WHEN length(text)=0 THEN 0.0
+        |     ELSE cast(length(regexp_replace(text,'[^A-Za-z ]','','g')) as double)/length(text) END)*0.5
+        |   + (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)*0.3
+        |   + (1.0 - least(1.0, (CASE WHEN length(text)=0 THEN 0.0
+        |     ELSE cast(length(regexp_replace(text,'[^.,;:!?]','','g')) as double)/length(text) END)*10))*0.1
+        |   + (CASE WHEN (CASE WHEN n_tokens=0 THEN 0.0
+        |     ELSE cast(length(text) as double)/n_tokens END) BETWEEN 2 AND 12
+        |     THEN 0.1 ELSE 0.0 END))),4) AS quality,
+        | CASE WHEN s_it>0 AND s_it>=s_fr AND s_it>=s_es AND s_it>=s_en AND s_it>=s_de THEN 'it'
+        |      WHEN s_fr>0 AND s_fr>=s_es AND s_fr>=s_en AND s_fr>=s_de THEN 'fr'
+        |      WHEN s_es>0 AND s_es>=s_en AND s_es>=s_de THEN 'es'
+        |      WHEN s_en>0 AND s_en>=s_de THEN 'en'
+        |      WHEN s_de>0 THEN 'de' ELSE 'und' END AS lang_pred,
+        | md5(regexp_replace(lt,'\s+',' ','g')) AS fingerprint
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t02_exact_dedup" ->
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM (SELECT doc_id, md5(array_to_string(
+        |  (regexp_split_to_array(lower(trim(text)),'\s+'))[1:2],' ')) AS fp
+        |  FROM documents)
+        |GROUP BY 1 HAVING count(*)>1 ORDER BY fp""".stripMargin,
+
+    "t04_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, %SH_A% AS sha FROM d),
+        |shp AS (SELECT doc_id, %SH_B% AS shb
+        |  FROM (SELECT doc_id, t[2:] AS t2 FROM d))
+         |SELECT cast(a.doc_id as bigint) AS id_a,
+         | cast(a.doc_id+100000 as bigint) AS id_b,
+         | round(CASE WHEN len(list_distinct(list_concat(sha,shb)))=0 THEN 0.0
+         |   ELSE cast(len(list_intersect(sha,shb)) as double)
+         |     /len(list_distinct(list_concat(sha,shb))) END,4) AS jaccard
+         |FROM sh a JOIN shp b ON a.doc_id=b.doc_id
+         |ORDER BY id_a""".stripMargin
+        .replace("%SH_A%", shingleSql.format("t", "t"))
+        .replace("%SH_B%", shingleSql.format("t2", "t2")),
+
+    "t06_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id<8),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |  list_cosine_similarity(cast(qe as double[]), cast(ce as double[])) AS cos
+        |  FROM q JOIN c ON qid<>nid),
+        |r AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+        |  ORDER BY cos DESC, nid) AS rnk FROM s)
+        |SELECT cast(qid as bigint) AS query_id, cast(rnk as bigint) AS "rank",
+        | cast(nid as bigint) AS neighbor_id, round(cos,4) AS cosine
+        |FROM r WHERE rnk<=5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "t10_event_hourly" ->
+      """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+  )
+
+  val all: Map[String, String] = core ++ data
+}

@@ -1,0 +1,165 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational-core operator library: the mutable-table idioms of the
+  * reference (MERGE / UPDATE..FROM / insert-if-absent / rank-dedup)
+  * re-expressed as pure DataFrame -> DataFrame transforms.
+  *
+  * Scale posture: every transform here is a single equi-join or window —
+  * one shuffle each, broadcastable when one side is dimension-sized, and
+  * safe under AQE. Nothing collects to the driver.
+  */
+object Merge {
+
+  /** O3 — insert-if-absent (`INSERT .. SELECT .. LEFT JOIN t ON k WHERE
+    * t.k IS NULL`, e.g. UpdtMapDimPatron.sql:48-62, script.sql S2:23-28).
+    * Appends only rows whose key is not already present; incoming dups
+    * collapse to one arbitrary-but-deterministic row per key.
+    */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val fresh = incoming
+      .select(existing.columns.map(col).toIndexedSeq: _*)
+      .dropDuplicates(keys)
+      .join(existing.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
+    existing.unionByName(fresh)
+  }
+
+  /** O4/O5/O6 — MERGE upsert as a full-outer join.
+    *
+    * - matched -> UPDATE (optionally only `when updateCondition`, the
+    *   conditional-update clause of spScript.sql:55-70),
+    * - not matched by target -> INSERT,
+    * - not matched by source -> DELETE when `deleteNotMatched`, except rows
+    *   matching `deleteGuard` which are always kept (guard rows, e.g.
+    *   spScript.sql:201-202 `SFKey <> 'XXXXXXXXXXXXXXX'`).
+    *
+    * `updateCols`: columns taken from source on match (others keep target
+    * values). Source must be unique per key — enforce upstream with
+    * [[pickLatest]] like the reference does (BillingGroup_script.sql:30).
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  updateCols: Seq[String],
+                  updateCondition: Option[Column] = None,
+                  deleteNotMatched: Boolean = false,
+                  deleteGuard: Option[Column] = None): DataFrame = {
+    val t = target.withColumn("__in_t", lit(true)).alias("t")
+    val s = source.withColumn("__in_s", lit(true)).alias("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+    val inSource = col("s.__in_s").isNotNull
+    val inTarget = col("t.__in_t").isNotNull
+    val doUpdate = updateCondition.getOrElse(lit(true))
+
+    val outCols = target.columns.map { c =>
+      val tc = col(s"t.$c")
+      val base =
+        if (keys.contains(c)) coalesce(tc, col(s"s.$c"))
+        else if (updateCols.contains(c) && source.columns.contains(c))
+          when(inSource && inTarget && doUpdate, col(s"s.$c"))
+            .when(inSource && !inTarget, col(s"s.$c"))
+            .otherwise(tc)
+        else if (source.columns.contains(c))
+          when(!inTarget, col(s"s.$c")).otherwise(tc)
+        else tc
+      base.as(c)
+    }
+    val kept =
+      if (!deleteNotMatched) joined
+      else joined.filter(inSource || !inTarget || deleteGuard.getOrElse(lit(false)))
+    kept.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** O7 — correlated `UPDATE fact SET x = mapped FROM fact JOIN map` — the
+    * reference's workhorse (15 occurrences, e.g. script.sql S2:31-37,
+    * UpdMapDimRest.sql:466-484). Left-joins fact to mapping on `keys` and,
+    * only where `guard` holds (date window + sentinel "unmapped" predicates),
+    * replaces each column in `set` with the mapped value when present.
+    * Rows outside the guard, and rows with no match, pass through untouched —
+    * the bit-exact-preservation contract of SURVEY §7.3(1).
+    *
+    * `set`: fact-column -> expression over the joined mapping columns.
+    */
+  def mapUpdate(fact: DataFrame, mapping: DataFrame, keys: Seq[Column],
+                set: Map[String, Column], guard: Column): DataFrame = {
+    val joined = fact.join(mapping, keys.reduce(_ && _), "left")
+    val outCols = fact.columns.map { c =>
+      set.get(c) match {
+        case Some(mapped) =>
+          when(guard && mapped.isNotNull, mapped).otherwise(fact(c)).as(c)
+        case None => fact(c)
+      }
+    }
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** O37 — `ROW_NUMBER() OVER (PARTITION BY part ORDER BY ord) = 1`:
+    * dedup / pick-latest (BillingGroup_script.sql:23, 76; cuisine_type.sql
+    * passim). `ord` should end with a unique tiebreaker for determinism. */
+  def pickLatest(df: DataFrame, part: Seq[Column], ord: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(part: _*).orderBy(ord: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** O38 — RANK by a computed priority (match-quality CASE score,
+    * UpdMapDimRest.sql:22, 30-41); ties survive like the reference's RANK. */
+  def rankPick(df: DataFrame, part: Seq[Column], priority: Column,
+               keepRank: Int = 1): DataFrame =
+    df.withColumn("__rk", rank().over(
+        Window.partitionBy(part: _*).orderBy(priority)))
+      .filter(col("__rk") <= keepRank).drop("__rk")
+
+  /** O40 — top-k rows per group (patron_segmentation.sql:391-399
+    * `MMRank <= 10`). */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], ord: Seq[Column],
+                   k: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(part: _*).orderBy(ord: _*)))
+      .filter(col("__rn") <= k).drop("__rn")
+
+  /** O41 — most-frequent value per group (mode), count-then-rank like
+    * cuisine_type.sql:28-46. Ties break by value ascending (the reference
+    * leaves ties to ORDER BY stability; we make it deterministic). */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol)).count()
+      .transform(pickLatest(_, Seq(col(groupCol)),
+        Seq(col("count").desc, col(valueCol).asc)))
+      .select(col(groupCol), col(valueCol).as(s"${valueCol}_mode"))
+
+  /** O39 — surrogate-key sequencing: `ROW_NUMBER() OVER (ORDER BY ord) +
+    * max(existing key)` (BillingGroup_script.sql:65).
+    *
+    * The single-partition window matches the reference semantics and is fine
+    * for dimension-sized data; for 100 TB fact-sized inputs use
+    * [[sequenceKeysScalable]] instead.
+    */
+  def sequenceKeys(df: DataFrame, ord: Seq[Column], keyCol: String,
+                   offset: Long): DataFrame =
+    df.withColumn(keyCol,
+      row_number().over(Window.orderBy(ord: _*)).cast("long") + lit(offset))
+
+  /** Scale-safe dense sequencing: per-partition `row_number` plus a
+    * broadcast map of partition offsets — no global shuffle to one task.
+    * Keys are contiguous from offset+1 but assignment order follows the
+    * current partitioning, so sort first if global order matters.
+    */
+  def sequenceKeysScalable(df: DataFrame, keyCol: String, offset: Long): DataFrame = {
+    val withPid = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(monotonically_increasing_id())))
+    val counts = withPid.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__base",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    withPid.join(broadcast(counts), "__pid")
+      .withColumn(keyCol, col("__rn").cast("long") + col("__base") + lit(offset))
+      .drop("__pid", "__rn", "__base")
+  }
+}

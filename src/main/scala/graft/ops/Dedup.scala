@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design: every stage is hash -> groupBy/join on a compact key.
+  * Candidate generation never compares all pairs — LSH bands / simhash
+  * buckets bound the join fan-out, and the expensive Jaccard check runs
+  * only on bucket-collision candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per normalized-content hash.
+    * One shuffle on a 16-byte key regardless of document size. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val fp = TextOps.docFingerprint(col(textCol))
+    docs.withColumn("fingerprint", fp)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fingerprint")).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Duplicate-cluster report: fingerprint -> surviving id + victim count. */
+  def exactDupClusters(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), TextOps.docFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash signature as an array<long> of `numHashes` minima over word
+    * `shingleSize`-shingles. Hash family: xxhash64(shingle, seed_i) — i.i.d.
+    * enough for Jaccard estimation (Broder '97 resemblance sketches).
+    *
+    * Single-pass formulation: one `aggregate` over the shingle array
+    * updating all minima via `zip_with`, so the (expensive) shingle builder
+    * is evaluated once per row — NOT once per hash function. (A naive
+    * `array(array_min(transform(shingles, …)) * numHashes)` duplicates the
+    * shingle expression numHashes times in one projection; Catalyst's
+    * CollapseProject/CSE does not reliably dedupe it and the plan goes
+    * O(numHashes × tokens) per row.) */
+  def minHashSignature(text: Column, numHashes: Int = 32,
+                       shingleSize: Int = 3): Column = {
+    val shingles = array_distinct(TextOps.wordShingles(text, shingleSize))
+    val init = transform(sequence(lit(1), lit(numHashes)),
+      _ => lit(Long.MaxValue))
+    aggregate(shingles, init, (acc, s) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
+        (a, h) => least(a, h)))
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature -> split into `bands` bands of `rowsPerBand` -> hash each
+    * band -> self-join on (band_idx, band_hash) -> distinct candidate pairs
+    * (a < b). Collision probability per band ~ J^rowsPerBand, so with
+    * 8 bands x 4 rows, J=0.8 pairs are caught w.p. ~97%.
+    * The band-bucket join is the only shuffle over pairs; fan-out is bounded
+    * by bucket size, never n^2.
+    */
+  def minHashLshCandidates(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", bands: Int = 8,
+                           rowsPerBand: Int = 4,
+                           shingleSize: Int = 3): DataFrame = {
+    val sig = minHashSignature(col(textCol), bands * rowsPerBand, shingleSize)
+    val banded = docs
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a set of candidate pairs — the
+    * verification stage after LSH. `pairs` has columns (id_a, id_b). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("__sh"))
+    pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-bit vote vector for a 64-bit SimHash (Charikar '02) over word
+    * unigram features: votes[b] = sum over features of +/-1 by bit b of the
+    * feature hash. Single aggregate pass (see minHashSignature note on why
+    * staging matters). */
+  private def simHashVotes(text: Column): Column = {
+    // word-bigram features: unigrams over a small vocabulary make long
+    // documents' token SETS near-identical and the sketch degenerates
+    val hashes = transform(array_distinct(TextOps.wordShingles(text, 2)),
+      t => xxhash64(t))
+    val init = transform(sequence(lit(1), lit(64)), _ => lit(0L))
+    val bitMasks = array((0 until 64).map(b => lit(1L << b)): _*)
+    aggregate(hashes, init, (acc, h) =>
+      zip_with(acc, transform(bitMasks, m =>
+          when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+  }
+
+  /** Fold a 64-slot vote vector (an attribute reference, so the fold stays
+    * cheap) into the final 64-bit simhash long. */
+  private def votesToHash(votes: Column): Column =
+    (0 until 64).map { b =>
+      when(element_at(votes, b + 1) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+
+  /** Attach a 64-bit simhash column; two staged projections so the vote
+    * aggregate is computed once even though the fold references it 64x. */
+  def withSimHash(df: DataFrame, textCol: String = "text",
+                  outCol: String = "simhash"): DataFrame =
+    df.withColumn("__votes", simHashVotes(col(textCol)))
+      .withColumn(outCol, votesToHash(col("__votes")))
+      .drop("__votes")
+
+  /** 64-bit SimHash as a single Column (convenience for small inputs; at
+    * scale prefer [[withSimHash]] whose staged projection guarantees the
+    * vote pass runs once). */
+  def simHash64(text: Column): Column = votesToHash(simHashVotes(text))
+
+  /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
+    * blocks; docs sharing any block collide (covers Hamming distance
+    * <= blocks-1 by pigeonhole). Returns pairs with exact Hamming distance
+    * <= maxHamming. */
+  def simHashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", blocks: Int = 4,
+                        maxHamming: Int = 3): DataFrame = {
+    val bitsPerBlock = 64 / blocks
+    val base = withSimHash(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__text", "sh")
+      .select(col("id"), col("sh"))
+    val mask = (1L << bitsPerBlock) - 1
+    val keyed = base.select(col("id"), col("sh"), posexplode(array(
+        (0 until blocks).map(b =>
+          shiftright(col("sh"), b * bitsPerBlock).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
+    val l = keyed.alias("l")
+    val r = keyed.alias("r")
+    l.join(r,
+        col("l.block") === col("r.block") &&
+        col("l.block_val") === col("r.block_val") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

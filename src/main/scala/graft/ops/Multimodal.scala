@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata travelling alongside.
+  *
+  * The real decode (JPEG/PNG/audio codecs) is STUBBED — the container has no
+  * media libraries — behind [[MediaDecoder]]; everything Spark-side (schema,
+  * batch iteration shape, partition-wise processing, metadata struct) is
+  * real and tested. On a cluster you swap [[MediaDecoder.decodeStub]] for a
+  * JNI/javacv call without touching the plan.
+  */
+object Multimodal {
+
+  /** Decoded-asset metadata row. */
+  case class MediaMeta(asset_id: Long, modality: String, n_bytes: Int,
+                       width: Int, height: Int, duration_ms: Int,
+                       content_hash: Long)
+
+  /** STUB decoder: a real implementation parses the container header.
+    * This deterministic fake derives plausible dimensions from the payload
+    * hash so the downstream plumbing is testable byte-for-byte. */
+  object MediaDecoder {
+    def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val h = java.util.Arrays.hashCode(payload)
+      val w = 64 + math.abs(h % 1024)
+      modality match {
+        case "image" => (w, 64 + math.abs((h / 1024) % 1024), 0)
+        case "audio" => (0, 0, 1000 + math.abs(h % 600000))
+        case "video" => (w, 64 + math.abs((h / 1024) % 1024),
+          1000 + math.abs(h % 600000))
+        case _ => (0, 0, 0)
+      }
+    }
+  }
+
+  /** Wrap a text corpus as fake media assets: binary payload + modality —
+    * gives the pipeline a `binary` column to exercise end to end. */
+  def asAssets(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("content"))
+
+  /** Partition-wise feature extraction over binary payloads — the Scala
+    * analogue of a batched `mapInPandas` decode: one decoder instance per
+    * partition, streaming rows, no driver materialization. */
+  def extractMeta(assets: DataFrame): Dataset[MediaMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup happens here in a real codec
+        it.map { case (id, modality, payload) =>
+          val (w, h, d) = MediaDecoder.decodeStub(modality, payload)
+          MediaMeta(id, modality, payload.length, w, h, d,
+            org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashUnsafeBytes(payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                payload.length, 42).toLong)
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video assets: every `everyMs` milliseconds up
+    * to `maxFrames` — emits (asset_id, frame_idx, ts_ms) rows; the actual
+    * pixel fetch is the stubbed decode. Pure expressions: the explode stays
+    * distributed and codegen'd. */
+  def frameSamplePlan(meta: Dataset[MediaMeta], everyMs: Int = 1000,
+                      maxFrames: Int = 32): DataFrame =
+    meta.toDF().filter(col("modality") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0),
+        least(floor(col("duration_ms") / everyMs).cast("int"), lit(maxFrames - 1)))))
+      .select(col("asset_id"), col("frame_idx"),
+        (col("frame_idx") * everyMs).as("ts_ms"))
+}

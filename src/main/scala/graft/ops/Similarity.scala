@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — exact baseline; broadcast the (small)
+  *    query set against the corpus, one pass, no shuffle of the corpus.
+  *  - LSH / IVF-style bucketed ANN — the 100 TB path: random-hyperplane
+  *    signs bucket the corpus once (a cheap projection), queries probe only
+  *    their bucket, so the candidate set is corpus/2^bits per probe.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns; sequential
+    * fold => deterministic, identical across partitionings. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0, 0.0).otherwise(d / n)
+  }
+
+  /** Exact brute-force cosine top-k: for each query row, the k nearest
+    * corpus rows (excluding itself). The query side is expected to be small
+    * and is broadcast; the corpus streams. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id (Charikar '02 sign sketch): `bits`
+    * pseudo-random hyperplanes derived deterministically from xxhash64 of
+    * (dimension index, plane index); bucket = sign-bit vector as int.
+    * Same expression buckets corpus and queries => co-partitioned join. */
+  def rhpBucket(vec: Column, bits: Int): Column = {
+    val planes = (0 until bits).map { p =>
+      // pseudo-random +/-1 weight per (dim, plane), from a hash of indices
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+          x.cast("double") *
+            when(xxhash64(i, lit(p)).bitwiseAND(1L) === 0L, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }
+    planes.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Bucketed ANN: corpus and queries hashed to `bits`-bit buckets; each
+    * query only scans its bucket (multi-probe: plus buckets at Hamming
+    * distance 1 when `probe1` — recall/cost knob). Returns top-k per query
+    * among candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+              probe1: Boolean = true, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      rhpBucket(col(vecCol), bits).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      rhpBucket(col(vecCol), bits).as("b0"))
+    val probes =
+      if (!probe1) array(col("b0"))
+      else array(col("b0") +:
+        (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)): _*)
+    val qb = broadcast(qBase.select(col("query_id"), col("__qv"),
+      explode(probes).as("bucket")))
+    qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
+  /** IVF-style coarse quantizer: assign each vector to the nearest of
+    * `centroids` (a small broadcast table (centroid_id, vec)); search then
+    * probes only matching lists. Building centroids (k-means) is out of
+    * scope here — any clustering feeding (centroid_id, vec) works. */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                cidCol: String = "centroid_id",
+                cvecCol: String = "cvec"): DataFrame = {
+    val joined = vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", -cosine(col(vecCol), col(cvecCol)))
+    joined.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__d"), col(cidCol))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(cidCol))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, no UDFs) so they stream through
+  * a parquet scan of billions of documents without materializing tokens.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword proxy count: word chunks plus digit runs plus
+    * punctuation marks, the common pre-tokenizer split (GPT-2 style regex,
+    * simplified to what codegen regex supports). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Heuristic document-quality score in [0,1]: blend of length band,
+    * alpha ratio, punctuation ratio and mean word length — the usual
+    * cheap pre-filter ahead of model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+    val nTok   = tokenCount(text).cast("double")
+    val alphaRatio = when(nChars === 0, 0.0).otherwise(nAlpha / nChars)
+    val punctRatio = when(nChars === 0, 0.0).otherwise(nPunct / nChars)
+    val meanWordLen = when(nTok === 0, 0.0).otherwise(nChars / nTok)
+    val lengthOk = when(nTok.between(10, 100000), 1.0).otherwise(0.5)
+    round(least(lit(1.0), greatest(lit(0.0),
+      alphaRatio * 0.5 + lengthOk * 0.3 +
+        (lit(1.0) - least(lit(1.0), punctRatio * 10)) * 0.1 +
+        when(meanWordLen.between(2, 12), 0.1).otherwise(0.0))), 4)
+  }
+
+  /** Character n-gram shingles of the lowercased, whitespace-collapsed text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    filter(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))),
+      s => length(s) === n)
+  }
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => size(split(s, " ")) === n)
+  }
+
+  /** Stopword-profile language ID: scores each candidate language by hits
+    * of its most frequent function words and returns the argmax, 'und' when
+    * nothing matches. N-gram-profile LID in the Cavnar-Trenkle spirit,
+    * reduced to the top-word profile so it stays a pure expression. */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "est", "pas", "une"),
+      "es" -> Seq("el", "la", "de", "que", "los", "es", "una", "por"),
+      "it" -> Seq("il", "di", "che", "la", "per", "con", "una", "sono"),
+    )
+    val toks = split(lower(trim(text)), "\\s+")
+    val scores = profiles.map { case (lang, words) =>
+      val score = words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
+      struct(score.cast("int").as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content-defined document fingerprint: hash of the normalized text
+    * (case-folded, whitespace-collapsed) — the exact-dup key. */
+  def docFingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit rolling-style fingerprint as a long (xxhash64 of normalized
+    * text) — cheaper join key than the hex digest at 100 TB. */
+  def docFingerprint64(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Standard document-stats projection over a corpus. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      length(t).as("n_chars_measured"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      docFingerprint(t).as("fingerprint"))
+  }
+}
