@@ -17,6 +17,11 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     println("ENTRY_ROWS=" + df.count())
     df.show(5, truncate = false)
+    // streaming surface over the real (nanos-timestamped) fixture events
+    val hourly = graft.streaming.Streams.runHourlyOnce(
+      spark, "/root/testdata/sf0.001", nanosTs = true)
+    println("STREAM_ROWS=" + hourly.count())
+    hourly.orderBy("hour_start", "event_type").show(3)
     spark.stop()
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming surface: the file-source hourly rollup must equal its batch
+  * twin on the same bounded input (write-once-run-either-way contract). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyRollup streaming (availableNow) == batch on same input") {
+    val dir = Files.createTempDirectory("graft_events").toString
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 1.5, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:55:00"), 7L, "click", 2.5, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:05:00"), 8L, "view", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 11:20:00"), 8L, "click", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events_a.parquet")
+
+    val streamed = Streams
+      .runHourlyOnce(spark, s"$dir/events_a.parquet", "spec_hourly", "*.parquet")
+      .orderBy("hour_start", "event_type").collect()
+    val batch = Streams.hourlyRollup(spark.read.parquet(s"$dir/events_a.parquet"))
+      .orderBy("hour_start", "event_type").collect()
+
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3) // (10h click), (11h click), (11h view)
+    val tenClick = streamed(0)
+    assert(tenClick.getLong(2) == 2 && tenClick.getDouble(3) == 4.0)
+  }
+
+  test("slidingUserActivity counts overlapping windows") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:07:00"), 7L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Streams.slidingUserActivity(events).collect()
+    // 10:02 lands in [9:55,10:05) and [10:00,10:10); 10:07 in [10:00,10:10)
+    // and [10:05,10:15) -> window [10:00,10:10) holds both
+    assert(out.exists(r => r.getLong(2) == 2))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Specs for training-data ops: text analysis, dedup sketches, ANN. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).first().get(0)
+
+  test("tokenCount handles empty and multi-space text") {
+    assert(one(TextOps.tokenCount(lit(""))) == 0)
+    assert(one(TextOps.tokenCount(lit("  "))) == 0)
+    assert(one(TextOps.tokenCount(lit("a  b\tc"))) == 3)
+  }
+
+  test("bpeTokenCount splits words, digits, punctuation") {
+    // "ab 12, c" -> [ab] [1] [2] [,] [c]
+    assert(one(TextOps.bpeTokenCount(lit("ab 12, c"))) == 5)
+  }
+
+  test("wordShingles produces n-grams in order") {
+    val sh = one(TextOps.wordShingles(lit("a b c d"), 3))
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toList == List("a b c", "b c d"))
+    assert(one(TextOps.wordShingles(lit("a b"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+  }
+
+  test("langId identifies stopword-rich text, und when nothing matches") {
+    assert(one(TextOps.langId(lit("the cat and the dog is in the house"))) == "en")
+    assert(one(TextOps.langId(lit("der hund ist nicht mit der katze"))) == "de")
+    assert(one(TextOps.langId(lit("zzz qqq www"))) == "und")
+  }
+
+  test("docFingerprint collapses case and whitespace") {
+    assert(one(TextOps.docFingerprint(lit("Hello  World"))) ==
+      one(TextOps.docFingerprint(lit("hello world "))))
+  }
+
+  test("exactDedup keeps lowest id per identical content") {
+    val docs = Seq((5L, "same text"), (2L, "same  TEXT"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 9L))
+  }
+
+  test("minhash signature: identical docs match, disjoint docs don't") {
+    val df = Seq(("a b c d e f g h"), ("a b c d e f g h"), ("q r s t u v w x"))
+      .toDF("text")
+      .select(Dedup.minHashSignature(col("text"), 16, 2).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minHashLshCandidates finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (2 to 40).map(i => s"w$i").mkString(" ") // drop one token
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, (100 to 140).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val cands = Dedup.minHashLshCandidates(docs, bands = 8, rowsPerBand = 2,
+      shingleSize = 2).collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!cands.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("jaccardVerify computes exact shingle jaccard") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(pairs, docs, shingleSize = 2)
+      .orderBy("id_b").collect()
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == 0.0)
+  }
+
+  test("simhash: identical text -> hamming 0; candidates find planted dup") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base),
+      (3L, (200 to 260).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Dedup.simHashCandidates(docs, blocks = 4, maxHamming = 3)
+      .collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getInt(2) == 0))
+    assert(!out.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("cosine: orthonormal and identical vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 2f), Array(1f, 2f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(cs(0) == 0.0)
+    assert(math.abs(cs(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks the exact duplicate vector first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(2) == 1L) // identical vector is nearest
+    assert(out(0).getDouble(3) == 1.0)
+    assert(out(1).getLong(2) == 3L)
+  }
+
+  test("lshTopK: bucketed search still finds the exact duplicate") {
+    val vecs = (0L to 50L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val withDup = vecs.union(Seq((999L, Array.tabulate(8)(j =>
+      math.sin(7.0 + j).toFloat))).toDF("vec_id", "embedding"))
+    val out = Similarity.lshTopK(withDup, withDup.filter(col("vec_id") === 1),
+      k = 3, bits = 3).collect()
+    assert(out.exists(r => r.getLong(2) == 999L && r.getDouble(3) == 1.0))
+  }
+}
