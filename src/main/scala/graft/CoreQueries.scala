@@ -431,6 +431,73 @@ object CoreQueries {
       .orderBy(col("zip"))
   }
 
+  /** O9 / entry-point-3 — the SQL surface: temp views + spark.sql, the
+    * engine's analog of the reference's reporting views (Seg:243-296)
+    * queried interactively. */
+  val q31SqlView: Q = (s, d) => {
+    T.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    T.supplier(s, d).createOrReplaceTempView("v_supplier")
+    T.nation(s, d).createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT n_name,
+        cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS revenue,
+        count(*) AS n_items
+      FROM v_lineitem
+      JOIN v_supplier ON l_suppkey = s_suppkey
+      JOIN v_nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")
+  }
+
+  /** O10/O13 — the validation-invariant surface: after the guarded map
+    * pass, report row conservation and residual unmapped rows in the
+    * window (S2:90-94, S3:91-99 zero-expectation probes). */
+  val q32ValidationUnmapped: Q = (s, d) => {
+    val mapped = q15MapUpdateFact(s, d)
+    mapped.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("patron_key") === 0 &&
+        col("datekey").between(19960101L, 19971231L), 1L).otherwise(0L))
+        .as("n_unmapped_in_window"))
+  }
+
+  /** O29 — fuzzy prefix join: contains-pattern filter + prefix-equality
+    * equi-join (S3:54-59), re-expressed scale-safe as equi-join on the
+    * derived prefix. */
+  val q33FuzzyPrefixJoin: Q = (s, d) =>
+    T.supplier(s, d)
+      .join(T.customer(s, d).filter(col("c_name").contains("Customer")),
+        substring(col("s_name"), -5, 5) === substring(col("c_name"), -5, 5))
+      .select(col("s_suppkey").cast("long").as("s_suppkey"),
+        col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+
+  /** Seg:144-217 — the real segmentation ratio chain over fixtures:
+    * max-territory / max-minimarket spend ratios at the 0.8 thresholds,
+    * Undefined backfill; exercises graft.pipelines.Segmentation end-to-end
+    * with an exact DuckDB oracle. */
+  val q34SegPersonas: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val fact = T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("o_custkey").as("UniquePatronId"),
+        col("s_nationkey").as("GeographyID"),
+        Ops.dateKey(col("o_orderdate")).as("DateKey"),
+        dec(col("l_extendedprice")).as("Amount"))
+    val dimZip = T.nation(s, d).join(broadcast(T.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("GeographyID"),
+        col("r_name").as("SalesTerritory"),
+        col("n_name").as("DIN_DisplayMiniMarketName"))
+    val dup = T.customer(s, d)
+      .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
+    val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
+    Segmentation.classify(Segmentation.spendRatios(mm), dup)
+      .select(col("UniquePatronId").cast("long").as("custkey"),
+        col("PersonaName").as("persona"))
+      .orderBy(col("custkey"), col("persona"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -462,5 +529,9 @@ object CoreQueries {
     "q28_scalar_subquery" -> q28ScalarSubquery,
     "q29_scalar_funcs" -> q29ScalarFuncs,
     "q30_zip_normalize_join" -> q30ZipNormalizeJoin,
+    "q31_sql_view" -> q31SqlView,
+    "q32_validation_unmapped" -> q32ValidationUnmapped,
+    "q33_fuzzy_prefix_join" -> q33FuzzyPrefixJoin,
+    "q34_seg_personas" -> q34SegPersonas,
   )
 }

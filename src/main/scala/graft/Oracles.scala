@@ -327,6 +327,68 @@ object Oracles {
         |SELECT zip, geo_id, count(*) AS n_cust
         |FROM norm JOIN dim ON zip_n=zip
         |GROUP BY 1,2 ORDER BY zip""".stripMargin,
+
+    "q31_sql_view" ->
+      """SELECT n_name,
+        | cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q32_validation_unmapped" ->
+      """WITH fact AS (SELECT cast(o_orderkey as bigint) AS o_orderkey, o_custkey,
+        |  cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint) AS datekey,
+        |  CASE WHEN o_orderstatus='O' THEN 0 ELSE cast(o_custkey as bigint) END AS patron_key
+        |  FROM orders),
+        |mapped AS (SELECT o_orderkey, datekey,
+        |  CASE WHEN patron_key=0 AND datekey BETWEEN 19960101 AND 19971231
+        |         AND m.mapped_key IS NOT NULL
+        |       THEN m.mapped_key ELSE patron_key END AS patron_key
+        |  FROM fact LEFT JOIN
+        |    (SELECT c_custkey, cast(c_custkey as bigint) AS mapped_key FROM customer) m
+        |    ON fact.o_custkey=m.c_custkey)
+        |SELECT count(*) AS n_rows,
+        | sum(CASE WHEN patron_key=0 AND datekey BETWEEN 19960101 AND 19971231
+        |   THEN 1 ELSE 0 END) AS n_unmapped_in_window
+        |FROM mapped""".stripMargin,
+
+    "q33_fuzzy_prefix_join" ->
+      """SELECT cast(s_suppkey as bigint) AS s_suppkey,
+        | cast(c_custkey as bigint) AS c_custkey, c_mktsegment
+        |FROM supplier JOIN customer
+        |  ON right(s_name,5)=right(c_name,5) AND contains(c_name,'Customer')
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    "q34_seg_personas" ->
+      """WITH mm AS (SELECT o_custkey AS pid, r_name AS terr, n_name AS mm_name,
+        |  sum(cast(l_extendedprice as decimal(18,4))) AS amt
+        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN supplier ON l_suppkey=s_suppkey
+        |  JOIN nation ON s_nationkey=n_nationkey
+        |  JOIN region ON n_regionkey=r_regionkey
+        |  GROUP BY 1,2,3),
+        |tot AS (SELECT pid, sum(amt) AS total FROM mm GROUP BY 1),
+        |terr AS (SELECT pid, terr, sum(amt) AS tamt FROM mm GROUP BY 1,2),
+        |maxt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
+        |  ORDER BY tamt DESC, terr) AS rn FROM terr) WHERE rn=1),
+        |maxm AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
+        |  ORDER BY amt DESC, terr, mm_name) AS rn FROM mm) WHERE rn=1),
+        |r AS (SELECT t.pid,
+        |  CASE WHEN tot.total=0 THEN NULL
+        |    ELSE cast(t.tamt as double)/cast(tot.total as double) END AS tr,
+        |  CASE WHEN tot.total=0 THEN NULL
+        |    ELSE cast(m.amt as double)/cast(tot.total as double) END AS mr
+        |  FROM maxt t JOIN tot ON t.pid=tot.pid JOIN maxm m ON m.pid=t.pid),
+        |cl AS (SELECT pid, 'Road Warrior' AS persona FROM r WHERE tr<0.8
+        |  UNION ALL SELECT pid, 'City person' FROM r WHERE tr>=0.8 AND mr<0.8
+        |  UNION ALL SELECT pid, 'Office manager' FROM r WHERE tr>0.8 AND mr>=0.8)
+        |SELECT cast(pid as bigint) AS custkey, persona FROM cl
+        |UNION ALL
+        |SELECT cast(c_custkey as bigint) AS custkey, 'Undefined' AS persona
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.pid=c_custkey)
+        |ORDER BY custkey, persona""".stripMargin,
   )
 
   private val shingleSql =
