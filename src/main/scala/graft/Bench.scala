@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed loop: a scan-agg-join round trip
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -46,7 +46,7 @@ object Dedup {
     * O(numHashes × tokens) per row.) */
   def minHashSignature(text: Column, numHashes: Int = 32,
                        shingleSize: Int = 3): Column = {
-    val shingles = array_distinct(TextOps.wordShingles(text, shingleSize))
+    val shingles = TextOps.wordShingleHashes(text, shingleSize)
     val init = transform(sequence(lit(1), lit(numHashes)),
       _ => lit(Long.MaxValue))
     aggregate(shingles, init, (acc, s) =>
@@ -86,19 +86,37 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for a set of candidate pairs — the
-    * verification stage after LSH. `pairs` has columns (id_a, id_b). */
+    * verification stage after LSH. `pairs` has columns (id_a, id_b).
+    *
+    * Shuffle-friendly formulation: shingles are EXPLODED to (id, shingle)
+    * rows — |A∩B| comes from a join on (pair, shingle) and |A∪B| from
+    * per-doc counts, so no shingle array ever crosses a shuffle (a ~10 KB
+    * array per row in the naive array_intersect version). Hashing each
+    * shingle to a compact 64-bit key keeps the exchanged rows small. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(TextOps.wordShingles(col(textCol), shingleSize)).as("__sh"))
+      explode(TextOps.wordShingleHashes(col(textCol), shingleSize)).as("__sh"))
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = pairs
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("__idb"), col("__sh").as("__shb")),
+        col("id_b") === col("__idb") && col("__sha") === col("__shb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
     pairs
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"), "left")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("__i", coalesce(col("__inter"), lit(0L)).cast("double"))
+      .withColumn("__u",
+        (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).cast("double")
+          - col("__i"))
       .withColumn("jaccard",
-        round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 4))
+        round(when(col("__u") === 0, 0.0).otherwise(col("__i") / col("__u")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -110,8 +128,7 @@ object Dedup {
   private def simHashVotes(text: Column): Column = {
     // word-bigram features: unigrams over a small vocabulary make long
     // documents' token SETS near-identical and the sketch degenerates
-    val hashes = transform(array_distinct(TextOps.wordShingles(text, 2)),
-      t => xxhash64(t))
+    val hashes = TextOps.wordShingleHashes(text, 2)
     val init = transform(sequence(lit(1), lit(64)), _ => lit(0L))
     val bitMasks = array((0 until 64).map(b => lit(1L << b)): _*)
     aggregate(hashes, init, (acc, h) =>

@@ -58,6 +58,24 @@ object TextOps {
       s => size(split(s, " ")) === n)
   }
 
+  /** Word n-gram shingles as 64-bit hashes, built WITHOUT materializing the
+    * shingle strings: one multi-argument xxhash64 over the n tokens of each
+    * window. At corpus scale the string-free form is several times cheaper
+    * than hashing concatenated shingles (no per-shingle concat/alloc). */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    // Chained zip_with over shifted slices: every lambda reads ONLY its
+    // input elements. A lambda capturing an outer expression (e.g.
+    // element_at(split(...), i+k)) re-evaluates that expression per array
+    // element — per-shingle re-splits made that formulation ~3x slower.
+    val toks = split(lower(trim(text)), "\\s+")
+    val rolled = (2 to n).foldLeft(transform(toks, t => xxhash64(t))) {
+      (acc, k) => zip_with(acc, slice(toks, k, 1 << 30),
+        (a, b) => xxhash64(a, b))
+    }
+    array_distinct(slice(rolled, lit(1),
+      greatest(size(toks) - (n - 1), lit(0))))
+  }
+
   /** Stopword-profile language ID: scores each candidate language by hits
     * of its most frequent function words and returns the argmax, 'und' when
     * nothing matches. N-gram-profile LID in the Cavnar-Trenkle spirit,
