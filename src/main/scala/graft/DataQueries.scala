@@ -128,6 +128,53 @@ object DataQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** IVF-style ANN: coarse-quantize the corpus against a deterministic
+    * centroid set (every 250th vector), then search only matching lists.
+    * The 100 TB shape: one broadcast assign pass + per-list scans. */
+  val t11AnnIvf: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    val queries = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        col("centroid_id"))
+    queries.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"), col("centroid_id")), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate detection: the corpus is unioned with
+    * slightly-perturbed copies (id+100000, one component nudged); RHP-LSH
+    * bucketing proposes candidates and the exact cosine >= 0.99 confirms.
+    * Must recover the planted near-identical pairs. */
+  val t12EmbeddingNearDup: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val all = emb.unionByName(perturbed)
+    val bucketed = all.withColumn("bucket",
+      Similarity.rhpBucket(col("embedding"), 8))
+    val l = bucketed.alias("l")
+    val r = bucketed.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("l.embedding"), col("r.embedding")))
+      .filter(col("cos") >= 0.99)
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -139,5 +186,7 @@ object DataQueries {
     "t08_media_meta" -> t08MediaMeta,
     "t09_frame_plan" -> t09FramePlan,
     "t10_event_hourly" -> t10EventHourly,
+    "t11_ann_ivf" -> t11AnnIvf,
+    "t12_embedding_neardup" -> t12EmbeddingNearDup,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.Scale
+
+/** Skew/scale helpers: salted results must equal their plain equivalents. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum equals plain groupBy sum under skew") {
+    // one hot key (90% of rows) + long tail
+    val df = spark.range(10000).select(
+      when(col("id") % 10 < 9, "HOT").otherwise(concat(lit("k"), col("id") % 7))
+        .as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    val plain = df.groupBy("k").agg(sum("v").as("s"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val salted = Scale.saltedSum(df, Seq("k"), "v")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val left = spark.range(5000).select(
+      when(col("id") % 10 < 8, 1L).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    val right = spark.range(50).select(col("id").as("rk"),
+      concat(lit("dim"), col("id")).as("name"))
+    val plain = left.join(right, col("k") === col("rk"))
+      .groupBy("name").count().orderBy("name").collect()
+    val salted = Scale.saltedJoin(left, right, "k", "rk")
+      .groupBy("name").count().orderBy("name").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("approxDistinct is within rsd of exact") {
+    val df = spark.range(20000).select((col("id") % 3).as("k"),
+      (col("id") % 5000).as("v"))
+    val approx = Scale.approxDistinct(df, Seq("k"), "v", 0.02)
+      .collect().map(_.getLong(1))
+    approx.foreach(a => assert(math.abs(a - 5000.0) / 5000.0 < 0.1))
+  }
+
+  test("writeFactByMonth enables partition pruning on the month") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
+    val fact = Seq((1L, 20250115L, 10.0), (2L, 20250220L, 20.0),
+      (3L, 20250321L, 30.0)).toDF("id", "DateKey", "Amount")
+    Scale.writeFactByMonth(fact, "DateKey", dir)
+    val read = spark.read.parquet(dir).filter(col("date_month") === 202502)
+    assert(read.count() == 1)
+    // the scan carries a partition filter (pruning, not a full scan)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("202502"), plan)
+  }
+}
