@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Native Catalyst expressions for the dedup sketch hot path.
+  *
+  * The higher-order-function formulations (graft.ops.Dedup) are pure
+  * `functions._` compositions — correct and shuffle-friendly, but each
+  * shingle allocates intermediate arrays inside aggregate/zip_with. These
+  * expressions run one tight JVM loop per row over the tokenized text with
+  * zero per-shingle allocation, and generate inline Java (doGenCode) so
+  * they stay inside the whole-stage-codegen span of the enclosing plan.
+  *
+  * Hash family: XXH64 over the UTF-8 token bytes, chained across the n
+  * tokens of a shingle (seed = previous hash), then re-seeded per minhash
+  * function — the same construction as the HOF version, so both paths are
+  * drop-in equivalent sketch families (not bit-identical, both valid).
+  */
+object SketchKernels {
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Token hashes of the lowercased, trimmed text — one XXH64 per token. */
+  def tokenHashes(text: UTF8String, seed: Long): Array[Long] = {
+    val s = text.trimAll().toLowerCase.toString
+    if (s.isEmpty) return Array.emptyLongArray
+    val toks = ws.split(s)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+      i += 1
+    }
+    out
+  }
+
+  /** Rolling shingle hashes: h(i) = chain of n consecutive token hashes. */
+  def shingleHashes(th: Array[Long], n: Int): Array[Long] = {
+    val m = th.length - (n - 1)
+    if (m <= 0) return Array.emptyLongArray
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = th(i)
+      var k = 1
+      while (k < n) { h = XXH64.hashLong(th(i + k), h); k += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct shingle hashes (sorted — set identity is what matters). */
+  def distinctShingles(text: UTF8String, shingleSize: Int): Array[Long] = {
+    val sh = shingleHashes(tokenHashes(text, 42L), shingleSize)
+    if (sh.length <= 1) return sh
+    java.util.Arrays.sort(sh)
+    var n = 1
+    var i = 1
+    while (i < sh.length) {
+      if (sh(i) != sh(i - 1)) { sh(n) = sh(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(sh, n)
+  }
+
+  def minhash(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingleHashes(tokenHashes(text, 42L), shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(sh(i), j.toLong)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def simhash(text: UTF8String, shingleSize: Int): Long = {
+    val sh = shingleHashes(tokenHashes(text, 42L), shingleSize)
+    // distinct features: sort a copy, skip equal neighbors
+    java.util.Arrays.sort(sh)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < sh.length) {
+      if (i == 0 || sh(i) != sh(i - 1)) {
+        val h = sh(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `minhash_sig(text)` — array<long> MinHash signature, native kernel. */
+case class MinHashSigExpr(child: Expression, numHashes: Int = 32,
+                          shingleSize: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.minhash(
+      input.asInstanceOf[UTF8String], numHashes, shingleSize))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SketchKernels.minhash($c, $numHashes, $shingleSize));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `shingle_hashes(text)` — distinct 64-bit word-shingle hashes. */
+case class ShingleHashesExpr(child: Expression, shingleSize: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.distinctShingles(
+      input.asInstanceOf[UTF8String], shingleSize))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SketchKernels.distinctShingles($c, $shingleSize));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `simhash64(text)` — 64-bit SimHash over word shingles, native kernel. */
+case class SimHash64Expr(child: Expression, shingleSize: Int = 2)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhash($c, $shingleSize);")
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column API + SQL registration for the native sketch expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def minhash_sig(c: Column, numHashes: Int = 32, shingleSize: Int = 3): Column =
+    column(MinHashSigExpr(expression(c), numHashes, shingleSize))
+  def simhash64(c: Column, shingleSize: Int = 2): Column =
+    column(SimHash64Expr(expression(c), shingleSize))
+  def shingle_hashes(c: Column, shingleSize: Int = 3): Column =
+    column(ShingleHashesExpr(expression(c), shingleSize))
+
+  /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSigExpr(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+  }
+}
+
+/** SparkSessionExtensions hook:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * native sketch functions into every session of a cluster. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+        (exprs: Seq[Expression]) => MinHashSigExpr(exprs.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[SimHash64Expr].getName, "graft_simhash64"),
+        (exprs: Seq[Expression]) => SimHash64Expr(exprs.head)))
+  }
+}

@@ -68,7 +68,11 @@ object Dedup {
                            textCol: String = "text", bands: Int = 8,
                            rowsPerBand: Int = 4,
                            shingleSize: Int = 3): DataFrame = {
-    val sig = minHashSignature(col(textCol), bands * rowsPerBand, shingleSize)
+    // native codegen'd kernel (graft.functions.MinHashSigExpr): one JVM
+    // loop per row, no per-shingle array allocation; the HOF
+    // minHashSignature stays as the pure-functions._ reference path
+    val sig = graft.functions.GraftFunctions.minhash_sig(col(textCol),
+      bands * rowsPerBand, shingleSize)
     val banded = docs
       .select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), posexplode(array(
@@ -97,7 +101,8 @@ object Dedup {
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
-      explode(TextOps.wordShingleHashes(col(textCol), shingleSize)).as("__sh"))
+      explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol),
+        shingleSize)).as("__sh"))
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val inter = pairs
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
@@ -144,10 +149,17 @@ object Dedup {
       when(element_at(votes, b + 1) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
 
-  /** Attach a 64-bit simhash column; two staged projections so the vote
-    * aggregate is computed once even though the fold references it 64x. */
+  /** Attach a 64-bit simhash column via the native codegen'd kernel
+    * (graft.functions.SimHash64Expr). */
   def withSimHash(df: DataFrame, textCol: String = "text",
                   outCol: String = "simhash"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.GraftFunctions.simhash64(col(textCol), 2))
+
+  /** Pure-functions._ variant of [[withSimHash]] (two staged projections so
+    * the vote aggregate runs once though the fold references it 64x). */
+  def withSimHashHof(df: DataFrame, textCol: String = "text",
+                     outCol: String = "simhash"): DataFrame =
     df.withColumn("__votes", simHashVotes(col(textCol)))
       .withColumn(outCol, votesToHash(col("__votes")))
       .drop("__votes")
