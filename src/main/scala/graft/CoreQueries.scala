@@ -498,6 +498,74 @@ object CoreQueries {
       .orderBy(col("custkey"), col("persona"))
   }
 
+  /** P-Pat:119-142 driven through graft.pipelines.Patron: sequential
+    * two-pass guarded fact mapping (natural proxy, then synthesized
+    * ClientID+'_'+last4) — pass 2 must see pass 1's result (SURVEY §7.3(2)).
+    * Sentinel Patron_ID=1 = unmapped. */
+  val q35PatronTwoPass: Q = (s, d) => {
+    import graft.pipelines.Patron
+    val orders = T.orders(s, d)
+    val fact = orders.select(
+      col("o_orderkey").cast("long").as("TH_ID"),
+      Ops.dateKey(col("o_orderdate")).cast("long").as("DateKey"),
+      when(col("o_orderstatus") === "O", lit(1L))
+        .otherwise(col("o_custkey") + 5000L).as("Patron_ID"))
+    val txnProxy = orders.select(
+      col("o_orderkey").cast("long").as("TH_ID"),
+      when(col("o_custkey") % 2 === 0,
+        concat(lit("P"), col("o_custkey").cast("string")))
+        .otherwise(lit("none")).as("proxyid"),
+      (col("o_custkey") % 100).as("ClientID"),
+      (col("o_custkey") * 7).cast("string").as("creditcardnum"))
+    val cust = T.customer(s, d)
+    val natural = cust.filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") + 5000L).as("ID"),
+        concat(lit("P"), col("c_custkey").cast("string")).as("ProxyID"))
+    val synthesized = cust.filter(col("c_custkey") % 5 === 0)
+      .select((col("c_custkey") + 9000L).as("ID"),
+        concat((col("c_custkey") % 100).cast("string"), lit("_"),
+          Ops.padLast4((col("c_custkey") * 7).cast("string"))).as("ProxyID"))
+    val dimPatron = natural.unionByName(synthesized)
+    Patron.mapFactPatron(fact, txnProxy, dimPatron, 19960101L, 19971231L)
+      .select(col("TH_ID"), col("DateKey"), col("Patron_ID"))
+      .orderBy(col("TH_ID"))
+  }
+
+  /** S1:44-128 driven through graft.pipelines.Fingerprint: whitelist +
+    * anti-join + normalized grouped aggregate of new merchant fingerprints
+    * (md5 so the oracle can recompute; library default is sha1). */
+  val q36NewFingerprints: Q = (s, d) => {
+    import graft.pipelines.Fingerprint
+    val header = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_custkey").cast("string").as("MerchantNumber"),
+        when(col("o_orderkey") % 7 === 0, concat(lit("REV:"), col("c_name")))
+          .otherwise(col("c_name")).as("MerchantLegalName"),
+        col("c_mktsegment").as("MerchantName"),
+        concat(lit("addr "), col("c_custkey").cast("string")).as("AddressLine01"),
+        col("n_name").as("CityName"),
+        lit("ST").as("StateProvince"),
+        lpad((col("c_custkey") % 10000).cast("string"), 5, "0").as("PostalCode"),
+        when(col("c_nationkey") < 20, "US").otherwise("DE").as("CountryCode"),
+        col("c_mktsegment").as("clientcode"),
+        col("o_orderdate").as("TransactionDate"),
+        (lit(5811) + col("o_orderkey") % 4).cast("string").as("MccCode"))
+    val existing = header.filter(col("MerchantNumber").cast("long") % 2 === 0)
+      .select(Fingerprint.simHash(header(_), "md5").as("SimHash"))
+    Fingerprint.newFingerprints(header, existing,
+        lit("1996-01-01"), lit("1997-12-31"),
+        mccCodes = Seq("5811", "5812", "5813", "5814"), algo = "md5")
+      .select(col("MerchantNumber"), col("MerchantLegalName"),
+        col("MerchantName"), col("CityName"), col("PostalCode"),
+        col("CountryCode"), col("SimHash"), col("SimHashNoMid"),
+        col("ClientCount"), col("BankFeedCount"),
+        col("AnalysisStartDate"), col("AnalysisEndDate"))
+      .orderBy(col("SimHash"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -533,5 +601,7 @@ object CoreQueries {
     "q32_validation_unmapped" -> q32ValidationUnmapped,
     "q33_fuzzy_prefix_join" -> q33FuzzyPrefixJoin,
     "q34_seg_personas" -> q34SegPersonas,
+    "q35_patron_two_pass" -> q35PatronTwoPass,
+    "q36_new_fingerprints" -> q36NewFingerprints,
   )
 }

@@ -391,6 +391,102 @@ object Oracles {
         |ORDER BY custkey, persona""".stripMargin,
   )
 
+  private val coreExtra: Map[String, String] = Map(
+    "q35_patron_two_pass" ->
+      """WITH fact AS (SELECT cast(o_orderkey as bigint) AS TH_ID,
+        |  cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint) AS DateKey,
+        |  CASE WHEN o_orderstatus='O' THEN 1
+        |    ELSE cast(o_custkey+5000 as bigint) END AS Patron_ID FROM orders),
+        |tp AS (SELECT cast(o_orderkey as bigint) AS TH_ID,
+        |  CASE WHEN o_custkey%2=0 THEN concat('P', cast(o_custkey as varchar))
+        |    ELSE 'none' END AS proxyid,
+        |  o_custkey%100 AS ClientID, cast(o_custkey*7 as varchar) AS ccnum
+        |  FROM orders),
+        |nat AS (SELECT cast(c_custkey+5000 as bigint) AS ID,
+        |  concat('P', cast(c_custkey as varchar)) AS ProxyID
+        |  FROM customer WHERE c_custkey%3=0),
+        |syn AS (SELECT cast(c_custkey+9000 as bigint) AS ID,
+        |  concat(cast(c_custkey%100 as varchar), '_',
+        |    right(concat('0000', cast(c_custkey*7 as varchar)),4)) AS ProxyID
+        |  FROM customer WHERE c_custkey%5=0),
+        |dim AS (SELECT * FROM nat UNION ALL SELECT * FROM syn),
+        |p1 AS (SELECT f.TH_ID, f.DateKey,
+        |  CASE WHEN f.Patron_ID=1 AND f.DateKey BETWEEN 19960101 AND 19971231
+        |         AND d.ID IS NOT NULL THEN d.ID ELSE f.Patron_ID END AS Patron_ID
+        |  FROM fact f LEFT JOIN tp ON f.TH_ID=tp.TH_ID
+        |  LEFT JOIN dim d ON tp.proxyid=d.ProxyID),
+        |p2 AS (SELECT p1.TH_ID, p1.DateKey,
+        |  CASE WHEN p1.Patron_ID=1 AND p1.DateKey BETWEEN 19960101 AND 19971231
+        |         AND d2.ID IS NOT NULL THEN d2.ID ELSE p1.Patron_ID END AS Patron_ID
+        |  FROM p1 LEFT JOIN tp ON p1.TH_ID=tp.TH_ID
+        |  LEFT JOIN dim d2 ON concat(cast(tp.ClientID as varchar), '_',
+        |    right(concat('0000', tp.ccnum),4))=d2.ProxyID)
+        |SELECT TH_ID, DateKey, Patron_ID FROM p2 ORDER BY TH_ID""".stripMargin,
+
+    "q36_new_fingerprints" ->
+      """WITH header AS (SELECT o_orderkey AS id,
+        |  cast(o_custkey as varchar) AS MerchantNumber,
+        |  CASE WHEN o_orderkey%7=0 THEN concat('REV:', c_name) ELSE c_name
+        |    END AS MerchantLegalName,
+        |  c_mktsegment AS MerchantName,
+        |  concat('addr ', cast(c_custkey as varchar)) AS AddressLine01,
+        |  n_name AS CityName, 'ST' AS StateProvince,
+        |  lpad(cast(c_custkey%10000 as varchar),5,'0') AS PostalCode,
+        |  CASE WHEN c_nationkey<20 THEN 'US' ELSE 'DE' END AS CountryCode,
+        |  c_mktsegment AS clientcode, o_orderdate AS TransactionDate,
+        |  cast(5811 + o_orderkey%4 as varchar) AS MccCode
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation ON c_nationkey=n_nationkey),
+        |hashed AS (SELECT *,
+        |  md5(concat_ws('|',
+        |    upper(trim(coalesce(MerchantNumber,''))),
+        |    upper(trim(coalesce(CASE WHEN upper(MerchantLegalName) LIKE 'REV:%'
+        |      THEN substring(MerchantLegalName,5) ELSE MerchantLegalName END,''))),
+        |    upper(trim(coalesce(MerchantName,''))),
+        |    upper(trim(coalesce(AddressLine01,''))),
+        |    upper(trim(coalesce(CityName,''))),
+        |    upper(trim(coalesce(StateProvince,''))),
+        |    upper(trim(coalesce(PostalCode,''))),
+        |    upper(trim(coalesce(CountryCode,''))))) AS fp,
+        |  md5(concat_ws('|',
+        |    upper(trim(coalesce(CASE WHEN upper(MerchantLegalName) LIKE 'REV:%'
+        |      THEN substring(MerchantLegalName,5) ELSE MerchantLegalName END,''))),
+        |    upper(trim(coalesce(MerchantName,''))),
+        |    upper(trim(coalesce(AddressLine01,''))),
+        |    upper(trim(coalesce(CityName,''))),
+        |    upper(trim(coalesce(StateProvince,''))),
+        |    upper(trim(coalesce(PostalCode,''))),
+        |    upper(trim(coalesce(CountryCode,''))))) AS fpnomid
+        |  FROM header),
+        |existing AS (SELECT fp FROM hashed
+        |  WHERE cast(MerchantNumber as bigint)%2=0),
+        |eligible AS (SELECT * FROM hashed
+        |  WHERE TransactionDate BETWEEN TIMESTAMP '1996-01-01'
+        |    AND TIMESTAMP '1997-12-31'
+        |  AND ((CountryCode IN ('US','PR','VI','GU','CA','MX','AS','MP','UM')
+        |    AND MccCode IN ('5811','5812','5813','5814'))
+        |    OR clientcode='MC')
+        |  AND NOT EXISTS (SELECT 1 FROM existing e WHERE e.fp=hashed.fp))
+        |SELECT upper(trim(coalesce(MerchantNumber,''))) AS MerchantNumber,
+        |  upper(trim(coalesce(CASE WHEN upper(MerchantLegalName) LIKE 'REV:%'
+        |    THEN substring(MerchantLegalName,5) ELSE MerchantLegalName END,'')))
+        |    AS MerchantLegalName,
+        |  upper(trim(coalesce(MerchantName,''))) AS MerchantName,
+        |  upper(trim(coalesce(CityName,''))) AS CityName,
+        |  upper(trim(coalesce(PostalCode,''))) AS PostalCode,
+        |  upper(trim(coalesce(CountryCode,''))) AS CountryCode,
+        |  fp AS SimHash, fpnomid AS SimHashNoMid,
+        |  count(distinct clientcode) AS ClientCount,
+        |  count(*) AS BankFeedCount,
+        |  cast(min(TransactionDate) as date) AS AnalysisStartDate,
+        |  cast(max(TransactionDate) as date) AS AnalysisEndDate
+        |FROM eligible
+        |GROUP BY 1,2,3,4,5,6,7,8,
+        |  upper(trim(coalesce(AddressLine01,''))),
+        |  upper(trim(coalesce(StateProvince,'')))
+        |ORDER BY SimHash""".stripMargin,
+  )
+
   private val shingleSql =
     """list_distinct(list_filter(list_transform(range(1, greatest(len(%s)-2,0)+1),
       | i -> array_to_string(%s[i:i+2],' ')),
@@ -471,5 +567,5 @@ object Oracles {
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
   )
 
-  val all: Map[String, String] = core ++ data
+  val all: Map[String, String] = core ++ coreExtra ++ data
 }
