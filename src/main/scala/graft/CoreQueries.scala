@@ -566,6 +566,49 @@ object CoreQueries {
       .orderBy(col("SimHash"))
   }
 
+  /** S4:15-46 driven through graft.pipelines.BillingGroup: the SCD-lite
+    * location merge — 14-step name canonicalization, back-office id lookup
+    * on the cleaned key, monthly validity intervals with the open-row
+    * 9999-12-31 sentinel (uuid Id excluded: nondeterministic by design). */
+  val q37BillingGroupScd: Q = (s, d) => {
+    import graft.pipelines.BillingGroup
+    val inv = T.orders(s, d).select(
+      (col("o_custkey") % 200).as("SiteId"),
+      concat(lit("GRP/"), (col("o_custkey") % 37).cast("string"),
+        when(col("o_orderkey") % 5 === 0, "-TERMED")
+          .when(col("o_orderkey") % 5 === 1, ".")
+          .when(col("o_orderkey") % 5 === 2, "_")
+          .when(col("o_orderkey") % 5 === 3, "'")
+          .otherwise("")).as("BillGroup"),
+      col("o_orderdate").cast("date").as("txndate"))
+    val backOffice = T.customer(s, d).filter(col("c_custkey") < 37)
+      .select((col("c_custkey") + 1000L).as("ID"),
+        concat(lit("GRP-"), col("c_custkey").cast("string")).as("billing_id"))
+    val emptyTarget = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("Id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("BackOfficeBillingGroupId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("SiteId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("BillingGroupDisplayName",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ValidFrom",
+          org.apache.spark.sql.types.DateType),
+        org.apache.spark.sql.types.StructField("ValidTo",
+          org.apache.spark.sql.types.DateType))))
+    BillingGroup.mergeLocations(emptyTarget, inv, backOffice,
+        lit("1996-01-01"))
+      .select(col("SiteId").cast("long").as("SiteId"),
+        col("BillingGroupDisplayName"),
+        col("BackOfficeBillingGroupId").cast("long")
+          .as("BackOfficeBillingGroupId"),
+        col("ValidFrom"), col("ValidTo"))
+      .orderBy(col("SiteId"), col("BillingGroupDisplayName"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -603,5 +646,6 @@ object CoreQueries {
     "q34_seg_personas" -> q34SegPersonas,
     "q35_patron_two_pass" -> q35PatronTwoPass,
     "q36_new_fingerprints" -> q36NewFingerprints,
+    "q37_billing_group_scd" -> q37BillingGroupScd,
   )
 }

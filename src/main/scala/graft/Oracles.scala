@@ -391,7 +391,51 @@ object Oracles {
         |ORDER BY custkey, persona""".stripMargin,
   )
 
+  /** The S4 name-canonicalization chain as nested SQL replace() calls,
+    * generated from the same (from, to) list the Spark side uses. */
+  private def billGroupCleanSql(col: String): String = {
+    val chain = Seq("'" -> "", "/" -> "-", "É" -> "E", "P. F." -> "P F",
+      "B.GOOD" -> "BGOOD", "  " -> " ", "-TERMED" -> "", " - " -> "-",
+      "-TERMINATED" -> "", "-TERM" -> "", "." -> "", "!" -> "",
+      "_" -> " ", " -" -> "-")
+      .foldLeft(col) { case (acc, (f, t)) =>
+        s"replace($acc,'${f.replace("'", "''")}','${t.replace("'", "''")}')"
+      }
+    s"rtrim($chain)"
+  }
+
   private val coreExtra: Map[String, String] = Map(
+    "q37_billing_group_scd" ->
+      s"""WITH src AS (SELECT o_custkey%200 AS SiteId,
+         |  concat('GRP/', cast(o_custkey%37 as varchar),
+         |    CASE WHEN o_orderkey%5=0 THEN '-TERMED'
+         |         WHEN o_orderkey%5=1 THEN '.'
+         |         WHEN o_orderkey%5=2 THEN '_'
+         |         WHEN o_orderkey%5=3 THEN ${"''''"}
+         |         ELSE '' END) AS BillGroup,
+         |  cast(o_orderdate as date) AS txndate FROM orders),
+         |maxd AS (SELECT max(txndate) AS m FROM src),
+         |cleaned AS (SELECT SiteId, ${billGroupCleanSql("BillGroup")} AS name,
+         |  txndate FROM src
+         |  WHERE txndate >= DATE '1996-01-01' AND SiteId IS NOT NULL),
+         |bo AS (SELECT cast(c_custkey+1000 as bigint) AS ID,
+         |  ${billGroupCleanSql("concat('GRP-', cast(c_custkey as varchar))")}
+         |    AS boname FROM customer WHERE c_custkey<37),
+         |grouped AS (SELECT SiteId, name, ID, min(txndate) AS mn,
+         |  max(txndate) AS mx
+         |  FROM cleaned LEFT JOIN bo ON name=boname GROUP BY 1,2,3),
+         |picked AS (SELECT * FROM (SELECT *, row_number() OVER
+         |  (PARTITION BY SiteId, name ORDER BY ID DESC NULLS LAST) AS rn
+         |  FROM grouped) WHERE rn=1)
+         |SELECT cast(SiteId as bigint) AS SiteId,
+         |  name AS BillingGroupDisplayName,
+         |  coalesce(ID,-1) AS BackOfficeBillingGroupId,
+         |  cast(date_trunc('month', mn) as date) AS ValidFrom,
+         |  CASE WHEN last_day(mx) = (SELECT last_day(m) FROM maxd)
+         |    THEN DATE '9999-12-31' ELSE last_day(mx) END AS ValidTo
+         |FROM picked
+         |ORDER BY SiteId, BillingGroupDisplayName""".stripMargin,
+
     "q35_patron_two_pass" ->
       """WITH fact AS (SELECT cast(o_orderkey as bigint) AS TH_ID,
         |  cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint) AS DateKey,

@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-quality guards: the physical plans the engine relies on at scale —
+  * pushdown reaching the parquet scan, broadcast joins for dimensions, no
+  * accidental cartesian products in the relational core. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+  }
+
+  test("q03: dimension joins broadcast, no cartesian/sort-merge for dims") {
+    val p = plan("q03_star_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("relational core plans are cartesian-free") {
+    for (q <- Seq("q15_map_update_fact", "q12_merge_upsert",
+        "q14_insert_if_absent", "q17_dedup_rank", "q34_seg_personas")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
+
+  test("q07: fingerprint join is a hash join on the derived key") {
+    val p = plan("q07_fingerprint_pipeline")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("t03: LSH candidate join is an equi hash join, not nested-loop") {
+    val p = plan("t03_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+}
