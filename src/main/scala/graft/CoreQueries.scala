@@ -609,6 +609,47 @@ object CoreQueries {
       .orderBy(col("SiteId"), col("BillingGroupDisplayName"))
   }
 
+  /** P-Rest:16-47 driven through graft.pipelines.Restaurant: prefix-blocked
+    * candidate join (union of equi-joins) + 4-way CASE match-quality RANK,
+    * ties kept, rank-1 matches only. */
+  val q38RestaurantRank: Q = (s, d) => {
+    import graft.pipelines.Restaurant
+    val cust = T.customer(s, d)
+    val sites = cust.select(col("c_custkey").as("site_ID"),
+      concat(substring(col("c_name"), -5, 5), lit(" shop"))
+        .as("rest_location_name"))
+    val base = concat(substring(col("c_name"), -5, 5), lit(" shop"))
+    val locations = cust.select(
+      (col("c_custkey") + 100000L).as("RLP_ID"),
+      when(col("c_custkey") % 3 === 0, base)
+        .when(col("c_custkey") % 3 === 1, concat(base, lit(" uptown")))
+        .otherwise(concat(base, lit(" downtown"))).as("RLP_restaurantName"),
+      when(col("c_custkey") % 3 === 1, base)
+        .otherwise(concat(lit("zz "), base)).as("RLP_DinName"))
+    Restaurant.rankSiteMatches(sites, locations)
+      .select(col("site_ID").cast("long").as("site_id"),
+        col("RLP_ID").cast("long").as("rlp_id"))
+      .orderBy(col("site_id"), col("rlp_id"))
+  }
+
+  /** Cui:11-67 driven through graft.pipelines.Segmentation: cuisine mode
+    * imputation — partner mode preferred over common mode, N/A rows under
+    * the rank cutoff imputed, everything else untouched. */
+  val q39CuisineImpute: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val dim = T.part(s, d).select(
+      col("p_partkey").cast("long").as("SFRestaurantKey"),
+      col("p_brand").as("Brand"),
+      when(col("p_partkey") % 3 === 0, "Partner").otherwise("Common").as("Type"),
+      when(col("p_partkey") % 7 === 0, "N/A").otherwise(col("p_type"))
+        .as("CuisineType"),
+      (col("p_size") * 40).cast("int").as("Rank"))
+    Segmentation.imputeCuisine(dim, rankCutoff = 1500)
+      .select(col("SFRestaurantKey"), col("Brand"), col("CuisineType"),
+        col("Rank").cast("long").as("Rank"))
+      .orderBy(col("SFRestaurantKey"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -647,5 +688,7 @@ object CoreQueries {
     "q35_patron_two_pass" -> q35PatronTwoPass,
     "q36_new_fingerprints" -> q36NewFingerprints,
     "q37_billing_group_scd" -> q37BillingGroupScd,
+    "q38_restaurant_rank" -> q38RestaurantRank,
+    "q39_cuisine_impute" -> q39CuisineImpute,
   )
 }

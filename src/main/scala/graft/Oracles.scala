@@ -405,6 +405,61 @@ object Oracles {
   }
 
   private val coreExtra: Map[String, String] = Map(
+    "q38_restaurant_rank" ->
+      """WITH sites AS (SELECT c_custkey AS site_id,
+        |  concat(right(c_name,5),' shop') AS sname FROM customer),
+        |locs AS (SELECT c_custkey+100000 AS rlp_id,
+        |  CASE WHEN c_custkey%3=0 THEN concat(right(c_name,5),' shop')
+        |       WHEN c_custkey%3=1 THEN concat(right(c_name,5),' shop uptown')
+        |       ELSE concat(right(c_name,5),' shop downtown') END AS rname,
+        |  CASE WHEN c_custkey%3=1 THEN concat(right(c_name,5),' shop')
+        |       ELSE concat('zz ', right(c_name,5),' shop') END AS dname
+        |  FROM customer),
+        |cand AS (
+        |  SELECT s.site_id, l.rlp_id, s.sname, l.rname, l.dname
+        |  FROM sites s JOIN locs l
+        |    ON substring(upper(trim(coalesce(s.sname,''))),1,5)
+        |      =substring(upper(trim(coalesce(l.rname,''))),1,5)
+        |  UNION
+        |  SELECT s.site_id, l.rlp_id, s.sname, l.rname, l.dname
+        |  FROM sites s JOIN locs l
+        |    ON substring(upper(trim(coalesce(s.sname,''))),1,5)
+        |      =substring(upper(trim(coalesce(l.dname,''))),1,5)),
+        |q AS (SELECT site_id, rlp_id,
+        |  CASE WHEN ns=nr THEN 1 WHEN ns=nd THEN 2
+        |       WHEN contains(ns,nr) OR contains(nr,ns) THEN 3 ELSE 4 END AS qual
+        |  FROM (SELECT site_id, rlp_id,
+        |    upper(trim(coalesce(sname,''))) AS ns,
+        |    upper(trim(coalesce(rname,''))) AS nr,
+        |    upper(trim(coalesce(dname,''))) AS nd FROM cand)),
+        |r AS (SELECT site_id, rlp_id,
+        |  rank() OVER (PARTITION BY site_id ORDER BY qual) AS rk FROM q)
+        |SELECT cast(site_id as bigint) AS site_id,
+        |  cast(rlp_id as bigint) AS rlp_id
+        |FROM r WHERE rk=1 ORDER BY site_id, rlp_id""".stripMargin,
+
+    "q39_cuisine_impute" ->
+      """WITH dim AS (SELECT cast(p_partkey as bigint) AS k, p_brand AS Brand,
+        |  CASE WHEN p_partkey%3=0 THEN 'Partner' ELSE 'Common' END AS typ,
+        |  CASE WHEN p_partkey%7=0 THEN 'N/A' ELSE p_type END AS ct,
+        |  p_size*40 AS rnk FROM part),
+        |known AS (SELECT * FROM dim WHERE ct IS NOT NULL AND ct<>'N/A'),
+        |pm AS (SELECT Brand, ct AS pmode FROM (SELECT Brand, ct,
+        |  row_number() OVER (PARTITION BY Brand ORDER BY cnt DESC, ct) AS rn
+        |  FROM (SELECT Brand, ct, count(*) AS cnt FROM known
+        |    WHERE typ='Partner' GROUP BY 1,2)) WHERE rn=1),
+        |cm AS (SELECT Brand, ct AS cmode FROM (SELECT Brand, ct,
+        |  row_number() OVER (PARTITION BY Brand ORDER BY cnt DESC, ct) AS rn
+        |  FROM (SELECT Brand, ct, count(*) AS cnt FROM known GROUP BY 1,2))
+        |  WHERE rn=1)
+        |SELECT k AS SFRestaurantKey, dim.Brand,
+        |  CASE WHEN ct='N/A' AND rnk<1500 AND coalesce(pmode,cmode) IS NOT NULL
+        |    THEN coalesce(pmode,cmode) ELSE ct END AS CuisineType,
+        |  cast(rnk as bigint) AS "Rank"
+        |FROM dim LEFT JOIN pm ON dim.Brand=pm.Brand
+        |LEFT JOIN cm ON dim.Brand=cm.Brand
+        |ORDER BY SFRestaurantKey""".stripMargin,
+
     "q37_billing_group_scd" ->
       s"""WITH src AS (SELECT o_custkey%200 AS SiteId,
          |  concat('GRP/', cast(o_custkey%37 as varchar),

@@ -38,9 +38,14 @@ object Restaurant {
         .when(siteName === dinName, 2)
         .when(siteName.contains(rlpName) || rlpName.contains(siteName), 3)
         .otherwise(4)
-    val joined = sites.join(locations,
-      substring(siteName, 1, 5) === substring(rlpName, 1, 5) ||
-        substring(siteName, 1, 5) === substring(dinName, 1, 5))
+    // OR-of-equijoins would plan as BroadcastNestedLoopJoin (O28 note);
+    // the scale-preferred shape is a union of hash equi-joins + dedup
+    val byRlp = sites.join(locations,
+      substring(siteName, 1, 5) === substring(rlpName, 1, 5))
+    val byDin = sites.join(locations,
+      substring(siteName, 1, 5) === substring(dinName, 1, 5))
+    val joined = byRlp.unionByName(byDin)
+      .dropDuplicates("site_ID", "RLP_ID")
     Merge.rankPick(joined.withColumn("__quality", quality),
         Seq(col("site_ID")), col("__quality"))
       .drop("__quality")
