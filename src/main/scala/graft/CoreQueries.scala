@@ -650,6 +650,44 @@ object CoreQueries {
       .orderBy(col("SFRestaurantKey"))
   }
 
+  /** S2:31-37/67-80/111-116 driven through graft.pipelines.Patron: the
+    * three-phase UniquePatronId mapping (employee-key pass, card-number
+    * pass, catch-all proxy pass), each pass seeing the previous pass's
+    * result and touching only in-window sentinel rows. */
+  val q40UniquePatronThreePhase: Q = (s, d) => {
+    import graft.pipelines.Patron
+    val orders = T.orders(s, d)
+    val fact = orders.select(
+      col("o_orderkey").cast("long").as("DVHD_ID"),
+      Ops.dateKey(col("o_orderdate")).cast("long").as("DateKey"),
+      when(col("o_orderstatus") === "O", lit(0L)).otherwise(9999L)
+        .as("UniquePatronId"))
+    val txnKeys = orders.select(
+      col("o_orderkey").cast("long").as("DVHD_ID"),
+      concat(lit("C"), (col("o_custkey") % 50).cast("string")).as("clientcode"),
+      when(col("o_custkey") % 3 === 0, (col("o_custkey") % 500).cast("string"))
+        .otherwise(lit("")).as("employeeid"),
+      (col("o_custkey") * 9).cast("string").as("creditcardnum"),
+      concat(lit("U"), col("o_custkey").cast("string")).as("proxyid"))
+    val cust = T.customer(s, d)
+    val k = col("c_custkey")
+    val emp = cust.filter(k % 3 === 0 && k % 4 === 0).select(
+      concat_ws("_", concat(lit("C"), (k % 50).cast("string")),
+        (k % 500).cast("string"), (k * 9).cast("string")).as("ProxyID"),
+      (k + 10000L).as("UniquePatronId"))
+    val card = cust.filter(k % 6 === 0).select(
+      concat_ws("_", concat(lit("C"), (k % 50).cast("string")),
+        Ops.padLast4((k * 9).cast("string"))).as("ProxyID"),
+      (k + 20000L).as("UniquePatronId"))
+    val natural = cust.filter(k % 5 === 0).select(
+      concat(lit("U"), k.cast("string")).as("ProxyID"),
+      (k + 30000L).as("UniquePatronId"))
+    val dimUnique = emp.unionByName(card).unionByName(natural)
+    Patron.mapFactUniquePatron(fact, txnKeys, dimUnique, 19960101L, 19971231L)
+      .select(col("DVHD_ID"), col("DateKey"), col("UniquePatronId"))
+      .orderBy(col("DVHD_ID"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -690,5 +728,6 @@ object CoreQueries {
     "q37_billing_group_scd" -> q37BillingGroupScd,
     "q38_restaurant_rank" -> q38RestaurantRank,
     "q39_cuisine_impute" -> q39CuisineImpute,
+    "q40_unique_patron_three_phase" -> q40UniquePatronThreePhase,
   )
 }

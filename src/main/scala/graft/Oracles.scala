@@ -405,6 +405,56 @@ object Oracles {
   }
 
   private val coreExtra: Map[String, String] = Map(
+    "q40_unique_patron_three_phase" ->
+      """WITH fact AS (SELECT cast(o_orderkey as bigint) AS DVHD_ID,
+        |  cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint) AS DateKey,
+        |  CASE WHEN o_orderstatus='O' THEN 0 ELSE 9999 END AS UniquePatronId
+        |  FROM orders),
+        |tk AS (SELECT cast(o_orderkey as bigint) AS DVHD_ID,
+        |  concat('C', cast(o_custkey%50 as varchar)) AS cc,
+        |  CASE WHEN o_custkey%3=0 THEN cast(o_custkey%500 as varchar)
+        |    ELSE '' END AS emp,
+        |  cast(o_custkey*9 as varchar) AS ccnum,
+        |  concat('U', cast(o_custkey as varchar)) AS proxyid FROM orders),
+        |demp AS (SELECT concat('C', cast(c_custkey%50 as varchar), '_',
+        |    cast(c_custkey%500 as varchar), '_',
+        |    cast(c_custkey*9 as varchar)) AS ProxyID,
+        |  cast(c_custkey+10000 as bigint) AS uid FROM customer
+        |  WHERE c_custkey%3=0 AND c_custkey%4=0),
+        |dcard AS (SELECT concat('C', cast(c_custkey%50 as varchar), '_',
+        |    right(concat('0000', cast(c_custkey*9 as varchar)),4)) AS ProxyID,
+        |  cast(c_custkey+20000 as bigint) AS uid FROM customer
+        |  WHERE c_custkey%6=0),
+        |dnat AS (SELECT concat('U', cast(c_custkey as varchar)) AS ProxyID,
+        |  cast(c_custkey+30000 as bigint) AS uid FROM customer
+        |  WHERE c_custkey%5=0),
+        |dim AS (SELECT * FROM demp UNION ALL SELECT * FROM dcard
+        |  UNION ALL SELECT * FROM dnat),
+        |p1 AS (SELECT f.DVHD_ID, f.DateKey,
+        |  CASE WHEN coalesce(f.UniquePatronId,0)=0
+        |         AND f.DateKey BETWEEN 19960101 AND 19971231
+        |         AND d.uid IS NOT NULL THEN d.uid
+        |       ELSE f.UniquePatronId END AS UniquePatronId
+        |  FROM fact f LEFT JOIN tk ON f.DVHD_ID=tk.DVHD_ID
+        |  LEFT JOIN dim d ON concat(tk.cc,'_',tk.emp,'_',tk.ccnum)=d.ProxyID),
+        |p2 AS (SELECT p1.DVHD_ID, p1.DateKey,
+        |  CASE WHEN coalesce(p1.UniquePatronId,0)=0
+        |         AND p1.DateKey BETWEEN 19960101 AND 19971231
+        |         AND d.uid IS NOT NULL THEN d.uid
+        |       ELSE p1.UniquePatronId END AS UniquePatronId
+        |  FROM p1 LEFT JOIN tk ON p1.DVHD_ID=tk.DVHD_ID
+        |  LEFT JOIN dim d ON concat(tk.cc,'_',
+        |    right(concat('0000',tk.ccnum),4))=d.ProxyID),
+        |p3 AS (SELECT p2.DVHD_ID, p2.DateKey,
+        |  CASE WHEN coalesce(p2.UniquePatronId,0)=0
+        |         AND p2.DateKey BETWEEN 19960101 AND 19971231
+        |         AND d.uid IS NOT NULL THEN d.uid
+        |       ELSE p2.UniquePatronId END AS UniquePatronId
+        |  FROM p2 LEFT JOIN tk ON p2.DVHD_ID=tk.DVHD_ID
+        |  LEFT JOIN dim d ON tk.proxyid=d.ProxyID)
+        |SELECT DVHD_ID, DateKey, UniquePatronId FROM p3
+        |ORDER BY DVHD_ID""".stripMargin,
+
     "q38_restaurant_rank" ->
       """WITH sites AS (SELECT c_custkey AS site_id,
         |  concat(right(c_name,5),' shop') AS sname FROM customer),
