@@ -163,6 +163,55 @@ case class SimHash64Expr(child: Expression, shingleSize: Int = 2)
   override def prettyName: String = "simhash64"
 }
 
+object VectorKernels {
+  /** Cosine similarity with sequential double accumulation — bit-identical
+    * to the zip_with/aggregate fold it replaces (same operation order), so
+    * DuckDB-oracle parity is preserved. Accepts float or double arrays. */
+  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val x = a.getDouble(i)
+        val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** `cosine_sim(a, b)` — cosine similarity of two float/double arrays. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosine($a, $b, $isFloat);")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): CosineSimExpr = copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -172,6 +221,8 @@ object GraftFunctions {
     column(SimHash64Expr(expression(c), shingleSize))
   def shingle_hashes(c: Column, shingleSize: Int = 3): Column =
     column(ShingleHashesExpr(expression(c), shingleSize))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -25,7 +25,14 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Native codegen'd kernel (graft.functions.CosineSimExpr) — same
+    * sequential double accumulation as [[cosineHof]], one loop, no
+    * intermediate arrays. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** Pure-functions._ reference formulation. */
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = l2Norm(a) * l2Norm(b)
     when(n === 0, 0.0).otherwise(d / n)
