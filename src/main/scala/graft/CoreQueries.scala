@@ -688,6 +688,52 @@ object CoreQueries {
       .orderBy(col("DVHD_ID"))
   }
 
+  /** Seg:344-400 driven through graft.pipelines.Segmentation: the
+    * ClientMinimarketSpend reporting snapshot — per (client, territory,
+    * persona) minimarket spend shares, top-10 by MMRank. */
+  val q41ClientMinimarketTop: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val fact = T.lineitem(s, d)
+      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("o_custkey").as("UniquePatronId"),
+        col("s_nationkey").as("GeographyID"),
+        Ops.dateKey(col("o_orderdate")).as("DateKey"),
+        dec(col("l_extendedprice")).as("Amount"))
+    val dimZip = T.nation(s, d).join(broadcast(T.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("GeographyID"),
+        col("r_name").as("SalesTerritory"),
+        col("n_name").as("DIN_DisplayMiniMarketName"))
+    val dup = T.customer(s, d)
+      .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
+    val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
+    val personas = Segmentation.classify(Segmentation.spendRatios(mm), dup)
+    val cli = T.customer(s, d)
+      .select(col("c_custkey").as("UniquePatronId"),
+        col("c_mktsegment").as("ClientCode"))
+    val spend = mm
+      .join(personas, Seq("UniquePatronId"))
+      .join(cli, Seq("UniquePatronId"))
+      .groupBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
+        col("DIN_DisplayMiniMarketName"))
+      .agg(sum(col("MinimarketAmount")).as("mmAmt"))
+    val tot = spend.groupBy(col("ClientCode"), col("SalesTerritory"),
+        col("PersonaName"))
+      .agg(sum(col("mmAmt")).as("totAmt"))
+    val pct = spend.join(tot,
+        Seq("ClientCode", "SalesTerritory", "PersonaName"))
+      .withColumn("PercentOfSpend",
+        col("mmAmt").cast("double") / col("totAmt").cast("double"))
+    Segmentation.topMinimarkets(pct, 10)
+      .select(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
+        col("DIN_DisplayMiniMarketName").as("minimarket"),
+        col("MMRank").cast("long").as("MMRank"),
+        round(col("PercentOfSpend"), 6).as("pct"))
+      .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
+        col("MMRank"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -729,5 +775,6 @@ object CoreQueries {
     "q38_restaurant_rank" -> q38RestaurantRank,
     "q39_cuisine_impute" -> q39CuisineImpute,
     "q40_unique_patron_three_phase" -> q40UniquePatronThreePhase,
+    "q41_client_minimarket_top" -> q41ClientMinimarketTop,
   )
 }

@@ -362,34 +362,63 @@ object Oracles {
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
 
     "q34_seg_personas" ->
-      """WITH mm AS (SELECT o_custkey AS pid, r_name AS terr, n_name AS mm_name,
-        |  sum(cast(l_extendedprice as decimal(18,4))) AS amt
-        |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
-        |  JOIN supplier ON l_suppkey=s_suppkey
-        |  JOIN nation ON s_nationkey=n_nationkey
-        |  JOIN region ON n_regionkey=r_regionkey
-        |  GROUP BY 1,2,3),
-        |tot AS (SELECT pid, sum(amt) AS total FROM mm GROUP BY 1),
-        |terr AS (SELECT pid, terr, sum(amt) AS tamt FROM mm GROUP BY 1,2),
-        |maxt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
-        |  ORDER BY tamt DESC, terr) AS rn FROM terr) WHERE rn=1),
-        |maxm AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
-        |  ORDER BY amt DESC, terr, mm_name) AS rn FROM mm) WHERE rn=1),
-        |r AS (SELECT t.pid,
-        |  CASE WHEN tot.total=0 THEN NULL
-        |    ELSE cast(t.tamt as double)/cast(tot.total as double) END AS tr,
-        |  CASE WHEN tot.total=0 THEN NULL
-        |    ELSE cast(m.amt as double)/cast(tot.total as double) END AS mr
-        |  FROM maxt t JOIN tot ON t.pid=tot.pid JOIN maxm m ON m.pid=t.pid),
-        |cl AS (SELECT pid, 'Road Warrior' AS persona FROM r WHERE tr<0.8
-        |  UNION ALL SELECT pid, 'City person' FROM r WHERE tr>=0.8 AND mr<0.8
-        |  UNION ALL SELECT pid, 'Office manager' FROM r WHERE tr>0.8 AND mr>=0.8)
-        |SELECT cast(pid as bigint) AS custkey, persona FROM cl
-        |UNION ALL
-        |SELECT cast(c_custkey as bigint) AS custkey, 'Undefined' AS persona
-        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.pid=c_custkey)
-        |ORDER BY custkey, persona""".stripMargin,
+      ("WITH " + segCtes + "\n" +
+        """SELECT cast(pid as bigint) AS custkey, persona FROM cl
+          |UNION ALL
+          |SELECT cast(c_custkey as bigint) AS custkey, 'Undefined' AS persona
+          |FROM customer WHERE NOT EXISTS (SELECT 1 FROM cl WHERE cl.pid=c_custkey)
+          |ORDER BY custkey, persona""".stripMargin),
+
+    "q41_client_minimarket_top" ->
+      ("WITH " + segCtes + ",\n" +
+        """cli AS (SELECT c_custkey AS pid2, c_mktsegment AS ClientCode
+          |  FROM customer),
+          |spend AS (SELECT ClientCode, mm.terr AS SalesTerritory,
+          |  cl.persona AS PersonaName, mm.mm_name, sum(amt) AS mmAmt
+          |  FROM mm JOIN cl ON mm.pid=cl.pid JOIN cli ON mm.pid=cli.pid2
+          |  GROUP BY 1,2,3,4),
+          |tot2 AS (SELECT ClientCode, SalesTerritory, PersonaName,
+          |  sum(mmAmt) AS t FROM spend GROUP BY 1,2,3),
+          |pct AS (SELECT s.*, cast(mmAmt as double)/cast(t as double) AS p
+          |  FROM spend s JOIN tot2 ON s.ClientCode=tot2.ClientCode
+          |  AND s.SalesTerritory=tot2.SalesTerritory
+          |  AND s.PersonaName=tot2.PersonaName),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY ClientCode,
+          |  SalesTerritory, PersonaName ORDER BY p DESC, mm_name) AS MMRank
+          |  FROM pct)
+          |SELECT ClientCode, SalesTerritory, PersonaName,
+          |  mm_name AS minimarket, cast(MMRank as bigint) AS MMRank,
+          |  round(p,6) AS pct
+          |FROM rk WHERE MMRank<=10
+          |ORDER BY ClientCode, SalesTerritory, PersonaName, MMRank""".stripMargin),
   )
+
+  /** Shared CTE chain of the segmentation oracle (Seg:144-217 mirror):
+    * minimarket spend, totals, max-territory/max-minimarket ratios, and the
+    * three persona branches. */
+  private lazy val segCtes: String =
+    """mm AS (SELECT o_custkey AS pid, r_name AS terr, n_name AS mm_name,
+      |  sum(cast(l_extendedprice as decimal(18,4))) AS amt
+      |  FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+      |  JOIN supplier ON l_suppkey=s_suppkey
+      |  JOIN nation ON s_nationkey=n_nationkey
+      |  JOIN region ON n_regionkey=r_regionkey
+      |  GROUP BY 1,2,3),
+      |tot AS (SELECT pid, sum(amt) AS total FROM mm GROUP BY 1),
+      |terr AS (SELECT pid, terr, sum(amt) AS tamt FROM mm GROUP BY 1,2),
+      |maxt AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
+      |  ORDER BY tamt DESC, terr) AS rn FROM terr) WHERE rn=1),
+      |maxm AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY pid
+      |  ORDER BY amt DESC, terr, mm_name) AS rn FROM mm) WHERE rn=1),
+      |r AS (SELECT t.pid,
+      |  CASE WHEN tot.total=0 THEN NULL
+      |    ELSE cast(t.tamt as double)/cast(tot.total as double) END AS tr,
+      |  CASE WHEN tot.total=0 THEN NULL
+      |    ELSE cast(m.amt as double)/cast(tot.total as double) END AS mr
+      |  FROM maxt t JOIN tot ON t.pid=tot.pid JOIN maxm m ON m.pid=t.pid),
+      |cl AS (SELECT pid, 'Road Warrior' AS persona FROM r WHERE tr<0.8
+      |  UNION ALL SELECT pid, 'City person' FROM r WHERE tr>=0.8 AND mr<0.8
+      |  UNION ALL SELECT pid, 'Office manager' FROM r WHERE tr>0.8 AND mr>=0.8)""".stripMargin
 
   /** The S4 name-canonicalization chain as nested SQL replace() calls,
     * generated from the same (from, to) list the Spark side uses. */

@@ -89,9 +89,13 @@ object Segmentation {
   /** Seg:391-399 — ClientMinimarketSpend top-10 snapshot: rank minimarkets
     * per (client, territory, persona) by spend share, keep MMRank <= 10. */
   def topMinimarkets(spend: DataFrame, k: Int = 10): DataFrame =
-    Merge.topKPerGroup(spend,
-      Seq(col("ClientCode"), col("SalesTerritory"), col("PersonaName")),
-      Seq(col("PercentOfSpend").desc, col("DIN_DisplayMiniMarketName")), k)
+    spend.withColumn("MMRank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ClientCode"), col("SalesTerritory"),
+            col("PersonaName"))
+          .orderBy(col("PercentOfSpend").desc,
+            col("DIN_DisplayMiniMarketName"))))
+      .filter(col("MMRank") <= k)
 
   /** Seg:405-426 — DinersCount: distinct diners and high-value diners per
     * client over the trailing window. */
