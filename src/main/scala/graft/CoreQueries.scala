@@ -492,6 +492,7 @@ object CoreQueries {
     val dup = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
     val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
+      .persist()
     Segmentation.classify(Segmentation.spendRatios(mm), dup)
       .select(col("UniquePatronId").cast("long").as("custkey"),
         col("PersonaName").as("persona"))
@@ -707,7 +708,11 @@ object CoreQueries {
         col("n_name").as("DIN_DisplayMiniMarketName"))
     val dup = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
+    // the reference materializes MinimarketSpend as a staging table
+    // (Seg:127 TRUNCATE+INSERT); persist is the in-job equivalent — three
+    // consumers (ratio chain x2, spend rollup) read it once
     val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
+      .persist()
     val personas = Segmentation.classify(Segmentation.spendRatios(mm), dup)
     val cli = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"),

@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.etl.{Merge, Ops}
 
 /** Seg — patron segmentation (`patching_scripts/patron_segmentation.sql`)
@@ -32,22 +33,32 @@ object Segmentation {
         count(lit(1)).as("TxnCount"))
 
   /** Seg:144-182 — the ratio chain: total per patron; top territory and top
-    * minimarket (row_number desc, rn=1); spend ratios vs the total. */
+    * minimarket (row_number desc, rn=1); spend ratios vs the total.
+    *
+    * Computed with per-patron window totals instead of the reference's
+    * CTE-join formulation: identical values (decimal addition is
+    * associative), but the expensive upstream subtree is evaluated twice
+    * (territory frame + minimarket frame) instead of four times — the
+    * join form defeats Spark's exchange reuse because pushed-down filters
+    * make each branch's subtree non-identical. */
   def spendRatios(mmSpend: DataFrame): DataFrame = {
-    val total = mmSpend.groupBy(col("UniquePatronId"))
-      .agg(sum(col("MinimarketAmount")).as("TotalAmount"))
-    val territory = mmSpend.groupBy(col("UniquePatronId"), col("SalesTerritory"))
+    val byPatron = Window.partitionBy(col("UniquePatronId"))
+    val maxTerritory = mmSpend
+      .groupBy(col("UniquePatronId"), col("SalesTerritory"))
       .agg(sum(col("MinimarketAmount")).as("TerritoryAmount"))
-    val maxTerritory = Merge.pickLatest(territory, Seq(col("UniquePatronId")),
-        Seq(col("TerritoryAmount").desc, col("SalesTerritory")))
-    val maxMinimarket = Merge.pickLatest(mmSpend, Seq(col("UniquePatronId")),
-        Seq(col("MinimarketAmount").desc, col("SalesTerritory"),
-          col("DIN_DisplayMiniMarketName")))
+      .withColumn("TotalAmount", sum(col("TerritoryAmount")).over(byPatron))
+      .withColumn("__rn", row_number().over(byPatron
+        .orderBy(col("TerritoryAmount").desc, col("SalesTerritory"))))
+      .filter(col("__rn") === 1)
+    val maxMinimarket = mmSpend
+      .withColumn("__rn", row_number().over(byPatron
+        .orderBy(col("MinimarketAmount").desc, col("SalesTerritory"),
+          col("DIN_DisplayMiniMarketName"))))
+      .filter(col("__rn") === 1)
+      .select(col("UniquePatronId").as("__pid2"),
+        col("DIN_DisplayMiniMarketName"), col("MinimarketAmount"))
     maxTerritory
-      .join(total, Seq("UniquePatronId"))
-      .join(maxMinimarket.select(col("UniquePatronId"),
-        col("DIN_DisplayMiniMarketName"), col("MinimarketAmount")),
-        Seq("UniquePatronId"))
+      .join(maxMinimarket, col("UniquePatronId") === col("__pid2"))
       .select(col("UniquePatronId"), col("SalesTerritory"),
         col("DIN_DisplayMiniMarketName"),
         Ops.safeRatio(col("TerritoryAmount"), col("TotalAmount"))
@@ -61,17 +72,21 @@ object Segmentation {
     * the dimension not yet classified (anti-join, Seg:211-217). Returns
     * (UniquePatronId, PersonaName). */
   def classify(ratios: DataFrame, dimUniquePatron: DataFrame): DataFrame = {
-    val rw = ratios.filter(col("TerritorySpendRatio") < 0.8)
-      .select(col("UniquePatronId"), lit("Road Warrior").as("PersonaName"))
-    val cp = ratios.filter(col("TerritorySpendRatio") >= 0.8 &&
-        col("MMSpendRatio") < 0.8)
-      .select(col("UniquePatronId"), lit("City person").as("PersonaName"))
-    val om = ratios.filter(col("TerritorySpendRatio") > 0.8 &&
-        col("MMSpendRatio") >= 0.8)
-      .select(col("UniquePatronId"), lit("Office manager").as("PersonaName"))
-    val classified = rw.unionByName(cp).unionByName(om).distinct()
+    // the reference's three UNION ALL branches have mutually exclusive
+    // predicates, so a single CASE pass is value-identical — and evaluates
+    // the ratio chain once instead of three times (branch filters push
+    // into each union arm and defeat exchange reuse)
+    val classified = ratios.select(col("UniquePatronId"),
+        when(col("TerritorySpendRatio") < 0.8, "Road Warrior")
+          .when(col("TerritorySpendRatio") >= 0.8 && col("MMSpendRatio") < 0.8,
+            "City person")
+          .when(col("TerritorySpendRatio") > 0.8 && col("MMSpendRatio") >= 0.8,
+            "Office manager").as("PersonaName"))
+      .filter(col("PersonaName").isNotNull)
+      .distinct()
     val undef = dimUniquePatron.select(col("UniquePatronId"))
-      .join(classified, Seq("UniquePatronId"), "left_anti")
+      .join(classified.select(col("UniquePatronId")),
+        Seq("UniquePatronId"), "left_anti")
       .select(col("UniquePatronId"), lit("Undefined").as("PersonaName"))
     classified.unionByName(undef)
   }
