@@ -350,8 +350,8 @@ object Oracles {
         |    (SELECT c_custkey, cast(c_custkey as bigint) AS mapped_key FROM customer) m
         |    ON fact.o_custkey=m.c_custkey)
         |SELECT count(*) AS n_rows,
-        | sum(CASE WHEN patron_key=0 AND datekey BETWEEN 19960101 AND 19971231
-        |   THEN 1 ELSE 0 END) AS n_unmapped_in_window
+        | cast(sum(CASE WHEN patron_key=0 AND datekey BETWEEN 19960101 AND 19971231
+        |   THEN 1 ELSE 0 END) as bigint) AS n_unmapped_in_window
         |FROM mapped""".stripMargin,
 
     "q33_fuzzy_prefix_join" ->

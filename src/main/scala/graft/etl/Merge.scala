@@ -17,13 +17,20 @@ object Merge {
   /** O3 — insert-if-absent (`INSERT .. SELECT .. LEFT JOIN t ON k WHERE
     * t.k IS NULL`, e.g. UpdtMapDimPatron.sql:48-62, script.sql S2:23-28).
     * Appends only rows whose key is not already present; incoming dups
-    * collapse to one arbitrary-but-deterministic row per key.
+    * collapse to one deterministic row per key (smallest row by all
+    * non-key columns ascending — stable across runs and retries).
     */
   def insertIfAbsent(existing: DataFrame, incoming: DataFrame,
                      keys: Seq[String]): DataFrame = {
-    val fresh = incoming
-      .select(existing.columns.map(col).toIndexedSeq: _*)
-      .dropDuplicates(keys)
+    // Deterministic duplicate collapse: dropDuplicates picks whichever row a
+    // partition scan sees first, which can differ across runs/retries. Rank
+    // by every non-key column instead so reruns always keep the same row.
+    val nonKeys = existing.columns.filterNot(keys.contains)
+    val aligned = incoming.select(existing.columns.map(col).toIndexedSeq: _*)
+    val deduped =
+      if (nonKeys.isEmpty) aligned.dropDuplicates(keys)
+      else pickLatest(aligned, keys.map(col), nonKeys.map(c => col(c).asc).toSeq)
+    val fresh = deduped
       .join(existing.select(keys.map(col).toIndexedSeq: _*), keys, "left_anti")
     existing.unionByName(fresh)
   }

@@ -29,15 +29,40 @@ object Publish {
     }
     staged match {
       case Success(names) =>
-        Try {
+        // Swap protocol: rename each existing target aside first, then move
+        // staging in. Only after EVERY swap succeeds are the set-aside old
+        // versions deleted; on any failure the renames are rolled back, so a
+        // mid-loop crash never leaves a table deleted without a replacement.
+        val aside = scala.collection.mutable.ListBuffer.empty[(Path, Path)]
+        val swappedIn = scala.collection.mutable.ListBuffer.empty[Path]
+        val swap = Try {
           names.map { name =>
             val target = rootPath.resolve(name)
-            deleteRecursively(target)
+            if (Files.exists(target)) {
+              val old = rootPath.resolve(s".old-${staging.getFileName}-$name")
+              Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+              aside += ((target, old))
+            }
             Files.move(staging.resolve(name), target,
               StandardCopyOption.ATOMIC_MOVE)
+            swappedIn += target
             target.toString
           }
-        }.map { published => deleteRecursively(staging); published }
+        }
+        swap match {
+          case Success(published) =>
+            aside.foreach { case (_, old) => deleteRecursively(old) }
+            deleteRecursively(staging)
+            Success(published)
+          case Failure(e) =>
+            // Roll back: remove any new versions moved in, restore the olds.
+            swappedIn.foreach(deleteRecursively)
+            aside.foreach { case (target, old) =>
+              Try(Files.move(old, target, StandardCopyOption.ATOMIC_MOVE))
+            }
+            deleteRecursively(staging)
+            Failure(e)
+        }
       case Failure(e) =>
         deleteRecursively(staging)
         Failure(e)

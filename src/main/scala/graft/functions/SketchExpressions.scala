@@ -193,12 +193,27 @@ object VectorKernels {
   }
 }
 
-/** `cosine_sim(a, b)` — cosine similarity of two float/double arrays. */
+/** `cosine_sim(a, b)` — cosine similarity of two float/double arrays.
+  * Both inputs must be arrays of the SAME element type (float or double);
+  * mixed widths are rejected at analysis time rather than silently read
+  * with the wrong-width accessor. */
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   private lazy val isFloat = left.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim requires two array<float> or two array<double> " +
+            s"arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
   }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
