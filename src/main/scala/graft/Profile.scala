@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev-only stage profiler: runs the named SparkEntry queries and prints
+  * the heaviest stages (executor run time) per query, with callsites —
+  * the feedback loop for hunting shuffles and recomputed subtrees. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class St(id: Int, name: String, runMs: Long, cpuMs: Long,
+                  shuffleReadMB: Double, shuffleWriteMB: Double, tasks: Int)
+    val stages = ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        stages.synchronized {
+          stages += St(si.stageId, si.name, m.executorRunTime,
+            m.executorCpuTime / 1000000,
+            m.shuffleReadMetrics.totalBytesRead / 1e6,
+            m.shuffleWriteMetrics.bytesWritten / 1e6, si.numTasks)
+        }
+      }
+    })
+
+    // warmup
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").count().count()
+    } catch { case _: Throwable => () }
+
+    names.foreach { name =>
+      stages.synchronized(stages.clear())
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"\n=== $name: $wall%.2f s wall, $n rows ===")
+      val top = stages.synchronized(stages.sortBy(-_.runMs).take(12).toList)
+      top.foreach { s =>
+        println(f"  stage ${s.id}%4d run=${s.runMs}%6d ms cpu=${s.cpuMs}%6d ms " +
+          f"tasks=${s.tasks}%3d shR=${s.shuffleReadMB}%8.1f MB shW=${s.shuffleWriteMB}%8.1f MB  ${s.name.take(90)}")
+      }
+      val totalRun = stages.synchronized(stages.map(_.runMs).sum)
+      println(f"  total executor run: ${totalRun}%d ms across ${stages.size}%d stages")
+    }
+    spark.stop()
+  }
+}
