@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen across ~50 distinct queries overflows the default
+  // 240m JIT code cache; once full, HotSpot disables compilation and every
+  // later query runs interpreted (~10x slower single-task stages).
+  "-XX:ReservedCodeCacheSize=1g",
 )
