@@ -104,10 +104,16 @@ object CoreQueries {
     val fpParts = Seq(col("s_name"), col("n_name"), col("s_nationkey").cast("string"))
     val fpDim = sup.select(Ops.fingerprint(fpParts, "md5").as("fp"),
       col("s_suppkey").cast("long").as("fp_suppkey"))
+    // repartition before the hash derivation: with broadcast joins the
+    // pipeline inherits the scan's parallelism (one split per row group),
+    // serializing the CPU-dense md5 + distinct aggregate; a cheap row
+    // shuffle spreads it — the same pattern a few-huge-gzip-files source
+    // needs at cluster scale
     val detail = T.lineitem(s, d).join(T.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") >= lit("1996-01-01"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .repartition(col("l_suppkey"))
       .withColumn("fp", Ops.fingerprint(fpParts, "md5"))
     detail.join(broadcast(fpDim), Seq("fp"), "left")
       .groupBy(col("fp"), col("fp_suppkey"))
@@ -491,6 +497,9 @@ object CoreQueries {
         col("n_name").as("DIN_DisplayMiniMarketName"))
     val dup = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
+    // lazy persist: the single-pass ratio chain consumes mm exactly once
+    // (no race, no barrier needed) — the cache write piggybacks on that
+    // one pass and q41's identical staging plan reads it warm
     val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
       .persist()
     Segmentation.classify(Segmentation.spendRatios(mm), dup)
@@ -713,6 +722,7 @@ object CoreQueries {
     // consumers (ratio chain x2, spend rollup) read it once
     val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
       .persist()
+    mm.count() // eager staging materialization, see q34
     val personas = Segmentation.classify(Segmentation.spendRatios(mm), dup)
     val cli = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"),
@@ -723,11 +733,13 @@ object CoreQueries {
       .groupBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
         col("DIN_DisplayMiniMarketName"))
       .agg(sum(col("MinimarketAmount")).as("mmAmt"))
-    val tot = spend.groupBy(col("ClientCode"), col("SalesTerritory"),
-        col("PersonaName"))
-      .agg(sum(col("mmAmt")).as("totAmt"))
-    val pct = spend.join(tot,
-        Seq("ClientCode", "SalesTerritory", "PersonaName"))
+    // group total as a window sum over the same keys: one pass over spend
+    // instead of agg + self-join (identical values — same-group summation),
+    // and the rank window in topMinimarkets reuses the exchange
+    val pct = spend.withColumn("totAmt",
+        sum(col("mmAmt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ClientCode"), col("SalesTerritory"),
+            col("PersonaName"))))
       .withColumn("PercentOfSpend",
         col("mmAmt").cast("double") / col("totAmt").cast("double"))
     Segmentation.topMinimarkets(pct, 10)

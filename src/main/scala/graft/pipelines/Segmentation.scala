@@ -35,35 +35,45 @@ object Segmentation {
   /** Seg:144-182 — the ratio chain: total per patron; top territory and top
     * minimarket (row_number desc, rn=1); spend ratios vs the total.
     *
-    * Computed with per-patron window totals instead of the reference's
-    * CTE-join formulation: identical values (decimal addition is
-    * associative), but the expensive upstream subtree is evaluated twice
-    * (territory frame + minimarket frame) instead of four times — the
-    * join form defeats Spark's exchange reuse because pushed-down filters
-    * make each branch's subtree non-identical. */
+    * Single-pass formulation of the reference's CTE-join chain: one
+    * repartition by patron, then every quantity (territory subtotal,
+    * patron total, top-territory pick, top-minimarket pick) as a window
+    * over that partitioning — hash(pid) satisfies the (pid, territory)
+    * clustering too, so the whole chain runs on one exchange plus
+    * in-partition sorts, and the final per-patron row falls out of a
+    * conditional aggregate instead of a self-join. Values are identical
+    * to the reference's formulation (decimal addition is associative;
+    * tie-breaks mirror the ORDER BY columns), but the branch-join plan —
+    * which evaluated the staging frame four times and pushed the persona
+    * CASE into a join condition — is gone. */
   def spendRatios(mmSpend: DataFrame): DataFrame = {
     val byPatron = Window.partitionBy(col("UniquePatronId"))
-    val maxTerritory = mmSpend
-      .groupBy(col("UniquePatronId"), col("SalesTerritory"))
-      .agg(sum(col("MinimarketAmount")).as("TerritoryAmount"))
-      .withColumn("TotalAmount", sum(col("TerritoryAmount")).over(byPatron))
-      .withColumn("__rn", row_number().over(byPatron
+    val byPatronTerr = Window.partitionBy(col("UniquePatronId"),
+      col("SalesTerritory"))
+    val enriched = mmSpend.repartition(col("UniquePatronId"))
+      .withColumn("TerritoryAmount",
+        sum(col("MinimarketAmount")).over(byPatronTerr))
+      .withColumn("TotalAmount", sum(col("MinimarketAmount")).over(byPatron))
+      .withColumn("__rnT", row_number().over(byPatron
         .orderBy(col("TerritoryAmount").desc, col("SalesTerritory"))))
-      .filter(col("__rn") === 1)
-    val maxMinimarket = mmSpend
-      .withColumn("__rn", row_number().over(byPatron
+      .withColumn("__rnM", row_number().over(byPatron
         .orderBy(col("MinimarketAmount").desc, col("SalesTerritory"),
           col("DIN_DisplayMiniMarketName"))))
-      .filter(col("__rn") === 1)
-      .select(col("UniquePatronId").as("__pid2"),
-        col("DIN_DisplayMiniMarketName"), col("MinimarketAmount"))
-    maxTerritory
-      .join(maxMinimarket, col("UniquePatronId") === col("__pid2"))
-      .select(col("UniquePatronId"), col("SalesTerritory"),
-        col("DIN_DisplayMiniMarketName"),
-        Ops.safeRatio(col("TerritoryAmount"), col("TotalAmount"))
+    enriched
+      .groupBy(col("UniquePatronId"))
+      .agg(
+        max(when(col("__rnT") === 1,
+          struct(col("TerritoryAmount"), col("SalesTerritory")))).as("__t"),
+        max(when(col("__rnM") === 1,
+          struct(col("MinimarketAmount"),
+            col("DIN_DisplayMiniMarketName")))).as("__m"),
+        max(col("TotalAmount")).as("TotalAmount"))
+      .select(col("UniquePatronId"),
+        col("__t.SalesTerritory").as("SalesTerritory"),
+        col("__m.DIN_DisplayMiniMarketName").as("DIN_DisplayMiniMarketName"),
+        Ops.safeRatio(col("__t.TerritoryAmount"), col("TotalAmount"))
           .as("TerritorySpendRatio"),
-        Ops.safeRatio(col("MinimarketAmount"), col("TotalAmount"))
+        Ops.safeRatio(col("__m.MinimarketAmount"), col("TotalAmount"))
           .as("MMSpendRatio"))
   }
 
@@ -84,11 +94,15 @@ object Segmentation {
             "Office manager").as("PersonaName"))
       .filter(col("PersonaName").isNotNull)
       .distinct()
-    val undef = dimUniquePatron.select(col("UniquePatronId"))
-      .join(classified.select(col("UniquePatronId")),
-        Seq("UniquePatronId"), "left_anti")
-      .select(col("UniquePatronId"), lit("Undefined").as("PersonaName"))
-    classified.unionByName(undef)
+    // union(classified, dim anti-join classified -> Undefined) expressed as
+    // one full-outer join: referencing `classified` twice would evaluate the
+    // whole ratio-chain subtree twice (windows, joins, staging reads) —
+    // row-identical, since classified is unioned whole and dim patrons
+    // missing from it get the Undefined backfill either way
+    dimUniquePatron.select(col("UniquePatronId"))
+      .join(classified, Seq("UniquePatronId"), "full_outer")
+      .select(col("UniquePatronId"),
+        coalesce(col("PersonaName"), lit("Undefined")).as("PersonaName"))
   }
 
   /** Seg:184-217 end-to-end into the bridge fact: join the persona names to
