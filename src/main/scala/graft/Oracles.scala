@@ -739,6 +739,34 @@ object Oracles {
         | cast(nid as bigint) AS neighbor_id, round(cos,4) AS cosine
         |FROM r WHERE rnk<=5 ORDER BY query_id, "rank"""".stripMargin,
 
+    "t08_media_meta" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+        |    END AS modality,
+        |  strlen(text) AS n_bytes,
+        |  ('0x'||substr(md5(text),1,8))::bigint AS h
+        |  FROM documents)
+        |SELECT cast(doc_id as bigint) AS asset_id, modality,
+        | cast(n_bytes as bigint) AS n_bytes,
+        | cast(CASE WHEN modality='audio' THEN 0 ELSE 64 + h%1024 END
+        |   as bigint) AS width,
+        | cast(CASE WHEN modality='audio' THEN 0 ELSE 64 + (h//1024)%1024 END
+        |   as bigint) AS height,
+        | cast(CASE WHEN modality='image' THEN 0 ELSE 1000 + h%600000 END
+        |   as bigint) AS duration_ms
+        |FROM a ORDER BY asset_id""".stripMargin,
+
+    "t09_frame_plan" ->
+      """WITH v AS (SELECT doc_id,
+        |  1000 + (('0x'||substr(md5(text),1,8))::bigint % 600000) AS dur
+        |  FROM documents WHERE doc_id%3=2),
+        |f AS (SELECT doc_id AS asset_id,
+        |  unnest(range(0, least(dur//1000, 31)+1)) AS frame_idx FROM v)
+        |SELECT cast(asset_id as bigint) AS asset_id,
+        | cast(frame_idx as bigint) AS frame_idx,
+        | cast(frame_idx*1000 as bigint) AS ts_ms
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -20,18 +20,33 @@ object Multimodal {
                        content_hash: Long)
 
   /** STUB decoder: a real implementation parses the container header.
-    * This deterministic fake derives plausible dimensions from the payload
-    * hash so the downstream plumbing is testable byte-for-byte. */
+    * This deterministic fake derives plausible dimensions from the md5 of
+    * the payload — chosen over a JVM hash so any engine (the DuckDB oracle
+    * included) can recompute the values and the plumbing is testable
+    * byte-for-byte across engines. */
   object MediaDecoder {
+    private def md5Hex(payload: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(payload)
+        .map("%02x".format(_)).mkString
+
+    /** First 8 md5 hex chars as an unsigned 32-bit value. */
+    def payloadSeed(payload: Array[Byte]): Long =
+      java.lang.Long.parseLong(md5Hex(payload).substring(0, 8), 16)
+
+    /** First 15 md5 hex chars as a (positive) 60-bit content hash. */
+    def contentHash(payload: Array[Byte]): Long =
+      java.lang.Long.parseLong(md5Hex(payload).substring(0, 15), 16)
+
     def decodeStub(modality: String, payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 64 + math.abs(h % 1024)
+      val h = payloadSeed(payload)
+      val w = (64 + h % 1024).toInt
+      val ht = (64 + (h / 1024) % 1024).toInt
+      val d = (1000 + h % 600000).toInt
       modality match {
-        case "image" => (w, 64 + math.abs((h / 1024) % 1024), 0)
-        case "audio" => (0, 0, 1000 + math.abs(h % 600000))
-        case "video" => (w, 64 + math.abs((h / 1024) % 1024),
-          1000 + math.abs(h % 600000))
-        case _ => (0, 0, 0)
+        case "image" => (w, ht, 0)
+        case "audio" => (0, 0, d)
+        case "video" => (w, ht, d)
+        case _       => (0, 0, 0)
       }
     }
   }
@@ -59,9 +74,7 @@ object Multimodal {
         it.map { case (id, modality, payload) =>
           val (w, h, d) = MediaDecoder.decodeStub(modality, payload)
           MediaMeta(id, modality, payload.length, w, h, d,
-            org.apache.spark.unsafe.hash.Murmur3_x86_32
-              .hashUnsafeBytes(payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-                payload.length, 42).toLong)
+            MediaDecoder.contentHash(payload))
         }
       }
   }
