@@ -128,6 +128,13 @@ object DataQueries {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Session-window rollup over the event log — the batch twin of
+    * graft.streaming.Streams.sessionRollup (30-min inactivity gap);
+    * bounds as epoch micros for exact cross-engine comparison. */
+  val t13Sessions: Q = (s, d) =>
+    graft.streaming.Streams.sessionRollup(T.events(s, d))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   /** IVF-style ANN: coarse-quantize the corpus against a deterministic
     * centroid set (every 250th vector), then search only matching lists.
     * The 100 TB shape: one broadcast assign pass + per-list scans. */
@@ -188,5 +195,6 @@ object DataQueries {
     "t10_event_hourly" -> t10EventHourly,
     "t11_ann_ivf" -> t11AnnIvf,
     "t12_embedding_neardup" -> t12EmbeddingNearDup,
+    "t13_sessions" -> t13Sessions,
   )
 }

@@ -771,6 +771,26 @@ object Oracles {
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // gaps-and-islands: new session when the inactivity gap reaches 30 min
+    // (strict merge-if-closer, matching Spark session_window); bounds as
+    // epoch micros, end = last event + gap
+    "t13_sessions" ->
+      """WITH m AS (SELECT user_id, ts, value,
+        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT cast(user_id as bigint) AS user_id,
+        | cast(epoch_us(min(ts)) as bigint) AS session_start_us,
+        | cast(epoch_us(max(ts)) + 1800000000 as bigint) AS session_end_us,
+        | count(*) AS n_events,
+        | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

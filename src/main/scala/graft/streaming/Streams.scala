@@ -68,6 +68,73 @@ object Streams {
         col("n_events"))
   }
 
+  /** Session-window rollup — 30-min inactivity gap, native
+    * `session_window` (dynamic gap windows merge as events arrive; batch
+    * and streaming share the plan). Output bounds as epoch micros: exact
+    * cross-engine values, no timestamp comparison pitfalls. */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** One closed user session from the custom-state sessionizer. */
+  case class UserSession(user_id: Long, session_start_us: Long,
+                         session_end_us: Long, n_events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset state API for semantics `session_window` can't
+    * express (per-session open state, explicit event-time timeouts).
+    * Sessions close when a later event arrives past the gap, or when the
+    * watermark passes last-event + gap (EventTimeTimeout); the open tail
+    * session stays in state until then. Emits end = last + gap, matching
+    * session_window bounds. */
+  def sessionizeWithState(events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                          watermark: String = "2 hours")
+      : org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // open session state: (startMs, lastMs, n)
+    def flush(uid: Long, st: (Long, Long, Long)): UserSession =
+      UserSession(uid, st._1 * 1000L, (st._2 + gapMs) * 1000L, st._3)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long, Long)]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val out = state.getOption.map(flush(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            // one microbatch's events for this user, oldest first; close a
+            // session whenever the next event starts past the gap
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[UserSession]
+            var st = state.getOption.getOrElse((ts.head, ts.head, 0L))
+            ts.foreach { t =>
+              st = if (t - st._2 >= gapMs) {
+                closed ::= flush(uid, st); (t, t, 1L)
+              } else (st._1, math.max(st._2, t), st._3 + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st._2 + gapMs)
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Run the hourly rollup as a one-shot (availableNow) stream into an
     * in-memory table; returns the populated result. Demonstrates the full
     * readStream -> agg -> writeStream path on bounded input. */

@@ -32,6 +32,45 @@ class StreamingSpec extends SparkSpec {
     assert(tenClick.getLong(2) == 2 && tenClick.getDouble(3) == 4.0)
   }
 
+  test("sessionRollup batch == flatMapGroupsWithState sessionizer") {
+    val dir = Files.createTempDirectory("graft_sessions").toString
+    // user 7: two sessions (45-min gap); user 8: one session; user 99 is a
+    // far-future sentinel that advances the watermark past every real
+    // session so EventTimeTimeout flushes the open tails
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:55:00"), 7L, "click", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "view", 1.0, "{}"),
+      (5L, Timestamp.valueOf("2024-01-02 12:00:00"), 99L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events_a.parquet")
+
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .parquet(s"$dir/events_a.parquet")
+    val q = Streams.sessionizeWithState(stream)
+      .writeStream.format("memory").queryName("spec_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("spec_sessions")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start_us")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+
+    val batch = Streams.sessionRollup(events)
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start_us")
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.map(r => (r.getLong(0), r.getLong(3))).toSeq ==
+      Seq((7L, 2L), (7L, 1L), (8L, 1L))) // two sessions for 7, one for 8
+  }
+
   test("slidingUserActivity counts overlapping windows") {
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "click", 1.0, "{}"),
