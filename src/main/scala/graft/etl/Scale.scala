@@ -61,4 +61,18 @@ object Scale {
       .parquet(path)
     "date_month"
   }
+
+  /** Bucketed table layout for co-located joins: both sides written with
+    * `bucketBy` on the join key (same bucket count) sort-merge join with
+    * NO exchange on either side — the repeated fact<->dim mapping passes
+    * (O7, ~15 occurrences in the reference) re-join the same keys every
+    * month, so paying the shuffle once at write time amortizes it across
+    * every subsequent run. Optional `sortBy` also removes the join-time
+    * sort. Bucket metadata lives in the session catalog (`saveAsTable`). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 32, sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
 }

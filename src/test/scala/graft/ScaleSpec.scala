@@ -20,6 +20,29 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("bucketed tables sort-merge join with no exchange") {
+    val a = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("va"))
+    val b = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 3).as("vb"))
+    Scale.writeBucketed(a, "graft_bk_a", "k", buckets = 4)
+    Scale.writeBucketed(b, "graft_bk_b", "k", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bk_a").join(spark.table("graft_bk_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bk_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bk_b")
+    }
+  }
+
   test("saltedJoin equals plain inner join") {
     val left = spark.range(5000).select(
       when(col("id") % 10 < 8, 1L).otherwise(col("id") % 50).as("k"),
