@@ -52,11 +52,12 @@ object DataQueries {
 
   /** MinHash + LSH near-dup detection end to end: shingle -> minhash ->
     * band -> bucket join -> Jaccard verify >= 0.5. Must recover the planted
-    * (i, i+100000) pairs. */
+    * (i, i+100000) pairs. Uses the md5-derived hash family so the DuckDB
+    * oracle recomputes the identical signatures, bands and pairs. */
   val t03MinHashLsh: Q = (s, d) => {
     val docs = withPlantedDups(T.documents(s, d))
-    val cands = Dedup.minHashLshCandidates(docs, bands = 8, rowsPerBand = 4,
-      shingleSize = 3)
+    val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
+      rowsPerBand = 4, shingleSize = 3)
     Dedup.jaccardVerify(cands, docs, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -72,9 +73,10 @@ object DataQueries {
   }
 
   /** SimHash near-dup candidates over planted dups: 64-bit simhash, 4-block
-    * bucketing, Hamming <= 8. */
+    * bucketing, Hamming <= 6. Uses the md5-derived sketch so the DuckDB
+    * oracle recomputes identical hashes, blocks and distances. */
   val t05SimHash: Q = (s, d) =>
-    Dedup.simHashCandidates(withPlantedDups(T.documents(s, d)),
+    Dedup.simHashCandidatesMd5(withPlantedDups(T.documents(s, d)),
         blocks = 4, maxHamming = 6)
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("id_a"), col("id_b"))

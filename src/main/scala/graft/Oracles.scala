@@ -665,6 +665,28 @@ object Oracles {
         |ORDER BY SimHash""".stripMargin,
   )
 
+  /** The RHP hyperplane weights used by Similarity.rhpBucket are
+    * data-independent constants — ±1 from xxhash64(dim_idx, plane) & 1 —
+    * so the oracle recomputes buckets exactly from these inlined
+    * matrices (dumped from the Spark expression; 64 dims × 8 planes). */
+  private val rhpPlanes: Seq[String] = Seq(
+    "-1,1,1,1,-1,-1,-1,-1,1,1,-1,-1,1,-1,1,1,1,1,1,1,-1,1,1,1,-1,-1,1,-1,-1,-1,-1,1,-1,1,-1,-1,-1,-1,1,1,1,-1,-1,1,-1,-1,1,1,1,-1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,1,1,1",
+    "1,-1,-1,-1,-1,-1,1,1,1,1,-1,-1,1,1,-1,1,-1,1,-1,-1,1,1,-1,-1,1,-1,1,-1,-1,-1,1,1,-1,1,1,-1,-1,-1,1,-1,1,-1,1,1,1,1,-1,1,-1,1,-1,-1,1,1,-1,1,-1,-1,1,-1,1,-1,1,1",
+    "1,1,-1,1,1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,1,1,-1,1,-1,1,1,1,-1,-1,1,-1,1,-1,1,-1,-1,1,-1,1,1,-1,-1,1,-1,1,1,1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,1,1,-1,-1,1,-1,1,-1",
+    "1,-1,1,1,1,1,1,1,-1,1,-1,1,1,1,-1,1,1,-1,-1,-1,1,1,1,-1,-1,-1,-1,1,-1,-1,1,1,1,-1,-1,1,-1,1,-1,-1,1,-1,1,-1,-1,1,1,1,1,1,-1,-1,-1,1,1,-1,1,1,1,-1,-1,1,-1,1",
+    "1,1,1,1,1,-1,-1,-1,1,-1,-1,-1,1,-1,-1,1,-1,1,1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,1,-1,-1,1,-1,1,1,1,1,1,1,1,1,-1,-1,-1,1,-1,1,-1,1,1,-1,1,-1,-1",
+    "-1,1,-1,1,-1,-1,-1,-1,1,1,-1,-1,-1,-1,1,1,1,-1,1,-1,-1,-1,-1,-1,1,1,1,1,1,-1,1,-1,1,1,1,1,1,-1,1,1,1,1,-1,1,-1,-1,1,1,-1,1,-1,1,1,1,-1,-1,-1,-1,1,-1,-1,1,1,1",
+    "-1,-1,-1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,1,1,-1,1,-1,1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,1,1,-1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,-1,1,1,-1,-1,1,1,-1,1,1,-1,1,1",
+    "1,1,-1,1,-1,1,-1,-1,1,-1,-1,-1,1,-1,1,1,-1,1,-1,1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,1,1,-1,-1,1,-1,1,-1,1,1,1,-1,1,-1,-1,-1,-1,1,-1,1,1,1,1,1,1")
+
+  /** `bucket` column SQL over column `vcol` for the first `bits` planes. */
+  private def rhpBucketSql(vcol: String, bits: Int): String =
+    (0 until bits).map { p =>
+      s"""(CASE WHEN list_dot_product(cast($vcol as double[]),
+         |   [${rhpPlanes(p)}]::double[]) >= 0 THEN ${1 << p} ELSE 0 END)"""
+        .stripMargin
+    }.mkString(" + ")
+
   private val shingleSql =
     """list_distinct(list_filter(list_transform(range(1, greatest(len(%s)-2,0)+1),
       | i -> array_to_string(%s[i:i+2],' ')),
@@ -711,6 +733,51 @@ object Oracles {
         |  FROM documents)
         |GROUP BY 1 HAVING count(*)>1 ORDER BY fp""".stripMargin,
 
+    // exact recomputation of the MinHash-LSH pipeline: md5-derived 32-hash
+    // signatures (h_i(x) = (a_i*x+b_i) mod 2^31-1 over the first 32 bits of
+    // md5(shingle)), 8 bands x 4 rows keyed by md5 of the joined minima,
+    // bucket-collision pairs, then exact 3-gram Jaccard >= 0.5
+    "t03_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+        |    (regexp_split_to_array(trim(text),'\s+'))[2:], ' ') AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM d),
+        |sh AS (SELECT doc_id, unnest(list_distinct(%SH%)) AS s FROM tok),
+        |x AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::bigint AS x FROM sh),
+        |hi AS (SELECT doc_id, i,
+        |    min((((2654435761*(i+1)) % 2147483647) * x
+        |      + ((40503*(i+1)) % 2147483647)) % 2147483647) AS h
+        |  FROM x CROSS JOIN range(0,32) r(i) GROUP BY 1,2),
+        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY 1),
+        |banded AS (SELECT doc_id, b, md5(array_to_string(list_transform(
+        |    sig[b*4+1 : b*4+4], y -> y::varchar), ',')) AS bh
+        |  FROM sig CROSS JOIN range(0,8) r(b)),
+        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM banded l JOIN banded r
+        |    ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
+        |  GROUP BY 1, 2),
+        |j AS (SELECT p.id_a, p.id_b,
+        |    coalesce(i.i, 0)::double AS ii,
+        |    (coalesce(na.n, 0) + coalesce(nb.n, 0))::double
+        |      - coalesce(i.i, 0) AS uu
+        |  FROM pairs p
+        |  LEFT JOIN sz na ON na.doc_id = p.id_a
+        |  LEFT JOIN sz nb ON nb.doc_id = p.id_b
+        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+        |SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+        | round(CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END, 4) AS jaccard
+        |FROM j WHERE (CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin
+        .replace("%SH%", shingleSql.format("t", "t")),
+
     "t04_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM documents),
@@ -726,6 +793,46 @@ object Oracles {
          |ORDER BY id_a""".stripMargin
         .replace("%SH_A%", shingleSql.format("t", "t"))
         .replace("%SH_B%", shingleSql.format("t2", "t2")),
+
+    // exact recomputation of the SimHash pipeline: word-bigram shingles,
+    // per-shingle 64-bit hash from two md5 chunks, per-bit +/-1 votes,
+    // 16-bit block collisions, exact Hamming <= 6
+    "t05_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+        |    (regexp_split_to_array(trim(text),'\s+'))[2:], ' ') AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM d),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    list_filter(list_transform(range(1, greatest(len(t)-1,0)+1),
+        |      i -> array_to_string(t[i:i+1],' ')),
+        |      s -> len(string_split(s,' '))=2))) AS s FROM tok),
+        |hx AS (SELECT doc_id, md5(s) AS m FROM sh),
+        |bits AS (SELECT doc_id, b, CASE WHEN
+        |      ((('0x'||substr(m, 1+8*(b//32), 8))::bigint >> (b%32)) & 1) = 1
+        |    THEN 1 ELSE -1 END AS v
+        |  FROM hx CROSS JOIN range(0,64) r(b)),
+        |bitvals AS (SELECT doc_id, b,
+        |    CASE WHEN sum(v) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM bits GROUP BY 1,2),
+        |blk AS (SELECT doc_id, b//16 AS blk,
+        |    sum(bit * (1::bigint << (b%16))) AS bv
+        |  FROM bitvals GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        |  FROM blk l JOIN blk r
+        |    ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id),
+        |ham AS (SELECT c.id_a, c.id_b,
+        |    sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+        |  FROM cand c
+        |  JOIN bitvals x ON x.doc_id = c.id_a
+        |  JOIN bitvals y ON y.doc_id = c.id_b AND y.b = x.b
+        |  GROUP BY 1,2)
+        |SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+        | cast(hamming as bigint) AS hamming
+        |FROM ham WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     "t06_ann_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id<8),
@@ -766,6 +873,78 @@ object Oracles {
         | cast(frame_idx as bigint) AS frame_idx,
         | cast(frame_idx*1000 as bigint) AS ts_ms
         |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // exact recomputation of the RHP-LSH ANN path: buckets from the
+    // inlined hyperplane weights (bits=4), multi-probe at Hamming
+    // distance 1, per-query top-5 among candidates
+    "t07_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 4)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS b0
+        |  FROM b WHERE vec_id < 8),
+        |probes AS (SELECT query_id, qv, unnest([b0, xor(b0, 1), xor(b0, 2),
+        |  xor(b0, 4), xor(b0, 8)]) AS bucket FROM q),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(c.embedding as double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // exact recomputation of the embedding near-dup path: corpus ∪
+    // float32-perturbed copies, RHP buckets (bits=8) from the inlined
+    // weights, same-bucket pairs with cosine >= 0.99
+    "t12_embedding_neardup" ->
+      s"""WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([embedding[1] + 0.001::REAL], embedding[2:])
+        |      AS embedding
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM allv),
+        |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |    list_cosine_similarity(cast(l.embedding as double[]),
+        |      cast(r.embedding as double[])) AS cos
+        |  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        |SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
+        | round(cos, 4) AS cosine
+        |FROM p WHERE cos >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact recomputation of the IVF path: centroid set (every 250th
+    // vector), nearest-centroid assignment (cosine desc, centroid_id
+    // tiebreak), per-list top-5 — deterministic end to end
+    "t11_ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 250 = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |asg AS (SELECT vec_id, embedding, centroid_id FROM sc WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        |  FROM asg WHERE vec_id < 8),
+        |s AS (SELECT query_id, n.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(n.embedding as double[])) AS cos
+        |  FROM q JOIN asg n USING (centroid_id) WHERE query_id <> n.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,

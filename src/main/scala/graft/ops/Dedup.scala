@@ -55,6 +55,54 @@ object Dedup {
         (a, h) => least(a, h)))
   }
 
+  /** md5-derived MinHash signature — cross-engine recomputable (any SQL
+    * engine with md5 can rebuild it, which is how the DuckDB oracle checks
+    * t03 end to end): x = first 32 bits of md5(shingle), then the classic
+    * universal family h_i(x) = (a_i*x + b_i) mod (2^31-1) with
+    * deterministic a_i = 2654435761*(i+1) mod p, b_i = 40503*(i+1) mod p.
+    * All arithmetic stays under 2^63 so Java long and SQL BIGINT agree.
+    * The xxhash64 kernel ([[minHashLshCandidates]]) stays the scale path. */
+  def minHashSignatureMd5(text: Column, numHashes: Int = 32,
+                          shingleSize: Int = 3): Column = {
+    val P = 2147483647L
+    val xs = transform(TextOps.wordShingles(text, shingleSize),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val init = transform(sequence(lit(1), lit(numHashes)),
+      _ => lit(Long.MaxValue))
+    aggregate(xs, init, (acc, x) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          (((lit(2654435761L) * (i + 1)) % P) * x +
+            ((lit(40503L) * (i + 1)) % P)) % P),
+        (a, h) => least(a, h)))
+  }
+
+  /** [[minHashLshCandidates]] over the md5-derived signature, with band
+    * buckets keyed by md5 of the comma-joined band minima (a hash both
+    * engines can recompute, unlike xxhash64). */
+  def minHashLshCandidatesMd5(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", bands: Int = 8,
+                              rowsPerBand: Int = 4,
+                              shingleSize: Int = 3): DataFrame = {
+    val sig = minHashSignatureMd5(col(textCol), bands * rowsPerBand,
+      shingleSize)
+    val banded = docs
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(array(
+        (0 until bands).map(b => md5(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+            e => e.cast("string")), ","))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs.
     *
     * signature -> split into `bands` bands of `rowsPerBand` -> hash each
@@ -169,6 +217,34 @@ object Dedup {
     * vote pass runs once). */
   def simHash64(text: Column): Column = votesToHash(simHashVotes(text))
 
+  /** md5-derived 64-bit SimHash votes — cross-engine recomputable (the
+    * DuckDB oracle rebuilds the identical sketch): per-shingle hash = two
+    * 32-bit chunks of md5(shingle); bit b of the feature hash is bit b%32
+    * of chunk b/32. Word-bigram features, distinct (set semantics, so the
+    * SQL recomputation by grouped sums agrees). */
+  private def simHashVotesMd5(text: Column): Column = {
+    val shingles = array_distinct(TextOps.wordShingles(text, 2))
+    val pairs = transform(shingles, s => {
+      val m = md5(s)
+      array(conv(substring(m, 1, 8), 16, 10).cast("long"),
+        conv(substring(m, 9, 8), 16, 10).cast("long"))
+    })
+    val init = transform(sequence(lit(1), lit(64)), _ => lit(0L))
+    aggregate(pairs, init, (acc, p) =>
+      zip_with(acc, array((0 until 64).map { b =>
+        when(shiftright(element_at(p, b / 32 + 1), b % 32)
+          .bitwiseAND(1L) === 1L, lit(1L)).otherwise(lit(-1L))
+      }: _*), (a, v) => a + v))
+  }
+
+  /** Attach the md5-derived simhash (staged projections — see
+    * [[withSimHashHof]]). The xxhash64 kernel stays the scale path. */
+  def withSimHashMd5(df: DataFrame, textCol: String = "text",
+                     outCol: String = "simhash"): DataFrame =
+    df.withColumn("__votes", simHashVotesMd5(col(textCol)))
+      .withColumn(outCol, votesToHash(col("__votes")))
+      .drop("__votes")
+
   /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
     * blocks; docs sharing any block collide (covers Hamming distance
     * <= blocks-1 by pigeonhole). Returns pairs with exact Hamming distance
@@ -176,11 +252,29 @@ object Dedup {
   def simHashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text", blocks: Int = 4,
                         maxHamming: Int = 3): DataFrame = {
-    val bitsPerBlock = 64 / blocks
     val base = withSimHash(
         docs.select(col(idCol).as("id"), col(textCol).as("__text")),
         "__text", "sh")
       .select(col("id"), col("sh"))
+    blockCandidates(base, blocks, maxHamming)
+  }
+
+  /** [[simHashCandidates]] over the md5-derived sketch (oracle path). */
+  def simHashCandidatesMd5(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text", blocks: Int = 4,
+                           maxHamming: Int = 3): DataFrame = {
+    val base = withSimHashMd5(
+        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        "__text", "sh")
+      .select(col("id"), col("sh"))
+    blockCandidates(base, blocks, maxHamming)
+  }
+
+  /** Block-LSH over a (id, sh) frame: pairs sharing any `bitsPerBlock`-bit
+    * block of the 64-bit sketch, kept when exact Hamming <= maxHamming. */
+  private def blockCandidates(base: DataFrame, blocks: Int,
+                              maxHamming: Int): DataFrame = {
+    val bitsPerBlock = 64 / blocks
     val mask = (1L << bitsPerBlock) - 1
     val keyed = base.select(col("id"), col("sh"), posexplode(array(
         (0 until blocks).map(b =>

@@ -35,47 +35,36 @@ object Segmentation {
   /** Seg:144-182 — the ratio chain: total per patron; top territory and top
     * minimarket (row_number desc, rn=1); spend ratios vs the total.
     *
-    * Single-pass formulation of the reference's CTE-join chain: one
-    * repartition by patron, then every quantity (territory subtotal,
-    * patron total, top-territory pick, top-minimarket pick) as a window
-    * over that partitioning — hash(pid) satisfies the (pid, territory)
-    * clustering too, so the whole chain runs on one exchange plus
-    * in-partition sorts, and the final per-patron row falls out of a
-    * conditional aggregate instead of a self-join. Values are identical
-    * to the reference's formulation (decimal addition is associative;
-    * tie-breaks mirror the ORDER BY columns), but the branch-join plan —
-    * which evaluated the staging frame four times and pushed the persona
-    * CASE into a join condition — is gone. */
-  def spendRatios(mmSpend: DataFrame): DataFrame = {
-    val byPatron = Window.partitionBy(col("UniquePatronId"))
-    val byPatronTerr = Window.partitionBy(col("UniquePatronId"),
-      col("SalesTerritory"))
-    val enriched = mmSpend.repartition(col("UniquePatronId"))
-      .withColumn("TerritoryAmount",
-        sum(col("MinimarketAmount")).over(byPatronTerr))
-      .withColumn("TotalAmount", sum(col("MinimarketAmount")).over(byPatron))
-      .withColumn("__rnT", row_number().over(byPatron
-        .orderBy(col("TerritoryAmount").desc, col("SalesTerritory"))))
-      .withColumn("__rnM", row_number().over(byPatron
-        .orderBy(col("MinimarketAmount").desc, col("SalesTerritory"),
-          col("DIN_DisplayMiniMarketName"))))
-    enriched
+    * Pure-aggregate formulation of the reference's CTE-join chain: the
+    * rank-1 picks become `min(struct(-amount, tiebreaks…))` — struct
+    * ordering compares fields left to right, so negated-amount-then-
+    * tiebreak minima select exactly the reference's
+    * `ORDER BY amount DESC, tiebreaks` first row, and min-of-struct is
+    * associative, so it runs as a two-level hash aggregate with map-side
+    * partials and no sorts at all (the window formulation this replaces
+    * paid one exchange plus four in-partition sorts). Values are identical
+    * (decimal addition associative, negation exact, tie-breaks mirror the
+    * ORDER BY columns). */
+  def spendRatios(mmSpend: DataFrame): DataFrame =
+    mmSpend
+      .groupBy(col("UniquePatronId"), col("SalesTerritory"))
+      .agg(sum(col("MinimarketAmount")).as("__tAmt"),
+        min(struct((-col("MinimarketAmount")).as("negAmt"),
+          col("SalesTerritory").as("terr"),
+          col("DIN_DisplayMiniMarketName").as("name"))).as("__mTop"))
       .groupBy(col("UniquePatronId"))
       .agg(
-        max(when(col("__rnT") === 1,
-          struct(col("TerritoryAmount"), col("SalesTerritory")))).as("__t"),
-        max(when(col("__rnM") === 1,
-          struct(col("MinimarketAmount"),
-            col("DIN_DisplayMiniMarketName")))).as("__m"),
-        max(col("TotalAmount")).as("TotalAmount"))
+        min(struct((-col("__tAmt")).as("negAmt"),
+          col("SalesTerritory").as("terr"))).as("__tTop"),
+        min(col("__mTop")).as("__mTop"),
+        sum(col("__tAmt")).as("TotalAmount"))
       .select(col("UniquePatronId"),
-        col("__t.SalesTerritory").as("SalesTerritory"),
-        col("__m.DIN_DisplayMiniMarketName").as("DIN_DisplayMiniMarketName"),
-        Ops.safeRatio(col("__t.TerritoryAmount"), col("TotalAmount"))
+        col("__tTop.terr").as("SalesTerritory"),
+        col("__mTop.name").as("DIN_DisplayMiniMarketName"),
+        Ops.safeRatio(-col("__tTop.negAmt"), col("TotalAmount"))
           .as("TerritorySpendRatio"),
-        Ops.safeRatio(col("__m.MinimarketAmount"), col("TotalAmount"))
+        Ops.safeRatio(-col("__mTop.negAmt"), col("TotalAmount"))
           .as("MMSpendRatio"))
-  }
 
   /** Seg:184-217 — persona classification via the three UNION ALL branches
     * at the 0.8 thresholds, then the Undefined backfill for every patron in
