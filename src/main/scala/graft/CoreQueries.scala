@@ -718,17 +718,22 @@ object CoreQueries {
     val dup = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
     // the reference materializes MinimarketSpend as a staging table
-    // (Seg:127 TRUNCATE+INSERT); persist is the in-job equivalent — three
-    // consumers (ratio chain x2, spend rollup) read it once
+    // (Seg:127 TRUNCATE+INSERT); persist is the in-job equivalent — the
+    // ratio chain and the spend rollup read it once
     val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
       .persist()
-    mm.count() // eager staging materialization, see q34
-    val personas = Segmentation.classify(Segmentation.spendRatios(mm), dup)
+    // ratios-only persona labeling: the spend join below is inner on mm's
+    // patrons, so classify()'s dimension-wide Undefined backfill (full-outer
+    // against 15k dim rows) is unobservable here — personaLabel is
+    // value-identical and drops that join, the distinct, and the eager
+    // staging count (the broadcast build below reads mm first and fills the
+    // cache before the probe-side scan, so the consumers never race)
+    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
     val cli = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"),
         col("c_mktsegment").as("ClientCode"))
     val spend = mm
-      .join(personas, Seq("UniquePatronId"))
+      .join(broadcast(personas), Seq("UniquePatronId"))
       .join(cli, Seq("UniquePatronId"))
       .groupBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
         col("DIN_DisplayMiniMarketName"))

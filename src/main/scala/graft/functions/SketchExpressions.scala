@@ -90,6 +90,110 @@ object SketchKernels {
     sig
   }
 
+  /** Tokens exactly as the Column path produces them:
+    * `split(lower(trim(text)), "\\s+")` — UTF8String.trim strips ASCII
+    * spaces only (Spark's `trim`), then lowercase, then regex split. The
+    * md5 kernels below must agree bit-for-bit with the HOF formulation in
+    * graft.ops.Dedup (and hence the DuckDB oracle), so they share this
+    * tokenizer rather than the trimAll-based one above. */
+  private def columnTokens(text: UTF8String): Array[String] = {
+    val s = text.trim().toLowerCase.toString
+    // limit -1: Spark's `split` keeps trailing empty strings; Java's
+    // default drops them (differs when text ends in non-space whitespace,
+    // which space-only `trim` leaves in place)
+    ws.split(s, -1)
+  }
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** First 4 bytes of md5(s) as an unsigned 32-bit value — the number
+    * DuckDB gets from `('0x'||substr(md5(s),1,8))::bigint` and Spark's
+    * Column path from `conv(substring(md5(s),1,8),16,10)`. Second chunk
+    * (hex chars 9-16) returned alongside for SimHash. */
+  private def md5Chunks(s: String): (Long, Long) = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val c0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val c1 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    (c0, c1)
+  }
+
+  private final val MersennePrime = 2147483647L
+
+  /** md5-derived MinHash signature — bit-identical to
+    * graft.ops.Dedup.minHashSignatureMd5's HOF formulation (and the DuckDB
+    * oracle): x = first 32 bits of md5(shingle),
+    * h_i(x) = (a_i*x + b_i) mod (2^31-1), a_i = 2654435761*(i+1) mod p,
+    * b_i = 40503*(i+1) mod p. One tight loop, no per-shingle allocation
+    * beyond the joined shingle string (which md5 needs materialized). */
+  def minhashMd5(text: UTF8String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val toks = columnTokens(text)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = (2654435761L * (j + 1)) % MersennePrime
+      bs(j) = (40503L * (j + 1)) % MersennePrime
+      j += 1
+    }
+    val m = toks.length - shingleSize
+    var i = 0
+    while (i <= m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < shingleSize) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val x = md5Chunks(sb.toString)._1
+      j = 0
+      while (j < numHashes) {
+        val h = (as(j) * x + bs(j)) % MersennePrime
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** md5-derived 64-bit SimHash — bit-identical to
+    * graft.ops.Dedup.withSimHashMd5's HOF formulation (and the DuckDB
+    * oracle): distinct word shingles; bit b of a shingle's feature hash is
+    * bit b%32 of md5 chunk b/32; majority vote per bit (>0 sets the bit). */
+  def simhashMd5(text: UTF8String, shingleSize: Int): Long = {
+    val toks = columnTokens(text)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    val m = toks.length - shingleSize
+    var i = 0
+    while (i <= m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < shingleSize) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val (c0, c1) = md5Chunks(s)
+        var b = 0
+        while (b < 32) {
+          if (((c0 >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((c1 >>> b) & 1L) == 1L) votes(b + 32) += 1 else votes(b + 32) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   def simhash(text: UTF8String, shingleSize: Int): Long = {
     val sh = shingleHashes(tokenHashes(text, 42L), shingleSize)
     // distinct features: sort a copy, skip equal neighbors
@@ -147,6 +251,40 @@ case class ShingleHashesExpr(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `minhash_sig_md5(text)` — the md5-derived MinHash signature (same
+  * values as the HOF formulation and the DuckDB oracle), native kernel. */
+case class MinHashSigMd5Expr(child: Expression, numHashes: Int = 32,
+                             shingleSize: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.minhashMd5(
+      input.asInstanceOf[UTF8String], numHashes, shingleSize))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SketchKernels.minhashMd5($c, $numHashes, $shingleSize));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): MinHashSigMd5Expr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig_md5"
+}
+
+/** `simhash64_md5(text)` — the md5-derived 64-bit SimHash (same values as
+  * the HOF formulation and the DuckDB oracle), native kernel. */
+case class SimHash64Md5Expr(child: Expression, shingleSize: Int = 2)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashMd5(input.asInstanceOf[UTF8String], shingleSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchKernels.simhashMd5($c, $shingleSize);")
+  override protected def withNewChildInternal(c: Expression): SimHash64Md5Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash64_md5"
 }
 
 /** `simhash64(text)` — 64-bit SimHash over word shingles, native kernel. */
@@ -234,6 +372,10 @@ object GraftFunctions {
     column(MinHashSigExpr(expression(c), numHashes, shingleSize))
   def simhash64(c: Column, shingleSize: Int = 2): Column =
     column(SimHash64Expr(expression(c), shingleSize))
+  def minhash_sig_md5(c: Column, numHashes: Int = 32, shingleSize: Int = 3): Column =
+    column(MinHashSigMd5Expr(expression(c), numHashes, shingleSize))
+  def simhash64_md5(c: Column, shingleSize: Int = 2): Column =
+    column(SimHash64Md5Expr(expression(c), shingleSize))
   def shingle_hashes(c: Column, shingleSize: Int = 3): Column =
     column(ShingleHashesExpr(expression(c), shingleSize))
   def cosine_sim(a: Column, b: Column): Column =

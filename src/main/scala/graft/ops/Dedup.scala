@@ -79,13 +79,16 @@ object Dedup {
 
   /** [[minHashLshCandidates]] over the md5-derived signature, with band
     * buckets keyed by md5 of the comma-joined band minima (a hash both
-    * engines can recompute, unlike xxhash64). */
+    * engines can recompute, unlike xxhash64). Signature computed by the
+    * native codegen'd kernel (graft.functions.MinHashSigMd5Expr), which is
+    * bit-identical to [[minHashSignatureMd5]] — the interpreted HOF
+    * formulation kept as the cross-check reference (TextDedupSpec). */
   def minHashLshCandidatesMd5(docs: DataFrame, idCol: String = "doc_id",
                               textCol: String = "text", bands: Int = 8,
                               rowsPerBand: Int = 4,
                               shingleSize: Int = 3): DataFrame = {
-    val sig = minHashSignatureMd5(col(textCol), bands * rowsPerBand,
-      shingleSize)
+    val sig = graft.functions.GraftFunctions.minhash_sig_md5(col(textCol),
+      bands * rowsPerBand, shingleSize)
     val banded = docs
       .select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"), posexplode(array(
@@ -237,13 +240,18 @@ object Dedup {
       }: _*), (a, v) => a + v))
   }
 
-  /** Attach the md5-derived simhash (staged projections — see
-    * [[withSimHashHof]]). The xxhash64 kernel stays the scale path. */
+  /** The md5-derived simhash via the HOF formulation — the interpreted
+    * reference the native kernel is cross-checked against (TextDedupSpec). */
+  private[graft] def simHash64Md5Hof(text: Column): Column =
+    votesToHash(simHashVotesMd5(text))
+
+  /** Attach the md5-derived simhash via the native codegen'd kernel
+    * (graft.functions.SimHash64Md5Expr, bit-identical to
+    * [[simHash64Md5Hof]]). The xxhash64 kernel stays the scale path. */
   def withSimHashMd5(df: DataFrame, textCol: String = "text",
                      outCol: String = "simhash"): DataFrame =
-    df.withColumn("__votes", simHashVotesMd5(col(textCol)))
-      .withColumn(outCol, votesToHash(col("__votes")))
-      .drop("__votes")
+    df.withColumn(outCol,
+      graft.functions.GraftFunctions.simhash64_md5(col(textCol), 2))
 
   /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
     * blocks; docs sharing any block collide (covers Hamming distance

@@ -70,29 +70,33 @@ object Segmentation {
     * at the 0.8 thresholds, then the Undefined backfill for every patron in
     * the dimension not yet classified (anti-join, Seg:211-217). Returns
     * (UniquePatronId, PersonaName). */
-  def classify(ratios: DataFrame, dimUniquePatron: DataFrame): DataFrame = {
-    // the reference's three UNION ALL branches have mutually exclusive
-    // predicates, so a single CASE pass is value-identical — and evaluates
-    // the ratio chain once instead of three times (branch filters push
-    // into each union arm and defeat exchange reuse)
-    val classified = ratios.select(col("UniquePatronId"),
+  /** Seg:184-209 persona rules over the per-patron ratio rows, with the
+    * in-scope Undefined fallback. The reference's three UNION ALL branches
+    * have mutually exclusive predicates, so a single CASE pass is
+    * value-identical — and evaluates the ratio chain once instead of three
+    * times (branch filters push into each union arm and defeat exchange
+    * reuse). `ratios` is one row per patron (spendRatios output), so no
+    * dedup is needed. */
+  def personaLabel(ratios: DataFrame): DataFrame =
+    ratios.select(col("UniquePatronId"),
+      coalesce(
         when(col("TerritorySpendRatio") < 0.8, "Road Warrior")
           .when(col("TerritorySpendRatio") >= 0.8 && col("MMSpendRatio") < 0.8,
             "City person")
           .when(col("TerritorySpendRatio") > 0.8 && col("MMSpendRatio") >= 0.8,
-            "Office manager").as("PersonaName"))
-      .filter(col("PersonaName").isNotNull)
-      .distinct()
+            "Office manager"),
+        lit("Undefined")).as("PersonaName"))
+
+  def classify(ratios: DataFrame, dimUniquePatron: DataFrame): DataFrame =
     // union(classified, dim anti-join classified -> Undefined) expressed as
-    // one full-outer join: referencing `classified` twice would evaluate the
-    // whole ratio-chain subtree twice (windows, joins, staging reads) —
-    // row-identical, since classified is unioned whole and dim patrons
+    // one full-outer join: referencing the labeled frame twice would
+    // evaluate the whole ratio-chain subtree twice (joins, staging reads) —
+    // row-identical, since ratio patrons keep their label and dim patrons
     // missing from it get the Undefined backfill either way
     dimUniquePatron.select(col("UniquePatronId"))
-      .join(classified, Seq("UniquePatronId"), "full_outer")
+      .join(personaLabel(ratios), Seq("UniquePatronId"), "full_outer")
       .select(col("UniquePatronId"),
         coalesce(col("PersonaName"), lit("Undefined")).as("PersonaName"))
-  }
 
   /** Seg:184-217 end-to-end into the bridge fact: join the persona names to
     * DimPatronSegmentation ids; unique (UniquePatronId, SegmentationId). */

@@ -56,6 +56,23 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("native md5 sketch kernels are bit-identical to the HOF formulations") {
+    // fixture docs + adversarial strings: empty, short, tabs/newlines
+    // (space-only trim leaves them), repeated shingles, unicode case
+    val edge = Seq("", " ", "a", "a b", "a b c", "a  b\tc d\n", "\tx y z",
+      "A B C a b c A B C", "Ω λ Ω λ Ω λ", "one two three four five")
+      .toDF("text")
+    val docs = etl.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text")).unionByName(edge)
+    val cmp = docs.select(
+      graft.functions.GraftFunctions.minhash_sig_md5(col("text"), 32, 3).as("n_sig"),
+      Dedup.minHashSignatureMd5(col("text"), 32, 3).as("h_sig"),
+      graft.functions.GraftFunctions.simhash64_md5(col("text"), 2).as("n_sh"),
+      Dedup.simHash64Md5Hof(col("text")).as("h_sh"))
+    assert(cmp.filter(col("n_sig") =!= col("h_sig") ||
+      col("n_sh") =!= col("h_sh")).count() == 0)
+  }
+
   test("minHashLshCandidates finds a planted near-duplicate pair") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (2 to 40).map(i => s"w$i").mkString(" ") // drop one token
