@@ -62,6 +62,24 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup CLUSTERS: the t03 pair pipeline (md5 MinHash-LSH candidates,
+    * Jaccard >= 0.5) closed under transitivity via distributed min-label
+    * connected components — one canonical doc (the cluster-min id) per
+    * group. The DuckDB oracle recomputes the identical clusters with a
+    * recursive CTE over the same edge set. */
+  val t14NearDupClusters: Q = (s, d) => {
+    val docs = withPlantedDups(T.documents(s, d))
+    val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
+      rowsPerBand = 4, shingleSize = 3)
+    val pairs = Dedup.jaccardVerify(cands, docs, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.connectedComponents(pairs)
+      .select(col("id").cast("long").as("doc_id"),
+        col("comp").cast("long").as("cluster_id"),
+        (col("id") === col("comp")).cast("long").as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard on the deterministic planted pairs — the
     * oracle-checkable core of near-dup verification. */
   val t04JaccardPairs: Q = (s, d) => {
@@ -198,5 +216,6 @@ object DataQueries {
     "t11_ann_ivf" -> t11AnnIvf,
     "t12_embedding_neardup" -> t12EmbeddingNearDup,
     "t13_sessions" -> t13Sessions,
+    "t14_neardup_clusters" -> t14NearDupClusters,
   )
 }

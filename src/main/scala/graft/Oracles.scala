@@ -687,6 +687,48 @@ object Oracles {
         .stripMargin
     }.mkString(" + ")
 
+  /** Shared CTE chain of the md5 MinHash-LSH recomputation (docs with
+    * planted dups -> distinct 3-gram shingles -> 32-hash signatures ->
+    * 8x4 bands -> bucket-collision pairs -> exact Jaccard numerator ii /
+    * denominator uu in `j`). t03 selects the >= 0.5 pairs from `j`; t14
+    * closes the same edge set under transitivity. */
+  private lazy val minhashLshCtes: String =
+    """d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+      |    (regexp_split_to_array(trim(text),'\s+'))[2:], ' ') AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id,
+      |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM d),
+      |sh AS (SELECT doc_id, unnest(list_distinct(%SH%)) AS s FROM tok),
+      |x AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::bigint AS x FROM sh),
+      |hi AS (SELECT doc_id, i,
+      |    min((((2654435761*(i+1)) % 2147483647) * x
+      |      + ((40503*(i+1)) % 2147483647)) % 2147483647) AS h
+      |  FROM x CROSS JOIN range(0,32) r(i) GROUP BY 1,2),
+      |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY 1),
+      |banded AS (SELECT doc_id, b, md5(array_to_string(list_transform(
+      |    sig[b*4+1 : b*4+4], y -> y::varchar), ',')) AS bh
+      |  FROM sig CROSS JOIN range(0,8) r(b)),
+      |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM banded l JOIN banded r
+      |    ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
+      |  JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
+      |  GROUP BY 1, 2),
+      |j AS (SELECT p.id_a, p.id_b,
+      |    coalesce(i.i, 0)::double AS ii,
+      |    (coalesce(na.n, 0) + coalesce(nb.n, 0))::double
+      |      - coalesce(i.i, 0) AS uu
+      |  FROM pairs p
+      |  LEFT JOIN sz na ON na.doc_id = p.id_a
+      |  LEFT JOIN sz nb ON nb.doc_id = p.id_b
+      |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)""".stripMargin
+      .replace("%SH%", shingleSql.format("t", "t"))
+
   private val shingleSql =
     """list_distinct(list_filter(list_transform(range(1, greatest(len(%s)-2,0)+1),
       | i -> array_to_string(%s[i:i+2],' ')),
@@ -738,45 +780,29 @@ object Oracles {
     // md5(shingle)), 8 bands x 4 rows keyed by md5 of the joined minima,
     // bucket-collision pairs, then exact 3-gram Jaccard >= 0.5
     "t03_minhash_lsh" ->
-      """WITH d AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, array_to_string(
-        |    (regexp_split_to_array(trim(text),'\s+'))[2:], ' ') AS text
-        |  FROM documents),
-        |tok AS (SELECT doc_id,
-        |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM d),
-        |sh AS (SELECT doc_id, unnest(list_distinct(%SH%)) AS s FROM tok),
-        |x AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::bigint AS x FROM sh),
-        |hi AS (SELECT doc_id, i,
-        |    min((((2654435761*(i+1)) % 2147483647) * x
-        |      + ((40503*(i+1)) % 2147483647)) % 2147483647) AS h
-        |  FROM x CROSS JOIN range(0,32) r(i) GROUP BY 1,2),
-        |sig AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM hi GROUP BY 1),
-        |banded AS (SELECT doc_id, b, md5(array_to_string(list_transform(
-        |    sig[b*4+1 : b*4+4], y -> y::varchar), ',')) AS bh
-        |  FROM sig CROSS JOIN range(0,8) r(b)),
-        |pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        |  FROM banded l JOIN banded r
-        |    ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT p.id_a, p.id_b, count(*) AS i FROM pairs p
-        |  JOIN sh a ON a.doc_id = p.id_a
-        |  JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
-        |  GROUP BY 1, 2),
-        |j AS (SELECT p.id_a, p.id_b,
-        |    coalesce(i.i, 0)::double AS ii,
-        |    (coalesce(na.n, 0) + coalesce(nb.n, 0))::double
-        |      - coalesce(i.i, 0) AS uu
-        |  FROM pairs p
-        |  LEFT JOIN sz na ON na.doc_id = p.id_a
-        |  LEFT JOIN sz nb ON nb.doc_id = p.id_b
-        |  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b)
+      ("WITH " + minhashLshCtes + """
         |SELECT cast(id_a as bigint) AS id_a, cast(id_b as bigint) AS id_b,
         | round(CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END, 4) AS jaccard
         |FROM j WHERE (CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin
-        .replace("%SH%", shingleSql.format("t", "t")),
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // the t03 edge set closed under transitivity: min-reachable-id
+    // connected components via a recursive CTE — recomputes exactly the
+    // clusters Spark derives by iterative min-label propagation
+    "t14_neardup_clusters" ->
+      ("WITH RECURSIVE " + minhashLshCtes + """,
+        |edges AS (SELECT id_a, id_b FROM j
+        |  WHERE (CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges),
+        |reach AS (SELECT src AS node, dst AS r FROM sym
+        |  UNION SELECT reach.node, s.dst FROM reach
+        |    JOIN sym s ON s.src = reach.r),
+        |comp AS (SELECT node, least(node, min(r)) AS comp
+        |  FROM reach GROUP BY node)
+        |SELECT cast(node as bigint) AS doc_id, cast(comp as bigint) AS cluster_id,
+        | cast(CASE WHEN node = comp THEN 1 ELSE 0 END as bigint) AS is_canonical
+        |FROM comp ORDER BY doc_id""".stripMargin),
 
     "t04_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id,

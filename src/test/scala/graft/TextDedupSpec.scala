@@ -56,6 +56,17 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("connectedComponents: path graph, isolated pair, singleton-free") {
+    // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // separate pair 10-11, edge listed high-to-low (6,9) to check symmetry
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L),
+      (9L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 6L, 9L -> 6L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("native md5 sketch kernels are bit-identical to the HOF formulations") {
     // fixture docs + adversarial strings: empty, short, tabs/newlines
     // (space-only trim leaves them), repeated shingles, unicode case
