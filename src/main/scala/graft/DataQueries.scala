@@ -80,6 +80,35 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide exact line dedup (C4-style boilerplate removal) over
+    * synthetic multi-line docs: a shared promo header and copyright footer
+    * (one global survivor each), the per-doc body (always kept), a blank
+    * separator (passes through), and the doc's first token as a line
+    * (collides across docs sharing it — variable-size groups). */
+  val t15LineDedup: Q = (s, d) => {
+    val multi = T.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", lit("promo: subscribe now"), col("text"), lit(""),
+        lit("copyright footer"),
+        element_at(split(trim(col("text")), "\\s+"), 1)).as("text"))
+    TextOps.lineDedup(multi)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_kept").cast("long").as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified hash sampling: quality-mix construction
+    * where long docs keep rate 0.75 and short docs 0.25, reproducibly
+    * (md5-threshold decision — same selection on every engine and run;
+    * dyadic rates make rate*2^32 integer-exact for the oracle compare). */
+  val t16HashSample: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val rate = when(length(col("text")) >= 300, 0.75).otherwise(0.25)
+    TextOps.hashSample(docs, col("doc_id"), rate, salt = "mix1")
+      .select(col("doc_id"),
+        when(length(col("text")) >= 300, "long").otherwise("short").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard on the deterministic planted pairs — the
     * oracle-checkable core of near-dup verification. */
   val t04JaccardPairs: Q = (s, d) => {
@@ -217,5 +246,7 @@ object DataQueries {
     "t12_embedding_neardup" -> t12EmbeddingNearDup,
     "t13_sessions" -> t13Sessions,
     "t14_neardup_clusters" -> t14NearDupClusters,
+    "t15_line_dedup" -> t15LineDedup,
+    "t16_hash_sample" -> t16HashSample,
   )
 }

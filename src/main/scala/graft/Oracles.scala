@@ -804,6 +804,39 @@ object Oracles {
         | cast(CASE WHEN node = comp THEN 1 ELSE 0 END as bigint) AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin),
 
+    // exact recomputation of corpus-wide line dedup: same synthetic
+    // multi-line docs, md5-keyed first-occurrence survivorship on the
+    // composite doc_id*1e6+line_no key, blank lines pass through
+    "t15_line_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |  concat_ws(chr(10), 'promo: subscribe now', text, '',
+        |    'copyright footer',
+        |    (regexp_split_to_array(trim(text),'\s+'))[1]) AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d),
+        |l AS (SELECT doc_id, generate_subscripts(a, 1) AS line_no,
+        |  unnest(a) AS ln FROM ls),
+        |occ AS (SELECT *, doc_id*1000000 + line_no AS occ FROM l),
+        |w AS (SELECT *, min(occ) OVER (PARTITION BY md5(ln)) AS min_occ
+        |  FROM occ),
+        |kept AS (SELECT * FROM w WHERE trim(ln) = '' OR occ = min_occ)
+        |SELECT doc_id,
+        | array_to_string(list(ln ORDER BY line_no), chr(10)) AS clean_text,
+        | cast(count(*) as bigint) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact recomputation of the md5-threshold stratified sample: dyadic
+    // rates (0.75/0.25) make rate*2^32 integer-exact, so floor == the
+    // engine's cast-truncation and both sides select identical rows
+    "t16_hash_sample" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) >= 300 THEN 'long' ELSE 'short' END AS band
+        |FROM documents
+        |WHERE ('0x'||substr(md5('mix1'||cast(doc_id as varchar)),1,8))::bigint
+        |  < cast(floor((CASE WHEN length(text) >= 300 THEN 0.75 ELSE 0.25 END)
+        |      * 4294967296.0) as bigint)
+        |ORDER BY doc_id""".stripMargin,
+
     "t04_jaccard_pairs" ->
       """WITH d AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)),'\s+') AS t FROM documents),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, document fingerprinting.
@@ -106,6 +107,52 @@ object TextOps {
     * text) — cheaper join key than the hex digest at 100 TB. */
   def docFingerprint64(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** First 32 bits of md5(s) as an unsigned long in [0, 2^32) — the
+    * deterministic, cross-engine-recomputable uniform hash used for
+    * sampling decisions (DuckDB: ('0x'||substr(md5(s),1,8))::bigint). */
+  def md5U32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic hash-threshold sampling: keep a row iff
+    * md5_u32(salt || key) < rate * 2^32. Reproducible across runs,
+    * engines and cluster sizes (no RNG state, no partition dependence) —
+    * the property a training-mix needs so re-runs select the same
+    * documents and holdouts never leak. `rate` is a per-row Column, so
+    * stratified mixes are just a CASE expression (quality band -> rate).
+    * Different `salt`s give independent samples from the same corpus. */
+  def hashSample(df: DataFrame, key: Column, rate: Column,
+                 salt: String = ""): DataFrame =
+    df.filter(md5U32(concat(lit(salt), key.cast("string"))) <
+      (rate * lit(4294967296.0)).cast("long"))
+
+  /** Corpus-wide exact line deduplication (C4-style boilerplate removal):
+    * every distinct non-blank line is kept only at its first occurrence —
+    * the (doc_id, line_no)-lowest — and removed everywhere else; blank
+    * lines pass through; surviving lines are reassembled in order.
+    *
+    * Scale shape: explode to lines, ONE shuffle keyed by md5(line) for the
+    * min-occurrence pick (a window over the compact digest, not the line
+    * text), one hash aggregate to rebuild documents. The md5 group key is
+    * also what lets the DuckDB oracle recompute survivorship exactly. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), (col("pos") + 1).as("line_no"),
+        col("col").as("ln"))
+      // composite occurrence key: doc_id-major, line-order minor
+      .withColumn("__occ", col("doc_id") * 1000000L + col("line_no"))
+    val kept = lines
+      .withColumn("__min_occ", min(col("__occ")).over(
+        Window.partitionBy(md5(col("ln")))))
+      .filter(trim(col("ln")) === "" || col("__occ") === col("__min_occ"))
+    kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("ln")))),
+          s => s.getField("ln")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
 
   /** Standard document-stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {

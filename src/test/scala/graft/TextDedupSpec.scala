@@ -56,6 +56,37 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs(0) != sigs(2))
   }
 
+  test("lineDedup keeps first occurrence corpus-wide, blanks pass through") {
+    val docs = Seq(
+      (1L, "shared header\nbody one\n\nshared footer"),
+      (2L, "shared header\nbody two\n\nshared footer"),
+      (3L, "body one\nunique three")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "shared header\nbody one\n\nshared footer")
+    assert(out(0).getLong(2) == 4)
+    // doc 2 loses header+footer, keeps its body and the blank
+    assert(out(1).getString(1) == "body two\n")
+    assert(out(1).getLong(2) == 2)
+    // "body one" already seen in doc 1
+    assert(out(2).getString(1) == "unique three")
+  }
+
+  test("hashSample is deterministic and stratified rates hold roughly") {
+    val docs = spark.range(0, 2000).toDF("doc_id")
+      .withColumn("band", (col("doc_id") % 2 === 0).cast("int"))
+    val rate = when(col("band") === 1, 0.75).otherwise(0.25)
+    val a = TextOps.hashSample(docs, col("doc_id"), rate, "s1")
+    val b = TextOps.hashSample(docs, col("doc_id"), rate, "s1")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val hi = a.filter(col("band") === 1).count().toDouble / 1000
+    val lo = a.filter(col("band") === 0).count().toDouble / 1000
+    assert(hi > 0.65 && hi < 0.85, s"hi=$hi")
+    assert(lo > 0.15 && lo < 0.35, s"lo=$lo")
+    // different salt selects a different (independent) subset
+    val c = TextOps.hashSample(docs, col("doc_id"), rate, "s2")
+    assert(c.exceptAll(a).count() > 0)
+  }
+
   test("connectedComponents: path graph, isolated pair, singleton-free") {
     // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // separate pair 10-11, edge listed high-to-low (6,9) to check symmetry
