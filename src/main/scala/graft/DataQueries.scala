@@ -18,9 +18,14 @@ object DataQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** docs ∪ perturbed-copy-of-docs (id+100000, first token dropped). */
+  /** docs ∪ perturbed-copy-of-docs (id+100000, first token dropped).
+    * The fixture parquet is a single row group (1-2 input splits), while
+    * the sketch kernels downstream are CPU-dense — repartition to the
+    * session's parallelism so they use every core. At production scale
+    * inputs arrive pre-split and this spread costs one cheap shuffle. */
   private def withPlantedDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val perturbed = base.select(
       (col("doc_id") + 100000L).as("doc_id"),
       concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
@@ -54,13 +59,18 @@ object DataQueries {
     * band -> bucket join -> Jaccard verify >= 0.5. Must recover the planted
     * (i, i+100000) pairs. Uses the md5-derived hash family so the DuckDB
     * oracle recomputes the identical signatures, bands and pairs. */
-  val t03MinHashLsh: Q = (s, d) => {
+  /** LSH-candidate pairs with exact Jaccard >= 0.5 — the staging frame
+    * behind t03 (pair report) and t14 (clustering, which checkpoints it
+    * once inside connectedComponents before the propagation loop). */
+  private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val docs = withPlantedDups(T.documents(s, d))
     val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
       rowsPerBand = 4, shingleSize = 3)
     Dedup.jaccardVerify(cands, docs, threshold = 0.5)
-      .orderBy(col("id_a"), col("id_b"))
   }
+
+  val t03MinHashLsh: Q = (s, d) =>
+    plantedVerifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))
 
   /** Near-dup CLUSTERS: the t03 pair pipeline (md5 MinHash-LSH candidates,
     * Jaccard >= 0.5) closed under transitivity via distributed min-label
@@ -68,11 +78,7 @@ object DataQueries {
     * group. The DuckDB oracle recomputes the identical clusters with a
     * recursive CTE over the same edge set. */
   val t14NearDupClusters: Q = (s, d) => {
-    val docs = withPlantedDups(T.documents(s, d))
-    val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
-      rowsPerBand = 4, shingleSize = 3)
-    val pairs = Dedup.jaccardVerify(cands, docs, threshold = 0.5)
-      .select(col("id_a"), col("id_b"))
+    val pairs = plantedVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
     Dedup.connectedComponents(pairs)
       .select(col("id").cast("long").as("doc_id"),
         col("comp").cast("long").as("cluster_id"),

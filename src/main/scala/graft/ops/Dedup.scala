@@ -50,18 +50,34 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
+    // eager checkpoint, not lazy persist: the symmetric union reads `pairs`
+    // twice and the first round's stages run concurrently — a lazy cache
+    // would let each of them recompute the (expensive) upstream candidate
+    // pipeline before any of them populates it. localCheckpoint runs that
+    // pipeline exactly once and truncates the lineage for the loop.
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    // loop parallelism sized to the GRAPH, not the corpus: the candidate
+    // graph is orders of magnitude smaller than the corpus that produced
+    // it, and each propagation round is a fresh stage — 32 near-empty
+    // tasks per round cost more in scheduling than the work itself.
+    // ~500k edges per task, floored at 1.
+    val parts = math.max(1, math.min(edges.rdd.getNumPartitions,
+      (edges.count() / 500000L + 1).toInt))
+    val symEdges = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .coalesce(parts)
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = symEdges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
+      .coalesce(parts)
       .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
+      val nbrMin = symEdges
         .join(labels.select(col("id").as("src"), col("comp").as("srcComp")),
           Seq("src"))
         .groupBy(col("dst").as("id"))
@@ -72,13 +88,14 @@ object Dedup {
             .as("comp"),
           (coalesce(col("nbrComp"), col("comp")) < col("comp"))
             .cast("long").as("__chg"))
+        .coalesce(parts)
         .localCheckpoint()
       val s = next.agg(sum(col("__chg"))).first()
       changed = if (s.isNullAt(0)) 0L else s.getLong(0)
       labels = next.drop("__chg")
       i += 1
     }
-    edges.unpersist()
+    symEdges.unpersist()
     labels
   }
 
@@ -145,6 +162,10 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
             e => e.cast("string")), ","))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      // the self-join's two branches would otherwise each re-run the
+      // signature kernel over the corpus; the band frame is ~10x smaller
+      // than the corpus (id + digest per band), so materialize it once
+      .localCheckpoint()
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r,
@@ -179,6 +200,10 @@ object Dedup {
         (0 until bands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      // the self-join's two branches would otherwise each re-run the
+      // signature kernel over the corpus; the band frame is ~10x smaller
+      // than the corpus (id + digest per band), so materialize it once
+      .localCheckpoint()
     val l = banded.alias("l")
     val r = banded.alias("r")
     l.join(r,
@@ -200,17 +225,31 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleSize: Int = 3, threshold: Double = 0.0): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol),
-        shingleSize)).as("__sh"))
+    // candidate pairs are small by construction (LSH bounded the fan-out)
+    // but their plan is the whole upstream sketch pipeline — checkpoint so
+    // the four consumers below don't re-run it
+    val p = pairs.localCheckpoint()
+    // prune the corpus to docs that actually appear in a candidate pair
+    // BEFORE the shingle kernel: at 100 TB candidates are a sliver of the
+    // corpus, and the expensive explode should only touch that sliver.
+    // Checkpoint the exploded frame — it feeds three consumers (two
+    // intersection sides, sizes) and is candidate-sized, not corpus-sized.
+    val pairIds = p.select(col("id_a").as("__pid"))
+      .unionByName(p.select(col("id_b").as("__pid"))).distinct()
+    val sh = docs
+      .join(pairIds, col(idCol) === col("__pid"), "left_semi")
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol),
+          shingleSize)).as("__sh"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val inter = pairs
+    val inter = p
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__id").as("__idb"), col("__sh").as("__shb")),
         col("id_b") === col("__idb") && col("__sha") === col("__shb"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__inter"))
-    pairs
+    p
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
         Seq("id_a"), "left")
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")),
@@ -337,6 +376,9 @@ object Dedup {
         (0 until blocks).map(b =>
           shiftright(col("sh"), b * bitsPerBlock).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "block_val")
+      // same shape as the LSH band join: materialize the (id, sketch,
+      // block) frame once instead of running the kernel per join branch
+      .localCheckpoint()
     val l = keyed.alias("l")
     val r = keyed.alias("r")
     l.join(r,
