@@ -177,10 +177,13 @@ object DataQueries {
     * pipeline in graft.streaming.Streams (same grouping, same results). */
   val t10EventHourly: Q = (s, d) =>
     T.events(s, d)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
-        col("event_type"))
+      // group on the native timestamp truncation; render the hour string
+      // only on the (tiny) aggregated output, not per input row
+      .groupBy(date_trunc("HOUR", col("ts")).as("__h"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("__h"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
   /** Session-window rollup over the event log — the batch twin of

@@ -73,13 +73,17 @@ object Ops {
       .otherwise(c)
 
   /** Integer DateKey `yyyyMMdd` from a date/timestamp column
-    * (script.sql S2:17-18 `cast(format(@date,'yyyyMM01') as int)`). */
+    * (script.sql S2:17-18 `cast(format(@date,'yyyyMM01') as int)`).
+    * Pure date-field arithmetic, not date_format: the formatter goes
+    * through a per-row string render, while year/month/day are integer
+    * reads off the internal days-since-epoch representation — same
+    * value, several times cheaper on a 100 TB fact scan. */
   def dateKey(c: Column): Column =
-    date_format(c, "yyyyMMdd").cast("int")
+    (year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("int")
 
   /** First day of the month of `c`, as DateKey int (yyyyMM01). */
   def monthStartKey(c: Column): Column =
-    date_format(trunc(c, "MM"), "yyyyMMdd").cast("int")
+    (year(c) * 10000 + month(c) * 100 + 1).cast("int")
 
   /** Last day of the month of `c` (T-SQL EOMONTH, S1:47, Seg:74-75). */
   def endOfMonth(c: Column): Column = last_day(c)
