@@ -43,6 +43,19 @@ object Streams {
     else raw
   }
 
+  /** At-least-once ingest dedup: drop event_id replays while BOUNDING the
+    * dedup state with the watermark — a replay arriving within the
+    * watermark horizon is suppressed, and state for ids older than the
+    * watermark is evicted (`dropDuplicatesWithinWatermark`), so state size
+    * tracks the horizon instead of growing with the stream. Batch frames
+    * take the plain exact dedup on the same key. */
+  def dedupEvents(events: DataFrame,
+                  watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Tumbling 1-hour rollup with a late-data watermark; in append mode a
     * window finalizes once the watermark passes window end. Works on both
     * streaming and batch frames. */

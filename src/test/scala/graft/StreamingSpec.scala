@@ -71,6 +71,37 @@ class StreamingSpec extends SparkSpec {
       Seq((7L, 2L), (7L, 1L), (8L, 1L))) // two sessions for 7, one for 8
   }
 
+  test("dedupEvents suppresses replayed event_ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    // event 2 replayed (same id, same payload), id 3 unique
+    val a = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b = Seq(
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    a.write.mode("append").parquet(s"$dir/ev")
+    b.write.mode("append").parquet(s"$dir/ev")
+
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .parquet(s"$dir/ev")
+    val q = Streams.dedupEvents(stream)
+      .writeStream.format("memory").queryName("spec_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("spec_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+    // batch twin: same exact dedup
+    val batchIds = Streams.dedupEvents(a.unionByName(b))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batchIds == ids)
+  }
+
   test("slidingUserActivity counts overlapping windows") {
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "click", 1.0, "{}"),
