@@ -40,4 +40,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(2000))
   }
+
+  test("t15: line dedup reads only (doc_id, text) from the scan") {
+    val p = plan("t15_line_dedup")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t16: sampling filter reaches the scan side (no shuffle at all)") {
+    val p = plan("t16_hash_sample")
+    // one projection+filter over the scan, then the output sort — the
+    // sampling decision must not introduce an exchange of its own
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+  }
 }
