@@ -59,4 +59,60 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponents matches a union-find oracle on random graphs") {
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 9L)))
+      .map(_.filter { case (a, b) => a != b })
+    for (i <- 1 to 4) {
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(100L + i))
+      if (edges.nonEmpty) {
+        // driver-side union-find oracle
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map(n => n -> find(n)).toMap
+        val got = graft.ops.Dedup
+          .connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // union-find roots are component minima by construction above
+        assert(got == expect, s"graph=$edges got=$got expect=$expect")
+      }
+    }
+  }
+
+  test("hashSample: nested rates give nested samples (stable holdouts)") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    def ids(rate: Double) = graft.ops.TextOps
+      .hashSample(docs, col("doc_id"), lit(rate), "h1")
+      .collect().map(_.getLong(0)).toSet
+    val s25 = ids(0.25)
+    val s50 = ids(0.5)
+    val s75 = ids(0.75)
+    assert(s25.subsetOf(s50) && s50.subsetOf(s75))
+    assert(ids(1.0).size == 500 && ids(0.0).isEmpty)
+  }
+
+  test("lineDedup conserves every distinct non-blank line exactly once") {
+    val textGen = Gen.listOfN(4,
+      Gen.listOfN(3, Gen.oneOf("alpha", "beta", "gamma", "", "delta"))
+        .map(_.mkString("\n")))
+    for (i <- 1 to 4) {
+      val texts = textGen.pureApply(Gen.Parameters.default, Seed(200L + i))
+      val docs = texts.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.ops.TextOps.lineDedup(docs)
+      val keptLines = out.collect().flatMap(_.getString(1).split("\n", -1))
+        .filter(_.trim.nonEmpty)
+      val inputDistinct = texts.flatMap(_.split("\n", -1))
+        .filter(_.trim.nonEmpty).distinct.sorted
+      assert(keptLines.sorted.toSeq == inputDistinct.toSeq,
+        s"texts=$texts kept=${keptLines.toSeq}")
+    }
+  }
 }

@@ -59,7 +59,10 @@ def main():
             n_bad += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+            # strict dtype check: the driver's gate hashes typed values, so
+            # a HUGEINT-vs-bigint difference fails there even when the
+            # rendered numbers agree (the round-1 q32 lesson)
+            pd.testing.assert_frame_equal(a, b, check_dtype=True,
                                           check_exact=True)
             print(f"OK    {name}: {len(a)} rows")
             n_ok += 1
