@@ -459,28 +459,33 @@ object Oracles {
         |  WHERE c_custkey%5=0),
         |dim AS (SELECT * FROM demp UNION ALL SELECT * FROM dcard
         |  UNION ALL SELECT * FROM dnat),
+        |m1 AS (SELECT tk.DVHD_ID, min(d.uid) AS mid FROM tk
+        |  JOIN dim d ON concat(tk.cc,'_',tk.emp,'_',tk.ccnum)=d.ProxyID
+        |  GROUP BY tk.DVHD_ID),
+        |m2 AS (SELECT tk.DVHD_ID, min(d.uid) AS mid FROM tk
+        |  JOIN dim d ON concat(tk.cc,'_',
+        |    right(concat('0000',tk.ccnum),4))=d.ProxyID
+        |  GROUP BY tk.DVHD_ID),
+        |m3 AS (SELECT tk.DVHD_ID, min(d.uid) AS mid FROM tk
+        |  JOIN dim d ON tk.proxyid=d.ProxyID GROUP BY tk.DVHD_ID),
         |p1 AS (SELECT f.DVHD_ID, f.DateKey,
         |  CASE WHEN coalesce(f.UniquePatronId,0)=0
         |         AND f.DateKey BETWEEN 19960101 AND 19971231
-        |         AND d.uid IS NOT NULL THEN d.uid
+        |         AND m1.mid IS NOT NULL THEN m1.mid
         |       ELSE f.UniquePatronId END AS UniquePatronId
-        |  FROM fact f LEFT JOIN tk ON f.DVHD_ID=tk.DVHD_ID
-        |  LEFT JOIN dim d ON concat(tk.cc,'_',tk.emp,'_',tk.ccnum)=d.ProxyID),
+        |  FROM fact f LEFT JOIN m1 ON f.DVHD_ID=m1.DVHD_ID),
         |p2 AS (SELECT p1.DVHD_ID, p1.DateKey,
         |  CASE WHEN coalesce(p1.UniquePatronId,0)=0
         |         AND p1.DateKey BETWEEN 19960101 AND 19971231
-        |         AND d.uid IS NOT NULL THEN d.uid
+        |         AND m2.mid IS NOT NULL THEN m2.mid
         |       ELSE p1.UniquePatronId END AS UniquePatronId
-        |  FROM p1 LEFT JOIN tk ON p1.DVHD_ID=tk.DVHD_ID
-        |  LEFT JOIN dim d ON concat(tk.cc,'_',
-        |    right(concat('0000',tk.ccnum),4))=d.ProxyID),
+        |  FROM p1 LEFT JOIN m2 ON p1.DVHD_ID=m2.DVHD_ID),
         |p3 AS (SELECT p2.DVHD_ID, p2.DateKey,
         |  CASE WHEN coalesce(p2.UniquePatronId,0)=0
         |         AND p2.DateKey BETWEEN 19960101 AND 19971231
-        |         AND d.uid IS NOT NULL THEN d.uid
+        |         AND m3.mid IS NOT NULL THEN m3.mid
         |       ELSE p2.UniquePatronId END AS UniquePatronId
-        |  FROM p2 LEFT JOIN tk ON p2.DVHD_ID=tk.DVHD_ID
-        |  LEFT JOIN dim d ON tk.proxyid=d.ProxyID)
+        |  FROM p2 LEFT JOIN m3 ON p2.DVHD_ID=m3.DVHD_ID)
         |SELECT DVHD_ID, DateKey, UniquePatronId FROM p3
         |ORDER BY DVHD_ID""".stripMargin,
 
@@ -588,17 +593,19 @@ object Oracles {
         |    right(concat('0000', cast(c_custkey*7 as varchar)),4)) AS ProxyID
         |  FROM customer WHERE c_custkey%5=0),
         |dim AS (SELECT * FROM nat UNION ALL SELECT * FROM syn),
+        |m1 AS (SELECT tp.TH_ID, min(d.ID) AS mid FROM tp
+        |  JOIN dim d ON tp.proxyid=d.ProxyID GROUP BY tp.TH_ID),
         |p1 AS (SELECT f.TH_ID, f.DateKey,
         |  CASE WHEN f.Patron_ID=1 AND f.DateKey BETWEEN 19960101 AND 19971231
-        |         AND d.ID IS NOT NULL THEN d.ID ELSE f.Patron_ID END AS Patron_ID
-        |  FROM fact f LEFT JOIN tp ON f.TH_ID=tp.TH_ID
-        |  LEFT JOIN dim d ON tp.proxyid=d.ProxyID),
+        |         AND m1.mid IS NOT NULL THEN m1.mid ELSE f.Patron_ID END AS Patron_ID
+        |  FROM fact f LEFT JOIN m1 ON f.TH_ID=m1.TH_ID),
+        |m2 AS (SELECT tp.TH_ID, min(d2.ID) AS mid FROM tp
+        |  JOIN dim d2 ON concat(cast(tp.ClientID as varchar), '_',
+        |    right(concat('0000', tp.ccnum),4))=d2.ProxyID GROUP BY tp.TH_ID),
         |p2 AS (SELECT p1.TH_ID, p1.DateKey,
         |  CASE WHEN p1.Patron_ID=1 AND p1.DateKey BETWEEN 19960101 AND 19971231
-        |         AND d2.ID IS NOT NULL THEN d2.ID ELSE p1.Patron_ID END AS Patron_ID
-        |  FROM p1 LEFT JOIN tp ON p1.TH_ID=tp.TH_ID
-        |  LEFT JOIN dim d2 ON concat(cast(tp.ClientID as varchar), '_',
-        |    right(concat('0000', tp.ccnum),4))=d2.ProxyID)
+        |         AND m2.mid IS NOT NULL THEN m2.mid ELSE p1.Patron_ID END AS Patron_ID
+        |  FROM p1 LEFT JOIN m2 ON p1.TH_ID=m2.TH_ID)
         |SELECT TH_ID, DateKey, Patron_ID FROM p2 ORDER BY TH_ID""".stripMargin,
 
     "q36_new_fingerprints" ->

@@ -33,7 +33,10 @@ object BiReporting {
     * via the bridge, only where not yet set. */
   def updateDimRestaurant(dim: DataFrame, bridge: DataFrame): DataFrame = {
     val m = bridge.select(col("RestaurantKey").as("__rk"),
-      col("BiReportingId").as("__bid")).dropDuplicates("__rk")
+      col("BiReportingId").as("__bid"))
+      // deterministic pick when a restaurant belongs to several groups
+      .transform(Merge.pickLatest(_, Seq(col("__rk")),
+        Seq(col("__bid").asc)))
     Merge.mapUpdate(dim, m, Seq(dim("RestaurantKey") === col("__rk")),
       Map("BiReportingId" -> col("__bid")),
       guard = coalesce(dim("BiReportingId"), lit(0L)) === 0)

@@ -107,7 +107,9 @@ object BillingGroup {
         col("BillingGroupName").as("__bgn"),
         col("BillingGroupKey").as("__bgk")), Seq("__bgn"))
       .select(col("__rk"), col("__bgk"))
-      .dropDuplicates("__rk")
+      // deterministic pick when a restaurant matches several groups
+      .transform(Merge.pickLatest(_, Seq(col("__rk")),
+        Seq(col("__bgk").asc)))
     Merge.mapUpdate(fact, mapping,
       Seq(fact("RestaurantKey") === col("__rk")),
       Map("BillingGroupKey" -> col("__bgk")),

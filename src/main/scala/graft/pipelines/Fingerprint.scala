@@ -99,7 +99,9 @@ object Fingerprint {
     val m = fullMap.filter(col("PosFingerprintId").isNotNull)
       .select(col("TransactionId").as("__tid"),
         col("PosFingerprintId").as("__fid"))
-      .dropDuplicates("__tid")
+      // deterministic mapping per transaction
+      .transform(Merge.pickLatest(_, Seq(col("__tid")),
+        Seq(col("__fid").asc)))
       .join(dimFingerprint.select(col("FingerprintID").as("__fid"),
         col("SFRestaurantKey").as("__sfkey")), Seq("__fid"), "left")
     Merge.mapUpdate(fact, m, Seq(fact("TH_ID") === col("__tid")),

@@ -53,7 +53,10 @@ object Patron {
         substring(col("cardmemberbillingzipcode"), 1, 5).as("ZipCode"),
         Ops.padLast4(col("creditcardnum")).as("CC_Last4Digits"))
       .join(dimPatron.select(col("ProxyID")), Seq("ProxyID"), "left_anti")
-      .dropDuplicates("ProxyID")
+      // deterministic candidate per new proxy (the reference resolves its
+      // duplicates by the txncount self-join, UpdtMapDimPatron.sql:48-62)
+      .transform(df => Merge.pickLatest(df, Seq(col("ProxyID")),
+        df.columns.filter(_ != "ProxyID").map(c => col(c).asc).toSeq))
     dimPatron.unionByName(fresh, allowMissingColumns = true)
   }
 
@@ -76,7 +79,13 @@ object Patron {
           col("ID").as("__pid1")),
         txnProxy("proxyid") === col("__dproxy1"))
       .select(col("TH_ID").as("__tid1"), col("__pid1"))
-      .dropDuplicates("__tid1")
+      // several dim rows can match one fact row's key once proxy spaces
+      // collide at scale; collapse to the MIN dim id — deterministic
+      // across runs and partitionings (dropDuplicates is neither) and
+      // recomputable by the oracle's min(). The reference resolves its
+      // source duplicates with an explicit priority rule before updating
+      // (UpdtMapDimPatron.sql:48-62); min-id is the fixture stand-in.
+      .groupBy(col("__tid1")).agg(min(col("__pid1")).as("__pid1"))
     val pass1 = Merge.mapUpdate(fact, pass1Map,
       Seq(fact("TH_ID") === col("__tid1")),
       Map("Patron_ID" -> col("__pid1")),
@@ -87,7 +96,7 @@ object Patron {
         synthesizedProxy(txnProxy("ClientID"), txnProxy("creditcardnum"))
           === col("__dproxy2"))
       .select(col("TH_ID").as("__tid2"), col("__pid2"))
-      .dropDuplicates("__tid2")
+      .groupBy(col("__tid2")).agg(min(col("__pid2")).as("__pid2"))
     Merge.mapUpdate(pass1, pass2Map,
       Seq(pass1("TH_ID") === col("__tid2")),
       Map("Patron_ID" -> col("__pid2")),
@@ -114,7 +123,9 @@ object Patron {
         col("UniquePatronId").as(s"__uid$tag"))
       val m = txnKeys.join(d, joinKey(txnKeys, col(s"__proxy$tag")))
         .select(col("DVHD_ID").as(s"__did$tag"), col(s"__uid$tag"))
-        .dropDuplicates(s"__did$tag")
+        // deterministic min-id collapse, as in mapFactPatron
+        .groupBy(col(s"__did$tag"))
+        .agg(min(col(s"__uid$tag")).as(s"__uid$tag"))
       Merge.mapUpdate(f, m, Seq(f("DVHD_ID") === col(s"__did$tag")),
         Map("UniquePatronId" -> col(s"__uid$tag")),
         guard = coalesce(f("UniquePatronId"), lit(0L)) === 0 &&

@@ -99,7 +99,10 @@ object Restaurant {
         coalesce(col("RestaurantGroupKey"), lit(606L)).as("__rgk")),
         siteOfTxn("site_ID") === col("RLP_ID"))
       .select(col("DIHD_ID").as("__did"), col("__rk"), col("__rgk"))
-      .dropDuplicates("__did")
+      // deterministic single mapping per fact row (dropDuplicates is
+      // partition-order dependent once a site maps to several rows)
+      .transform(Merge.pickLatest(_, Seq(col("__did")),
+        Seq(col("__rk").asc, col("__rgk").asc)))
     Merge.mapUpdate(fact, mapping, Seq(fact("DIHD_ID") === col("__did")),
       Map("RestaurantKey" -> col("__rk"), "RestaurantGroupKey" -> col("__rgk")),
       guard = fact("RestaurantKey") === 0 &&
