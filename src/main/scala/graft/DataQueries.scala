@@ -173,6 +173,14 @@ object DataQueries {
         col("ts_ms").cast("long").as("ts_ms"))
       .orderBy(col("asset_id"), col("frame_idx"))
 
+  /** Resize plan for the visual assets: fit-to-256 preserving aspect
+    * ratio, no upscaling; resized payload represented by the md5-derived
+    * stub hash (both recomputable by the oracle). */
+  val t17MediaResize: Q = (s, d) =>
+    Multimodal.resizePlan(
+        Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d))))
+      .orderBy(col("asset_id"))
+
   /** Hourly event rollup — the batch twin of the Structured Streaming
     * pipeline in graft.streaming.Streams (same grouping, same results). */
   val t10EventHourly: Q = (s, d) =>
@@ -257,5 +265,6 @@ object DataQueries {
     "t14_neardup_clusters" -> t14NearDupClusters,
     "t15_line_dedup" -> t15LineDedup,
     "t16_hash_sample" -> t16HashSample,
+    "t17_media_resize" -> t17MediaResize,
   )
 }

@@ -929,6 +929,33 @@ object Oracles {
         |   as bigint) AS duration_ms
         |FROM a ORDER BY asset_id""".stripMargin,
 
+    // exact recomputation of the resize plan: same md5-derived dims as
+    // t08, integer-division fit to 256, md5-derived resized-payload hash
+    "t17_media_resize" ->
+      """WITH a AS (SELECT doc_id,
+        |  CASE doc_id%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+        |    END AS modality,
+        |  ('0x'||substr(md5(text),1,8))::bigint AS h,
+        |  ('0x'||substr(md5(text),1,15))::bigint AS ch
+        |  FROM documents),
+        |m AS (SELECT doc_id, modality,
+        |  CASE WHEN modality='audio' THEN 0 ELSE 64 + h%1024 END AS width,
+        |  CASE WHEN modality='audio' THEN 0 ELSE 64 + (h//1024)%1024 END AS height,
+        |  ch FROM a WHERE modality <> 'audio'),
+        |r AS (SELECT *,
+        |  CASE WHEN greatest(width,height) <= 256 THEN width
+        |    ELSE greatest(1, (width*256) // greatest(width,height)) END AS new_w,
+        |  CASE WHEN greatest(width,height) <= 256 THEN height
+        |    ELSE greatest(1, (height*256) // greatest(width,height)) END AS new_h
+        |  FROM m)
+        |SELECT cast(doc_id as bigint) AS asset_id, modality,
+        | cast(width as bigint) AS width, cast(height as bigint) AS height,
+        | cast(new_w as bigint) AS new_w, cast(new_h as bigint) AS new_h,
+        | ('0x'||substr(md5(concat(cast(ch as varchar), '_',
+        |    cast(new_w as varchar), 'x', cast(new_h as varchar))),1,8))::bigint
+        |   AS resized_hash
+        |FROM r ORDER BY asset_id""".stripMargin,
+
     "t09_frame_plan" ->
       """WITH v AS (SELECT doc_id,
         |  1000 + (('0x'||substr(md5(text),1,8))::bigint % 600000) AS dur

@@ -79,6 +79,32 @@ object Multimodal {
       }
   }
 
+  /** Resize plan for visual assets: fit the longest side to `maxDim`
+    * preserving aspect ratio, never upscaling. Dimension math is integer
+    * division (`div`) so any engine recomputes it exactly; the resized
+    * payload itself is the stubbed step — represented by a deterministic
+    * md5-derived hash of (content_hash, target dims), the value a real
+    * implementation would replace with the re-encoded bytes. Pure
+    * expressions — the plan stays codegen'd and distributed. */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int = 256): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    def fit(side: String) =
+      when(longSide <= maxDim, col(side))
+        .otherwise(greatest(lit(1),
+          expr(s"($side * $maxDim) div greatest(width, height)")))
+    meta.toDF().filter(col("width") > 0)
+      .withColumn("new_w", fit("width").cast("long"))
+      .withColumn("new_h", fit("height").cast("long"))
+      .select(col("asset_id"), col("modality"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("new_w"), col("new_h"),
+        conv(substring(md5(concat_ws("_",
+            col("content_hash").cast("string"),
+            concat(col("new_w"), lit("x"), col("new_h")))), 1, 8), 16, 10)
+          .cast("long").as("resized_hash"))
+  }
+
   /** Frame-sampling plan for video assets: every `everyMs` milliseconds up
     * to `maxFrames` — emits (asset_id, frame_idx, ts_ms) rows; the actual
     * pixel fetch is the stubbed decode. Pure expressions: the explode stays

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Multimodal plumbing invariants: modality-dependent decode shape, frame
+  * plan bounds, resize fit rules. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val meta = Multimodal.extractMeta(Multimodal.asAssets(
+    Seq.tabulate(30)(i => (i.toLong, s"doc number $i with some text"))
+      .toDF("doc_id", "text")))
+
+  test("extractMeta: modality decides which dimensions are populated") {
+    val rows = meta.collect()
+    assert(rows.length == 30)
+    rows.foreach { m =>
+      m.modality match {
+        case "image" => assert(m.width > 0 && m.height > 0 && m.duration_ms == 0)
+        case "audio" => assert(m.width == 0 && m.height == 0 && m.duration_ms > 0)
+        case "video" => assert(m.width > 0 && m.height > 0 && m.duration_ms > 0)
+      }
+      assert(m.n_bytes > 0 && m.content_hash > 0)
+    }
+  }
+
+  test("frameSamplePlan: only video, bounded frames, fixed spacing") {
+    val frames = Multimodal.frameSamplePlan(meta, everyMs = 1000, maxFrames = 32)
+      .collect()
+    val byAsset = frames.groupBy(_.getLong(0))
+    assert(byAsset.nonEmpty)
+    byAsset.foreach { case (_, fs) =>
+      assert(fs.length <= 32)
+      assert(fs.map(_.getInt(1)).sorted.toSeq == (0 until fs.length))
+      fs.foreach(r => assert(r.getInt(2) == r.getInt(1) * 1000))
+    }
+  }
+
+  test("resizePlan: fit-to-max, never upscale, aspect order preserved") {
+    val out = Multimodal.resizePlan(meta, maxDim = 256).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h) = (r.getLong(2), r.getLong(3))
+      val (nw, nh) = (r.getLong(4), r.getLong(5))
+      assert(nw <= w && nh <= h, "never upscale")
+      assert(nw >= 1 && nh >= 1)
+      if (math.max(w, h) > 256) assert(math.max(nw, nh) == 256)
+      else assert((nw, nh) == ((w, h)))
+      assert((w >= h) == (nw >= nh), "aspect ordering preserved")
+    }
+  }
+}
