@@ -55,11 +55,10 @@ object DataQueries {
       .filter(col("n_docs") > 1)
       .orderBy(col("fp"))
 
-  /** MinHash + LSH near-dup detection end to end: shingle -> minhash ->
-    * band -> bucket join -> Jaccard verify >= 0.5. Must recover the planted
-    * (i, i+100000) pairs. Uses the md5-derived hash family so the DuckDB
-    * oracle recomputes the identical signatures, bands and pairs. */
-  /** LSH-candidate pairs with exact Jaccard >= 0.5 — the staging frame
+  /** LSH-candidate pairs (md5 MinHash family, 8x4 bands) with exact
+    * Jaccard >= 0.5 — must recover the planted (i, i+100000) pairs; the
+    * DuckDB oracle recomputes identical signatures, bands and pairs. The
+    * staging frame
     * behind t03 (pair report) and t14 (clustering, which checkpoints it
     * once inside connectedComponents before the propagation loop). */
   private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
@@ -181,6 +180,19 @@ object DataQueries {
         Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d))))
       .orderBy(col("asset_id"))
 
+  /** The skew path end to end: two-phase salted aggregation over a
+    * decimal measure must equal the plain GROUP BY (decimal addition is
+    * associative, so the salt split is value-invisible) — the rollup a
+    * hot-key fact table needs at 100 TB, oracle-checked against the
+    * single-phase formulation. */
+  val t18SaltedRollup: Q = (s, d) =>
+    graft.etl.Scale.saltedSum(
+        T.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(18,4)").as("rev")),
+        Seq("l_returnflag"), "rev")
+      .select(col("l_returnflag"), col("sum_rev").cast("double").as("sum_rev"))
+      .orderBy(col("l_returnflag"))
+
   /** Hourly event rollup — the batch twin of the Structured Streaming
     * pipeline in graft.streaming.Streams (same grouping, same results). */
   val t10EventHourly: Q = (s, d) =>
@@ -266,5 +278,6 @@ object DataQueries {
     "t15_line_dedup" -> t15LineDedup,
     "t16_hash_sample" -> t16HashSample,
     "t17_media_resize" -> t17MediaResize,
+    "t18_salted_rollup" -> t18SaltedRollup,
   )
 }

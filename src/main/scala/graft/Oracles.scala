@@ -956,6 +956,16 @@ object Oracles {
         |   AS resized_hash
         |FROM r ORDER BY asset_id""".stripMargin,
 
+    // the salted two-phase rollup is value-identical to the plain
+    // GROUP BY (decimal addition associative) — the oracle IS the
+    // single-phase formulation
+    "t18_salted_rollup" ->
+      """SELECT l_returnflag,
+        | cast(sum(cast(l_extendedprice as decimal(18,4))) as double)
+        |   AS sum_rev
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "t09_frame_plan" ->
       """WITH v AS (SELECT doc_id,
         |  1000 + (('0x'||substr(md5(text),1,8))::bigint % 600000) AS dur
