@@ -193,6 +193,12 @@ object DataQueries {
       .select(col("l_returnflag"), col("sum_rev").cast("double").as("sum_rev"))
       .orderBy(col("l_returnflag"))
 
+  /** Sequence packing: documents into 2000-token bins across 8 parallel
+    * buckets — deterministic hash-bucketed running-sum packing. */
+  val t19DocPacking: Q = (s, d) =>
+    TextOps.packDocuments(T.documents(s, d), capacity = 2000, buckets = 8)
+      .orderBy(col("doc_id"))
+
   /** Hourly event rollup — the batch twin of the Structured Streaming
     * pipeline in graft.streaming.Streams (same grouping, same results). */
   val t10EventHourly: Q = (s, d) =>
@@ -279,5 +285,6 @@ object DataQueries {
     "t16_hash_sample" -> t16HashSample,
     "t17_media_resize" -> t17MediaResize,
     "t18_salted_rollup" -> t18SaltedRollup,
+    "t19_doc_packing" -> t19DocPacking,
   )
 }

@@ -966,6 +966,20 @@ object Oracles {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // exact recomputation of hash-bucketed sequence packing: same token
+    // count as t01, per-bucket running sum, floor-division bin id
+    "t19_doc_packing" ->
+      """WITH nt AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, cast(doc_id%8 as bigint) AS bucket,
+        | cast(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id%8
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) // 2000 as bigint) AS bin,
+        | cast(n_tokens as bigint) AS n_tokens
+        |FROM nt ORDER BY doc_id""".stripMargin,
+
     "t09_frame_plan" ->
       """WITH v AS (SELECT doc_id,
         |  1000 + (('0x'||substr(md5(text),1,8))::bigint % 600000) AS dur

@@ -154,6 +154,29 @@ object TextOps {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Sequence packing for pretraining batches: assign documents to
+    * fixed-capacity token bins. Documents are hash-bucketed (`buckets`
+    * strata packed independently and in parallel — the 100 TB shape: no
+    * global sort, one window per bucket) and packed in id order within
+    * each bucket by running token count: a document starts a new bin when
+    * the tokens before it fill the current one. Deterministic — same
+    * binning on every run and engine — and SQL-expressible, so the oracle
+    * recomputes it with a windowed running sum. Returns (doc_id, bucket,
+    * bin, n_tokens). Oversized documents (> capacity) occupy their own
+    * bin(s) worth of space, like sequence packing with truncation. */
+  def packDocuments(docs: DataFrame, capacity: Int, buckets: Int = 8,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), pmod(col(idCol), lit(buckets)).as("bucket"),
+        tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("bucket").cast("long").as("bucket"),
+        (col("__before") / capacity).cast("long").as("bin"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** Standard document-stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -87,6 +87,21 @@ class TextDedupSpec extends SparkSpec {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("packDocuments: running-sum bins per bucket, oversized isolated") {
+    // single bucket (buckets=1): tokens 3,3,3 with capacity 6 -> bins
+    // 0,0,1; a 10-token doc then consumes bins worth of space
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i"),
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ")), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packDocuments(docs, capacity = 6, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 1L, 3L))
+    // deterministic: same result on re-run
+    val again = TextOps.packDocuments(docs, capacity = 6, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("connectedComponents: path graph, isolated pair, singleton-free") {
     // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // separate pair 10-11, edge listed high-to-low (6,9) to check symmetry
