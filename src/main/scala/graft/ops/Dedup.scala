@@ -96,6 +96,12 @@ object Dedup {
       i += 1
     }
     symEdges.unpersist()
+    // a silent partial propagation would yield WRONG clusters — fail loud
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — the pair graph has a " +
+          "longer path than expected; raise maxIter")
     labels
   }
 

@@ -141,7 +141,9 @@ object TextOps {
         posexplode(split(col(textCol), "\n")))
       .select(col("doc_id"), (col("pos") + 1).as("line_no"),
         col("col").as("ln"))
-      // composite occurrence key: doc_id-major, line-order minor
+      // composite occurrence key: doc_id-major, line-order minor.
+      // Domain bound: needs doc_id < ~9.2e12 and < 1e6 lines per doc to
+      // stay under 2^63 — comfortably true for any real corpus id scheme
       .withColumn("__occ", col("doc_id") * 1000000L + col("line_no"))
     val kept = lines
       .withColumn("__min_occ", min(col("__occ")).over(
