@@ -204,7 +204,9 @@ object DataQueries {
   val t10EventHourly: Q = (s, d) =>
     T.events(s, d)
       // group on the native timestamp truncation; render the hour string
-      // only on the (tiny) aggregated output, not per input row
+      // only on the (tiny) aggregated output, not per input row. Assumes
+      // the session timezone is DST-free (all mains pin UTC): under a DST
+      // fall-back two truncated hours can render to one label
       .groupBy(date_trunc("HOUR", col("ts")).as("__h"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))

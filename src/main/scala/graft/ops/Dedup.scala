@@ -46,7 +46,10 @@ object Dedup {
     * beats the O(log n)-round large-star/small-star scheme (Kiveris et al.
     * '14) on constants while staying fully distributed: each round is one
     * shuffle join + hash aggregate, and `localCheckpoint` truncates the
-    * lineage so plan size stays constant across rounds. */
+    * lineage so plan size stays constant across rounds. Superseded label
+    * generations are freed by the ContextCleaner as they are dereferenced;
+    * peak executor storage is a few label-frame generations (rounds are
+    * O(diameter), shallow for near-dup graphs) on top of the edge set. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
@@ -138,7 +141,7 @@ object Dedup {
                           shingleSize: Int = 3): Column = {
     val P = 2147483647L
     val xs = transform(TextOps.wordShingles(text, shingleSize),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+      s => TextOps.md5U32(s))
     val init = transform(sequence(lit(1), lit(numHashes)),
       _ => lit(Long.MaxValue))
     aggregate(xs, init, (acc, x) =>
@@ -265,10 +268,13 @@ object Dedup {
       .withColumn("__u",
         (coalesce(col("__na"), lit(0L)) + coalesce(col("__nb"), lit(0L))).cast("double")
           - col("__i"))
-      .withColumn("jaccard",
-        round(when(col("__u") === 0, 0.0).otherwise(col("__i") / col("__u")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("__j",
+        when(col("__u") === 0, 0.0).otherwise(col("__i") / col("__u")))
+      // threshold on the TRUE similarity, round only for display — a pair
+      // at 0.49995 must not slip in via round-to-0.5 (and the oracle
+      // filters the unrounded value the same way)
+      .filter(col("__j") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__j"), 4).as("jaccard"))
   }
 
   /** Per-bit vote vector for a 64-bit SimHash (Charikar '02) over word
@@ -323,7 +329,7 @@ object Dedup {
     val shingles = array_distinct(TextOps.wordShingles(text, 2))
     val pairs = transform(shingles, s => {
       val m = md5(s)
-      array(conv(substring(m, 1, 8), 16, 10).cast("long"),
+      array(TextOps.md5U32(s),
         conv(substring(m, 9, 8), 16, 10).cast("long"))
     })
     val init = transform(sequence(lit(1), lit(64)), _ => lit(0L))
@@ -355,7 +361,8 @@ object Dedup {
                         textCol: String = "text", blocks: Int = 4,
                         maxHamming: Int = 3): DataFrame = {
     val base = withSimHash(
-        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+          .filter(size(TextOps.wordShingles(col("__text"), 2)) > 0),
         "__text", "sh")
       .select(col("id"), col("sh"))
     blockCandidates(base, blocks, maxHamming)
@@ -365,8 +372,14 @@ object Dedup {
   def simHashCandidatesMd5(docs: DataFrame, idCol: String = "doc_id",
                            textCol: String = "text", blocks: Int = 4,
                            maxHamming: Int = 3): DataFrame = {
+    // docs without a single word-bigram have NO features: their sketch
+    // would be the all-zero vote default and every such doc would collide
+    // in every block (a degenerate candidate clique the oracle rightly
+    // excludes) — drop them before sketching, mirroring the oracle's
+    // empty-shingle-set semantics
     val base = withSimHashMd5(
-        docs.select(col(idCol).as("id"), col(textCol).as("__text")),
+        docs.select(col(idCol).as("id"), col(textCol).as("__text"))
+          .filter(size(TextOps.wordShingles(col("__text"), 2)) > 0),
         "__text", "sh")
       .select(col("id"), col("sh"))
     blockCandidates(base, blocks, maxHamming)
