@@ -353,6 +353,13 @@ object Dedup {
     df.withColumn(outCol,
       graft.functions.GraftFunctions.simhash64_md5(col(textCol), 2))
 
+  /** A document has at least one word-bigram shingle iff it has >= 2
+    * tokens (every 2-token window passes wordShingles' size filter, empty
+    * tokens included) — checked with a plain codegen'd split instead of
+    * materializing the shingle array per row. */
+  private def hasBigram(text: Column): Column =
+    size(split(lower(trim(text)), "\\s+")) >= 2
+
   /** SimHash near-dup candidates: split the 64-bit hash into `blocks`
     * blocks; docs sharing any block collide (covers Hamming distance
     * <= blocks-1 by pigeonhole). Returns pairs with exact Hamming distance
@@ -362,7 +369,7 @@ object Dedup {
                         maxHamming: Int = 3): DataFrame = {
     val base = withSimHash(
         docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-          .filter(size(TextOps.wordShingles(col("__text"), 2)) > 0),
+          .filter(hasBigram(col("__text"))),
         "__text", "sh")
       .select(col("id"), col("sh"))
     blockCandidates(base, blocks, maxHamming)
@@ -379,7 +386,7 @@ object Dedup {
     // empty-shingle-set semantics
     val base = withSimHashMd5(
         docs.select(col(idCol).as("id"), col(textCol).as("__text"))
-          .filter(size(TextOps.wordShingles(col("__text"), 2)) > 0),
+          .filter(hasBigram(col("__text"))),
         "__text", "sh")
       .select(col("id"), col("sh"))
     blockCandidates(base, blocks, maxHamming)
