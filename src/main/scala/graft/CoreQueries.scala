@@ -19,7 +19,7 @@ import graft.etl.{Merge, Ops, Tables => T}
 object CoreQueries {
 
   private def dec(c: Column, s: Int = 4) = c.cast(DecimalType(18, s))
-  private def dsum(c: Column) = sum(dec(c)).cast("double")
+  private def dsum(c: Column) = Ops.exactSum(c)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -336,11 +336,16 @@ object CoreQueries {
     val enriched = T.orders(s, d)
       .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-    val perNation = enriched.groupBy(col("c_mktsegment"), col("n_name"))
-      .agg(dsum(col("o_totalprice")).as("nation_spend"))
-    val perSeg = enriched.groupBy(col("c_mktsegment"))
-      .agg(dsum(col("o_totalprice")).as("seg_spend"))
-    perNation.join(perSeg, Seq("c_mktsegment"))
+    // the coarser level re-aggregates the finer one's DECIMAL partials
+    // (exact, associative) instead of re-joining the base tables — the
+    // identical fine-grained subtree under both join inputs lets Spark
+    // reuse its exchange, so the 3-way join runs once
+    val perNationDec = enriched.groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(sum(dec(col("o_totalprice"))).as("__spend"))
+    val perSeg = perNationDec.groupBy(col("c_mktsegment"))
+      .agg(sum(col("__spend")).cast("double").as("seg_spend"))
+    perNationDec.withColumn("nation_spend", col("__spend").cast("double"))
+      .join(perSeg, Seq("c_mktsegment"))
       .select(col("c_mktsegment"), col("n_name"), col("nation_spend"),
         round(Ops.safeRatio(col("nation_spend"), col("seg_spend")), 6).as("spend_ratio"))
       .orderBy(col("c_mktsegment"), col("n_name"))
@@ -481,8 +486,14 @@ object CoreQueries {
     * max-territory / max-minimarket spend ratios at the 0.8 thresholds,
     * Undefined backfill; exercises graft.pipelines.Segmentation end-to-end
     * with an exact DuckDB oracle. */
-  val q34SegPersonas: Q = (s, d) => {
-    import graft.pipelines.Segmentation
+  /** Shared Seg staging for q34/q41: the fact/dimZip/dup frames and the
+    * persisted MinimarketSpend staging table (Seg:127 TRUNCATE+INSERT
+    * analog). ONE definition so the two queries' staging plans stay
+    * structurally identical — the cross-query cache hit depends on plan
+    * equality, which a shared builder makes guaranteed rather than
+    * coincidental. Lazy persist: each query's first pass over mm writes
+    * the cache; the other reads it warm. */
+  private def segStaging(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fact = T.lineitem(s, d)
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
@@ -497,11 +508,14 @@ object CoreQueries {
         col("n_name").as("DIN_DisplayMiniMarketName"))
     val dup = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
-    // lazy persist: the single-pass ratio chain consumes mm exactly once
-    // (no race, no barrier needed) — the cache write piggybacks on that
-    // one pass and q41's identical staging plan reads it warm
-    val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
-      .persist()
+    val mm = graft.pipelines.Segmentation
+      .minimarketSpend(fact, dimZip, dup, 0L, 99999999L).persist()
+    (mm, dup)
+  }
+
+  val q34SegPersonas: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val (mm, dup) = segStaging(s, d)
     Segmentation.classify(Segmentation.spendRatios(mm), dup)
       .select(col("UniquePatronId").cast("long").as("custkey"),
         col("PersonaName").as("persona"))
@@ -703,25 +717,7 @@ object CoreQueries {
     * persona) minimarket spend shares, top-10 by MMRank. */
   val q41ClientMinimarketTop: Q = (s, d) => {
     import graft.pipelines.Segmentation
-    val fact = T.lineitem(s, d)
-      .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .select(col("o_custkey").as("UniquePatronId"),
-        col("s_nationkey").as("GeographyID"),
-        Ops.dateKey(col("o_orderdate")).as("DateKey"),
-        dec(col("l_extendedprice")).as("Amount"))
-    val dimZip = T.nation(s, d).join(broadcast(T.region(s, d)),
-        col("n_regionkey") === col("r_regionkey"))
-      .select(col("n_nationkey").as("GeographyID"),
-        col("r_name").as("SalesTerritory"),
-        col("n_name").as("DIN_DisplayMiniMarketName"))
-    val dup = T.customer(s, d)
-      .select(col("c_custkey").as("UniquePatronId"), lit(1).as("IsHighValue"))
-    // the reference materializes MinimarketSpend as a staging table
-    // (Seg:127 TRUNCATE+INSERT); persist is the in-job equivalent — the
-    // ratio chain and the spend rollup read it once
-    val mm = Segmentation.minimarketSpend(fact, dimZip, dup, 0L, 99999999L)
-      .persist()
+    val (mm, _) = segStaging(s, d)
     // ratios-only persona labeling: the spend join below is inner on mm's
     // patrons, so classify()'s dimension-wide Undefined backfill (full-outer
     // against 15k dim rows) is unobservable here — personaLabel is

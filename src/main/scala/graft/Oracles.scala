@@ -416,9 +416,11 @@ object Oracles {
       |  CASE WHEN tot.total=0 THEN NULL
       |    ELSE cast(m.amt as double)/cast(tot.total as double) END AS mr
       |  FROM maxt t JOIN tot ON t.pid=tot.pid JOIN maxm m ON m.pid=t.pid),
-      |cl AS (SELECT pid, 'Road Warrior' AS persona FROM r WHERE tr<0.8
-      |  UNION ALL SELECT pid, 'City person' FROM r WHERE tr>=0.8 AND mr<0.8
-      |  UNION ALL SELECT pid, 'Office manager' FROM r WHERE tr>0.8 AND mr>=0.8)""".stripMargin
+      |cl AS (SELECT pid, coalesce(
+      |  CASE WHEN tr<0.8 THEN 'Road Warrior'
+      |       WHEN tr>=0.8 AND mr<0.8 THEN 'City person'
+      |       WHEN tr>0.8 AND mr>=0.8 THEN 'Office manager' END,
+      |  'Undefined') AS persona FROM r)""".stripMargin
 
   /** The S4 name-canonicalization chain as nested SQL replace() calls,
     * generated from the same (from, to) list the Spark side uses. */
@@ -570,7 +572,7 @@ object Oracles {
          |  name AS BillingGroupDisplayName,
          |  coalesce(ID,-1) AS BackOfficeBillingGroupId,
          |  cast(date_trunc('month', mn) as date) AS ValidFrom,
-         |  CASE WHEN last_day(mx) = (SELECT last_day(m) FROM maxd)
+         |  CASE WHEN last_day(mx) = (SELECT m FROM maxd)
          |    THEN DATE '9999-12-31' ELSE last_day(mx) END AS ValidTo
          |FROM picked
          |ORDER BY SiteId, BillingGroupDisplayName""".stripMargin,

@@ -55,7 +55,10 @@ object Merge {
                   deleteGuard: Option[Column] = None): DataFrame = {
     val t = target.withColumn("__in_t", lit(true)).alias("t")
     val s = source.withColumn("__in_s", lit(true)).alias("s")
-    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // plain equality, NOT null-safe <=>: T-SQL MERGE ON t.k = s.k never
+    // matches NULL keys — a NULL-key source row inserts and a NULL-key
+    // target row is treated as not-matched-by-source, exactly as here
+    val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
     val joined = t.join(s, cond, "full_outer")
     val inSource = col("s.__in_s").isNotNull
     val inTarget = col("t.__in_t").isNotNull

@@ -51,7 +51,11 @@ object Ops {
     * UpdMapDimRest.sql:225-229: 14-deep nested REPLACE chains). */
   def cleanName(c: Column, replacements: Seq[(String, String)]): Column =
     replacements.foldLeft(c) { case (acc, (from, to)) =>
-      regexp_replace(acc, java.util.regex.Pattern.quote(from), to)
+      // quote BOTH sides: an unquoted replacement would interpret $1 as a
+      // group reference and backslashes as escapes (T-SQL REPLACE is
+      // fully literal)
+      regexp_replace(acc, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
     }
 
   /** Strip the U+FFFD replacement character

@@ -71,7 +71,9 @@ object Publish {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally walk.close() // unclosed walk leaks a directory fd per call
     }
 }

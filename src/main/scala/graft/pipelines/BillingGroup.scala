@@ -50,7 +50,11 @@ object BillingGroup {
         col("__name").as("BillingGroupDisplayName"),
         coalesce(col("__boid"), lit(-1L)).as("BackOfficeBillingGroupId"),
         trunc(col("__minTxn"), "MM").as("ValidFrom"),
-        when(last_day(col("__maxTxn")) === last_day(lit(maxDate)),
+        // S4:22 IIF(EOMONTH(MAX(TXNDATE)) = @maxDate, '9999-12-31', ...)
+        // — @maxDate is the RAW global max date, so the open-row sentinel
+        // fires only when that max is itself a month-end date (the
+        // reference runs right after a month closes, when it is)
+        when(last_day(col("__maxTxn")) === lit(maxDate),
           lit("9999-12-31").cast("date"))
           .otherwise(last_day(col("__maxTxn"))).as("ValidTo"))
       .withColumn("Id", uuid())

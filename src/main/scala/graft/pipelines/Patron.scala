@@ -47,10 +47,14 @@ object Patron {
         substring(col("cardmemberbillingzipcode"), 1, 5) === col("__zip"),
         "left")
       .select(
+        // P-Pat:51/69 defaults: isnull(clientid,0), isnull(geographyid,0),
+        // isnull(LEFT(zip,5),'Unknown') — the unmatched-lookup sentinels
+        // are 0/0/'Unknown' here, NOT the restaurant proc's 41802
         col("proxyid").as("ProxyID"),
-        col("ClientID"),
-        coalesce(col("GeographyID"), lit(41802)).as("GeographyID"),
-        substring(col("cardmemberbillingzipcode"), 1, 5).as("ZipCode"),
+        coalesce(col("ClientID"), lit(0L)).as("ClientID"),
+        coalesce(col("GeographyID"), lit(0)).as("GeographyID"),
+        coalesce(substring(col("cardmemberbillingzipcode"), 1, 5),
+          lit("Unknown")).as("ZipCode"),
         Ops.padLast4(col("creditcardnum")).as("CC_Last4Digits"))
       .join(dimPatron.select(col("ProxyID")), Seq("ProxyID"), "left_anti")
       // deterministic candidate per new proxy (the reference resolves its
@@ -91,6 +95,10 @@ object Patron {
       Map("Patron_ID" -> col("__pid1")),
       guard = fact("Patron_ID") === 1 && window)
     val pass2Map = txnProxy
+      // P-Pat:141 guard: CC_Last4Digits IS NOT NULL — without it
+      // padLast4(NULL) = '0000' would map card-less rows to whichever
+      // patron's card ends in 0000
+      .filter(txnProxy("creditcardnum").isNotNull)
       .join(dimPatron.select(col("ProxyID").as("__dproxy2"),
           col("ID").as("__pid2")),
         synthesizedProxy(txnProxy("ClientID"), txnProxy("creditcardnum"))
@@ -131,9 +139,15 @@ object Patron {
         guard = coalesce(f("UniquePatronId"), lit(0L)) === 0 &&
           f("DateKey").between(startKey, endKey))
     }
-    val p1 = pass(fact, (t, p) => concat_ws("_", t("clientcode"),
-      t("employeeid"), t("creditcardnum")) === p, "1")
-    val p2 = pass(p1, (t, p) => concat_ws("_", t("clientcode"),
+    // T-SQL CONCAT renders NULL as '' but KEEPS the separators
+    // (S2:70 concat(clientcode,'_',employeeid,'_',creditcardnum) gives
+    // 'C5__123' for a NULL employeeid) — concat_ws would skip the slot
+    // and produce 'C5_123', colliding with other key shapes
+    def tsqlConcat(parts: Column*): Column =
+      concat(parts.map(coalesce(_, lit(""))): _*)
+    val p1 = pass(fact, (t, p) => tsqlConcat(t("clientcode"), lit("_"),
+      t("employeeid"), lit("_"), t("creditcardnum")) === p, "1")
+    val p2 = pass(p1, (t, p) => tsqlConcat(t("clientcode"), lit("_"),
       Ops.padLast4(t("creditcardnum"))) === p, "2")
     pass(p2, (t, p) => t("proxyid") === p, "3")
   }

@@ -61,9 +61,11 @@ class PipelineSpec extends SparkSpec {
   // ---- Billing group (S4) ----
 
   test("billing group: name cleaning, SCD intervals, open-row sentinel") {
+    // global max txndate is 2025-03-31, itself a month-end — the S4:22
+    // sentinel (EOMONTH(groupMax) = raw @maxDate) fires for Joe's group
     val invoices = Seq(
       (1L, "JOE'S/CAFE-TERMED", "2025-01-15"),
-      (1L, "JOE'S/CAFE-TERMED", "2025-03-10"),
+      (1L, "JOE'S/CAFE-TERMED", "2025-03-31"),
       (2L, "OLD_GROUP", "2025-01-20")
     ).toDF("SiteId", "BillGroup", "txndate")
       .withColumn("txndate", col("txndate").cast("date"))
@@ -77,7 +79,7 @@ class PipelineSpec extends SparkSpec {
     assert(joes.getAs[String]("BillingGroupDisplayName") == "JOES-CAFE")
     assert(joes.getAs[Long]("BackOfficeBillingGroupId") == 900L)
     assert(joes.getAs[java.sql.Date]("ValidFrom").toString == "2025-01-01")
-    // reaches the max txn month -> open-row sentinel
+    // group month-end equals the raw global max -> open-row sentinel
     assert(joes.getAs[java.sql.Date]("ValidTo").toString == "9999-12-31")
     val old = out(1)
     assert(old.getAs[String]("BillingGroupDisplayName") == "OLD GROUP")
