@@ -57,16 +57,23 @@ object DataQueries {
 
   /** LSH-candidate pairs (md5 MinHash family, 8x4 bands) with exact
     * Jaccard >= 0.5 — must recover the planted (i, i+100000) pairs; the
-    * DuckDB oracle recomputes identical signatures, bands and pairs. The
-    * staging frame
-    * behind t03 (pair report) and t14 (clustering, which checkpoints it
-    * once inside connectedComponents before the propagation loop). */
-  private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = withPlantedDups(T.documents(s, d))
-    val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
-      rowsPerBand = 4, shingleSize = 3)
-    Dedup.jaccardVerify(cands, docs, threshold = 0.5)
-  }
+    * DuckDB oracle recomputes identical signatures, bands and pairs.
+    * Memoized per (session, dir) as a checkpointed staging frame — the
+    * in-process analog of the reference's staging-table materialization
+    * (S1:5 TRUNCATE+INSERT): t03 reports the pairs, t14 clusters them,
+    * and the expensive sketch pipeline runs once per corpus, not per
+    * query. (Plan-equality cache reuse can't serve this case: the
+    * pipeline's lambda-bearing plans never compare equal across separate
+    * builds.) */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate((s, d), {
+      val docs = withPlantedDups(T.documents(s, d))
+      val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
+        rowsPerBand = 4, shingleSize = 3)
+      Dedup.jaccardVerify(cands, docs, threshold = 0.5).localCheckpoint()
+    })
 
   val t03MinHashLsh: Q = (s, d) =>
     plantedVerifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))
