@@ -577,9 +577,16 @@ object CoreQueries {
         col("c_mktsegment").as("clientcode"),
         col("o_orderdate").as("TransactionDate"),
         (lit(5811) + col("o_orderkey") % 4).cast("string").as("MccCode"))
-    val existing = header.filter(col("MerchantNumber").cast("long") % 2 === 0)
-      .select(Fingerprint.simHash(header(_), "md5").as("SimHash"))
-    Fingerprint.newFingerprints(header, existing,
+    // Hash once, materialize once: the 3-table join + md5 feed BOTH sides
+    // of the anti-join (the `existing` fixture and the eligible set), so
+    // evaluate the hashed header a single time and let both consumers read
+    // the checkpoint — the in-process analog of the reference's staging
+    // table (S1:5 TRUNCATE+INSERT). Re-deriving it per side doubled the
+    // most expensive scan of the monthly load.
+    val hashed = Fingerprint.withHashes(header, "md5").localCheckpoint()
+    val existing = hashed.filter(col("MerchantNumber").cast("long") % 2 === 0)
+      .select(col("__simhash").as("SimHash"))
+    Fingerprint.newFingerprints(hashed, existing,
         lit("1996-01-01"), lit("1997-12-31"),
         mccCodes = Seq("5811", "5812", "5813", "5814"), algo = "md5")
       .select(col("MerchantNumber"), col("MerchantLegalName"),
@@ -721,15 +728,17 @@ object CoreQueries {
     // ratios-only persona labeling: the spend join below is inner on mm's
     // patrons, so classify()'s dimension-wide Undefined backfill (full-outer
     // against 15k dim rows) is unobservable here — personaLabel is
-    // value-identical and drops that join, the distinct, and the eager
-    // staging count (the broadcast build below reads mm first and fills the
-    // cache before the probe-side scan, so the consumers never race)
+    // value-identical and drops that join and the distinct.
+    // NO broadcast hint on personas: it is one row per spending patron —
+    // cardinality-unbounded (the reference runs it over ~9M patrons,
+    // Seg:211) — so forcing a broadcast build would OOM the driver at
+    // scale. AQE picks the strategy from the measured size instead.
     val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
     val cli = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"),
         col("c_mktsegment").as("ClientCode"))
     val spend = mm
-      .join(broadcast(personas), Seq("UniquePatronId"))
+      .join(personas, Seq("UniquePatronId"))
       .join(cli, Seq("UniquePatronId"))
       .groupBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"),
         col("DIN_DisplayMiniMarketName"))

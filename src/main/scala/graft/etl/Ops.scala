@@ -48,20 +48,23 @@ object Ops {
 
   /** Chained literal REPLACEs — billing-group / restaurant-group name
     * canonicalization (BillingGroup_script.sql:19-29,
-    * UpdMapDimRest.sql:225-229: 14-deep nested REPLACE chains). */
+    * UpdMapDimRest.sql:225-229: 14-deep nested REPLACE chains).
+    *
+    * Literal `replace` (StringReplace), NOT `regexp_replace`: T-SQL REPLACE
+    * is fully literal, and a 14-deep regex chain evaluated on join + group
+    * keys was the hottest expression in the whole bench (regex compilation
+    * state is also JIT-sensitive — the chain swung 3x between runs). A
+    * chained memcmp-style scan is both exact-semantics and several times
+    * cheaper per row. */
   def cleanName(c: Column, replacements: Seq[(String, String)]): Column =
     replacements.foldLeft(c) { case (acc, (from, to)) =>
-      // quote BOTH sides: an unquoted replacement would interpret $1 as a
-      // group reference and backslashes as escapes (T-SQL REPLACE is
-      // fully literal)
-      regexp_replace(acc, java.util.regex.Pattern.quote(from),
-        java.util.regex.Matcher.quoteReplacement(to))
+      replace(acc, lit(from), lit(to))
     }
 
   /** Strip the U+FFFD replacement character
     * (3. Mapping and Cleanup/script.sql:19-23 `REPLACE(col,nchar(65533),'')`). */
   def stripReplacementChar(c: Column): Column =
-    regexp_replace(c, "�", "")
+    replace(c, lit("�"), lit(""))
 
   /** `RIGHT(CONCAT('0000', x), 4)` — last-4 zero-pad idiom for card numbers
     * (Update and Map Patron Dimensions/script.sql:47, UpdtMapDimPatron.sql:51).

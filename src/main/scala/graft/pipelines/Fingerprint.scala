@@ -30,6 +30,19 @@ object Fingerprint {
   def simHashNoMid(c: String => Column, algo: String = "sha1"): Column =
     Ops.fingerprint(merchantParts(c).tail, algo)
 
+  /** Both canonical hashes in ONE projection (`__simhash`, `__simhashnomid`).
+    * The reference evaluates the HASHBYTES expression 7 times across S1
+    * (S1:7-14, 18-25, 54-69, 85-92, 112-127); deriving both columns once and
+    * letting every consumer read the attributes keeps the hash a single
+    * pass over the 100 TB header scan. [[newFingerprints]] detects the
+    * precomputed columns and skips re-deriving them — materialize this frame
+    * (persist/localCheckpoint, the staging-table analog of S1:5) when it
+    * feeds both sides of the new-fingerprint anti-join. */
+  def withHashes(header: DataFrame, algo: String = "sha1"): DataFrame =
+    header
+      .withColumn("__simhash", simHash(col(_), algo))
+      .withColumn("__simhashnomid", simHashNoMid(col(_), algo))
+
   /** S1:5-26 — the monthly full map: detail ⋈ header (S1:16-17), canonical
     * hash, left-join the fingerprint dimension on the recomputed hash.
     * Output mirrors `QA.PosMonthlyFullMap(Id, TransactionId,
@@ -62,11 +75,15 @@ object Fingerprint {
                         "5811", "5462", "5921", "7932"),
                       algo: String = "sha1", maxLogId: Long = 0L): DataFrame = {
     val norm: String => Column = n => Ops.normPart(Ops.emptyToNull(col(n)))
-    val eligible = header
+    // reuse hashes precomputed by [[withHashes]] (the caller materialized
+    // them once); derive them here only when absent
+    val hashed =
+      if (header.columns.contains("__simhashnomid")) header
+      else withHashes(header, algo)
+    val eligible = hashed
       .filter(col("TransactionDate").between(startDate, endDate))
       .filter((col("CountryCode").isin(countries: _*) &&
         col("MccCode").isin(mccCodes: _*)) || col("clientcode") === "MC")
-      .withColumn("__simhash", simHash(col(_), algo))
       .join(existing.select(col("SimHash")),
         col("__simhash") === col("SimHash"), "left_anti")
     eligible
@@ -81,7 +98,7 @@ object Fingerprint {
         norm("PostalCode").as("PostalCode"),
         norm("CountryCode").as("CountryCode"),
         col("__simhash").as("SimHash"),
-        simHashNoMid(col(_), algo).as("SimHashNoMid"))
+        col("__simhashnomid").as("SimHashNoMid"))
       .agg(
         countDistinct(col("clientcode")).as("ClientCount"),
         count(lit(1)).as("BankFeedCount"),
