@@ -65,15 +65,37 @@ object DataQueries {
     * query. (Plan-equality cache reuse can't serve this case: the
     * pipeline's lambda-bearing plans never compare equal across separate
     * builds.) */
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.getOrElseUpdate((s, d), {
+  private val pairsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
+
+  /** Staleness guard for the memo: the fixture's on-disk version. A
+    * regenerated documents.parquet gets a new mtime → new memo key, so a
+    * stale checkpoint is never served (it was previously keyed on
+    * (session, dir) only and pinned forever). */
+  private def fixtureVersion(d: String): Long = {
+    val f = new java.io.File(s"$d/documents.parquet")
+    val nested = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: nested.map(_.lastModified())).max
+  }
+
+  /** Drop every memoized staging frame. Superseded checkpoints also age
+    * out on their own (replacing the memo entry drops the last reference
+    * and Spark's ContextCleaner reclaims the blocks), but benches and
+    * tests call this for a deterministic cold start. */
+  def clearStagingCache(): Unit = pairsMemo.clear()
+
+  private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d, fixtureVersion(d))
+    pairsMemo.getOrElseUpdate(key, {
+      // evict superseded versions of the same (session, dir)
+      pairsMemo.keys.filter(k => k._1 == s && k._2 == d && k != key)
+        .foreach(pairsMemo.remove)
       val docs = withPlantedDups(T.documents(s, d))
       val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
         rowsPerBand = 4, shingleSize = 3)
       Dedup.jaccardVerify(cands, docs, threshold = 0.5).localCheckpoint()
     })
+  }
 
   val t03MinHashLsh: Q = (s, d) =>
     plantedVerifiedPairs(s, d).orderBy(col("id_a"), col("id_b"))

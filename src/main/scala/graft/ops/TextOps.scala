@@ -141,14 +141,18 @@ object TextOps {
         posexplode(split(col(textCol), "\n")))
       .select(col("doc_id"), (col("pos") + 1).as("line_no"),
         col("col").as("ln"))
-      // composite occurrence key: doc_id-major, line-order minor.
-      // Domain bound: needs doc_id < ~9.2e12 and < 1e6 lines per doc to
-      // stay under 2^63 — comfortably true for any real corpus id scheme
-      .withColumn("__occ", col("doc_id") * 1000000L + col("line_no"))
+    // first occurrence = min(struct(doc_id, line_no)): struct ordering is
+    // field-by-field, so this is doc_id-major, line-order minor with NO
+    // domain bound — it works for string ids and million-line docs alike
+    // (the earlier doc_id*1e6+line_no arithmetic key silently produced
+    // NULL for non-numeric ids, dropping every non-blank line)
     val kept = lines
-      .withColumn("__min_occ", min(col("__occ")).over(
-        Window.partitionBy(md5(col("ln")))))
-      .filter(trim(col("ln")) === "" || col("__occ") === col("__min_occ"))
+      .withColumn("__min_occ",
+        min(struct(col("doc_id"), col("line_no"))).over(
+          Window.partitionBy(md5(col("ln")))))
+      .filter(trim(col("ln")) === "" ||
+        (col("doc_id") === col("__min_occ.doc_id") &&
+          col("line_no") === col("__min_occ.line_no")))
     kept.groupBy(col("doc_id"))
       .agg(array_join(transform(
           array_sort(collect_list(struct(col("line_no"), col("ln")))),
@@ -156,16 +160,19 @@ object TextOps {
         count(lit(1)).as("n_kept"))
   }
 
-  /** Sequence packing for pretraining batches: assign documents to
-    * fixed-capacity token bins. Documents are hash-bucketed (`buckets`
-    * strata packed independently and in parallel — the 100 TB shape: no
-    * global sort, one window per bucket) and packed in id order within
-    * each bucket by running token count: a document starts a new bin when
-    * the tokens before it fill the current one. Deterministic — same
-    * binning on every run and engine — and SQL-expressible, so the oracle
-    * recomputes it with a windowed running sum. Returns (doc_id, bucket,
-    * bin, n_tokens). Oversized documents (> capacity) occupy their own
-    * bin(s) worth of space, like sequence packing with truncation. */
+  /** Sequence packing for pretraining batches: lay documents end-to-end in
+    * id order and cut the token stream every `capacity` tokens — a
+    * document's bin is the capacity-sized window its FIRST token falls
+    * into. This is boundary-straddling packing (the standard pretraining
+    * packer shape, where a document crossing a sequence boundary is split/
+    * truncated): a bin's assigned documents can exceed `capacity` by up to
+    * one document's tail; it is NOT first-fit — use
+    * [[packDocumentsFirstFit]] when bins must be hard-capped. Documents
+    * are hash-bucketed (`buckets` strata packed independently and in
+    * parallel — the 100 TB shape: no global sort, one window per bucket).
+    * Deterministic — same binning on every run and engine — and
+    * SQL-expressible, so the oracle recomputes it with a windowed running
+    * sum. Returns (doc_id, bucket, bin, n_tokens). */
   def packDocuments(docs: DataFrame, capacity: Int, buckets: Int = 8,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
@@ -177,6 +184,44 @@ object TextOps {
       .select(col(idCol), col("bucket").cast("long").as("bucket"),
         (col("__before") / capacity).cast("long").as("bin"),
         col("n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /** First-fit sequence packing: within each hash bucket, documents are
+    * scanned in id order and a document opens a new bin iff it does not
+    * fit in the current one — bins NEVER exceed `capacity` except for a
+    * single oversized document (> capacity) which gets a bin of its own.
+    *
+    * The running decision is inherently sequential per bucket, so this is
+    * the one place a window can't express it: each bucket is routed to one
+    * partition (`repartition(bucket)` + in-partition sort) and folded with
+    * a per-partition scan. Buckets are the parallelism unit — size
+    * `buckets` to the cluster (e.g. 10k buckets over 100 TB keeps every
+    * core busy and every partition bounded). Returns the same
+    * (doc_id, bucket, bin, n_tokens) shape as [[packDocuments]]. */
+  def packDocumentsFirstFit(docs: DataFrame, capacity: Int, buckets: Int = 8,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+        pmod(col(idCol), lit(buckets)).cast("long").as("bucket"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+    sized.as[(Long, Long, Long)].mapPartitions { it =>
+      // state per bucket: a partition can host several buckets (hash
+      // collisions when partitions < buckets is impossible here since we
+      // repartition to exactly `buckets`, but keep it correct regardless)
+      val used = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      it.map { case (id, bucket, n) =>
+        val (bin, fill) = used.getOrElse(bucket, (0L, 0L))
+        val (newBin, newFill) =
+          if (fill > 0 && fill + n > capacity) (bin + 1, n)
+          else (bin, fill + n)
+        used(bucket) = (newBin, newFill)
+        (id, bucket, newBin, n)
+      }
+    }.toDF("doc_id", "bucket", "bin", "n_tokens")
   }
 
   /** Standard document-stats projection over a corpus. */

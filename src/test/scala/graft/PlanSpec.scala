@@ -48,6 +48,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q41: broadcast hints only on scan-rooted dimensions, never on an " +
+      "aggregated (cardinality-unbounded) frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val lp = SparkEntry.queries("q41_client_minimarket_top")(spark, d)
+      .queryExecution.analyzed
+    lp.collect { case h: ResolvedHint => h }.foreach { h =>
+      assert(h.child.collect { case a: Aggregate => a }.isEmpty,
+        "broadcast hint over an aggregate: its cardinality is unbounded " +
+          "(one row per group) and would OOM the build side at scale")
+    }
+  }
+
   test("t16: sampling filter reaches the scan side (no shuffle at all)") {
     val p = plan("t16_hash_sample")
     // one projection+filter over the scan, then the output sort — the

@@ -71,6 +71,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2).getString(1) == "unique three")
   }
 
+  test("lineDedup works with non-numeric doc ids") {
+    // the arithmetic doc_id*1e6+line_no key this replaced returned NULL on
+    // string ids and silently dropped every non-blank line
+    val docs = Seq(
+      ("doc-a", "shared\nonly a"),
+      ("doc-b", "shared\nonly b")).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "shared\nonly a")
+    assert(out(1).getString(1) == "only b")
+  }
+
   test("hashSample is deterministic and stratified rates hold roughly") {
     val docs = spark.range(0, 2000).toDF("doc_id")
       .withColumn("band", (col("doc_id") % 2 === 0).cast("int"))
@@ -98,6 +109,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 1L, 3L))
     // deterministic: same result on re-run
     val again = TextOps.packDocuments(docs, capacity = 6, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("packDocumentsFirstFit: bins hard-capped at capacity") {
+    // tokens 3,3,3,10,2 at capacity 6: doc1 fits with doc0 (3+3=6),
+    // doc2 opens bin 1, the 10-token doc gets bin 2 alone (oversized),
+    // doc4 opens bin 3 because bin 2 is already past capacity
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i"),
+      (3L, (1 to 10).map(i => s"w$i").mkString(" ")), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.packDocumentsFirstFit(docs, capacity = 6, buckets = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 0L, 1L, 2L, 3L))
+    // invariant: no bin exceeds capacity unless it is a single oversized doc
+    val binSums = out.groupBy(r => (r.getLong(1), r.getLong(2)))
+      .view.mapValues(rs => (rs.map(_.getLong(3)).sum, rs.length)).toMap
+    binSums.foreach { case (bin, (sum, n)) =>
+      assert(sum <= 6 || n == 1, s"bin $bin overflows: $sum tokens, $n docs")
+    }
+    // deterministic across runs
+    val again = TextOps.packDocumentsFirstFit(docs, capacity = 6, buckets = 1)
       .orderBy("doc_id").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
