@@ -761,6 +761,121 @@ object CoreQueries {
         col("MMRank"))
   }
 
+  /** S5:11-67 driven through graft.pipelines.BiReporting end to end: the
+    * definitions MERGE (update name/owner/parent on BackOfficeId match,
+    * insert otherwise), the DimRestaurant BiReportingId backfill via the
+    * rlp bridge (only where unset), and the relationship-bridge MERGE with
+    * delete-not-matched — output is the final bridge enriched with the
+    * merged definition names, so every stage's effect is observable. */
+  val q42BiReporting: Q = (s, d) => {
+    import graft.pipelines.BiReporting
+    val cust = T.customer(s, d)
+    val k = col("c_custkey")
+    val defsTarget = cust.filter(k >= 50 && k < 150).select(
+      k.cast("long").as("BiBackofficeId"),
+      (k + 5000L).as("BiReportingId"),
+      concat(lit("old "), col("c_name")).as("BiReportingName"),
+      concat(lit("own"), (k % 7).cast("string")).as("BiReportingGroupOwner"),
+      col("c_nationkey").cast("long").as("BiReportingParentId"))
+    // S5:19 `where bireportingparentid is not null` — fixture parents are
+    // always set, the filter shape is what matters
+    val defsSource = cust.filter(k < 100 && col("c_nationkey").isNotNull)
+      .select(
+        k.cast("long").as("BiBackofficeId"),
+        col("c_name").as("BiReportingName"),
+        col("c_mktsegment").as("BiReportingGroupOwner"),
+        col("c_nationkey").cast("long").as("BiReportingParentId"))
+    val defs = BiReporting.mergeDefinitions(defsTarget, defsSource)
+    val dimRest = cust.select(
+      k.cast("long").as("RestaurantKey"),
+      (k + 100000L).as("RLP_ID"),
+      when(k % 5 === 0, k + 5000L).otherwise(lit(0L)).as("BiReportingId"))
+    val rlp = cust.select((k + 100000L).as("id"),
+      (k % 150).cast("long").as("Bi_Reporting_Id"))
+    // S5:41-45 — res ⋈ rlp ⋈ defs resolves each restaurant's reporting id
+    val bridgeIn = dimRest.select(col("RestaurantKey"), col("RLP_ID"))
+      .join(rlp, col("RLP_ID") === col("id"))
+      .join(defs.select(col("BiBackofficeId"), col("BiReportingId")),
+        col("Bi_Reporting_Id") === col("BiBackofficeId"))
+      .select(col("RestaurantKey"), col("BiReportingId"))
+    val updated = BiReporting.updateDimRestaurant(dimRest, bridgeIn)
+    val factBridge = cust.filter(k % 3 === 0).select(
+      (k + 5000L).as("BiReportingId"), k.cast("long").as("RestaurantKey"))
+    val merged = BiReporting.mergeRelationships(factBridge,
+      updated.select(col("BiReportingId"), col("RestaurantKey")))
+    merged.join(defs.select(col("BiReportingId").as("__bid"),
+        col("BiReportingName"), col("BiReportingGroupOwner")),
+        col("BiReportingId") === col("__bid"), "left")
+      .select(col("RestaurantKey").cast("long").as("RestaurantKey"),
+        col("BiReportingId").cast("long").as("BiReportingId"),
+        col("BiReportingName"), col("BiReportingGroupOwner"))
+      .orderBy(col("RestaurantKey"), col("BiReportingId"))
+  }
+
+  /** Client dimension fixture shared by q43/q44/q45: 40 clients, industry
+    * = client id mod 5; every patron maps to client (custkey mod 40). */
+  private def clientDims(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cust = T.customer(s, d)
+    val dimPatron = cust.select(
+      col("c_custkey").as("UniquePatronId"),
+      (col("c_custkey") % 40).as("ClientID"),
+      when(col("c_custkey") % 3 === 0, 1).otherwise(0).as("IsHighValue"))
+    val dimClient = cust.filter(col("c_custkey") < 40).select(
+      col("c_custkey").as("ClientID"),
+      concat(lit("IND"), (col("c_custkey") % 5).cast("string"))
+        .as("ClientIndustry"),
+      concat(lit("C"), col("c_custkey").cast("string")).as("ClientCode"),
+      concat(lit("client "), col("c_custkey").cast("string")).as("ClientName"))
+    (dimPatron, dimClient)
+  }
+
+  /** Seg:243-265 driven through graft.pipelines.Segmentation: the
+    * vw_IndustrySpend reporting view — per-(industry, persona) minimarket
+    * spend and its share of the industry total. */
+  val q43IndustrySpend: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val (mm, _) = segStaging(s, d)
+    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val (dimPatron, dimClient) = clientDims(s, d)
+    Segmentation.industrySpend(mm, personas, dimPatron, dimClient)
+      .select(col("ClientIndustry"), col("PersonaName"),
+        col("SpendbySegmentation").cast("double").as("SpendbySegmentation"),
+        round(col("PercentOfSpend"), 6).as("PercentOfSpend"))
+      .orderBy(col("ClientIndustry"), col("PersonaName"))
+  }
+
+  /** Seg:270-296 driven through graft.pipelines.Segmentation: the
+    * vw_ClientSpend reporting view — per-(industry, client, persona) spend
+    * against the client total. */
+  val q44ClientSpend: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val (mm, _) = segStaging(s, d)
+    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val (dimPatron, dimClient) = clientDims(s, d)
+    Segmentation.clientSpend(mm, personas, dimPatron, dimClient)
+      .select(col("ClientIndustry"), col("ClientCode"), col("ClientName"),
+        col("PersonaName"),
+        col("SpendbySegmentation").cast("double").as("SpendbySegmentation"),
+        round(col("PercentOfSpend"), 6).as("PercentOfSpend"))
+      .orderBy(col("ClientCode"), col("PersonaName"))
+  }
+
+  /** Seg:405-426 driven through graft.pipelines.Segmentation: DinersCount —
+    * distinct diners and high-value diners per client in the window. */
+  val q45DinersCount: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val fact = T.orders(s, d).select(
+      col("o_custkey").as("UniquePatronId"),
+      Ops.dateKey(col("o_orderdate")).cast("long").as("DateKey"))
+    val (dimPatron, dimClient) = clientDims(s, d)
+    Segmentation.dinersCount(fact, dimPatron, dimClient,
+        19960101L, 19981231L)
+      .select(col("ClientName"),
+        col("DinersCount").cast("long").as("DinersCount"),
+        col("HighValueDiners").cast("long").as("HighValueDiners"))
+      .orderBy(col("ClientName"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -803,5 +918,9 @@ object CoreQueries {
     "q39_cuisine_impute" -> q39CuisineImpute,
     "q40_unique_patron_three_phase" -> q40UniquePatronThreePhase,
     "q41_client_minimarket_top" -> q41ClientMinimarketTop,
+    "q42_bi_reporting" -> q42BiReporting,
+    "q43_industry_spend" -> q43IndustrySpend,
+    "q44_client_spend" -> q44ClientSpend,
+    "q45_diners_count" -> q45DinersCount,
   )
 }

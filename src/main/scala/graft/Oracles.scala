@@ -391,7 +391,96 @@ object Oracles {
           |  round(p,6) AS pct
           |FROM rk WHERE MMRank<=10
           |ORDER BY ClientCode, SalesTerritory, PersonaName, MMRank""".stripMargin),
+
+    // S5 end-to-end mirror: definitions MERGE (full outer), restaurant
+    // backfill (left join + guarded CASE), bridge MERGE with
+    // delete-not-matched (= exactly the distinct source pairs)
+    "q42_bi_reporting" ->
+      """WITH defs_t AS (SELECT cast(c_custkey as bigint) AS boid,
+        |  cast(c_custkey+5000 as bigint) AS brid,
+        |  concat('old ', c_name) AS name,
+        |  concat('own', cast(c_custkey%7 as varchar)) AS owner
+        |  FROM customer WHERE c_custkey>=50 AND c_custkey<150),
+        |defs_s AS (SELECT cast(c_custkey as bigint) AS boid, c_name AS name,
+        |  c_mktsegment AS owner FROM customer WHERE c_custkey<100),
+        |defs AS (SELECT coalesce(t.boid, s.boid) AS boid, t.brid AS brid,
+        |  CASE WHEN s.boid IS NOT NULL THEN s.name ELSE t.name END AS name,
+        |  CASE WHEN s.boid IS NOT NULL THEN s.owner ELSE t.owner END AS owner
+        |  FROM defs_t t FULL OUTER JOIN defs_s s ON t.boid=s.boid),
+        |res AS (SELECT cast(c_custkey as bigint) AS rk,
+        |  cast(c_custkey+100000 as bigint) AS rlp_id,
+        |  CASE WHEN c_custkey%5=0 THEN cast(c_custkey+5000 as bigint)
+        |    ELSE 0 END AS bi
+        |  FROM customer),
+        |rlp AS (SELECT cast(c_custkey+100000 as bigint) AS id,
+        |  cast(c_custkey%150 as bigint) AS bo_bi FROM customer),
+        |bridge AS (SELECT r.rk, d.brid FROM res r JOIN rlp ON r.rlp_id=rlp.id
+        |  JOIN defs d ON d.boid=rlp.bo_bi),
+        |upd AS (SELECT res.rk,
+        |  CASE WHEN coalesce(res.bi,0)=0 AND b.brid IS NOT NULL THEN b.brid
+        |    ELSE res.bi END AS bi
+        |  FROM res LEFT JOIN bridge b ON res.rk=b.rk),
+        |merged AS (SELECT DISTINCT bi, rk FROM upd)
+        |SELECT m.rk AS RestaurantKey, m.bi AS BiReportingId,
+        |  d.name AS BiReportingName, d.owner AS BiReportingGroupOwner
+        |FROM merged m LEFT JOIN defs d ON d.brid=m.bi
+        |ORDER BY RestaurantKey, BiReportingId""".stripMargin,
+
+    "q43_industry_spend" ->
+      ("WITH " + segCtes + ",\n" + clientDimCtes + ",\n" +
+        """sp AS (SELECT industry, persona, sum(amt) AS spend
+          |  FROM mm JOIN cl ON mm.pid=cl.pid JOIN dimp ON mm.pid=dimp.pid2
+          |  JOIN dimc ON dimp.cid=dimc.cid2
+          |  GROUP BY 1,2),
+          |ind_tot AS (SELECT industry, sum(spend) AS t FROM sp GROUP BY 1)
+          |SELECT sp.industry AS ClientIndustry, sp.persona AS PersonaName,
+          |  cast(sp.spend as double) AS SpendbySegmentation,
+          |  round(CASE WHEN ind_tot.t=0 THEN NULL
+          |    ELSE cast(sp.spend as double)/cast(ind_tot.t as double) END, 6)
+          |    AS PercentOfSpend
+          |FROM sp JOIN ind_tot ON sp.industry=ind_tot.industry
+          |ORDER BY ClientIndustry, PersonaName""".stripMargin),
+
+    "q44_client_spend" ->
+      ("WITH " + segCtes + ",\n" + clientDimCtes + ",\n" +
+        """sp AS (SELECT industry, code, cname, persona, sum(amt) AS spend
+          |  FROM mm JOIN cl ON mm.pid=cl.pid JOIN dimp ON mm.pid=dimp.pid2
+          |  JOIN dimc ON dimp.cid=dimc.cid2
+          |  GROUP BY 1,2,3,4),
+          |ctot AS (SELECT code, sum(spend) AS t FROM sp GROUP BY 1)
+          |SELECT sp.industry AS ClientIndustry, sp.code AS ClientCode,
+          |  sp.cname AS ClientName, sp.persona AS PersonaName,
+          |  cast(sp.spend as double) AS SpendbySegmentation,
+          |  round(CASE WHEN ctot.t=0 THEN NULL
+          |    ELSE cast(sp.spend as double)/cast(ctot.t as double) END, 6)
+          |    AS PercentOfSpend
+          |FROM sp JOIN ctot ON sp.code=ctot.code
+          |ORDER BY ClientCode, PersonaName""".stripMargin),
+
+    "q45_diners_count" ->
+      ("WITH " + clientDimCtes + ",\n" +
+        """fact AS (SELECT o_custkey AS pid,
+          |  cast(strftime(o_orderdate,'%Y%m%d') as int) AS dk FROM orders)
+          |SELECT cname AS ClientName,
+          |  cast(count(distinct pid) as bigint) AS DinersCount,
+          |  cast(count(distinct CASE WHEN hv=1 THEN pid END) as bigint)
+          |    AS HighValueDiners
+          |FROM fact JOIN dimp ON pid=dimp.pid2 JOIN dimc ON dimp.cid=dimc.cid2
+          |WHERE dk BETWEEN 19960101 AND 19981231
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
   )
+
+  /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors
+    * CoreQueries.clientDims: 40 clients, industry = id mod 5, patron →
+    * client via custkey mod 40, high-value = custkey mod 3 = 0. */
+  private lazy val clientDimCtes: String =
+    """dimp AS (SELECT c_custkey AS pid2, c_custkey%40 AS cid,
+      |  CASE WHEN c_custkey%3=0 THEN 1 ELSE 0 END AS hv FROM customer),
+      |dimc AS (SELECT c_custkey AS cid2,
+      |  concat('IND', cast(c_custkey%5 as varchar)) AS industry,
+      |  concat('C', cast(c_custkey as varchar)) AS code,
+      |  concat('client ', cast(c_custkey as varchar)) AS cname
+      |  FROM customer WHERE c_custkey<40)""".stripMargin
 
   /** Shared CTE chain of the segmentation oracle (Seg:144-217 mirror):
     * minimarket spend, totals, max-territory/max-minimarket ratios, and the

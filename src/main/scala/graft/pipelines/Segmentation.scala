@@ -119,6 +119,62 @@ object Segmentation {
             col("DIN_DisplayMiniMarketName"))))
       .filter(col("MMRank") <= k)
 
+  /** Seg:243-265 — vw_IndustrySpend: minimarket spend per (ClientIndustry,
+    * PersonaName) and its share of the industry total.
+    *
+    * The reference computes TotalSpend in a second full scan of
+    * MinimarketSpend and re-joins it on industry (Seg:244-252); because
+    * the segmentation fact covers every spending patron, the industry
+    * total equals the sum of the grouped rows themselves — so it is a
+    * window sum OVER the aggregate here: one pass over MinimarketSpend
+    * instead of two plus a join, value-identical (decimal addition of the
+    * same addends). `personas` = (UniquePatronId, PersonaName) — the
+    * FactUniquePatronSegmentation ⋈ DimPatronSegmentation equivalent. */
+  def industrySpend(mmSpend: DataFrame, personas: DataFrame,
+                    dimPatron: DataFrame, dimClient: DataFrame): DataFrame = {
+    val spend = mmSpend
+      .join(personas, Seq("UniquePatronId"))
+      .join(dimPatron.select(col("UniquePatronId"), col("ClientID")),
+        Seq("UniquePatronId"))
+      .join(broadcast(dimClient.select(col("ClientID"), col("ClientIndustry"))),
+        Seq("ClientID"))
+      .groupBy(col("ClientIndustry"), col("PersonaName"))
+      .agg(sum(col("MinimarketAmount")).as("SpendbySegmentation"))
+    spend
+      .withColumn("__tot", sum(col("SpendbySegmentation")).over(
+        Window.partitionBy(col("ClientIndustry"))))
+      .select(col("ClientIndustry"), col("PersonaName"),
+        col("SpendbySegmentation"),
+        Ops.safeRatio(col("SpendbySegmentation"), col("__tot"))
+          .as("PercentOfSpend"))
+  }
+
+  /** Seg:270-296 — vw_ClientSpend: the per-client twin of
+    * [[industrySpend]] — spend per (industry, client, persona) against the
+    * client's total. The reference's TotalSpend CTE groups by (industry,
+    * code, name) but joins back on ClientCode alone (Seg:292), relying on
+    * code → (industry, name) being functional; the window over ClientCode
+    * encodes exactly that join key. */
+  def clientSpend(mmSpend: DataFrame, personas: DataFrame,
+                  dimPatron: DataFrame, dimClient: DataFrame): DataFrame = {
+    val spend = mmSpend
+      .join(personas, Seq("UniquePatronId"))
+      .join(dimPatron.select(col("UniquePatronId"), col("ClientID")),
+        Seq("UniquePatronId"))
+      .join(broadcast(dimClient.select(col("ClientID"), col("ClientIndustry"),
+        col("ClientCode"), col("ClientName"))), Seq("ClientID"))
+      .groupBy(col("ClientIndustry"), col("ClientCode"), col("ClientName"),
+        col("PersonaName"))
+      .agg(sum(col("MinimarketAmount")).as("SpendbySegmentation"))
+    spend
+      .withColumn("__tot", sum(col("SpendbySegmentation")).over(
+        Window.partitionBy(col("ClientCode"))))
+      .select(col("ClientIndustry"), col("ClientCode"), col("ClientName"),
+        col("PersonaName"), col("SpendbySegmentation"),
+        Ops.safeRatio(col("SpendbySegmentation"), col("__tot"))
+          .as("PercentOfSpend"))
+  }
+
   /** Seg:405-426 — DinersCount: distinct diners and high-value diners per
     * client over the trailing window. */
   def dinersCount(fact: DataFrame, dimUniquePatron: DataFrame,

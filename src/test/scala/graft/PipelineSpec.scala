@@ -216,6 +216,33 @@ class PipelineSpec extends SparkSpec {
       (4L, "Undefined")))
   }
 
+  test("spend views: per-persona shares sum to the industry/client total") {
+    val mm = Seq(
+      (1L, "East", "NYC", BigDecimal(100)),                              // OM
+      (2L, "East", "NYC", BigDecimal(50)), (2L, "West", "LA", BigDecimal(50)), // RW
+      (3L, "East", "NYC", BigDecimal(50)), (3L, "East", "BOS", BigDecimal(50)) // CP
+    ).toDF("UniquePatronId", "SalesTerritory", "DIN_DisplayMiniMarketName",
+      "MinimarketAmount")
+    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val dimPatron = Seq((1L, 10L), (2L, 10L), (3L, 20L))
+      .toDF("UniquePatronId", "ClientID")
+    val dimClient = Seq((10L, "Food", "C10", "Acme"), (20L, "Tech", "C20", "Bit"))
+      .toDF("ClientID", "ClientIndustry", "ClientCode", "ClientName")
+    val ind = Segmentation.industrySpend(mm, personas, dimPatron, dimClient)
+      .orderBy("ClientIndustry", "PersonaName").collect()
+    assert(ind.map(r => (r.getString(0), r.getString(1),
+      r.getDecimal(2).doubleValue, r.getDouble(3))).toSeq == Seq(
+      ("Food", "Office manager", 100.0, 0.5),
+      ("Food", "Road Warrior", 100.0, 0.5),
+      ("Tech", "City person", 100.0, 1.0)))
+    val cli = Segmentation.clientSpend(mm, personas, dimPatron, dimClient)
+      .orderBy("ClientCode", "PersonaName").collect()
+    assert(cli.map(r => (r.getString(1), r.getString(3),
+      r.getDouble(5))).toSeq == Seq(
+      ("C10", "Office manager", 0.5), ("C10", "Road Warrior", 0.5),
+      ("C20", "City person", 1.0)))
+  }
+
   test("cuisine imputation: partner mode preferred, rank cutoff honored") {
     val dim = Seq(
       (1L, "B1", "Partner", "Italian", 10),
