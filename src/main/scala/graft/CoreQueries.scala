@@ -876,6 +876,126 @@ object CoreQueries {
       .orderBy(col("ClientName"))
   }
 
+  /** spScript.sql:35-79 driven through graft.pipelines.SalesForce: the
+    * DimSalesForceBrand MERGE — BrandProfile semi-joined to the distinct
+    * synced ids, empty-name rows dropped, DiningGroupSegment CASE-defaulted
+    * from RestaurantSegment, free-text thresholds TRY_CAST to
+    * DECIMAL(18,4), and the ISNULL-normalized change-detection update.
+    * The k%13 rows plant target='' vs source=NULL PrimaryCuisine: raw
+    * values differ but the ISNULL compare says equal, so the target's ''
+    * must survive — the spScript.sql:56-63 semantics made observable. */
+  val q46BrandProfileMerge: Q = (s, d) => {
+    import graft.pipelines.SalesForce
+    val sup = T.supplier(s, d)
+    val k = col("s_suppkey")
+    val seg = when(k % 6 === 0, "QSR").when(k % 6 === 1, "FAST CASUAL")
+      .when(k % 6 === 2, "MIDSCALE").when(k % 6 === 3, "UPSCALE")
+      .when(k % 6 === 4, "CASUAL").otherwise("FINE DINING")
+    val brandProfile = sup.select(
+      concat(lit("BP"), k.cast("string")).as("Id"),
+      when(k % 17 === 0, "").when(k % 19 === 0, lit(null).cast("string"))
+        .otherwise(col("s_name")).as("BrandName"),
+      seg.as("RestaurantSegment"),
+      when(k % 3 === 0, lit(null).cast("string")).otherwise("GIVEN")
+        .as("DiningGroupSegment"),
+      when(k % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("cuisine"), (k % 9).cast("string")))
+        .as("PrimaryCuisine"),
+      when(k % 7 === 0, "N/A")
+        .otherwise(concat((k * 25).cast("string"), lit(".50")))
+        .as("CateringAmountThreshold"),
+      when(k % 11 === 0, "").otherwise((k * 40).cast("string"))
+        .as("LargeEventThreshold"))
+    // duplicated sync rows — the DISTINCT in brandProfileSource must collapse
+    val syncIds = sup.filter(k % 4 =!= 3)
+      .select(concat(lit("BP"), k.cast("string")).as("BrandProfileId"))
+    val sfSync = syncIds.unionAll(syncIds)
+    val target = sup.filter(k <= 60).select(
+      concat(lit("BP"), k.cast("string")).as("BrandProfileId"),
+      when(k % 5 === 0, "stale name").otherwise(col("s_name")).as("BrandName"),
+      seg.as("RestaurantSegment"),
+      when(k % 3 === 0, when(k % 6 <= 1, "LSR").otherwise("FSR"))
+        .otherwise("GIVEN").as("DiningGroupSegment"),
+      when(k % 13 === 0, "")
+        .otherwise(concat(lit("cuisine"), (k % 9).cast("string")))
+        .as("PrimaryCuisine"),
+      when(k % 7 === 0, lit(null).cast("decimal(18,4)"))
+        .otherwise((k * 25).cast("decimal(18,4)") + 0.5)
+        .as("CateringAmountThreshold"),
+      when(k % 11 === 0, lit(null).cast("decimal(18,4)"))
+        .otherwise((k * 40).cast("decimal(18,4)"))
+        .as("LargeEventThreshold"))
+    SalesForce.mergeBrandProfile(target, brandProfile, sfSync)
+      .select(col("BrandProfileId"), col("BrandName"),
+        col("RestaurantSegment"), col("DiningGroupSegment"),
+        col("PrimaryCuisine"),
+        col("CateringAmountThreshold").cast("double")
+          .as("CateringAmountThreshold"),
+        col("LargeEventThreshold").cast("double").as("LargeEventThreshold"))
+      .orderBy(col("BrandProfileId"))
+  }
+
+  /** spScript.sql:205-212 driven through graft.pipelines.SalesForce: the
+    * parent-account self-link UPDATE..FROM. Synced rows re-link to their
+    * parent's surrogate key; a NULL ParentAccountID (k%10) or a parent id
+    * absent from the dimension (k%7 'Z' ids) sets the link NULL — the
+    * LEFT-JOIN-update semantics, not preserve-old; unsynced rows (odd k)
+    * keep the original -1. */
+  val q47ParentSelfLink: Q = (s, d) => {
+    import graft.pipelines.SalesForce
+    val cust = T.customer(s, d)
+    val k = col("c_custkey")
+    val dim = cust.select(
+      (k + 1000L).cast("long").as("SFRestaurantKey"),
+      concat(lit("A"), k.cast("string")).as("SFKey"),
+      col("c_name").as("AccountName"),
+      lit(-1L).as("SFParentRestaurantKey"))
+    val sync = cust.filter(k % 2 === 0).select(
+      concat(lit("A"), k.cast("string")).as("AccountID"),
+      when(k % 10 === 0, lit(null).cast("string"))
+        .when(k % 7 === 0, concat(lit("Z"), k.cast("string")))
+        .otherwise(concat(lit("A"), greatest(k % 50, lit(1)).cast("string")))
+        .as("ParentAccountID"))
+    SalesForce.linkParentAccounts(dim, sync)
+      .orderBy(col("SFRestaurantKey"))
+  }
+
+  /** O1 beyond parquet — CSV source: the customer table re-materialized as
+    * a headered CSV copy (written once per fixture version by Spark), read
+    * back through the schema-explicit CSV reader, then aggregated; the
+    * DuckDB oracle computes the same aggregate from the original parquet,
+    * so any CSV round-trip corruption (quoting, nulls, number rendering)
+    * breaks the hash. */
+  val q48CsvSource: Q = (s, d) => {
+    val path = T.exportedCopy(s, d, "customer", "csv",
+      Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+    T.csv(s, path,
+        "c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("sum_bal"),
+        min(col("c_custkey")).as("min_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** O1 beyond parquet — JSON-lines source: orders re-materialized as
+    * JSON (the ms-timestamp order date serializes as an ISO-8601 string
+    * and must parse back through the TIMESTAMP-typed schema, UTC session),
+    * aggregated per order-month against the parquet oracle. */
+  val q49JsonSource: Q = (s, d) => {
+    val path = T.exportedCopy(s, d, "orders", "json",
+      Seq("o_orderkey", "o_orderdate", "o_totalprice"))
+    T.jsonLines(s, path,
+        "o_orderkey BIGINT, o_orderdate TIMESTAMP, o_totalprice DOUBLE")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_total"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("order_month"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -922,5 +1042,9 @@ object CoreQueries {
     "q43_industry_spend" -> q43IndustrySpend,
     "q44_client_spend" -> q44ClientSpend,
     "q45_diners_count" -> q45DinersCount,
+    "q46_brand_profile_merge" -> q46BrandProfileMerge,
+    "q47_parent_self_link" -> q47ParentSelfLink,
+    "q48_csv_source" -> q48CsvSource,
+    "q49_json_source" -> q49JsonSource,
   )
 }

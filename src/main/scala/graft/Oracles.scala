@@ -468,6 +468,111 @@ object Oracles {
           |FROM fact JOIN dimp ON pid=dimp.pid2 JOIN dimc ON dimp.cid=dimc.cid2
           |WHERE dk BETWEEN 19960101 AND 19981231
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // P-SF DimSalesForceBrand MERGE mirror (spScript.sql:35-79): the
+    // dup-union'd sync semi-join reduces to the k%4<>3 membership test;
+    // the ISNULL-normalized change flag is precomputed once in `j`
+    "q46_brand_profile_merge" ->
+      """WITH bp AS (SELECT s_suppkey AS k,
+        |  concat('BP', cast(s_suppkey as varchar)) AS id,
+        |  CASE WHEN s_suppkey%17=0 THEN '' WHEN s_suppkey%19=0 THEN NULL
+        |    ELSE s_name END AS bn,
+        |  CASE WHEN s_suppkey%6=0 THEN 'QSR' WHEN s_suppkey%6=1 THEN 'FAST CASUAL'
+        |    WHEN s_suppkey%6=2 THEN 'MIDSCALE' WHEN s_suppkey%6=3 THEN 'UPSCALE'
+        |    WHEN s_suppkey%6=4 THEN 'CASUAL' ELSE 'FINE DINING' END AS seg,
+        |  CASE WHEN s_suppkey%3=0 THEN NULL ELSE 'GIVEN' END AS dgs,
+        |  CASE WHEN s_suppkey%13=0 THEN NULL
+        |    ELSE concat('cuisine', cast(s_suppkey%9 as varchar)) END AS pc,
+        |  CASE WHEN s_suppkey%7=0 THEN 'N/A'
+        |    ELSE concat(cast(s_suppkey*25 as varchar), '.50') END AS cat_s,
+        |  CASE WHEN s_suppkey%11=0 THEN ''
+        |    ELSE cast(s_suppkey*40 as varchar) END AS lg_s
+        |  FROM supplier),
+        |src AS (SELECT id, bn, seg,
+        |  CASE WHEN dgs IS NULL AND seg IN ('QSR','FAST CASUAL') THEN 'LSR'
+        |    WHEN dgs IS NULL AND seg IN ('MIDSCALE','UPSCALE','FINE DINING','CASUAL')
+        |      THEN 'FSR'
+        |    ELSE dgs END AS dgs,
+        |  pc, TRY_CAST(cat_s AS DECIMAL(18,4)) AS cat,
+        |  TRY_CAST(lg_s AS DECIMAL(18,4)) AS lg
+        |  FROM bp WHERE nullif(bn,'') IS NOT NULL AND k%4<>3),
+        |tgt AS (SELECT concat('BP', cast(s_suppkey as varchar)) AS id,
+        |  CASE WHEN s_suppkey%5=0 THEN 'stale name' ELSE s_name END AS bn,
+        |  CASE WHEN s_suppkey%6=0 THEN 'QSR' WHEN s_suppkey%6=1 THEN 'FAST CASUAL'
+        |    WHEN s_suppkey%6=2 THEN 'MIDSCALE' WHEN s_suppkey%6=3 THEN 'UPSCALE'
+        |    WHEN s_suppkey%6=4 THEN 'CASUAL' ELSE 'FINE DINING' END AS seg,
+        |  CASE WHEN s_suppkey%3=0 THEN
+        |    (CASE WHEN s_suppkey%6 IN (0,1) THEN 'LSR' ELSE 'FSR' END)
+        |    ELSE 'GIVEN' END AS dgs,
+        |  CASE WHEN s_suppkey%13=0 THEN ''
+        |    ELSE concat('cuisine', cast(s_suppkey%9 as varchar)) END AS pc,
+        |  CASE WHEN s_suppkey%7=0 THEN NULL
+        |    ELSE cast(s_suppkey*25 as decimal(18,4))+0.5 END AS cat,
+        |  CASE WHEN s_suppkey%11=0 THEN NULL
+        |    ELSE cast(s_suppkey*40 as decimal(18,4)) END AS lg
+        |  FROM supplier WHERE s_suppkey<=60),
+        |j AS (SELECT t.id AS tid, s.id AS sid,
+        |  t.bn AS tbn, t.seg AS tseg, t.dgs AS tdgs, t.pc AS tpc,
+        |  t.cat AS tcat, t.lg AS tlg,
+        |  s.bn AS sbn, s.seg AS sseg, s.dgs AS sdgs, s.pc AS spc,
+        |  s.cat AS scat, s.lg AS slg,
+        |  (coalesce(t.bn,'')<>coalesce(s.bn,'')
+        |   OR coalesce(t.seg,'')<>coalesce(s.seg,'')
+        |   OR coalesce(t.dgs,'')<>coalesce(s.dgs,'')
+        |   OR coalesce(t.pc,'')<>coalesce(s.pc,'')
+        |   OR coalesce(t.cat,-1)<>coalesce(s.cat,-1)
+        |   OR coalesce(t.lg,-1)<>coalesce(s.lg,-1)) AS chg
+        |  FROM tgt t FULL OUTER JOIN src s ON t.id=s.id)
+        |SELECT coalesce(tid, sid) AS BrandProfileId,
+        |  CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN sbn
+        |    ELSE tbn END AS BrandName,
+        |  CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN sseg
+        |    ELSE tseg END AS RestaurantSegment,
+        |  CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN sdgs
+        |    ELSE tdgs END AS DiningGroupSegment,
+        |  CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN spc
+        |    ELSE tpc END AS PrimaryCuisine,
+        |  cast(CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN scat
+        |    ELSE tcat END as double) AS CateringAmountThreshold,
+        |  cast(CASE WHEN sid IS NOT NULL AND (tid IS NULL OR chg) THEN slg
+        |    ELSE tlg END as double) AS LargeEventThreshold
+        |FROM j ORDER BY BrandProfileId""".stripMargin,
+
+    // P-SF parent self-link mirror (spScript.sql:205-212): synced rows take
+    // the parent's key through the LEFT JOIN (NULL when absent), unsynced
+    // rows keep the original -1
+    "q47_parent_self_link" ->
+      """WITH dim AS (SELECT cast(c_custkey+1000 as bigint) AS rk,
+        |  concat('A', cast(c_custkey as varchar)) AS sfkey,
+        |  c_name AS an, cast(-1 as bigint) AS prk FROM customer),
+        |sync AS (SELECT concat('A', cast(c_custkey as varchar)) AS acct,
+        |  CASE WHEN c_custkey%10=0 THEN NULL
+        |    WHEN c_custkey%7=0 THEN concat('Z', cast(c_custkey as varchar))
+        |    ELSE concat('A', cast(greatest(c_custkey%50,1) as varchar))
+        |  END AS parent
+        |  FROM customer WHERE c_custkey%2=0)
+        |SELECT d.rk AS SFRestaurantKey, d.sfkey AS SFKey, d.an AS AccountName,
+        |  CASE WHEN s.acct IS NOT NULL THEN p.rk ELSE d.prk END
+        |    AS SFParentRestaurantKey
+        |FROM dim d LEFT JOIN sync s ON d.sfkey=s.acct
+        |LEFT JOIN dim p ON p.sfkey=s.parent
+        |ORDER BY SFRestaurantKey""".stripMargin,
+
+    // non-parquet-source checks: the Spark side reads a CSV / JSON copy of
+    // the fixture, the oracle the original parquet — a round-trip
+    // corruption on either side breaks the hash
+    "q48_csv_source" ->
+      """SELECT c_mktsegment, cast(count(*) as bigint) AS n_cust,
+        |  cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS sum_bal,
+        |  cast(min(c_custkey) as bigint) AS min_key
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_json_source" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  cast(count(*) as bigint) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_total,
+        |  cast(min(o_orderkey) as bigint) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors

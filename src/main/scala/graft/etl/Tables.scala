@@ -1,8 +1,8 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Fixture / warehouse readers.
   *
@@ -35,4 +35,53 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** O1 width beyond parquet: CSV / JSON-lines sources with an explicit
+    * schema (DDL string). Schema-explicit reads skip the inference scan —
+    * at 100 TB a schema-inference pass is a full extra read of the input —
+    * and both formats stay splittable (single-line records), so a
+    * 1000-executor scan parallelizes exactly like parquet, minus the
+    * column pruning/statistics parquet would add.
+    */
+  def csv(s: SparkSession, path: String, ddl: String): DataFrame =
+    s.read.schema(StructType.fromDDL(ddl)).option("header", "true").csv(path)
+
+  def jsonLines(s: SparkSession, path: String, ddl: String): DataFrame =
+    s.read.schema(StructType.fromDDL(ddl)).json(path)
+
+  private val exportMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String, Long), String]
+
+  private def fixtureMtime(d: String, name: String): Long = {
+    val f = new java.io.File(s"$d/$name.parquet")
+    val nested = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: nested.map(_.lastModified())).max
+  }
+
+  /** Re-materialize selected columns of a parquet fixture as a CSV or
+    * JSON-lines copy (the non-parquet-source test bed: the copy is written
+    * by Spark once per fixture version, then read back through [[csv]] /
+    * [[jsonLines]] while the DuckDB oracle reads the original parquet).
+    * Lives under target/ so nothing outside the repo is touched. */
+  def exportedCopy(s: SparkSession, d: String, name: String, fmt: String,
+                   cols: Seq[String]): String = {
+    val key = (d, name, fmt, fixtureMtime(d, name))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == name && k._3 == fmt && k != key)
+        .foreach(exportMemo.remove)
+      val base = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
+        "/root/repo/target/fixture-cache")
+      val path = s"$base/${name}_${fmt}_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      val w = table(s, d, name).select(cols.map(col).toIndexedSeq: _*)
+        .coalesce(4).write.mode("overwrite")
+      fmt match {
+        case "csv"  => w.option("header", "true").csv(path)
+        case "json" => w.json(path)
+        case other  => throw new IllegalArgumentException(s"format: $other")
+      }
+      path
+    })
+  }
 }
