@@ -250,6 +250,30 @@ object DataQueries {
     graft.streaming.Streams.sessionRollup(T.events(s, d))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** Click->purchase attribution — the batch twin of the state-bounded
+    * stream-stream interval join (graft.streaming.Streams.attributionJoin):
+    * each purchase joined to same-user clicks in the preceding hour, then
+    * the latest such click wins; n_candidates counts the window. Bounds as
+    * epoch micros for exact cross-engine compare. */
+  val t20ClickAttribution: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, d)
+    graft.streaming.Streams.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "1 hour")
+      .withColumn("n_candidates",
+        count(lit(1)).over(w.partitionBy(col("purchase_id"))))
+      .withColumn("__rn", row_number().over(w.partitionBy(col("purchase_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("click_id").as("attributed_click"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("n_candidates").cast("long").as("n_candidates"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus against a deterministic
     * centroid set (every 250th vector), then search only matching lists.
     * The 100 TB shape: one broadcast assign pass + per-list scans. */
@@ -317,6 +341,7 @@ object DataQueries {
     "t17_media_resize" -> t17MediaResize,
     "t18_salted_rollup" -> t18SaltedRollup,
     "t19_doc_packing" -> t19DocPacking,
+    "t20_click_attribution" -> t20ClickAttribution,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

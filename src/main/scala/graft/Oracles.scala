@@ -1283,6 +1283,31 @@ object Oracles {
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // batch twin of the stream-stream interval join: latest same-user
+    // click in the hour before each purchase
+    "t20_click_attribution" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type='click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type='purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |    c.click_id, c.click_ts
+        |  FROM p JOIN c ON p.user_id=c.user_id
+        |  AND c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY click_ts DESC, click_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY purchase_id) AS n_candidates
+        |  FROM j)
+        |SELECT cast(purchase_id as bigint) AS purchase_id,
+        |  cast(user_id as bigint) AS user_id,
+        |  cast(epoch_us(purchase_ts) as bigint) AS purchase_us,
+        |  cast(click_id as bigint) AS attributed_click,
+        |  cast(epoch_us(click_ts) as bigint) AS click_us,
+        |  cast(n_candidates as bigint) AS n_candidates
+        |FROM r WHERE rn=1 ORDER BY purchase_id""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

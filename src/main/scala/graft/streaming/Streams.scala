@@ -148,6 +148,85 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to the clicks of
+    * the same user within the preceding `horizon`. Both sides carry a
+    * watermark and the join condition bounds click_ts to
+    * [purchase_ts - horizon, purchase_ts], so Spark can expire join state
+    * on both sides — the state-bounded form a 100 TB event stream needs
+    * (an unbounded-condition stream-stream join grows state forever).
+    * Works on batch frames too (same plan, no watermark). Emits one row
+    * per (purchase, candidate click); pick-latest is a downstream concern
+    * (see DataQueries.t20 for the batch formulation with the rank). */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour",
+                      watermark: String = "2 hours"): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val c = wm(clicks).select(col("event_id").as("click_id"),
+      col("user_id").as("__cuser"), col("ts").as("click_ts"))
+    val p = wm(purchases).select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    p.join(c,
+      col("user_id") === col("__cuser") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr(s"interval $horizon"))
+      .drop("__cuser")
+  }
+
+  /** One microbatch step of the upsert sink: per-user totals of `delta`
+    * folded into `target` (full-outer on user_id, counters summed). Pure
+    * DataFrame -> DataFrame so batch and foreachBatch share it. */
+  def upsertUserTotals(target: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.groupBy(col("user_id").as("__uid"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("value").cast("decimal(18,4)")).as("__sum"))
+    target.join(d, col("user_id") === col("__uid"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("__uid")).as("user_id"),
+        (coalesce(col("n_events"), lit(0L)) +
+          coalesce(col("__n"), lit(0L))).as("n_events"),
+        (coalesce(col("sum_value"), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(18,4)")) +
+          coalesce(col("__sum"), lit(java.math.BigDecimal.ZERO)
+            .cast("decimal(18,4)"))).cast("decimal(18,4)").as("sum_value"))
+  }
+
+  /** foreachBatch upsert sink: stream events into a parquet "table" that
+    * holds running per-user totals — the MERGE-into-warehouse idiom the
+    * reference runs monthly, incrementalized. Each microbatch reads the
+    * current target, folds the batch in ([[upsertUserTotals]]), and
+    * republishes through [[graft.etl.Publish]]'s stage-then-atomic-swap,
+    * so a crashed batch never leaves a half-written table. Returns the
+    * final target. (At warehouse scale the rewrite would target only
+    * changed partitions; the publish protocol is the part that carries.) */
+  def runUpsertOnce(spark: SparkSession, dir: String, targetRoot: String,
+                    glob: String = "events*.parquet",
+                    nanosTs: Boolean = false): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DecimalType(18, 4))))
+    def readTarget(): DataFrame = {
+      val p = new java.io.File(s"$targetRoot/user_totals")
+      if (p.exists()) spark.read.parquet(p.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val q = eventsStream(spark, dir, glob, nanosTs)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val merged = upsertUserTotals(readTarget(), batch)
+        graft.etl.Publish
+          .publishAll(targetRoot, Map("user_totals" -> merged)).get
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readTarget()
+  }
+
   /** Run the hourly rollup as a one-shot (availableNow) stream into an
     * in-memory table; returns the populated result. Demonstrates the full
     * readStream -> agg -> writeStream path on bounded input. */

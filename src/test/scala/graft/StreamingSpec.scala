@@ -102,6 +102,77 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds == ids)
   }
 
+  test("attributionJoin streaming == batch; horizon bounds candidates") {
+    val dir = Files.createTempDirectory("graft_attr").toString
+    val events = Seq(
+      // user 7: clicks at 10:00 and 10:40, purchase 11:10 -> only the
+      // 10:40 click is inside the 1h horizon
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:40:00"), 7L, "click", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:10:00"), 7L, "purchase", 9.5, "{}"),
+      // user 8: purchase with no prior click -> inner join drops it
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), 8L, "purchase", 5.0, "{}"),
+      // user 9: click AFTER the purchase -> not attributable
+      (5L, Timestamp.valueOf("2024-01-01 11:30:00"), 9L, "purchase", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-01-01 11:45:00"), 9L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.mode("overwrite").parquet(s"$dir/events_a.parquet")
+
+    def split(df: org.apache.spark.sql.DataFrame) =
+      (df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+    val (bc, bp) = split(events)
+    val batch = Streams.attributionJoin(bc, bp)
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == Seq((3L, 2L))) // one attributable purchase, one click
+
+    val src = spark.readStream.schema(Streams.eventSchema)
+      .parquet(s"$dir/events_a.parquet")
+    val (sc, sp) = split(src)
+    val q = Streams.attributionJoin(sc, sp)
+      .writeStream.format("memory").queryName("spec_attr")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("spec_attr")
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("runUpsertOnce: foreachBatch merge publishes running user totals") {
+    val dir = Files.createTempDirectory("graft_upsert_src").toString
+    val target = Files.createTempDirectory("graft_upsert_tgt").toString
+    val a = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.5, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 2.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 10:20:00"), 8L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    a.write.mode("overwrite").parquet(s"$dir/events_a.parquet")
+
+    val out1 = Streams.runUpsertOnce(spark, s"$dir/events_a.parquet",
+        target, "*.parquet")
+      .orderBy("user_id").collect()
+    assert(out1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 2L), (8L, 1L)))
+    assert(out1(0).getDecimal(2).doubleValue() == 3.5)
+
+    // second run over a NEW file folds into the existing published target
+    val b = Seq(
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir2 = Files.createTempDirectory("graft_upsert_src2").toString
+    b.write.mode("overwrite").parquet(s"$dir2/events_b.parquet")
+    val out2 = Streams.runUpsertOnce(spark, s"$dir2/events_b.parquet",
+        target, "*.parquet")
+      .orderBy("user_id").collect()
+    assert(out2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, 2L), (8L, 2L)))
+    assert(out2(1).getDecimal(2).doubleValue() == 5.0)
+  }
+
   test("slidingUserActivity counts overlapping windows") {
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "click", 1.0, "{}"),
