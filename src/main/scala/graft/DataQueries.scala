@@ -193,10 +193,12 @@ object DataQueries {
         col("duration_ms").cast("long").as("duration_ms"))
       .orderBy(col("asset_id"))
 
-  /** Frame-sampling plan for the video assets (1 frame/s, max 32). */
+  /** Frame-sampling plan for the video assets (1 frame/s, max 32) — over
+    * the pure-expression metadata path (metadata-only consumer: stays
+    * codegen'd, no mapPartitions boundary). */
   val t09FramePlan: Q = (s, d) =>
     Multimodal.frameSamplePlan(
-        Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d))))
+        Multimodal.extractMetaExpr(Multimodal.asAssets(T.documents(s, d))))
       .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("ts_ms").cast("long").as("ts_ms"))
       .orderBy(col("asset_id"), col("frame_idx"))
@@ -206,7 +208,7 @@ object DataQueries {
     * stub hash (both recomputable by the oracle). */
   val t17MediaResize: Q = (s, d) =>
     Multimodal.resizePlan(
-        Multimodal.extractMeta(Multimodal.asAssets(T.documents(s, d))))
+        Multimodal.extractMetaExpr(Multimodal.asAssets(T.documents(s, d))))
       .orderBy(col("asset_id"))
 
   /** The skew path end to end: two-phase salted aggregation over a

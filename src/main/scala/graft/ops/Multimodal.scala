@@ -79,6 +79,31 @@ object Multimodal {
       }
   }
 
+  /** Pure-expression twin of [[extractMeta]]: the stub's metadata derived
+    * with codegen'd column functions (md5 → seed → dims), no mapPartitions.
+    * For metadata-only consumers (frame/resize planning) this keeps column
+    * pruning and whole-stage codegen intact — the [[extractMeta]] iterator
+    * exists for the real-codec swap, where a JNI decoder genuinely needs
+    * per-partition setup and this path stops being available. Parity
+    * between the two is spec-guarded (MultimodalSpec). */
+  def extractMetaExpr(assets: DataFrame): DataFrame =
+    assets
+      .withColumn("__seed",
+        conv(substring(md5(col("content")), 1, 8), 16, 10).cast("long"))
+      .select(col("asset_id"), col("modality"),
+        length(col("content")).cast("int").as("n_bytes"),
+        when(col("modality").isin("image", "video"),
+          (lit(64) + expr("__seed % 1024")).cast("int"))
+          .otherwise(0).as("width"),
+        when(col("modality").isin("image", "video"),
+          (lit(64) + expr("(__seed div 1024) % 1024")).cast("int"))
+          .otherwise(0).as("height"),
+        when(col("modality").isin("audio", "video"),
+          (lit(1000) + expr("__seed % 600000")).cast("int"))
+          .otherwise(0).as("duration_ms"),
+        conv(substring(md5(col("content")), 1, 15), 16, 10).cast("long")
+          .as("content_hash"))
+
   /** Resize plan for visual assets: fit the longest side to `maxDim`
     * preserving aspect ratio, never upscaling. Dimension math is integer
     * division (`div`) so any engine recomputes it exactly; the resized
@@ -86,13 +111,13 @@ object Multimodal {
     * md5-derived hash of (content_hash, target dims), the value a real
     * implementation would replace with the re-encoded bytes. Pure
     * expressions — the plan stays codegen'd and distributed. */
-  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int = 256): DataFrame = {
+  def resizePlan(meta: DataFrame, maxDim: Int = 256): DataFrame = {
     val longSide = greatest(col("width"), col("height"))
     def fit(side: String) =
       when(longSide <= maxDim, col(side))
         .otherwise(greatest(lit(1),
           expr(s"($side * $maxDim) div greatest(width, height)")))
-    meta.toDF().filter(col("width") > 0)
+    meta.filter(col("width") > 0)
       .withColumn("new_w", fit("width").cast("long"))
       .withColumn("new_h", fit("height").cast("long"))
       .select(col("asset_id"), col("modality"),
@@ -109,9 +134,9 @@ object Multimodal {
     * to `maxFrames` — emits (asset_id, frame_idx, ts_ms) rows; the actual
     * pixel fetch is the stubbed decode. Pure expressions: the explode stays
     * distributed and codegen'd. */
-  def frameSamplePlan(meta: Dataset[MediaMeta], everyMs: Int = 1000,
+  def frameSamplePlan(meta: DataFrame, everyMs: Int = 1000,
                       maxFrames: Int = 32): DataFrame =
-    meta.toDF().filter(col("modality") === "video")
+    meta.filter(col("modality") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0),
         least(floor(col("duration_ms") / everyMs).cast("int"), lit(maxFrames - 1)))))
       .select(col("asset_id"), col("frame_idx"),

@@ -8,12 +8,14 @@ import graft.ops.Multimodal
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val meta = Multimodal.extractMeta(Multimodal.asAssets(
+  private lazy val assets = Multimodal.asAssets(
     Seq.tabulate(30)(i => (i.toLong, s"doc number $i with some text"))
-      .toDF("doc_id", "text")))
+      .toDF("doc_id", "text"))
+  private lazy val metaDs = Multimodal.extractMeta(assets)
+  private lazy val meta = metaDs.toDF()
 
   test("extractMeta: modality decides which dimensions are populated") {
-    val rows = meta.collect()
+    val rows = metaDs.collect()
     assert(rows.length == 30)
     rows.foreach { m =>
       m.modality match {
@@ -23,6 +25,16 @@ class MultimodalSpec extends SparkSpec {
       }
       assert(m.n_bytes > 0 && m.content_hash > 0)
     }
+  }
+
+  test("extractMetaExpr == extractMeta (pure-expression parity)") {
+    val cols = Seq("asset_id", "modality", "n_bytes", "width", "height",
+      "duration_ms", "content_hash")
+    val viaExpr = Multimodal.extractMetaExpr(assets)
+      .select(cols.map(col): _*).orderBy("asset_id").collect()
+    val viaIter = meta
+      .select(cols.map(col): _*).orderBy("asset_id").collect()
+    assert(viaExpr.toSeq == viaIter.toSeq)
   }
 
   test("frameSamplePlan: only video, bounded frames, fixed spacing") {
