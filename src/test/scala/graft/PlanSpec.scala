@@ -23,10 +23,34 @@ class PlanSpec extends SparkSpec {
 
   test("relational core plans are cartesian-free") {
     for (q <- Seq("q15_map_update_fact", "q12_merge_upsert",
-        "q14_insert_if_absent", "q17_dedup_rank", "q34_seg_personas")) {
+        "q14_insert_if_absent", "q17_dedup_rank", "q34_seg_personas",
+        "q46_brand_profile_merge", "q47_parent_self_link")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
     }
+  }
+
+  test("q47: parent self-link is an equi hash join, not nested-loop") {
+    val p = plan("q47_parent_self_link")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q48: CSV source scan carries the explicit pruned schema") {
+    val p = plan("q48_csv_source")
+    assert(p.toLowerCase.contains("csv"), p.take(2000))
+    assert(p.contains("c_custkey") && p.contains("c_mktsegment") &&
+      p.contains("c_acctbal"), p.take(2000))
+  }
+
+  test("t09/t17: metadata-only media plans stay codegen'd (no object mapPartitions)") {
+    for (q <- Seq("t09_frame_plan", "t17_media_resize")) {
+      val p = plan(q)
+      assert(!p.contains("MapPartitions") && !p.contains("SerializeFromObject"),
+        s"$q: ${p.take(1500)}")
+    }
+    // the decode-boundary path keeps its partition-wise iterator by design
+    assert(plan("t08_media_meta").contains("MapPartitions"))
   }
 
   test("q07: fingerprint join is a hash join on the derived key") {
