@@ -276,6 +276,30 @@ object DataQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** t20's left-outer form: EVERY purchase appears, unattributed ones with
+    * NULL click columns — the batch twin of the streaming left-outer
+    * interval join, whose NULL rows emit on watermark expiry. */
+  val t21AttributionOuter: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, d)
+    graft.streaming.Streams.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "1 hour",
+        joinType = "left_outer")
+      .withColumn("n_candidates",
+        count(col("click_id")).over(w.partitionBy(col("purchase_id"))))
+      .withColumn("__rn", row_number().over(w.partitionBy(col("purchase_id"))
+        .orderBy(col("click_ts").desc_nulls_last,
+          col("click_id").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        col("click_id").as("attributed_click"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("n_candidates").cast("long").as("n_candidates"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** IVF-style ANN: coarse-quantize the corpus against a deterministic
     * centroid set (every 250th vector), then search only matching lists.
     * The 100 TB shape: one broadcast assign pass + per-list scans. */
@@ -344,6 +368,7 @@ object DataQueries {
     "t18_salted_rollup" -> t18SaltedRollup,
     "t19_doc_packing" -> t19DocPacking,
     "t20_click_attribution" -> t20ClickAttribution,
+    "t21_attribution_outer" -> t21AttributionOuter,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1308,6 +1308,31 @@ object Oracles {
         |  cast(epoch_us(click_ts) as bigint) AS click_us,
         |  cast(n_candidates as bigint) AS n_candidates
         |FROM r WHERE rn=1 ORDER BY purchase_id""".stripMargin,
+
+    // t20's left-outer form: unattributed purchases survive with NULL
+    // click columns (the streaming twin emits them on watermark expiry)
+    "t21_attribution_outer" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type='click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        |  FROM events WHERE event_type='purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |    c.click_id, c.click_ts
+        |  FROM p LEFT JOIN c ON p.user_id=c.user_id
+        |  AND c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL '1 hour'),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY click_ts DESC NULLS LAST, click_id DESC NULLS LAST) AS rn,
+        |  count(click_id) OVER (PARTITION BY purchase_id) AS n_candidates
+        |  FROM j)
+        |SELECT cast(purchase_id as bigint) AS purchase_id,
+        |  cast(user_id as bigint) AS user_id,
+        |  cast(epoch_us(purchase_ts) as bigint) AS purchase_us,
+        |  cast(click_id as bigint) AS attributed_click,
+        |  cast(epoch_us(click_ts) as bigint) AS click_us,
+        |  cast(n_candidates as bigint) AS n_candidates
+        |FROM r WHERE rn=1 ORDER BY purchase_id""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

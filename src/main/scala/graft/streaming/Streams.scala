@@ -157,9 +157,15 @@ object Streams {
     * Works on batch frames too (same plan, no watermark). Emits one row
     * per (purchase, candidate click); pick-latest is a downstream concern
     * (see DataQueries.t20 for the batch formulation with the rank). */
+  /** `joinType` "inner" (default) or "left_outer": the outer form emits a
+    * purchase with NULL click columns once the watermark passes its horizon
+    * and no click matched — streaming left-outer results are withheld until
+    * state for the row can no longer match (a batch frame emits them
+    * immediately; values are identical on bounded input). */
   def attributionJoin(clicks: DataFrame, purchases: DataFrame,
                       horizon: String = "1 hour",
-                      watermark: String = "2 hours"): DataFrame = {
+                      watermark: String = "2 hours",
+                      joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame) =
       if (df.isStreaming) df.withWatermark("ts", watermark) else df
     val c = wm(clicks).select(col("event_id").as("click_id"),
@@ -170,7 +176,8 @@ object Streams {
     p.join(c,
       col("user_id") === col("__cuser") &&
       col("click_ts") <= col("purchase_ts") &&
-      col("click_ts") >= col("purchase_ts") - expr(s"interval $horizon"))
+      col("click_ts") >= col("purchase_ts") - expr(s"interval $horizon"),
+      joinType)
       .drop("__cuser")
   }
 

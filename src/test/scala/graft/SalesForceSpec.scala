@@ -65,6 +65,20 @@ class SalesForceSpec extends SparkSpec {
     assert(out(2).getAs[String]("DiningGroupSegment") == "FSR")
   }
 
+  test("mergeBrandProfile is idempotent (re-running the sync is a no-op)") {
+    val target = Seq(
+      ("B2", "stale", "UPSCALE", "GIVEN", "steak",
+        null.asInstanceOf[java.math.BigDecimal],
+        null.asInstanceOf[java.math.BigDecimal])
+    ).toDF("BrandProfileId", "BrandName", "RestaurantSegment",
+      "DiningGroupSegment", "PrimaryCuisine", "CateringAmountThreshold",
+      "LargeEventThreshold")
+    val once = SalesForce.mergeBrandProfile(target, brandProfile, sfSync)
+    val twice = SalesForce.mergeBrandProfile(once, brandProfile, sfSync)
+    assert(once.orderBy("BrandProfileId").collect().toSeq ==
+      twice.orderBy("BrandProfileId").collect().toSeq)
+  }
+
   private lazy val dim = Seq(
     (101L, "A1", "one", -1L),
     (102L, "A2", "two", -1L),
@@ -85,5 +99,14 @@ class SalesForceSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("SFParentRestaurantKey")))
     assert(out(2).isNullAt(out(2).fieldIndex("SFParentRestaurantKey")))
     assert(out(3).getAs[Long]("SFParentRestaurantKey") == -1L)
+  }
+
+  test("linkParentAccounts is idempotent on a stable sync") {
+    val sync = Seq(("A1", "A3"), ("A2", null), ("A3", "ZZZ"))
+      .toDF("AccountID", "ParentAccountID")
+    val once = SalesForce.linkParentAccounts(dim, sync)
+    val twice = SalesForce.linkParentAccounts(once, sync)
+    assert(once.orderBy("SFRestaurantKey").collect().toSeq ==
+      twice.orderBy("SFRestaurantKey").collect().toSeq)
   }
 }

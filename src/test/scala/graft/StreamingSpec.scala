@@ -142,6 +142,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("attributionJoin left_outer: NULL rows emit on watermark expiry") {
+    val dir = Files.createTempDirectory("graft_attr_outer").toString
+    val real = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:40:00"), 7L, "click", 0.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 11:10:00"), 7L, "purchase", 9.5, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 11:00:00"), 8L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // sentinels on BOTH sides: the global watermark is the min over the
+    // watermarked inputs, and each side only sees events surviving its
+    // type filter — a click-only sentinel would leave the purchase side's
+    // watermark behind and the NULL row withheld forever
+    val sentinels = Seq(
+      (8L, Timestamp.valueOf("2024-01-03 00:00:00"), 99L, "click", 0.0, "{}"),
+      (9L, Timestamp.valueOf("2024-01-05 00:00:00"), 98L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    Thread.sleep(1100) // file-source batches order by file mtime
+    sentinels.coalesce(1).write.mode("append").parquet(s"$dir/ev")
+
+    val src = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ev")
+    val q = Streams.attributionJoin(
+        src.filter(col("event_type") === "click"),
+        src.filter(col("event_type") === "purchase"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("spec_attr_outer")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("spec_attr_outer")
+      .filter(!col("user_id").isin(98L, 99L))
+      .select("purchase_id", "click_id").orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // purchase 3 attributed to click 1; purchase 4 unmatched -> NULL row
+    assert(streamed == Seq((3L, 1L), (4L, -1L)))
+
+    val batch = Streams.attributionJoin(
+        real.filter(col("event_type") === "click"),
+        real.filter(col("event_type") === "purchase"),
+        joinType = "left_outer")
+      .select("purchase_id", "click_id").orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(batch == streamed)
+  }
+
   test("runUpsertOnce: foreachBatch merge publishes running user totals") {
     val dir = Files.createTempDirectory("graft_upsert_src").toString
     val target = Files.createTempDirectory("graft_upsert_tgt").toString
