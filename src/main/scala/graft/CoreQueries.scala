@@ -996,6 +996,24 @@ object CoreQueries {
       .orderBy(col("order_month"))
   }
 
+  /** O1/O16 at fact layout — Hive-style partitioned-directory source: the
+    * orders fixture re-materialized as month=yyyyMM directories, read back
+    * through partition discovery with a month-window predicate that must
+    * prune to the 12 matching directories (PlanSpec asserts the
+    * PartitionFilters); aggregate hash-checked against the flat parquet
+    * oracle. */
+  val q50PartitionedSource: Q = (s, d) => {
+    val path = T.exportedOrdersByMonth(s, d)
+    s.read.parquet(path)
+      .filter(col("month").between(199601, 199612))
+      .groupBy(col("month").cast("long").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_total"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("month"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -1046,5 +1064,6 @@ object CoreQueries {
     "q47_parent_self_link" -> q47ParentSelfLink,
     "q48_csv_source" -> q48CsvSource,
     "q49_json_source" -> q49JsonSource,
+    "q50_partitioned_source" -> q50PartitionedSource,
   )
 }

@@ -573,6 +573,18 @@ object Oracles {
         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_total,
         |  cast(min(o_orderkey) as bigint) AS min_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Spark side reads month=yyyyMM partition directories with a
+    // pruning predicate; the oracle computes the same aggregate from the
+    // flat parquet
+    "q50_partitioned_source" ->
+      """SELECT cast(strftime(o_orderdate, '%Y%m') as bigint) AS month,
+        |  cast(count(*) as bigint) AS n_orders,
+        |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_total,
+        |  cast(min(o_orderkey) as bigint) AS min_key
+        |FROM orders
+        |WHERE cast(strftime(o_orderdate, '%Y%m') as int) BETWEEN 199601 AND 199612
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors

@@ -58,6 +58,33 @@ object Tables {
     (f.lastModified() +: nested.map(_.lastModified())).max
   }
 
+  /** Re-materialize the orders fixture as a Hive-style month-partitioned
+    * directory tree (`.../month=199601/part-*.parquet`) — the layout a
+    * 100 TB fact table actually lives in, where a DateKey-window predicate
+    * must prune whole directories instead of scanning them. Written once
+    * per fixture version; returns the root path for
+    * `spark.read.parquet(root)` partition discovery. */
+  def exportedOrdersByMonth(s: SparkSession, d: String): String = {
+    val key = (d, "orders", "month-parquet", fixtureMtime(d, "orders"))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "orders" &&
+          k._3 == "month-parquet" && k != key)
+        .foreach(exportMemo.remove)
+      val base = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
+        "/root/repo/target/fixture-cache")
+      val path = s"$base/orders_bymonth_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      table(s, d, "orders")
+        .withColumn("month",
+          (expr("year(o_orderdate)") * 100 + expr("month(o_orderdate)"))
+            .cast("int"))
+        .repartition(col("month"))
+        .write.mode("overwrite").partitionBy("month").parquet(path)
+      path
+    })
+  }
+
   /** Re-materialize selected columns of a parquet fixture as a CSV or
     * JSON-lines copy (the non-parquet-source test bed: the copy is written
     * by Spark once per fixture version, then read back through [[csv]] /

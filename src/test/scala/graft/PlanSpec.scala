@@ -43,6 +43,15 @@ class PlanSpec extends SparkSpec {
       p.contains("c_acctbal"), p.take(2000))
   }
 
+  test("q50: month predicate prunes partition directories at the scan") {
+    val p = plan("q50_partitioned_source")
+    assert(p.contains("PartitionFilters") && p.contains("month"), p.take(2000))
+    // the month window must NOT appear as a post-scan data filter — pruning
+    // happens at directory listing, so the scan carries it as a partition
+    // filter and no separate Filter(month) survives
+    assert(!p.contains("PushedFilters: [IsNotNull(month)"), p.take(2000))
+  }
+
   test("t09/t17: metadata-only media plans stay codegen'd (no object mapPartitions)") {
     for (q <- Seq("t09_frame_plan", "t17_media_resize")) {
       val p = plan(q)
