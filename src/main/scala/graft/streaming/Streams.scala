@@ -234,6 +234,75 @@ object Streams {
     readTarget()
   }
 
+  /** Partition-scoped upsert sink — the form [[runUpsertOnce]] must take at
+    * warehouse scale: the target is a month=yyyyMM-partitioned parquet
+    * table of per-(user, month) totals, and each microbatch rewrites ONLY
+    * the partitions its events touch. Read side prunes to the touched
+    * months (PartitionFilters), write side uses dynamic partition
+    * overwrite, so a batch covering one month of a 10-year table moves
+    * 1/120th of it. The merged frame is localCheckpointed before the
+    * write — the overwrite targets the same directories the merge reads,
+    * and the eager materialization both avoids the self-overwrite
+    * rejection and pins the pre-write state. The per-partition commit is
+    * Spark's usual staging protocol (not cross-partition atomic like
+    * [[graft.etl.Publish]] — the reference's monthly reruns are idempotent,
+    * so a replayed batch converges). */
+  def runUpsertByMonthOnce(spark: SparkSession, dir: String,
+                           targetRoot: String,
+                           glob: String = "events*.parquet",
+                           nanosTs: Boolean = false): DataFrame = {
+    val tablePath = s"$targetRoot/user_month_totals"
+    val schema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", DecimalType(18, 4)),
+      StructField("month", IntegerType)))
+    def exists = new java.io.File(tablePath).exists()
+    def readAll(): DataFrame =
+      if (exists) spark.read.parquet(tablePath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val q = eventsStream(spark, dir, glob, nanosTs)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch
+          .withColumn("month",
+            (expr("year(ts)") * 100 + expr("month(ts)")).cast("int"))
+          .groupBy(col("user_id").as("__uid"), col("month").as("__m"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("value").cast("decimal(18,4)")).as("__sum"))
+        // touched months: bounded by the batch's event-time span (a
+        // handful), so the driver-side list is a scalar lookup, not data
+        val months = delta.select(col("__m")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (months.nonEmpty) {
+          val current = readAll().filter(col("month").isin(months: _*))
+          val merged = current
+            .join(delta, col("user_id") === col("__uid") &&
+              col("month") === col("__m"), "full_outer")
+            .select(
+              coalesce(col("user_id"), col("__uid")).as("user_id"),
+              (coalesce(col("n_events"), lit(0L)) +
+                coalesce(col("__n"), lit(0L))).as("n_events"),
+              (coalesce(col("sum_value"),
+                  lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")) +
+                coalesce(col("__sum"),
+                  lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")))
+                .cast("decimal(18,4)").as("sum_value"),
+              coalesce(col("month"), col("__m")).as("month"))
+            .localCheckpoint()
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("month").parquet(tablePath)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    readAll()
+  }
+
   /** Run the hourly rollup as a one-shot (availableNow) stream into an
     * in-memory table; returns the populated result. Demonstrates the full
     * readStream -> agg -> writeStream path on bounded input. */

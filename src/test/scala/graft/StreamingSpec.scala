@@ -221,6 +221,46 @@ class StreamingSpec extends SparkSpec {
     assert(out2(1).getDecimal(2).doubleValue() == 5.0)
   }
 
+  test("runUpsertByMonthOnce rewrites only the touched month partitions") {
+    val target = Files.createTempDirectory("graft_upsert_pt").toString
+    val jan = Timestamp.valueOf("2024-01-10 10:00:00")
+    val feb = Timestamp.valueOf("2024-02-10 10:00:00")
+    val a = Seq(
+      (1L, jan, 7L, "click", 1.5, "{}"),
+      (2L, jan, 7L, "click", 2.0, "{}"),
+      (3L, feb, 7L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir1 = Files.createTempDirectory("graft_upsert_pt1").toString
+    a.write.mode("overwrite").parquet(s"$dir1/events_a.parquet")
+    val out1 = Streams.runUpsertByMonthOnce(spark, s"$dir1/events_a.parquet",
+        target, "*.parquet")
+      .orderBy("month").collect()
+    assert(out1.map(r => (r.getAs[Int]("month"), r.getAs[Long]("n_events")))
+      .toSeq == Seq((202401, 2L), (202402, 1L)))
+
+    val janDir = new java.io.File(s"$target/user_month_totals/month=202401")
+    val janFiles = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+
+    // second run touches ONLY February
+    val b = Seq((4L, feb, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir2 = Files.createTempDirectory("graft_upsert_pt2").toString
+    b.write.mode("overwrite").parquet(s"$dir2/events_b.parquet")
+    val out2 = Streams.runUpsertByMonthOnce(spark, s"$dir2/events_b.parquet",
+        target, "*.parquet")
+      .orderBy("month").collect()
+    assert(out2.map(r => (r.getAs[Int]("month"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("sum_value").doubleValue()))
+      .toSeq == Seq((202401, 2L, 3.5), (202402, 2L, 5.0)))
+
+    // January's partition files are byte-identical — dynamic overwrite
+    // never listed, read, or rewrote that directory
+    val janAfter = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(janAfter == janFiles)
+  }
+
   test("slidingUserActivity counts overlapping windows") {
     val events = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:02:00"), 7L, "click", 1.0, "{}"),
