@@ -59,6 +59,7 @@ object Bench {
       // each staging fill exactly once — the same work profile as the
       // earlier single-pass rounds
       DataQueries.clearStagingCache()
+      CoreQueries.clearStagingCache()
       spark.catalog.clearCache()
       (timePass(main), timePass(scale))
     }

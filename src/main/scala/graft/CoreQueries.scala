@@ -493,6 +493,35 @@ object CoreQueries {
     * equality, which a shared builder makes guaranteed rather than
     * coincidental. Lazy persist: each query's first pass over mm writes
     * the cache; the other reads it warm. */
+  /** Shared per-patron ratio staging for the Seg family (q34/q41/q43/q44):
+    * `spendRatios(mm)` localCheckpointed once per (session, dir, fixture
+    * version) — the in-process analog of the reference's persisted
+    * PatronSpendRatios staging (Seg:144 TRUNCATE+INSERT). The four queries
+    * would otherwise each re-run the two-level aggregate over mm; the
+    * checkpoint is one row per spending patron. Same eviction contract as
+    * DataQueries' pairs memo: mtime-keyed, superseded entries dropped,
+    * [[clearStagingCache]] for cold starts (Bench calls it per pass). */
+  private val ratiosMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), DataFrame]
+
+  private def fixtureVersion(d: String): Long = {
+    val f = new java.io.File(s"$d/orders.parquet")
+    val nested = Option(f.listFiles()).getOrElse(Array.empty)
+    (f.lastModified() +: nested.map(_.lastModified())).max
+  }
+
+  def clearStagingCache(): Unit = ratiosMemo.clear()
+
+  private def segRatios(s: SparkSession, d: String): DataFrame = {
+    val key = (s, d, fixtureVersion(d))
+    ratiosMemo.getOrElseUpdate(key, {
+      ratiosMemo.keys.filter(k => k._1 == s && k._2 == d && k != key)
+        .foreach(ratiosMemo.remove)
+      val (mm, _) = segStaging(s, d)
+      graft.pipelines.Segmentation.spendRatios(mm).localCheckpoint()
+    })
+  }
+
   private def segStaging(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val fact = T.lineitem(s, d)
       .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
@@ -515,8 +544,8 @@ object CoreQueries {
 
   val q34SegPersonas: Q = (s, d) => {
     import graft.pipelines.Segmentation
-    val (mm, dup) = segStaging(s, d)
-    Segmentation.classify(Segmentation.spendRatios(mm), dup)
+    val (_, dup) = segStaging(s, d)
+    Segmentation.classify(segRatios(s, d), dup)
       .select(col("UniquePatronId").cast("long").as("custkey"),
         col("PersonaName").as("persona"))
       .orderBy(col("custkey"), col("persona"))
@@ -733,7 +762,7 @@ object CoreQueries {
     // cardinality-unbounded (the reference runs it over ~9M patrons,
     // Seg:211) — so forcing a broadcast build would OOM the driver at
     // scale. AQE picks the strategy from the measured size instead.
-    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val personas = Segmentation.personaLabel(segRatios(s, d))
     val cli = T.customer(s, d)
       .select(col("c_custkey").as("UniquePatronId"),
         col("c_mktsegment").as("ClientCode"))
@@ -835,7 +864,7 @@ object CoreQueries {
   val q43IndustrySpend: Q = (s, d) => {
     import graft.pipelines.Segmentation
     val (mm, _) = segStaging(s, d)
-    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val personas = Segmentation.personaLabel(segRatios(s, d))
     val (dimPatron, dimClient) = clientDims(s, d)
     Segmentation.industrySpend(mm, personas, dimPatron, dimClient)
       .select(col("ClientIndustry"), col("PersonaName"),
@@ -850,7 +879,7 @@ object CoreQueries {
   val q44ClientSpend: Q = (s, d) => {
     import graft.pipelines.Segmentation
     val (mm, _) = segStaging(s, d)
-    val personas = Segmentation.personaLabel(Segmentation.spendRatios(mm))
+    val personas = Segmentation.personaLabel(segRatios(s, d))
     val (dimPatron, dimClient) = clientDims(s, d)
     Segmentation.clientSpend(mm, personas, dimPatron, dimClient)
       .select(col("ClientIndustry"), col("ClientCode"), col("ClientName"),
