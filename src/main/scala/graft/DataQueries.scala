@@ -324,6 +324,22 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One spherical-k-means training step over the embedding corpus from
+    * the deterministic every-250th init — closes the "centroid training
+    * out of scope" gap of the IVF index; exploded to (centroid, dim)
+    * rows so the DuckDB oracle recomputes the identical assignment and
+    * decimal-accumulated means. */
+  val t22KmeansStep: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    Similarity.kmeansStep(emb, cents)
+      .select(col("centroid_id"), posexplode(col("cvec")))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("pos").cast("long").as("pos"), round(col("col"), 6).as("val"))
+      .orderBy(col("centroid_id"), col("pos"))
+  }
+
   /** Embedding-cosine near-duplicate detection: the corpus is unioned with
     * slightly-perturbed copies (id+100000, one component nudged); RHP-LSH
     * bucketing proposes candidates and the exact cosine >= 0.99 confirms.
@@ -369,6 +385,7 @@ object DataQueries {
     "t19_doc_packing" -> t19DocPacking,
     "t20_click_attribution" -> t20ClickAttribution,
     "t21_attribution_outer" -> t21AttributionOuter,
+    "t22_kmeans_step" -> t22KmeansStep,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1345,6 +1345,26 @@ object Oracles {
         |  cast(epoch_us(click_ts) as bigint) AS click_us,
         |  cast(n_candidates as bigint) AS n_candidates
         |FROM r WHERE rn=1 ORDER BY purchase_id""".stripMargin,
+
+    // one Lloyd step: nearest-centroid assignment (same rule as t11),
+    // then per-(centroid, dim) decimal-accumulated means; 64 dims fixed
+    // by the fixture schema
+    "t22_kmeans_step" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 250 = 0),
+        |sc AS (SELECT vec_id, embedding, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), cid) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |asg AS (SELECT vec_id, embedding, cid FROM sc WHERE rn = 1),
+        |dims AS (SELECT cid, g.i AS pos,
+        |    cast(embedding[g.i + 1] as double) AS v
+        |  FROM asg CROSS JOIN generate_series(0, 63) AS g(i))
+        |SELECT cast(cid as bigint) AS centroid_id, cast(pos as bigint) AS pos,
+        |  round(cast(sum(cast(v as decimal(27,12))) as double) / count(*), 6)
+        |    AS val
+        |FROM dims GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

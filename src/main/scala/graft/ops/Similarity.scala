@@ -118,4 +118,58 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col(cidCol))
   }
+
+  /** One spherical-k-means (Lloyd) step — the centroid TRAINING that
+    * [[ivfAssign]]'s Scaladoc used to leave out of scope: assign every
+    * vector to its nearest centroid by cosine (deterministic centroid_id
+    * tiebreak, same rule as the IVF quantizer), then recompute each
+    * centroid as the elementwise mean of its assigned vectors. The mean
+    * accumulates per-dimension as DECIMAL(27,12) so the result is
+    * partitioning- and order-independent (float summation is not), then
+    * divides in double. A centroid that attracts no vectors drops out —
+    * standard Lloyd behavior; k shrinks rather than keeping a dead list.
+    *
+    * Scale shape: one broadcast assign pass over the corpus (k small) +
+    * one (centroid, dim)-keyed aggregate — dims per row explode before
+    * the shuffle, but each exchanged row is (int, int, decimal): the
+    * full embedding array never crosses the wire unaggregated. */
+  def kmeansStep(vecs: DataFrame, centroids: DataFrame,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 cidCol: String = "centroid_id",
+                 cvecCol: String = "cvec"): DataFrame = {
+    // the cosine kernel requires both sides the same element type; means
+    // come back as array<double>, so a round-2 centroid frame must be
+    // re-aligned to the corpus type. Element-wise cast — the array-level
+    // ARRAY<DOUBLE> -> ARRAY<FLOAT> cast is rejected as a downcast, the
+    // per-element fractional cast is legal (and deterministic)
+    val elemType = vecs.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val aligned = centroids.withColumn(cvecCol,
+      transform(col(cvecCol), x => x.cast(elemType)))
+    ivfAssign(vecs, aligned, idCol, vecCol, cidCol, cvecCol)
+      .select(col(cidCol), posexplode(col(vecCol)))
+      .groupBy(col(cidCol), col("pos"))
+      .agg((sum(col("col").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("__val"))
+      .groupBy(col(cidCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__val"))))
+        .as("__a"))
+      .select(col(cidCol),
+        transform(col("__a"), x => x.getField("__val")).as(cvecCol))
+  }
+
+  /** `iters` Lloyd steps from a deterministic every-`initEvery`-th-vector
+    * init — a full (small-k) centroid trainer for the IVF index. */
+  def kmeansCentroids(vecs: DataFrame, initEvery: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    var cents = vecs.filter(col(idCol) % initEvery === 0)
+      .select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("cvec"))
+    for (_ <- 1 to iters)
+      // localCheckpoint per round: k rows, and without it each round's
+      // plan would re-run every previous assignment pass
+      cents = kmeansStep(vecs, cents, idCol, vecCol).localCheckpoint()
+    cents
+  }
 }

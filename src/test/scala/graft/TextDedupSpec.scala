@@ -216,6 +216,36 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getLong(2) == 3L)
   }
 
+  test("kmeansCentroids recovers two separable clusters") {
+    // two tight direction clusters around (1,0,0) and (0,1,0); init picks
+    // one seed from each (ids 0 and 10 via initEvery=10)
+    val vecs = (0L to 19L).map { i =>
+      val base = if (i < 10) Array(1f, 0f, 0f) else Array(0f, 1f, 0f)
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + 0.01f * ((i + j) % 3).toFloat })
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, initEvery = 10, iters = 3)
+      .orderBy("centroid_id").collect()
+    assert(cents.length == 2)
+    val c0 = cents(0).getSeq[Double](1)
+    val c1 = cents(1).getSeq[Double](1)
+    assert(c0.head > 0.9 && c0(1) < 0.1)  // cluster around x-axis
+    assert(c1(1) > 0.9 && c1.head < 0.1)  // cluster around y-axis
+  }
+
+  test("kmeansStep mean is the plain per-dimension average of assignees") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.8f, 0.2f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.2f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("centroid_id", "cvec")
+    val out = Similarity.kmeansStep(vecs, cents)
+      .orderBy("centroid_id").collect()
+    val c0 = out(0).getSeq[Double](1)
+    assert(math.abs(c0.head - 0.9) < 1e-6 && math.abs(c0(1) - 0.1) < 1e-6)
+  }
+
   test("lshTopK: bucketed search still finds the exact duplicate") {
     val vecs = (0L to 50L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat)))
