@@ -363,6 +363,30 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Corpus profiling — exact token-count percentiles per length band
+    * (the screening summary a training mix is tuned with); Spark's exact
+    * `percentile` matches DuckDB `quantile_cont` linear interpolation. */
+  val t23TokenQuantiles: Q = (s, d) => {
+    val docs = T.documents(s, d).select(
+      when(length(col("text")) >= 300, "long").otherwise("short").as("band"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    graft.ops.Stats.percentilesBy(docs, Seq(col("band")), "n_tokens",
+        Seq(0.25, 0.5, 0.9))
+      .select(col("band"), round(col("p_25"), 6).as("p_25"),
+        round(col("p_50"), 6).as("p_50"), round(col("p_90"), 6).as("p_90"),
+        col("n"))
+      .orderBy(col("band"))
+  }
+
+  /** Value-distribution histogram over order totals (skew screening): 20
+    * equal-width buckets over the observed [min, max], arithmetic mirrored
+    * term-for-term by the oracle. */
+  val t24Histogram: Q = (s, d) =>
+    graft.ops.Stats.histogram(
+        T.orders(s, d).select(col("o_totalprice")), col("o_totalprice"), 20)
+      .select(col("bucket"), col("n").as("n_orders"))
+      .orderBy(col("bucket"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -386,6 +410,8 @@ object DataQueries {
     "t20_click_attribution" -> t20ClickAttribution,
     "t21_attribution_outer" -> t21AttributionOuter,
     "t22_kmeans_step" -> t22KmeansStep,
+    "t23_token_quantiles" -> t23TokenQuantiles,
+    "t24_histogram" -> t24Histogram,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

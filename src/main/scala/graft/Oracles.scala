@@ -1365,6 +1365,33 @@ object Oracles {
         |  round(cast(sum(cast(v as decimal(27,12))) as double) / count(*), 6)
         |    AS val
         |FROM dims GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact linear-interpolation percentiles: Spark `percentile` ==
+    // DuckDB quantile_cont; token count = whitespace split like the
+    // Spark side (split on \s+ of trimmed text)
+    "t23_token_quantiles" ->
+      """WITH d AS (SELECT
+        |  CASE WHEN length(text) >= 300 THEN 'long' ELSE 'short' END AS band,
+        |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+        |    AS n_tokens
+        |  FROM documents)
+        |SELECT band,
+        |  round(quantile_cont(n_tokens, 0.25), 6) AS p_25,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p_50,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p_90,
+        |  cast(count(*) as bigint) AS n
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // histogram arithmetic mirrored term-for-term:
+    // floor((x - min) * 20 / (max - min)), capped into the last bucket
+    "t24_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT cast(least(floor((o_totalprice - mn) * 20 / (mx - mn)), 19)
+        |    as bigint) AS bucket,
+        |  cast(count(*) as bigint) AS n_orders
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling aggregates — the distributed form of the reference's
+  * diagnostic SELECTs (O10, e.g. `UpdtMapDimPatron.sql` count checks): the
+  * summaries a 100 TB corpus is screened with before training (token-length
+  * quantiles per quality band, value histograms for skew checks).
+  *
+  * Scale posture: one two-phase aggregate each. `percentilesBy` uses
+  * Spark's exact `percentile` aggregate (per-group sort of the group's
+  * values only); `histogram` is pure floor arithmetic over a broadcast
+  * (min, max) scalar pair — both stay in whole-stage codegen and exchange
+  * only (group, partial-state) rows.
+  */
+object Stats {
+
+  /** Exact linear-interpolation percentiles of `valueCol` per group —
+    * matches DuckDB/Postgres `quantile_cont`/`percentile_cont` semantics,
+    * so results are oracle-checkable bit-for-bit. Returns one row per
+    * group with `p_<nn>` columns (nn = percentile * 100) and `n`. */
+  def percentilesBy(df: DataFrame, groupCols: Seq[Column], valueCol: String,
+                    ps: Seq[Double]): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(expr(s"percentile($valueCol, array(${ps.mkString(",")}))")
+          .as("__ps"),
+        count(lit(1)).as("n"))
+      .select(groupCols ++ ps.zipWithIndex.map { case (p, i) =>
+        col("__ps").getItem(i).as(s"p_${(p * 100).round}")
+      } :+ col("n"): _*)
+
+  /** Equal-width histogram of `valueCol` over its observed [min, max]
+    * range: bucket i covers [min + i*w, min + (i+1)*w), the max value
+    * folds into the last bucket. The (min, max) pair is a scalar
+    * aggregate (O36c idiom) joined back by cross join — two passes total,
+    * both full-codegen. Bucket arithmetic is written as
+    * `floor((x - min) * buckets / (max - min))` so an oracle can mirror
+    * it term-for-term. */
+  def histogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
+    val bounds = df.agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .select(least(
+          floor((valueCol - col("__mn")) * buckets / (col("__mx") - col("__mn"))),
+          lit(buckets - 1))
+        .cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
