@@ -387,6 +387,14 @@ object DataQueries {
       .select(col("bucket"), col("n").as("n_orders"))
       .orderBy(col("bucket"))
 
+  /** TF-IDF keyword extraction: top-3 terms per document over the
+    * fixture corpus, exact tf * ln(N/df) scoring mirrored by the oracle. */
+  val t25Tfidf: Q = (s, d) =>
+    TextOps.tfIdfTopTerms(T.documents(s, d), k = 3)
+      .select(col("doc_id"), col("term_rank").cast("long").as("term_rank"),
+        col("term"), round(col("score"), 6).as("score"))
+      .orderBy(col("doc_id"), col("term_rank"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -412,6 +420,7 @@ object DataQueries {
     "t22_kmeans_step" -> t22KmeansStep,
     "t23_token_quantiles" -> t23TokenQuantiles,
     "t24_histogram" -> t24Histogram,
+    "t25_tfidf" -> t25Tfidf,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

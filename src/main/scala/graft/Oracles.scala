@@ -1392,6 +1392,26 @@ object Oracles {
         |  cast(count(*) as bigint) AS n_orders
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TF-IDF mirror: integer tf/df, score = tf * ln(N/df) with one double
+    // division, ties by term ascending
+    "t25_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.term,
+        |    t.tf * ln(cast(n.n as double) / dfr.df) AS score
+        |  FROM t JOIN dfr USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS term_rank FROM sc)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        |  cast(term_rank as bigint) AS term_rank, term,
+        |  round(score, 6) AS score
+        |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

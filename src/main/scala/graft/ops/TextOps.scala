@@ -236,4 +236,37 @@ object TextOps {
       langId(t).as("lang_pred"),
       docFingerprint(t).as("fingerprint"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms per document by
+    * `tf * ln(N / df)` over the corpus (terms = lowercased whitespace
+    * tokens of >= `minLen` chars; N = corpus document count; ties break
+    * by term ascending). The arithmetic is written so an exact oracle can
+    * mirror it term-for-term: integer tf and df, one double division
+    * inside the log.
+    *
+    * Scale shape: token explode -> (doc, term) count -> term-keyed df
+    * aggregate joined back -> per-doc top-k window. The exploded frame
+    * carries (id, token) rows only; df is corpus-vocabulary-sized and
+    * shuffles once. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3, minLen: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val terms = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("term"))
+      .filter(length(col("term")) >= minLen)
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log(col("__n").cast("double") / col("df")))
+      .withColumn("term_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("term_rank") <= k)
+      .select(col(idCol), col("term_rank"), col("term"), col("score"))
+  }
 }

@@ -195,6 +195,21 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(1) == 3L))
   }
 
+  test("tfIdfTopTerms: rare terms outrank corpus-wide ones") {
+    val docs = Seq(
+      (1L, "common common zebra common"),
+      (2L, "common words here"),
+      (3L, "common words again")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTopTerms(docs, k = 2)
+      .filter(col("doc_id") === 1).orderBy("term_rank").collect()
+    // 'zebra' (df=1) beats 'common' (df=3) despite tf 1 vs 3:
+    // 1*ln(3) > 3*ln(1)=0
+    assert(out(0).getString(2) == "zebra")
+    assert(out(1).getString(2) == "common")
+    assert(out(1).getDouble(3) == 0.0) // df == N -> idf 0
+  }
+
   test("cosine: orthonormal and identical vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 2f), Array(1f, 2f)))
       .toDF("a", "b")
