@@ -395,6 +395,17 @@ object DataQueries {
         col("term"), round(col("score"), 6).as("score"))
       .orderBy(col("doc_id"), col("term_rank"))
 
+  /** Per-month z-score of order totals — decimal-exact moments, double
+    * normalization, mirrored term-for-term by the oracle. */
+  val t26Zscore: Q = (s, d) =>
+    graft.ops.Stats.zscoreBy(
+        T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month")),
+        Seq(col("month")), col("o_totalprice"))
+      .select(col("o_orderkey").cast("long").as("o_orderkey"), col("month"),
+        round(col("zscore"), 6).as("zscore"))
+      .orderBy(col("o_orderkey"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -421,6 +432,7 @@ object DataQueries {
     "t23_token_quantiles" -> t23TokenQuantiles,
     "t24_histogram" -> t24Histogram,
     "t25_tfidf" -> t25Tfidf,
+    "t26_zscore" -> t26Zscore,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

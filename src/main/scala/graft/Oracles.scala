@@ -1412,6 +1412,24 @@ object Oracles {
         |  cast(term_rank as bigint) AS term_rank, term,
         |  round(score, 6) AS score
         |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+
+    // z-score mirror: decimal-accumulated sum/sumsq, double mean/sd,
+    // sample stddev; sd=0 or singleton group -> NULL
+    "t26_zscore" ->
+      """WITH src AS (SELECT o_orderkey, o_totalprice,
+        |    strftime(o_orderdate, '%Y-%m') AS month FROM orders),
+        |st AS (SELECT month,
+        |    cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+        |    cast(sum(cast(o_totalprice as decimal(18,2)) *
+        |      cast(o_totalprice as decimal(18,2))) as double) AS sq,
+        |    count(*) AS n
+        |  FROM src GROUP BY 1)
+        |SELECT cast(src.o_orderkey as bigint) AS o_orderkey, src.month,
+        |  round(CASE WHEN n > 1 AND sqrt((sq - s*s/n) / (n-1)) <> 0
+        |    THEN (o_totalprice - s/n) / sqrt((sq - s*s/n) / (n-1))
+        |  END, 6) AS zscore
+        |FROM src JOIN st USING (month)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

@@ -30,6 +30,37 @@ object Stats {
         col("__ps").getItem(i).as(s"p_${(p * 100).round}")
       } :+ col("n"): _*)
 
+  /** Group-wise z-score normalization — the feature-scaling pass a
+    * numeric training column gets before modeling. Sum and sum-of-squares
+    * accumulate as decimals (order- and partitioning-independent; plain
+    * double sums are not), the mean/stddev math then runs in double on
+    * those exact sums, so any engine reproduces the result bit-for-bit:
+    * {{{ sd = sqrt((sumsq - sum*sum/n) / (n-1)) }}} (sample stddev).
+    * Single-member or constant groups get NULL (sd = 0). Group stats are
+    * aggregate-sized and broadcast back — one shuffle over the groups,
+    * none over the data. `valueDecimal` must bound `value^2`'s precision.
+    */
+  def zscoreBy(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
+               valueDecimal: String = "decimal(18,2)"): DataFrame = {
+    val v = valueCol.cast(valueDecimal)
+    val stats = df.groupBy(groupCols: _*)
+      .agg(sum(v).as("__sum"), sum(v * v).as("__sumsq"),
+        count(lit(1)).as("__n"))
+      .select(groupCols.map(c => c.as(s"__g_${c.toString}")) ++ Seq(
+        col("__sum").cast("double").as("__sum"),
+        col("__sumsq").cast("double").as("__sumsq"),
+        col("__n")): _*)
+    val joinCond = groupCols.map(c => c === col(s"__g_${c.toString}"))
+      .reduce(_ && _)
+    val mean = col("__sum") / col("__n")
+    val sd = sqrt((col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
+      (col("__n") - 1))
+    df.join(broadcast(stats), joinCond)
+      .withColumn("zscore",
+        when(col("__n") > 1 && sd =!= 0.0, (valueCol - mean) / sd))
+      .drop(stats.columns.toIndexedSeq: _*)
+  }
+
   /** Equal-width histogram of `valueCol` over its observed [min, max]
     * range: bucket i covers [min + i*w, min + (i+1)*w), the max value
     * folds into the last bucket. The (min, max) pair is a scalar

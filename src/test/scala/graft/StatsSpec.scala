@@ -19,6 +19,18 @@ class StatsSpec extends SparkSpec {
     assert(out(0).getLong(3) == 4L)
   }
 
+  test("zscoreBy: standardizes per group, NULLs degenerate groups") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0), ("c", 9.0)).toDF("g", "v")
+    val out = Stats.zscoreBy(df, Seq(col("g")), col("v"))
+      .orderBy("g", "v").collect()
+    // group a: mean 2, sample sd 1 -> z = -1, 0, 1
+    assert(out(0).getDouble(2) == -1.0 && out(1).getDouble(2) == 0.0 &&
+      out(2).getDouble(2) == 1.0)
+    // constant group b: sd 0 -> NULL; singleton c: n=1 -> NULL
+    assert(out(3).isNullAt(2) && out(4).isNullAt(2) && out(5).isNullAt(2))
+  }
+
   test("histogram: equal widths, max folds into last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val out = Stats.histogram(df, col("v"), 10)
