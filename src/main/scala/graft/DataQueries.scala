@@ -406,6 +406,27 @@ object DataQueries {
         round(col("zscore"), 6).as("zscore"))
       .orderBy(col("o_orderkey"))
 
+  /** Eval-set decontamination over a constructed training corpus: the
+    * perturbed copies must flag as n-gram-contaminated, the verbatim
+    * copies additionally as exact duplicates, and the synthetic clean
+    * docs as neither. */
+  val t27Decontaminate: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val perturbed = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 2, 1000000))
+        .as("text"))
+    val exactCopies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val clean = docs.select((col("doc_id") + 300000L).as("doc_id"),
+      concat(lit("zzq "), col("doc_id").cast("string"),
+        lit(" alpha beta gamma delta")).as("text"))
+    val train = perturbed.unionByName(exactCopies).unionByName(clean)
+    Dedup.decontaminate(train, docs, shingleSize = 5)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("exact_dup"), col("ngram_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -433,6 +454,7 @@ object DataQueries {
     "t24_histogram" -> t24Histogram,
     "t25_tfidf" -> t25Tfidf,
     "t26_zscore" -> t26Zscore,
+    "t27_decontaminate" -> t27Decontaminate,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1430,6 +1430,45 @@ object Oracles {
         |  END, 6) AS zscore
         |FROM src JOIN st USING (month)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // decontamination mirror: same train-corpus construction, md5 of the
+    // normalized text for exact, md5 of word 5-grams (list comprehension
+    // over the token array) for the collision screen
+    "t27_decontaminate" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents),
+        |train AS (
+        |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+        |      (regexp_split_to_array(trim(text), '\s+'))[2:], ' ') AS text
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, concat('zzq ', cast(doc_id as varchar),
+        |      ' alpha beta gamma delta') FROM documents),
+        |evh AS (SELECT DISTINCT md5(lower(regexp_replace(trim(text),
+        |    '\s+', ' ', 'g'))) AS h FROM ev),
+        |evg AS (SELECT DISTINCT md5(g) AS gh FROM (
+        |  SELECT unnest([array_to_string(tk[i:i+4], ' ')
+        |      for i in range(1, cast(len(tk)-3 as bigint))]) AS g
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |    FROM ev))),
+        |tg AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ')
+        |      for i in range(1, cast(len(tk)-3 as bigint))]) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+        |      '\s+') AS tk FROM train))
+        |  WHERE md5(g) IN (SELECT gh FROM evg)),
+        |tx AS (SELECT DISTINCT doc_id FROM train
+        |  WHERE md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    IN (SELECT h FROM evh))
+        |SELECT cast(t.doc_id as bigint) AS doc_id,
+        |  cast(CASE WHEN tx.doc_id IS NOT NULL THEN 1 ELSE 0 END as bigint)
+        |    AS exact_dup,
+        |  cast(CASE WHEN tg.doc_id IS NOT NULL THEN 1 ELSE 0 END as bigint)
+        |    AS ngram_contaminated
+        |FROM train t LEFT JOIN tx ON t.doc_id = tx.doc_id
+        |LEFT JOIN tg ON t.doc_id = tg.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, String] = core ++ coreExtra ++ data

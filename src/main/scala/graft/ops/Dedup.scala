@@ -223,6 +223,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Eval-set decontamination — the test-set-leakage screen a training
+    * corpus runs before release: flag every training doc that (a) equals
+    * an eval doc exactly (md5 of the lowercased whitespace-collapsed
+    * text) or (b) shares ANY word `shingleSize`-gram with the eval corpus
+    * (the standard n-gram-collision rule, e.g. GPT-3's 13-gram screen,
+    * sized down for fixtures). Returns one row per training doc with
+    * `exact_dup` / `ngram_contaminated` 0-1 flags.
+    *
+    * Scale shape: the eval corpus is benchmark-sized — its distinct gram
+    * and hash sets are small and broadcast into two semi-joins; the only
+    * corpus-scale pass is the training-side gram explode, which carries
+    * (id, 16-byte digest) rows. md5 grams keep the whole screen
+    * oracle-recomputable. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    shingleSize: Int = 5, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    def normText(t: Column): Column =
+      lower(regexp_replace(trim(t), "\\s+", " "))
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(graft.ops.TextOps.wordShingles(
+        col(textCol), shingleSize)).as("__g"): _*)
+    val evalExact = evalSet.select(md5(normText(col(textCol))).as("__h"))
+      .distinct()
+    val evalGrams = grams(evalSet).select(md5(col("__g")).as("__gh"))
+      .distinct()
+    val exactIds = train
+      .select(col(idCol), md5(normText(col(textCol))).as("__h"))
+      .join(evalExact, Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("__exact", lit(1L))
+    val gramIds = grams(train, col(idCol))
+      .select(col(idCol), md5(col("__g")).as("__gh"))
+      .join(evalGrams, Seq("__gh"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("__gram", lit(1L))
+    train.select(col(idCol))
+      .join(exactIds, Seq(idCol), "left")
+      .join(gramIds, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__exact"), lit(0L)).as("exact_dup"),
+        coalesce(col("__gram"), lit(0L)).as("ngram_contaminated"))
+  }
+
   /** Exact n-gram Jaccard similarity for a set of candidate pairs — the
     * verification stage after LSH. `pairs` has columns (id_a, id_b).
     *

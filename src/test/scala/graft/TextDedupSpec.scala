@@ -195,6 +195,23 @@ class TextDedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(1) == 3L))
   }
 
+  test("decontaminate: exact, n-gram-overlap and clean docs flag correctly") {
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different benchmark prompt with its own words"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "The  quick brown fox jumps over the lazy dog tonight"), // exact mod ws/case
+      (11L, "prefix words then quick brown fox jumps over the end"), // shares a 5-gram
+      (12L, "no overlap at all here just fresh tokens entirely"))    // clean
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet, shingleSize = 5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 1L)
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L)
+  }
+
   test("tfIdfTopTerms: rare terms outrank corpus-wide ones") {
     val docs = Seq(
       (1L, "common common zebra common"),
