@@ -504,19 +504,57 @@ object CoreQueries {
   private val ratiosMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long), DataFrame]
 
-  private def fixtureVersion(d: String): Long = {
-    val f = new java.io.File(s"$d/orders.parquet")
-    val nested = Option(f.listFiles()).getOrElse(Array.empty)
-    (f.lastModified() +: nested.map(_.lastModified())).max
+  /** Staleness key = max mtime over EVERY table the staging reads —
+    * regenerating any one of them (not just orders) must invalidate the
+    * checkpoint. */
+  private def fixtureVersion(d: String): Long =
+    Seq("lineitem", "orders", "supplier", "nation", "region", "customer")
+      .map { t =>
+        val f = new java.io.File(s"$d/$t.parquet")
+        val nested = Option(f.listFiles()).getOrElse(Array.empty)
+        (f.lastModified() +: nested.map(_.lastModified())).max
+      }.max
+
+  /** Eagerly free a memoized staging frame's storage. `Dataset.unpersist`
+    * covers CacheManager entries; a `localCheckpoint` frame is backed by a
+    * persisted internal RDD that only GC + ContextCleaner would reclaim,
+    * so unpersist that RDD directly when the plan is a LogicalRDD. */
+  private[graft] def releaseStaging(df: DataFrame): Unit =
+    try {
+      df.unpersist()
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
+  def clearStagingCache(): Unit = {
+    ratiosMemo.values.foreach(releaseStaging)
+    ratiosMemo.clear()
   }
 
-  def clearStagingCache(): Unit = ratiosMemo.clear()
+  /** Bench hook: fill the Seg-family shared staging (the persisted
+    * MinimarketSpend frame + the ratios localCheckpoint) so the fill cost
+    * is timed once as its own "seg_staging" entry instead of landing
+    * inside whichever of q34/q41/q43/q44 happens to run first in a pass —
+    * per-query numbers stay comparable across passes and rounds. */
+  def warmSegStaging(s: SparkSession, d: String): Unit = {
+    segStaging(s, d)._1.count()
+    segRatios(s, d)
+  }
 
   private def segRatios(s: SparkSession, d: String): DataFrame = {
     val key = (s, d, fixtureVersion(d))
     ratiosMemo.getOrElseUpdate(key, {
-      ratiosMemo.keys.filter(k => k._1 == s && k._2 == d && k != key)
-        .foreach(ratiosMemo.remove)
+      // evict superseded same-(session,dir) entries AND entries whose
+      // session has been stopped (they would otherwise pin checkpointed
+      // blocks for the JVM lifetime); unpersist reclaims blocks eagerly
+      // instead of waiting for GC + ContextCleaner
+      ratiosMemo.keys
+        .filter(k => (k._1 == s && k._2 == d && k != key) ||
+          k._1.sparkContext.isStopped)
+        .foreach(k => ratiosMemo.remove(k).foreach(releaseStaging))
       val (mm, _) = segStaging(s, d)
       graft.pipelines.Segmentation.spendRatios(mm).localCheckpoint()
     })
@@ -889,6 +927,23 @@ object CoreQueries {
       .orderBy(col("ClientCode"), col("PersonaName"))
   }
 
+  /** Seg:313-339 driven through graft.pipelines.Segmentation: the
+    * Reporting.ClientTerritorySpend snapshot — per-(client, territory,
+    * persona) spend against the client-territory total; closes out the
+    * reference's named reporting outputs. */
+  val q51ClientTerritorySpend: Q = (s, d) => {
+    import graft.pipelines.Segmentation
+    val (mm, _) = segStaging(s, d)
+    val personas = Segmentation.personaLabel(segRatios(s, d))
+    val (dimPatron, dimClient) = clientDims(s, d)
+    Segmentation.territorySpend(mm, personas, dimPatron, dimClient)
+      .select(col("ClientCode"), col("ClientName"), col("SalesTerritory"),
+        col("PersonaName"),
+        col("SpendbySegmentation").cast("double").as("SpendbySegmentation"),
+        round(col("PercentOfSpend"), 6).as("PercentOfSpend"))
+      .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
+  }
+
   /** Seg:405-426 driven through graft.pipelines.Segmentation: DinersCount —
     * distinct diners and high-value diners per client in the window. */
   val q45DinersCount: Q = (s, d) => {
@@ -1094,5 +1149,6 @@ object CoreQueries {
     "q48_csv_source" -> q48CsvSource,
     "q49_json_source" -> q49JsonSource,
     "q50_partitioned_source" -> q50PartitionedSource,
+    "q51_client_territory_spend" -> q51ClientTerritorySpend,
   )
 }

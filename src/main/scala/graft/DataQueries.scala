@@ -78,18 +78,24 @@ object DataQueries {
     (f.lastModified() +: nested.map(_.lastModified())).max
   }
 
-  /** Drop every memoized staging frame. Superseded checkpoints also age
-    * out on their own (replacing the memo entry drops the last reference
-    * and Spark's ContextCleaner reclaims the blocks), but benches and
-    * tests call this for a deterministic cold start. */
-  def clearStagingCache(): Unit = pairsMemo.clear()
+  /** Drop every memoized staging frame, eagerly unpersisting the
+    * checkpointed blocks (CoreQueries.releaseStaging) instead of waiting
+    * for GC + ContextCleaner; benches and tests call this for a
+    * deterministic cold start. */
+  def clearStagingCache(): Unit = {
+    pairsMemo.values.foreach(CoreQueries.releaseStaging)
+    pairsMemo.clear()
+  }
 
   private def plantedVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val key = (s, d, fixtureVersion(d))
     pairsMemo.getOrElseUpdate(key, {
-      // evict superseded versions of the same (session, dir)
-      pairsMemo.keys.filter(k => k._1 == s && k._2 == d && k != key)
-        .foreach(pairsMemo.remove)
+      // evict superseded versions of the same (session, dir) and entries
+      // whose session has been stopped (they would pin blocks forever)
+      pairsMemo.keys
+        .filter(k => (k._1 == s && k._2 == d && k != key) ||
+          k._1.sparkContext.isStopped)
+        .foreach(k => pairsMemo.remove(k).foreach(CoreQueries.releaseStaging))
       val docs = withPlantedDups(T.documents(s, d))
       val cands = Dedup.minHashLshCandidatesMd5(docs, bands = 8,
         rowsPerBand = 4, shingleSize = 3)
@@ -340,6 +346,22 @@ object DataQueries {
       .orderBy(col("centroid_id"), col("pos"))
   }
 
+  /** TWO Lloyd iterations through [[Similarity.kmeansCentroids]] — pins
+    * the training LOOP, not just one step: the round-2 re-assignment runs
+    * against derived double means re-aligned to the corpus float element
+    * type (Similarity.scala:147), a path a single-step oracle never
+    * exercises. The DuckDB oracle unrolls both iterations term-for-term,
+    * including the decimal-exact means and the double→float→double
+    * round-trip of the alignment cast. */
+  val t28KmeansTrain: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.kmeansCentroids(emb, initEvery = 250, iters = 2)
+      .select(col("centroid_id"), posexplode(col("cvec")))
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("pos").cast("long").as("pos"), round(col("col"), 6).as("val"))
+      .orderBy(col("centroid_id"), col("pos"))
+  }
+
   /** Embedding-cosine near-duplicate detection: the corpus is unioned with
     * slightly-perturbed copies (id+100000, one component nudged); RHP-LSH
     * bucketing proposes candidates and the exact cosine >= 0.99 confirms.
@@ -455,6 +477,7 @@ object DataQueries {
     "t25_tfidf" -> t25Tfidf,
     "t26_zscore" -> t26Zscore,
     "t27_decontaminate" -> t27Decontaminate,
+    "t28_kmeans_train" -> t28KmeansTrain,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

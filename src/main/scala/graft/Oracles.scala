@@ -457,6 +457,28 @@ object Oracles {
           |FROM sp JOIN ctot ON sp.code=ctot.code
           |ORDER BY ClientCode, PersonaName""".stripMargin),
 
+    // Seg:313-339 Reporting.ClientTerritorySpend mirror: the TotalSpend
+    // CTE joins back on (code, territory) — ClientName rides along
+    // functionally, exactly as the reference's GROUP BY allows
+    "q51_client_territory_spend" ->
+      ("WITH " + segCtes + ",\n" + clientDimCtes + ",\n" +
+        """sp AS (SELECT code, cname, mm.terr AS territory, persona,
+          |  sum(amt) AS spend
+          |  FROM mm JOIN cl ON mm.pid=cl.pid JOIN dimp ON mm.pid=dimp.pid2
+          |  JOIN dimc ON dimp.cid=dimc.cid2
+          |  GROUP BY 1,2,3,4),
+          |ttot AS (SELECT code, territory, sum(spend) AS t
+          |  FROM sp GROUP BY 1,2)
+          |SELECT sp.code AS ClientCode, sp.cname AS ClientName,
+          |  sp.territory AS SalesTerritory, sp.persona AS PersonaName,
+          |  cast(sp.spend as double) AS SpendbySegmentation,
+          |  round(CASE WHEN ttot.t=0 THEN NULL
+          |    ELSE cast(sp.spend as double)/cast(ttot.t as double) END, 6)
+          |    AS PercentOfSpend
+          |FROM sp JOIN ttot ON sp.code=ttot.code
+          |  AND sp.territory=ttot.territory
+          |ORDER BY ClientCode, SalesTerritory, PersonaName""".stripMargin),
+
     "q45_diners_count" ->
       ("WITH " + clientDimCtes + ",\n" +
         """fact AS (SELECT o_custkey AS pid,
@@ -1366,6 +1388,42 @@ object Oracles {
         |    AS val
         |FROM dims GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // two unrolled Lloyd iterations (t22's step twice): round-1 means
+    // re-enter assignment after the double->float->real alignment cast
+    // (cast(cast(val as real) as double) mirrors Similarity.scala:147's
+    // element-wise downcast); decimal-exact means at every round
+    "t28_kmeans_train" ->
+      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 250 = 0),
+        |sc1 AS (SELECT vec_id, embedding, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), cid) AS rn
+        |  FROM embeddings CROSS JOIN c0),
+        |asg1 AS (SELECT vec_id, embedding, cid FROM sc1 WHERE rn = 1),
+        |dims1 AS (SELECT cid, g.i AS pos,
+        |    cast(embedding[g.i + 1] as double) AS v
+        |  FROM asg1 CROSS JOIN generate_series(0, 63) AS g(i)),
+        |m1 AS (SELECT cid, pos,
+        |    cast(sum(cast(v as decimal(27,12))) as double) / count(*) AS val
+        |  FROM dims1 GROUP BY 1, 2),
+        |c1 AS (SELECT cid,
+        |    list(cast(cast(val as real) as double) ORDER BY pos) AS cvec
+        |  FROM m1 GROUP BY 1),
+        |sc2 AS (SELECT e.vec_id, e.embedding, c1.cid, row_number() OVER (
+        |    PARTITION BY e.vec_id ORDER BY
+        |      -list_cosine_similarity(cast(e.embedding as double[]),
+        |        c1.cvec), c1.cid) AS rn
+        |  FROM embeddings e CROSS JOIN c1),
+        |asg2 AS (SELECT vec_id, embedding, cid FROM sc2 WHERE rn = 1),
+        |dims2 AS (SELECT cid, g.i AS pos,
+        |    cast(embedding[g.i + 1] as double) AS v
+        |  FROM asg2 CROSS JOIN generate_series(0, 63) AS g(i))
+        |SELECT cast(cid as bigint) AS centroid_id, cast(pos as bigint) AS pos,
+        |  round(cast(sum(cast(v as decimal(27,12))) as double) / count(*), 6)
+        |    AS val
+        |FROM dims2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // exact linear-interpolation percentiles: Spark `percentile` ==
     // DuckDB quantile_cont; token count = whitespace split like the
     // Spark side (split on \s+ of trimmed text)
@@ -1384,11 +1442,15 @@ object Oracles {
 
     // histogram arithmetic mirrored term-for-term:
     // floor((x - min) * 20 / (max - min)), capped into the last bucket
+    // degenerate-range guard (mn = mx → bucket 0) mirrored from
+    // Stats.histogram: without it the 0/0 bucket expression resolves
+    // differently per engine (Spark long-cast of NaN → 0, DuckDB → 19)
     "t24_histogram" ->
       """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |  FROM orders)
-        |SELECT cast(least(floor((o_totalprice - mn) * 20 / (mx - mn)), 19)
-        |    as bigint) AS bucket,
+        |SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE cast(least(floor((o_totalprice - mn) * 20 / (mx - mn)), 19)
+        |      as bigint) END AS bucket,
         |  cast(count(*) as bigint) AS n_orders
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -2,8 +2,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Partial-run-proof (round-4 post-mortem: a killed sweep yielded `{}`
+  * because oracle_sql.json was written LAST): the oracle map is written
+  * FIRST, queries run cheapest-first (the q01-q33 singles before the
+  * Seg/sketch families), and each query prints an OK/FAIL line — so a
+  * sweep killed at 50% still leaves the driver ~38 comparable results
+  * and a visible record of which query was in flight. */
 object Verify {
+  /** Sweep order: cheap single-operator queries first, pipeline queries
+    * next, the expensive staged families (Seg ratios, MinHash/Jaccard
+    * sketches) last — maximizes comparable rows per wall-second if the
+    * host degrades mid-run. */
+  private val expensive = Set(
+    "q34_seg_personas", "q41_client_minimarket_top", "q43_industry_spend",
+    "q44_client_spend", "q51_client_territory_spend",
+    "q36_new_fingerprints", "q37_billing_group_scd",
+    "t03_minhash_lsh", "t04_jaccard_pairs", "t05_simhash",
+    "t14_neardup_clusters")
+  private def costClass(name: String): Int =
+    if (expensive(name)) 2
+    else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0
+    else 1
+
   def main(args: Array[String]): Unit = {
     // driver contract: (sfDir, outDir); extra args = optional dev-only
     // query-name filter for fast iteration
@@ -19,15 +41,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,6 +56,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    var ok = 0
+    var failed = 0
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .sortBy { case (name, _) => (costClass(name), name) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          ok += 1
+          println(f"[verify] OK   $name (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+        } catch { case e: Throwable =>
+          failed += 1
+          println(s"[verify] FAIL $name: ${e.getMessage}")
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
+    println(s"[verify] done: $ok ok, $failed failed")
     spark.stop()
   }
 }

@@ -58,6 +58,43 @@ object Tables {
     (f.lastModified() +: nested.map(_.lastModified())).max
   }
 
+  /** Cache root for re-materialized fixture copies: repo-relative (the
+    * JVM's working directory), overridable via SPARK_GRAFT_CACHE_DIR. */
+  private def cacheRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
+      s"${sys.props("user.dir")}/target/fixture-cache")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Publish a generated fixture directory atomically. The path is keyed
+    * by fixture mtime, so its CONTENT is deterministic — but two
+    * concurrent JVMs (test + bench) used to overwrite-write the same
+    * directory while the other read it. Now: if a complete copy already
+    * exists (_SUCCESS marker), adopt it; otherwise write to a
+    * process-unique tmp dir and rename into place — the loser of the
+    * rename race discards its tmp and adopts the winner's directory, and
+    * a reader never observes a half-written path. */
+  private def materialize(path: String)(write: String => Unit): String = {
+    val target = new java.io.File(path)
+    if (target.isDirectory && new java.io.File(target, "_SUCCESS").exists())
+      return path
+    val tmp = path + ".tmp-" + ProcessHandle.current().pid() +
+      "-" + java.lang.Long.toHexString(System.nanoTime())
+    write(tmp)
+    try
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        deleteRecursively(new java.io.File(tmp))
+    }
+    path
+  }
+
   /** Re-materialize the orders fixture as a Hive-style month-partitioned
     * directory tree (`.../month=199601/part-*.parquet`) — the layout a
     * 100 TB fact table actually lives in, where a DateKey-window predicate
@@ -71,17 +108,16 @@ object Tables {
         .filter(k => k._1 == d && k._2 == "orders" &&
           k._3 == "month-parquet" && k != key)
         .foreach(exportMemo.remove)
-      val base = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
-        "/root/repo/target/fixture-cache")
-      val path = s"$base/orders_bymonth_${key._4.toHexString}_" +
+      val path = s"$cacheRoot/orders_bymonth_${key._4.toHexString}_" +
         Integer.toHexString(d.hashCode)
-      table(s, d, "orders")
-        .withColumn("month",
-          (expr("year(o_orderdate)") * 100 + expr("month(o_orderdate)"))
-            .cast("int"))
-        .repartition(col("month"))
-        .write.mode("overwrite").partitionBy("month").parquet(path)
-      path
+      materialize(path) { tmp =>
+        table(s, d, "orders")
+          .withColumn("month",
+            (expr("year(o_orderdate)") * 100 + expr("month(o_orderdate)"))
+              .cast("int"))
+          .repartition(col("month"))
+          .write.mode("overwrite").partitionBy("month").parquet(tmp)
+      }
     })
   }
 
@@ -97,18 +133,17 @@ object Tables {
       exportMemo.keys
         .filter(k => k._1 == d && k._2 == name && k._3 == fmt && k != key)
         .foreach(exportMemo.remove)
-      val base = sys.env.getOrElse("SPARK_GRAFT_CACHE_DIR",
-        "/root/repo/target/fixture-cache")
-      val path = s"$base/${name}_${fmt}_${key._4.toHexString}_" +
+      val path = s"$cacheRoot/${name}_${fmt}_${key._4.toHexString}_" +
         Integer.toHexString(d.hashCode)
-      val w = table(s, d, name).select(cols.map(col).toIndexedSeq: _*)
-        .coalesce(4).write.mode("overwrite")
-      fmt match {
-        case "csv"  => w.option("header", "true").csv(path)
-        case "json" => w.json(path)
-        case other  => throw new IllegalArgumentException(s"format: $other")
+      materialize(path) { tmp =>
+        val w = table(s, d, name).select(cols.map(col).toIndexedSeq: _*)
+          .coalesce(4).write.mode("overwrite")
+        fmt match {
+          case "csv"  => w.option("header", "true").csv(tmp)
+          case "json" => w.json(tmp)
+          case other  => throw new IllegalArgumentException(s"format: $other")
+        }
       }
-      path
     })
   }
 }

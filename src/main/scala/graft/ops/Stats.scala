@@ -42,23 +42,30 @@ object Stats {
     */
   def zscoreBy(df: DataFrame, groupCols: Seq[Column], valueCol: Column,
                valueDecimal: String = "decimal(18,2)"): DataFrame = {
+    // Group keys are materialized once under positional aliases (__g_0…)
+    // BEFORE the aggregate: arbitrary expressions — including two
+    // structurally identical ones — group, join back, and drop cleanly.
+    // (The previous toString-keyed aliases collided on identical
+    // renderings and could not re-resolve complex expressions against the
+    // aggregated frame.)
+    val aliases = groupCols.indices.map(i => s"__g_$i")
+    val keyed = df.select(col("*") +:
+      groupCols.zip(aliases).map { case (c, a) => c.as(a) }: _*)
     val v = valueCol.cast(valueDecimal)
-    val stats = df.groupBy(groupCols: _*)
+    val stats = keyed.groupBy(aliases.map(col): _*)
       .agg(sum(v).as("__sum"), sum(v * v).as("__sumsq"),
         count(lit(1)).as("__n"))
-      .select(groupCols.map(c => c.as(s"__g_${c.toString}")) ++ Seq(
+      .select(aliases.map(col) ++ Seq(
         col("__sum").cast("double").as("__sum"),
         col("__sumsq").cast("double").as("__sumsq"),
         col("__n")): _*)
-    val joinCond = groupCols.map(c => c === col(s"__g_${c.toString}"))
-      .reduce(_ && _)
     val mean = col("__sum") / col("__n")
     val sd = sqrt((col("__sumsq") - col("__sum") * col("__sum") / col("__n")) /
       (col("__n") - 1))
-    df.join(broadcast(stats), joinCond)
+    keyed.join(broadcast(stats), aliases.toSeq)
       .withColumn("zscore",
         when(col("__n") > 1 && sd =!= 0.0, (valueCol - mean) / sd))
-      .drop(stats.columns.toIndexedSeq: _*)
+      .drop(aliases ++ Seq("__sum", "__sumsq", "__n"): _*)
   }
 
   /** Equal-width histogram of `valueCol` over its observed [min, max]
@@ -71,10 +78,16 @@ object Stats {
   def histogram(df: DataFrame, valueCol: Column, buckets: Int): DataFrame = {
     val bounds = df.agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
     df.crossJoin(broadcast(bounds))
-      .select(least(
-          floor((valueCol - col("__mn")) * buckets / (col("__mx") - col("__mn"))),
-          lit(buckets - 1))
-        .cast("long").as("bucket"))
+      // degenerate range (single distinct value): the bucket expression
+      // is 0/0 and engines disagree on NaN floor/casting (Spark's long
+      // cast → 0, DuckDB's least(floor(NaN), k-1) → k-1) — pin bucket 0
+      // explicitly and mirror the same guard in the oracle SQL
+      .select(when(col("__mx") === col("__mn"), lit(0L))
+        .otherwise(least(
+            floor((valueCol - col("__mn")) * buckets /
+              (col("__mx") - col("__mn"))),
+            lit(buckets - 1))
+          .cast("long")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
   }

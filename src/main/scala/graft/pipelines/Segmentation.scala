@@ -175,6 +175,35 @@ object Segmentation {
           .as("PercentOfSpend"))
   }
 
+  /** Seg:313-339 — Reporting.ClientTerritorySpend: spend per (client,
+    * territory, persona) against the client-territory total. The
+    * reference's TotalSpend CTE groups by (code, name, territory) but
+    * joins back on (code, territory) alone (Seg:337) — name is functional
+    * on code — so the window over (ClientCode, SalesTerritory) encodes
+    * exactly that join key: one pass over MinimarketSpend instead of two
+    * scans plus a join, value-identical (same decimal addends; the
+    * segmentation fact covers every spending patron, see
+    * [[industrySpend]]). */
+  def territorySpend(mmSpend: DataFrame, personas: DataFrame,
+                     dimPatron: DataFrame, dimClient: DataFrame): DataFrame = {
+    val spend = mmSpend
+      .join(personas, Seq("UniquePatronId"))
+      .join(dimPatron.select(col("UniquePatronId"), col("ClientID")),
+        Seq("UniquePatronId"))
+      .join(broadcast(dimClient.select(col("ClientID"), col("ClientCode"),
+        col("ClientName"))), Seq("ClientID"))
+      .groupBy(col("ClientCode"), col("ClientName"), col("SalesTerritory"),
+        col("PersonaName"))
+      .agg(sum(col("MinimarketAmount")).as("SpendbySegmentation"))
+    spend
+      .withColumn("__tot", sum(col("SpendbySegmentation")).over(
+        Window.partitionBy(col("ClientCode"), col("SalesTerritory"))))
+      .select(col("ClientCode"), col("ClientName"), col("SalesTerritory"),
+        col("PersonaName"), col("SpendbySegmentation"),
+        Ops.safeRatio(col("SpendbySegmentation"), col("__tot"))
+          .as("PercentOfSpend"))
+  }
+
   /** Seg:405-426 — DinersCount: distinct diners and high-value diners per
     * client over the trailing window. */
   def dinersCount(fact: DataFrame, dimUniquePatron: DataFrame,

@@ -31,6 +31,30 @@ class StatsSpec extends SparkSpec {
     assert(out(3).isNullAt(2) && out(4).isNullAt(2) && out(5).isNullAt(2))
   }
 
+  test("zscoreBy: expression group keys, incl. structurally identical ones") {
+    val df = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0), (4L, 8.0)).toDF("k", "v")
+    // two structurally identical expressions as group keys — the former
+    // toString-keyed aliases collided on these ("(k % 2)" twice)
+    val out = Stats.zscoreBy(df, Seq(col("k") % 2, col("k") % 2), col("v"))
+    assert(out.columns.toSeq == Seq("k", "v", "zscore"))
+    val rows = out.orderBy("k").collect()
+    // even group {4.0, 8.0}: mean 6, sd ~2.828 -> z = ∓1/sqrt(2)
+    val z2 = rows(1).getDouble(2)
+    assert(math.abs(z2 + 1.0 / math.sqrt(2)) < 1e-9)
+    // distinct expressions still group independently of their rendering
+    val byExpr = Stats.zscoreBy(df, Seq(col("k") % 2, col("k") % 3), col("v"))
+      .orderBy("k").collect()
+    // (k%2, k%3) is unique per k in 1..4 -> every group is a singleton
+    assert(byExpr.forall(_.isNullAt(2)))
+  }
+
+  test("histogram: degenerate single-value range pins bucket 0") {
+    val df = Seq(7.5, 7.5, 7.5).toDF("v")
+    val out = Stats.histogram(df, col("v"), 20).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 0L &&
+      out(0).getLong(1) == 3L)
+  }
+
   test("histogram: equal widths, max folds into last bucket") {
     val df = (0 to 100).map(_.toDouble).toDF("v")
     val out = Stats.histogram(df, col("v"), 10)
