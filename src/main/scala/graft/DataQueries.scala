@@ -125,12 +125,14 @@ object DataQueries {
     * (one global survivor each), the per-doc body (always kept), a blank
     * separator (passes through), and the doc's first token as a line
     * (collides across docs sharing it — variable-size groups). */
-  val t15LineDedup: Q = (s, d) => {
-    val multi = T.documents(s, d).select(col("doc_id"),
+  private def multiLineDocs(s: SparkSession, d: String) =
+    T.documents(s, d).select(col("doc_id"),
       concat_ws("\n", lit("promo: subscribe now"), col("text"), lit(""),
         lit("copyright footer"),
         element_at(split(trim(col("text")), "\\s+"), 1)).as("text"))
-    TextOps.lineDedup(multi)
+
+  val t15LineDedup: Q = (s, d) => {
+    TextOps.lineDedup(multiLineDocs(s, d))
       .select(col("doc_id"), col("clean_text"),
         col("n_kept").cast("long").as("n_kept"))
       .orderBy(col("doc_id"))
@@ -499,6 +501,11 @@ object DataQueries {
     "x05_simhash_scale" -> ((s, d) =>
       Dedup.simHashCandidates(withPlantedDups(T.documents(s, d)),
         blocks = 4, maxHamming = 6)),
+    // t15's corpus-wide line dedup with the hash-first native kernel:
+    // exploded rows carry 8-byte digests, survivorship is an aggregate
+    // (map-side combine), text crosses exactly one doc_id-keyed join
+    "x15_line_dedup_scale" -> ((s, d) =>
+      TextOps.lineDedupScalable(multiLineDocs(s, d))),
     // t19's packing with fact-scale surrogate sequencing underneath
     "x19_sequence_scale" -> ((s, d) =>
       graft.etl.Merge.sequenceKeysScalable(

@@ -22,7 +22,8 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      SparkEntry.queries.getOrElse(n, DataQueries.benchOnly(n))(spark, sfDir)
+        .explain("formatted")
     }
     spark.stop()
   }

@@ -301,6 +301,63 @@ case class SimHash64Expr(child: Expression, shingleSize: Int = 2)
   override def prettyName: String = "simhash64"
 }
 
+object LineKernel {
+  /** Per-line (line_no, xxhash64, blank) rows for corpus-wide line dedup —
+    * the hash-first kernel: one pass over the document's UTF-8 bytes, no
+    * line-string materialization. Splits on the 0x0A byte (UTF-8-safe:
+    * a continuation byte is never 0x0A) keeping trailing empty segments,
+    * exactly like Spark's `split(text, "\n")`; `blank` mirrors the
+    * `trim(ln) = ''` predicate (T-SQL-parity trim: the space character
+    * only); hash = XXH64 over the line's raw bytes, seed 42. */
+  def lineHashes(text: UTF8String): Array[InternalRow] = {
+    val b = text.getBytes
+    val n = b.length
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (b(i) == '\n') cnt += 1; i += 1 }
+    val out = new Array[InternalRow](cnt)
+    var seg = 0
+    var start = 0
+    while (seg < cnt) {
+      var end = start
+      while (end < n && b(end) != '\n') end += 1
+      var blank = true
+      var j = start
+      while (j < end && blank) { if (b(j) != ' ') blank = false; j += 1 }
+      val h = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        end - start, 42L)
+      out(seg) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](seg + 1, h, blank))
+      seg += 1
+      start = end + 1
+    }
+    out
+  }
+}
+
+/** `line_hashes(text)` — array<struct<line_no,h,blank>>, one element per
+  * line, hash-first (the exploded rows carry an 8-byte digest instead of
+  * the line text — see TextOps.lineDedupScalable for the shuffle math). */
+case class LineHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("line_no", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("blank", BooleanType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(LineKernel.lineHashes(input.asInstanceOf[UTF8String])
+      .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.LineKernel.lineHashes($c));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): LineHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "line_hashes"
+}
+
 object VectorKernels {
   /** Cosine similarity with sequential double accumulation — bit-identical
     * to the zip_with/aggregate fold it replaces (same operation order), so
@@ -378,6 +435,8 @@ object GraftFunctions {
     column(SimHash64Md5Expr(expression(c), shingleSize))
   def shingle_hashes(c: Column, shingleSize: Int = 3): Column =
     column(ShingleHashesExpr(expression(c), shingleSize))
+  def line_hashes(c: Column): Column =
+    column(LineHashesExpr(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
 

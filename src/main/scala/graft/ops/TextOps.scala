@@ -160,6 +160,54 @@ object TextOps {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Scale-path twin of [[lineDedup]] (benched as x15): line text never
+    * crosses a shuffle. The native codegen'd
+    * [[graft.functions.LineHashesExpr]] emits (line_no, xxhash64, blank)
+    * per line in ONE pass — exploded rows carry an 8-byte digest, not the
+    * line string; survivorship is a map-side-combinable
+    * min(struct(doc_id, line_no)) AGGREGATE over the digests (the md5
+    * formulation windows over every line's full text and re-emits all
+    * rows); documents rebuild by direct index projection into their own
+    * split-line array. One corpus scan, one kernel pass, and in order:
+    * a (blank, hash[, doc_id, line_no]) keyed aggregate after partial
+    * combine; a (doc_id)-keyed kept-index aggregate; one doc_id-keyed
+    * join of the kept-index arrays back to the corpus — the only point
+    * where text moves, and it moves once. Output matches
+    * [[lineDedup]] up to hash family (xxhash64 vs md5 — survivorship can
+    * differ only under a content-hash collision); equality on fixture
+    * corpora is spec-guarded (TextDedupSpec). */
+  def lineDedupScalable(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    import graft.functions.GraftFunctions.line_hashes
+    val meta = docs.select(col(idCol).as("doc_id"),
+        explode(line_hashes(col(textCol))).as("lh"))
+      .select(col("doc_id"), col("lh.line_no").as("line_no"),
+        col("lh.h").as("h"), col("lh.blank").as("blank"))
+    // ONE aggregate decides survivorship for both populations: non-blank
+    // rows group by content hash (winner = min occurrence), blank rows
+    // carry their own (doc_id, line_no) in the key so every occurrence is
+    // a singleton group that survives — no second corpus scan / kernel
+    // pass for a blanks branch, no union
+    val kept = meta
+      .groupBy(col("blank"), col("h"),
+        when(col("blank"), col("doc_id")).as("__bd"),
+        when(col("blank"), col("line_no")).as("__bl"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("mo"))
+      .groupBy(col("mo.doc_id").as("doc_id"))
+      .agg(sort_array(collect_list(col("mo.line_no"))).as("__keep"),
+        count(lit(1)).as("n_kept"))
+    // __lines is projected ONCE then referenced inside the lambda — an
+    // attribute capture, not an expression capture (a captured split()
+    // would re-split per element)
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), "\n").as("__lines"))
+      .join(kept, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(transform(col("__keep"),
+          i => element_at(col("__lines"), i)), "\n").as("clean_text"),
+        col("n_kept"))
+  }
+
   /** Sequence packing for pretraining batches: lay documents end-to-end in
     * id order and cut the token stream every `capacity` tokens — a
     * document's bin is the capacity-sized window its FIRST token falls

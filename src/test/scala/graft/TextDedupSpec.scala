@@ -82,6 +82,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1).getString(1) == "only b")
   }
 
+  test("lineDedupScalable matches lineDedup exactly (hash-first kernel)") {
+    val docs = Seq(
+      (1L, "shared header\nbody one\n\nshared footer"),
+      (2L, "shared header\nbody two\n\nshared footer"),
+      (3L, "body one\nunique three"),
+      // space-only line (blank), trailing newline (trailing empty
+      // segment), and a tab line (NOT blank under space-only trim)
+      (4L, "   \ntrailing\n"),
+      (5L, "\t\nxyz")).toDF("doc_id", "text")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(dump(TextOps.lineDedupScalable(docs)) == dump(TextOps.lineDedup(docs)))
+    // non-numeric ids exercise the struct-ordered min key in both paths
+    val sdocs = Seq(("doc-a", "shared\nonly a"), ("doc-b", "shared\nonly b"))
+      .toDF("doc_id", "text")
+    def sdump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sdump(TextOps.lineDedupScalable(sdocs)) == sdump(TextOps.lineDedup(sdocs)))
+  }
+
   test("hashSample is deterministic and stratified rates hold roughly") {
     val docs = spark.range(0, 2000).toDF("doc_id")
       .withColumn("band", (col("doc_id") % 2 === 0).cast("int"))
