@@ -22,14 +22,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events fixture carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` set the
-    * column arrives as a nanos long — normalize it back to a timestamp
-    * (exact: `div 1000` integer division to micros). */
+  /** The events fixture's `ts` physical type has varied across driver
+    * generations: TIMESTAMP(NANOS) (arrives as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS) with no
+    * timezone (arrives as TIMESTAMP_NTZ). Normalize both to TIMESTAMP so
+    * downstream `unix_micros`/`window`/watermark code sees one type. The
+    * NTZ→TZ cast reinterprets wall-clock in the session timezone — every
+    * entrypoint pins UTC, so the instant is exact and matches what DuckDB
+    * computes on the same naive values. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _        => df
     }
   }
