@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line per
@@ -38,6 +39,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * its own "seg_staging" entry (inside the gated total — the work is
   * real) so q34/q41/q43/q44 time only their incremental cost.
   *
+  * Host-health calibration (round-5 verdict: rounds 4 and 5 both lost or
+  * distorted the bench signal to 10-45x host degradation that only a
+  * judge re-run detected): every pass first times a fixed deterministic
+  * in-memory kernel (50M-row hash -> 9973-key agg -> sort, no I/O, no
+  * cache reuse) and emits "host_factor" = kernel_s / HOST_KERNEL_REF_SEC
+  * in its JSON line. The reference seconds are pinned from a healthy
+  * round-6 build box, so per-query numbers are comparable across rounds
+  * after dividing by the pass's host_factor: ~1.0 = healthy host, >>1 =
+  * the host (not the code) is slow. See README "Benchmark protocol".
+  *
   * `value` sums the mins of the oracle-verified queries only — directly
   * comparable to BASELINE.md and earlier rounds. The xxhash64 scale-path
   * variants (DataQueries.benchOnly) are timed the same way but reported
@@ -47,6 +58,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deflate the gated total).
   */
 object Bench {
+  /** Seconds the calibration kernel takes on a healthy build box
+    * (best-observed on the round-6 box at local[32]; the same box showed
+    * 0.79s and 1.62s on consecutive passes minutes apart — the wobble the
+    * factor exists to expose); host_factor divides by this. Re-pin only if
+    * the kernel itself changes. */
+  val HostKernelRefSec = 0.8
+
+  /** Fixed deterministic no-I/O kernel: 50M longs -> xxhash64 ->
+    * 9973-key hash aggregate -> sort. Partition count is pinned (64) so
+    * the measured work is identical regardless of SPARK_GRAFT_CPUS; the
+    * result exercises codegen, shuffle write/read and sort — the same
+    * machinery the real queries stress — with zero data dependence. */
+  def hostKernelSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 50000000L, 1, 64)
+      .select((col("id") % 9973).as("k"), xxhash64(col("id")).as("h"))
+      .groupBy(col("k"))
+      .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+      .orderBy(col("s")).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -75,6 +108,8 @@ object Bench {
         .filterKeys(k => k.startsWith("q48") || k.startsWith("q49") ||
           k.startsWith("q50"))
         .foreach { case (_, fn) => fn(spark, sfDir).count() }
+      hostKernelSec(spark) // JIT the calibration kernel itself
+      ()
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
@@ -121,17 +156,61 @@ object Bench {
       })) +: SparkEntry.queries.toSeq.sortBy(_._1)
     val scale = DataQueries.benchOnly.toSeq.sortBy(_._1)
 
+    /** Streaming surface timing (reported under "streaming_queries", not
+      * the gated total): the events fixture driven through the
+      * readStream -> transform -> writeStream path one-shot
+      * (Trigger.AvailableNow) into the noop sink, so the measured cost is
+      * the streaming engine + stateful operators, not a sink. s01 is the
+      * watermarked tumbling rollup (t10's stream twin), s02 the
+      * stream-stream interval attribution join (t20's) — the two stateful
+      * shapes a cluster would actually run. */
+    // Streams self-cap: the watchdog's job-group cancel can't reach a
+    // stream's microbatch thread (job groups are thread-local), so an
+    // overlong stream is stopped here and recorded as a failure (-1)
+    // instead of running on into the next timings.
+    def runStream(df: DataFrame, mode: String): Unit = {
+      val q = df.writeStream.format("noop").outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        if (!q.awaitTermination((capSec * 1000).toLong)) {
+          q.stop()
+          throw new RuntimeException(s"stream exceeded ${capSec}s cap")
+        }
+      } finally if (q.isActive) q.stop()
+    }
+    import graft.streaming.Streams
+    val streaming: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+      "s01_hourly_rollup" -> ((s, d) =>
+        runStream(Streams.hourlyRollup(Streams.eventsStreamAuto(s, d)),
+          "append")),
+      "s02_attribution_join" -> ((s, d) => {
+        val src = Streams.eventsStreamAuto(s, d)
+        runStream(Streams.attributionJoin(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase")), "append")
+      }))
+    def timeStreamingPass(): Seq[(String, Double)] =
+      streaming.map { case (name, fn) =>
+        name -> timed(name) { fn(spark, sfDir) }
+      }
+
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def sumOk(rs: Seq[(String, Double)]): Double =
       rs.collect { case (_, v) if v >= 0 => v }.sum
 
-    var passes = Vector.empty[(Seq[(String, Double)], Seq[(String, Double)])]
+    case class Pass(main: Seq[(String, Double)], scale: Seq[(String, Double)],
+                    streaming: Seq[(String, Double)], hostFactor: Double)
+    var passes = Vector.empty[Pass]
     var pass = 0
     var continue = true
     while (continue && pass < reps) {
       pass += 1
       val w0 = System.nanoTime()
+      // host-health calibration first: a fixed no-I/O kernel, so every
+      // recorded pass carries how sick the box was WHILE it ran
+      val hostFactor = hostKernelSec(spark) / HostKernelRefSec
       // cold staging per pass: drop the t03/t14 verified-pairs checkpoint
       // AND every persisted frame (segStaging etc.), so each pass pays
       // each staging fill exactly once — the same work profile as the
@@ -139,12 +218,16 @@ object Bench {
       DataQueries.clearStagingCache()
       CoreQueries.clearStagingCache()
       spark.catalog.clearCache()
-      val p = (timePass(main), timePass(scale))
+      val p = Pass(timePass(main), timePass(scale), timeStreamingPass(),
+        hostFactor)
       passes :+= p
       val wall = (System.nanoTime() - w0) / 1e9
-      println(s"""{"metric":"pass","pass":$pass,"value":${sumOk(p._1)},""" +
-        s""""unit":"sec","wall":$wall,"queries":${jsonMap(p._1)},""" +
-        s""""scale_queries":${jsonMap(p._2)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"pass","pass":$pass,"value":${sumOk(p.main)},""" +
+        s""""unit":"sec","wall":$wall,""" +
+        f""""host_factor":${p.hostFactor}%.3f,""" +
+        s""""queries":${jsonMap(p.main)},""" +
+        s""""scale_queries":${jsonMap(p.scale)},""" +
+        s""""streaming_queries":${jsonMap(p.streaming)},"sf":"$sfDir"}""")
       if (wall > budgetSec && pass < reps) {
         System.err.println(
           s"[bench] pass $pass took ${wall}s > ${budgetSec}s budget; " +
@@ -160,11 +243,18 @@ object Bench {
         val ok = vs.map(_._2).filter(_ >= 0)
         k -> (if (ok.nonEmpty) ok.min else -1.0)
       }.toSeq.sortBy(_._1)
-    val results = minOver(passes.map(_._1))
-    val scaleResults = minOver(passes.map(_._2))
+    val results = minOver(passes.map(_.main))
+    val scaleResults = minOver(passes.map(_.scale))
+    val streamingResults = minOver(passes.map(_.streaming))
+    // the total line reports the BEST host_factor seen: the per-query mins
+    // it carries were most likely achieved near that health level
+    val bestFactor = passes.map(_.hostFactor).min
     println(s"""{"metric":"total","value":${sumOk(results)},"unit":"sec",""" +
-      s""""reps":${passes.size},"queries":${jsonMap(results)},""" +
-      s""""scale_queries":${jsonMap(scaleResults)},"sf":"$sfDir"}""")
+      s""""reps":${passes.size},""" +
+      f""""host_factor":$bestFactor%.3f,""" +
+      s""""queries":${jsonMap(results)},""" +
+      s""""scale_queries":${jsonMap(scaleResults)},""" +
+      s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

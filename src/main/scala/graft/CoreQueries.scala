@@ -1098,6 +1098,25 @@ object CoreQueries {
       .orderBy(col("month"))
   }
 
+  /** O2 symmetric egress — CSV: the q51 ClientTerritorySpend snapshot
+    * written as a headered CSV (the reference's Excel-facing egress,
+    * Seg:267) through [[graft.etl.Tables.writeSnapshot]], read back
+    * through the schema-explicit CSV reader, and hash-checked against the
+    * ORIGINAL computation's oracle — any round-trip loss (double
+    * rendering, quoting, null encoding, column order) breaks the hash.
+    * PercentOfSpend is nullable (zero-total territories), so the null
+    * encoding is exercised, not just plain values. */
+  val q52CsvEgress: Q = (s, d) =>
+    T.egressRoundTrip(s, q51ClientTerritorySpend(s, d), "csv", "territory")
+      .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
+
+  /** O2 symmetric egress — JSON-lines: same round-trip discipline as q52
+    * on the JSON writer (null fields are DROPPED by the writer and must
+    * come back as nulls through the explicit schema). */
+  val q53JsonEgress: Q = (s, d) =>
+    T.egressRoundTrip(s, q51ClientTerritorySpend(s, d), "json", "territory")
+      .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -1150,5 +1169,7 @@ object CoreQueries {
     "q49_json_source" -> q49JsonSource,
     "q50_partitioned_source" -> q50PartitionedSource,
     "q51_client_territory_spend" -> q51ClientTerritorySpend,
+    "q52_csv_egress" -> q52CsvEgress,
+    "q53_json_egress" -> q53JsonEgress,
   )
 }

@@ -189,6 +189,20 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-sided knn-join where queries = the whole corpus (every embedding
+    * row asks for its 3 nearest): the large×large path [[Similarity
+    * .knnJoin]] packages — no broadcast anywhere, both sides bucket-joined
+    * on the 8-bit RHP key with multi-probe. PlanSpec guards the no-
+    * broadcast shape; the oracle recomputes buckets from the inlined
+    * hyperplane constants. */
+  val t29KnnJoin: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.knnJoin(emb, emb, k = 3, bits = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: documents wrapped as binary media assets, decoded
     * partition-wise through the (stubbed) codec into typed metadata. */
   val t08MediaMeta: Q = (s, d) =>
@@ -480,6 +494,7 @@ object DataQueries {
     "t26_zscore" -> t26Zscore,
     "t27_decontaminate" -> t27Decontaminate,
     "t28_kmeans_train" -> t28KmeansTrain,
+    "t29_knn_join" -> t29KnnJoin,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1221,6 +1221,30 @@ object Oracles {
         | cast(frame_idx*1000 as bigint) AS ts_ms
         |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
 
+    // exact recomputation of the two-sided knn-join: every vector is a
+    // query, buckets from the inlined hyperplane weights (bits=8),
+    // multi-probe at Hamming distance 1, per-query top-3 among candidates
+    "t29_knn_join" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM embeddings),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |    xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
+        |    xor(bucket, 64), xor(bucket, 128)]) AS bucket FROM b),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(c.embedding as double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // exact recomputation of the RHP-LSH ANN path: buckets from the
     // inlined hyperplane weights (bits=4), multi-probe at Hamming
     // distance 1, per-query top-5 among candidates
@@ -1533,5 +1557,14 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
   )
 
-  val all: Map[String, String] = core ++ coreExtra ++ data
+  val all: Map[String, String] = {
+    val base = core ++ coreExtra ++ data
+    // q52/q53 write the q51 snapshot out as CSV / JSON-lines and read it
+    // back, so a lossless round trip hashes equal to q51's own oracle —
+    // the oracle SQL is deliberately the same; only the Spark side pays
+    // the egress trip
+    base ++ Map(
+      "q52_csv_egress" -> base("q51_client_territory_spend"),
+      "q53_json_egress" -> base("q51_client_territory_spend"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Fixture / warehouse readers.
   *
@@ -34,9 +34,11 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
-      case _        => df
+      // cast to the concrete type object, not cast("timestamp"): the DDL
+      // name resolves via spark.sql.timestampType, so a session configured
+      // for TIMESTAMP_NTZ would turn this into an NTZ->NTZ no-op
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
@@ -54,6 +56,68 @@ object Tables {
 
   def jsonLines(s: SparkSession, path: String, ddl: String): DataFrame =
     s.read.schema(StructType.fromDDL(ddl)).json(path)
+
+  /** O1's last unexercised modality — a JDBC source behind the same
+    * facade. The reference reaches remote tables through linked-server
+    * four-part names (S3:11, S4:62), modeled elsewhere in this file as
+    * path prefixes; a real migration off SQL Server would read them with
+    * `spark.read.jdbc`, and this is that surface. `tableOrQuery` accepts
+    * either a table name or the `"(SELECT ...) t"` pushdown-subquery
+    * idiom (the filter/projection then executes on the REMOTE server —
+    * the linked-server equivalent of predicate pushdown). For a
+    * fact-sized pull, `partitionColumn` + `bounds` + `numPartitions`
+    * split the read into parallel range queries so 1000 executors don't
+    * serialize behind one cursor. Spec'd against the in-memory Derby that
+    * ships with Spark (JdbcSpec); a containerized SQL Server round-trip
+    * is out of sandbox scope (zero egress). */
+  def jdbc(s: SparkSession, url: String, tableOrQuery: String,
+           props: java.util.Properties = new java.util.Properties,
+           partitionColumn: Option[String] = None,
+           bounds: Option[(Long, Long)] = None,
+           numPartitions: Int = 1): DataFrame =
+    (partitionColumn, bounds) match {
+      case (Some(pc), Some((lo, hi))) =>
+        s.read.jdbc(url, tableOrQuery, pc, lo, hi, numPartitions, props)
+      case _ => s.read.jdbc(url, tableOrQuery, props)
+    }
+
+  /** O2 width in the write direction — symmetric egress: materialize a
+    * reporting snapshot as a headered CSV or JSON-lines directory (the
+    * reference's Excel-facing consumers, Seg:267). Egress stays
+    * distributed — each task writes its own partition file; the
+    * `coalesce(1)` mirrors the single-file snapshot a spreadsheet consumer
+    * expects and is only sane for reporting-sized frames (a fact-sized
+    * egress keeps its partitioning and writes one file per task). */
+  def writeSnapshot(df: DataFrame, fmt: String, path: String): String = {
+    val w = df.coalesce(1).write.mode("overwrite")
+    fmt match {
+      case "csv"  => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case other  => throw new IllegalArgumentException(s"format: $other")
+    }
+    path
+  }
+
+  /** Write-then-read round trip through [[writeSnapshot]] and the
+    * schema-explicit readers above: the frame's own schema is captured as
+    * DDL before the write and drives the read-back, so a trip that drops
+    * numeric precision, mangles quoting/null encoding, or reorders columns
+    * yields a frame that no longer hashes equal to the original
+    * computation — which is exactly what the q52/q53 oracles check. The
+    * path is process-unique so a concurrent test + bench JVM pair never
+    * read each other's half-written copies. */
+  def egressRoundTrip(s: SparkSession, df: DataFrame, fmt: String,
+                      tag: String): DataFrame = {
+    val path = s"$cacheRoot/egress_${tag}_${fmt}_" +
+      ProcessHandle.current().pid()
+    writeSnapshot(df, fmt, path)
+    val ddl = df.schema.toDDL
+    fmt match {
+      case "csv"  => csv(s, path, ddl)
+      case "json" => jsonLines(s, path, ddl)
+      case other  => throw new IllegalArgumentException(s"format: $other")
+    }
+  }
 
   private val exportMemo = scala.collection.concurrent.TrieMap
     .empty[(String, String, String, Long), String]

@@ -102,6 +102,44 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Two-sided scalable knn-join — "for every left row, its k nearest
+    * right rows" where BOTH sides are large. Unlike [[lshTopK]], which
+    * broadcasts a small probe set, nothing here is broadcast: both sides
+    * are bucketed by the same RHP sign sketch ([[rhpBucket]]), the left
+    * side explodes its multi-probe bucket list (`bits`+1 rows per query
+    * when `probe1`), and candidates meet in a bucket-keyed shuffle
+    * equi-join — the same hash→band→bucket-join discipline as the dedup
+    * family, so per-query fan-out is |right|/2^bits per probe instead of
+    * |right|. Top-k per left row is then a window over the candidate
+    * sliver. At 100 TB each side shuffles once on the bucket key and the
+    * candidates once on query_id for the rank; no unbounded frame ever
+    * ships to every executor. A neighbor lives in exactly one bucket and
+    * the probe list is distinct, so a (query, neighbor) pair can match at
+    * most one probe — no dedup needed before the rank. */
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
+              probe1: Boolean = true, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cb = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      rhpBucket(col(vecCol), bits).as("bucket"))
+    val qb = left.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        rhpBucket(col(vecCol), bits).as("b0"))
+      .select(col("query_id"), col("__qv"),
+        explode(
+          if (!probe1) array(col("b0"))
+          else array(col("b0") +:
+            (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)): _*))
+          .as("bucket"))
+    qb.join(cb, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** IVF-style coarse quantizer: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)); search then
     * probes only matching lists. Building centroids (k-means) is out of

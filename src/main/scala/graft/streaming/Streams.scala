@@ -43,6 +43,27 @@ object Streams {
     else raw
   }
 
+  /** [[eventsStream]] with the fixture's physical `ts` type auto-detected
+    * from a batch peek at the same path — the exact same three-way
+    * normalization as `Tables.events` (driver fixture generations have
+    * shipped TIMESTAMP(NANOS) → nanos long under nanosAsLong, and
+    * TIMESTAMP(MICROS) with no timezone → TIMESTAMP_NTZ): whatever the
+    * files carry, downstream watermark/window code sees TIMESTAMP. The
+    * peek reads footer metadata only, not data. */
+  def eventsStreamAuto(spark: SparkSession, dir: String,
+                       glob: String = "events*.parquet"): DataFrame =
+    spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType match {
+      case LongType => eventsStream(spark, dir, glob, nanosTs = true)
+      case TimestampNTZType =>
+        spark.readStream
+          .schema(StructType(eventSchema.map(f =>
+            if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f)))
+          .option("pathGlobFilter", glob).parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ => eventsStream(spark, dir, glob)
+    }
+
   /** At-least-once ingest dedup: drop event_id replays while BOUNDING the
     * dedup state with the watermark — a replay arriving within the
     * watermark horizon is suppressed, and state for ids older than the

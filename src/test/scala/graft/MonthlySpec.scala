@@ -14,7 +14,9 @@ import graft.etl.Publish
 class MonthlySpec extends SparkSpec {
   import spark.implicits._
 
-  test("monthly batch: fingerprints, patrons, personas, atomic publish") {
+  /** The minimal coherent month the suite runs end to end — shared by the
+    * batch test and the rerun-idempotence property below. */
+  private def monthInputs(): Monthly.Inputs = {
     val header = Seq(
       // (id, transactionid, merchant attrs..., patron attrs...)
       (1L, "1", "M1", "LEGAL ONE", "ONE", "1 MAIN ST", "NYC", "NY", "10001",
@@ -79,7 +81,7 @@ class MonthlySpec extends SparkSpec {
       .toDF("ProxyID", "IsHighValue")
       .withColumn("UniquePatronId", lit(null).cast("long"))
 
-    val result = Monthly.run(Monthly.Inputs(
+    Monthly.Inputs(
       header = header, detail = detail, dimFingerprint = dimFingerprint,
       fact = fact, txnProxy = txnProxy, txnKeys = txnKeys,
       dimPatron = dimPatron, dimUniquePatron = dimUniquePatron,
@@ -89,7 +91,11 @@ class MonthlySpec extends SparkSpec {
       dimTerritory = Seq((1, "EAST", "NY"), (2, "WEST", "BERLIN"))
         .toDF("GeographyID", "SalesTerritory", "DIN_DisplayMiniMarketName"),
       startDate = "2025-02-01", endDate = "2025-02-28",
-      startKey = 20250201L, endKey = 20250228L, algo = "md5"))
+      startKey = 20250201L, endKey = 20250228L, algo = "md5")
+  }
+
+  test("monthly batch: fingerprints, patrons, personas, atomic publish") {
+    val result = Monthly.run(monthInputs())
 
     // S1: the eligible new merchant (M2) got the next sequenced id; the
     // ineligible-country M3 did not enter the dimension
@@ -125,5 +131,50 @@ class MonthlySpec extends SparkSpec {
     assert(Publish.publishAll(root, result.outputs).isSuccess)
     val back = spark.read.parquet(s"$root/fact_transaction")
     assert(back.count() == 3)
+  }
+
+  /** The reference's rerun-safety contract (SURVEY §2.9): running the same
+    * month again must not corrupt the warehouse. Two facets:
+    *  - determinism — the same inputs produce bit-equal outputs;
+    *  - fixed point — a rerun over the ALREADY-updated warehouse converges:
+    *    the first rerun may legitimately map MORE fact rows (S1 builds the
+    *    full map from the dim as it stood before that run's inserts, so
+    *    fingerprints minted in run 1 only become mappable in run 2 — same
+    *    as the reference's next-month catch-up), after which every further
+    *    rerun is bit-identical. Guarded + sentinel-driven updates make the
+    *    converged state stable: nothing double-inserts, no key re-mints. */
+  test("month rerun: deterministic, and idempotent at the warehouse fixed point") {
+    def rerunInputs(in: Monthly.Inputs,
+                    out: Map[String, org.apache.spark.sql.DataFrame]) =
+      in.copy(
+        dimFingerprint = out("dim_fingerprint"),
+        fact = out("fact_transaction"),
+        dimPatron = out("dim_patron"),
+        dimUniquePatron = out("dim_unique_patron"))
+    // localCheckpoint pins each run's outputs so the next run's lineage
+    // doesn't recompute (and possibly re-mint keys through) the previous
+    def pin(r: Monthly.Result): Map[String, org.apache.spark.sql.DataFrame] =
+      r.outputs.map { case (k, df) => k -> df.localCheckpoint() }
+    def sameRows(k: String, a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.schema.map(f => (f.name, f.dataType)) ==
+        b.schema.map(f => (f.name, f.dataType)), s"$k: schema drift")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty &&
+        a.count() == b.count(), s"$k: row drift on rerun")
+    }
+
+    val in = monthInputs()
+    // determinism: same inputs, bit-equal outputs
+    val d1 = pin(Monthly.run(in))
+    val d2 = pin(Monthly.run(in))
+    d1.keys.foreach(k => sameRows(k, d1(k), d2(k)))
+
+    // fixed point: run2 consumes run1's warehouse, run3 consumes run2's;
+    // run2 == run3 exactly, and the probes stay at zero
+    val o2 = pin(Monthly.run(rerunInputs(in, d1)))
+    val r3 = Monthly.run(rerunInputs(in, o2))
+    val o3 = pin(r3)
+    o2.keys.foreach(k => sameRows(k, o2(k), o3(k)))
+    assert(r3.unmappedPatrons == 0 && r3.unmappedUniquePatrons == 0)
   }
 }

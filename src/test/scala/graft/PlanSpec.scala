@@ -74,6 +74,25 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("t29: knn-join never broadcasts an unbounded frame") {
+    // the two-sided knn-join is the large×large path: with auto-broadcast
+    // disabled the plan must degrade to a bucket-keyed shuffled equi-join
+    // (SortMergeJoin / ShuffledHashJoin) — proving no broadcast hint is
+    // baked into the operator and the bucket key is a genuine equi key.
+    // With the default threshold Catalyst MAY still broadcast the
+    // fixture-sized side; that is its call, not the operator's.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t29_knn_join")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastExchange"),
+        p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t15: line dedup reads only (doc_id, text) from the scan") {
     val p = plan("t15_line_dedup")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

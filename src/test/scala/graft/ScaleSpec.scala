@@ -64,6 +64,48 @@ class ScaleSpec extends SparkSpec {
     approx.foreach(a => assert(math.abs(a - 5000.0) / 5000.0 < 0.1))
   }
 
+  test("AQE splits the pathological hot-key join at runtime (skew=true)") {
+    // The S1:97 shape: one client ('MC') carries ~95% of the rows. For
+    // SHUFFLE joins, AQE's skew-join split handles this at runtime with no
+    // code change — this test plants the skew and asserts the split fired.
+    // Salting (saltedJoin/saltedSum above) remains necessary where AQE
+    // can't help: skewed AGGREGATIONS (no skew-agg rewrite exists) and
+    // plans where the hot key sits under a window/rank rather than a join.
+    // Thresholds are scaled down to fixture bytes; at cluster scale the
+    // defaults (256 MB partition threshold) play the same role.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128k",
+      // coalescing would merge the tiny partitions and shift the median
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(200000).select(
+        when(col("id") % 20 < 19, "MC")
+          .otherwise(concat(lit("c"), col("id") % 100)).as("client"),
+        concat(lit("fingerprint_payload_padding_"), col("id")).as("payload"))
+      val right = spark.range(200).select(
+        when(col("id") === 0, "MC")
+          .otherwise(concat(lit("c"), col("id"))).as("client"),
+        col("id").as("client_id"))
+      val j = left.join(right, "client")
+      // collect() (not count()) so THIS dataset's own query execution runs
+      // to the final adaptive plan — count() wraps it in a fresh one and
+      // the inspected plan would stay isFinalPlan=false
+      assert(j.collect().length == 200000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true") ||
+        plan.contains("skewed"), s"AQE skew split did not fire:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("writeFactByMonth enables partition pruning on the month") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
     val fact = Seq((1L, 20250115L, 10.0), (2L, 20250220L, 20.0),
