@@ -1117,6 +1117,31 @@ object CoreQueries {
     T.egressRoundTrip(s, q51ClientTerritorySpend(s, d), "json", "territory")
       .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
 
+  /** O2 write-direction at fact layout — the write twin of q50: orders
+    * (with a derived yyyyMMdd DateKey) written month-partitioned through
+    * [[graft.etl.Scale.writeFactByMonth]] — the 100 TB fact layout — then
+    * read back through partition discovery with the q50 month-window
+    * predicate and aggregated against the flat-parquet oracle. A write
+    * that drops rows across partition boundaries, mangles the partition
+    * value, or double-writes a month breaks the hash; unlike q50 the
+    * materialization is paid INSIDE the query, so the write path itself
+    * is under the oracle. */
+  val q54PartitionedEgress: Q = (s, d) => {
+    val path = T.scratchDir("egress_orders_bymonth")
+    graft.etl.Scale.writeFactByMonth(
+      T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        Ops.dateKey(col("o_orderdate")).as("DateKey")),
+      "DateKey", path)
+    s.read.parquet(path)
+      .filter(col("date_month").between(199601, 199612))
+      .groupBy(col("date_month").cast("long").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_total"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy(col("month"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -1171,5 +1196,6 @@ object CoreQueries {
     "q51_client_territory_spend" -> q51ClientTerritorySpend,
     "q52_csv_egress" -> q52CsvEgress,
     "q53_json_egress" -> q53JsonEgress,
+    "q54_partitioned_egress" -> q54PartitionedEgress,
   )
 }

@@ -1565,6 +1565,9 @@ object Oracles {
     // the egress trip
     base ++ Map(
       "q52_csv_egress" -> base("q51_client_territory_spend"),
-      "q53_json_egress" -> base("q51_client_territory_spend"))
+      "q53_json_egress" -> base("q51_client_territory_spend"),
+      // q54 writes orders month-partitioned and re-aggregates the q50
+      // window from the partition tree — same oracle as the read twin
+      "q54_partitioned_egress" -> base("q50_partitioned_source"))
   }
 }

@@ -98,6 +98,12 @@ object Tables {
     path
   }
 
+  /** Process-unique scratch directory under the fixture cache — for
+    * write-direction queries that pay their own materialization each
+    * invocation (q52-q54). Two concurrent JVMs never collide. */
+  def scratchDir(tag: String): String =
+    s"$cacheRoot/${tag}_" + ProcessHandle.current().pid()
+
   /** Write-then-read round trip through [[writeSnapshot]] and the
     * schema-explicit readers above: the frame's own schema is captured as
     * DDL before the write and drives the read-back, so a trip that drops
@@ -108,8 +114,7 @@ object Tables {
     * read each other's half-written copies. */
   def egressRoundTrip(s: SparkSession, df: DataFrame, fmt: String,
                       tag: String): DataFrame = {
-    val path = s"$cacheRoot/egress_${tag}_${fmt}_" +
-      ProcessHandle.current().pid()
+    val path = scratchDir(s"egress_${tag}_$fmt")
     writeSnapshot(df, fmt, path)
     val ddl = df.schema.toDDL
     fmt match {

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Recorded recall/cost evidence for the bucketed ANN family — the
+  * cost/recall trade of [[Similarity.knnJoin]] as numbers, not prose:
+  * recall is measured against the exact brute-force top-k on the fixture
+  * corpus, and candidate volume (the thing 100 TB cost scales with) is
+  * shown to shrink as bucket bits grow. Floors are pinned ~10 points
+  * under the observed values so fixture regeneration noise doesn't flap
+  * the spec while a real kernel regression (wrong plane signs, broken
+  * probe set) still trips it. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+    .localCheckpoint()
+
+  private def recallAtBits(bits: Int, k: Int = 3): Double = {
+    val exact = Similarity.bruteForceTopK(emb, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.knnJoin(emb, emb, k, bits)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.intersect(approx).count().toDouble / exact.count()
+  }
+
+  /** Sum over buckets of |queries∩bucket|·|corpus∩bucket| — the pair
+    * volume a single-probe bucket join would compare. */
+  private def candidateVolume(bits: Int): Long =
+    emb.select(Similarity.rhpBucket(col("embedding"), bits).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(sum(col("count") * col("count"))).first().getLong(0)
+
+  test("knnJoin recall vs brute force is recorded and bounded") {
+    val r4 = recallAtBits(4)
+    val r8 = recallAtBits(8)
+    info(f"recall@3 bits=4: $r4%.3f, bits=8: $r8%.3f (corpus=${emb.count()})")
+    // coarser buckets scan more candidates and must not recall worse
+    assert(r4 >= r8 - 0.02, f"recall inverted: bits=4 $r4%.3f < bits=8 $r8%.3f")
+    // observed on the fixture: 0.497 / 0.129. The fixture vectors are
+    // near-random, which is sign-LSH's WORST case (no cluster structure
+    // for the hyperplanes to separate) — real embedding corpora sit
+    // higher; these floors catch kernel regressions, not corpus quality
+    assert(r4 >= 0.40, f"bits=4 recall collapsed: $r4%.3f")
+    assert(r8 >= 0.08, f"bits=8 recall collapsed: $r8%.3f")
+  }
+
+  test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
+    val v0 = emb.count() * emb.count() // brute force compares everything
+    val v4 = candidateVolume(4)
+    val v8 = candidateVolume(8)
+    info(s"pair volume: brute=$v0, bits=4: $v4, bits=8: $v8")
+    assert(v4 < v0 && v8 < v4,
+      s"bucketing must cut pair volume monotonically: $v0 -> $v4 -> $v8")
+  }
+}
