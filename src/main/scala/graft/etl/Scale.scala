@@ -52,10 +52,17 @@ object Scale {
 
   /** Month-partitioned fact layout: writes with a yyyyMM partition column
     * so the reference's DateKey-window predicates (O16) become partition
-    * pruning, not scans. Returns the partition column name used. */
+    * pruning, not scans. Repartitions on the partition column first —
+    * without it every task writes a file into every month directory
+    * (tasks × months small files; at 1000 executors over a decade of
+    * months that is ~10^5 files per write). One giant month can instead
+    * be spread with `repartition(n, col, salt)` at the call site — the
+    * partitionBy layout is unaffected by extra split files within a
+    * month. Returns the partition column name used. */
   def writeFactByMonth(fact: DataFrame, dateKeyCol: String,
                        path: String): String = {
     fact.withColumn("date_month", (col(dateKeyCol) / 100).cast("int"))
+      .repartition(col("date_month"))
       .write.mode("overwrite")
       .partitionBy("date_month")
       .parquet(path)

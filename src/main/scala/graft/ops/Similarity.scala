@@ -117,18 +117,27 @@ object Similarity {
     * the probe list is distinct, so a (query, neighbor) pair can match at
     * most one probe — no dedup needed before the rank. */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
-              probe1: Boolean = true, idCol: String = "vec_id",
+              probe1: Boolean = true, probe2: Boolean = false,
+              idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val cb = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       rhpBucket(col(vecCol), bits).as("bucket"))
+    // probe set: own bucket, plus Hamming-1 neighbors (probe1), plus
+    // Hamming-2 (probe2 — the recall-tail knob: 1+bits+C(bits,2) probes,
+    // recall/cost measured in SimilaritySpec). All probe values are
+    // distinct and a neighbor lives in exactly one bucket, so a
+    // (query, neighbor) pair still matches at most one probe.
+    val probes: Seq[Column] = Seq(col("b0")) ++
+      (if (probe1 || probe2)
+        (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)) else Nil) ++
+      (if (probe2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield col("b0").bitwiseXOR((1 << i) | (1 << j))
+      else Nil)
     val qb = left.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         rhpBucket(col(vecCol), bits).as("b0"))
       .select(col("query_id"), col("__qv"),
-        explode(
-          if (!probe1) array(col("b0"))
-          else array(col("b0") +:
-            (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)): _*))
-          .as("bucket"))
+        explode(array(probes: _*)).as("bucket"))
     qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))

@@ -18,10 +18,11 @@ class SimilaritySpec extends SparkSpec {
     .select(col("vec_id"), col("embedding"))
     .localCheckpoint()
 
-  private def recallAtBits(bits: Int, k: Int = 3): Double = {
+  private def recallAtBits(bits: Int, k: Int = 3,
+                           probe2: Boolean = false): Double = {
     val exact = Similarity.bruteForceTopK(emb, emb, k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.knnJoin(emb, emb, k, bits)
+    val approx = Similarity.knnJoin(emb, emb, k, bits, probe2 = probe2)
       .select(col("query_id"), col("neighbor_id"))
     exact.intersect(approx).count().toDouble / exact.count()
   }
@@ -45,6 +46,10 @@ class SimilaritySpec extends SparkSpec {
     // higher; these floors catch kernel regressions, not corpus quality
     assert(r4 >= 0.40, f"bits=4 recall collapsed: $r4%.3f")
     assert(r8 >= 0.08, f"bits=8 recall collapsed: $r8%.3f")
+    // the Hamming-2 probe knob must buy recall back at the same bits
+    val r8p2 = recallAtBits(8, probe2 = true)
+    info(f"recall@3 bits=8 probe2: $r8p2%.3f")
+    assert(r8p2 >= r8, f"probe2 lost recall: $r8p2%.3f < $r8%.3f")
   }
 
   test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
