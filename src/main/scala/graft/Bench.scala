@@ -167,8 +167,14 @@ object Bench {
     // Streams self-cap: the watchdog's job-group cancel can't reach a
     // stream's microbatch thread (job groups are thread-local), so an
     // overlong stream is stopped here and recorded as a failure (-1)
-    // instead of running on into the next timings.
-    def runStream(df: DataFrame, mode: String): Unit = {
+    // instead of running on into the next timings. Per-microbatch
+    // durations from StreamingQueryProgress go to streamDetail — the
+    // one-shot total hides steady-state behavior (one 5 s batch and ten
+    // 0.5 s batches total the same), so the pass line also records batch
+    // count and max/sum triggerExecution ms per stream.
+    val streamDetail =
+      scala.collection.concurrent.TrieMap.empty[String, String]
+    def runStream(name: String, df: DataFrame, mode: String): Unit = {
       val q = df.writeStream.format("noop").outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -178,15 +184,21 @@ object Bench {
           throw new RuntimeException(s"stream exceeded ${capSec}s cap")
         }
       } finally if (q.isActive) q.stop()
+      val durs = q.recentProgress.toSeq.map(p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L))
+      if (durs.nonEmpty)
+        streamDetail(name) = s"""{"batches":${durs.size},""" +
+          s""""max_batch_ms":${durs.max},"sum_batch_ms":${durs.sum}}"""
     }
     import graft.streaming.Streams
     val streaming: Seq[(String, (SparkSession, String) => Unit)] = Seq(
       "s01_hourly_rollup" -> ((s, d) =>
-        runStream(Streams.hourlyRollup(Streams.eventsStreamAuto(s, d)),
-          "append")),
+        runStream("s01_hourly_rollup",
+          Streams.hourlyRollup(Streams.eventsStreamAuto(s, d)), "append")),
       "s02_attribution_join" -> ((s, d) => {
         val src = Streams.eventsStreamAuto(s, d)
-        runStream(Streams.attributionJoin(
+        runStream("s02_attribution_join", Streams.attributionJoin(
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase")), "append")
       }))
@@ -194,6 +206,10 @@ object Bench {
       streaming.map { case (name, fn) =>
         name -> timed(name) { fn(spark, sfDir) }
       }
+    def streamDetailJson(): String =
+      streamDetail.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
 
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -227,7 +243,8 @@ object Bench {
         f""""host_factor":${p.hostFactor}%.3f,""" +
         s""""queries":${jsonMap(p.main)},""" +
         s""""scale_queries":${jsonMap(p.scale)},""" +
-        s""""streaming_queries":${jsonMap(p.streaming)},"sf":"$sfDir"}""")
+        s""""streaming_queries":${jsonMap(p.streaming)},""" +
+        s""""streaming_detail":${streamDetailJson()},"sf":"$sfDir"}""")
       if (wall > budgetSec && pass < reps) {
         System.err.println(
           s"[bench] pass $pass took ${wall}s > ${budgetSec}s budget; " +
