@@ -60,23 +60,32 @@ import org.apache.spark.sql.functions._
 object Bench {
   /** Seconds the calibration kernel takes on a healthy build box
     * (best-observed on the round-6 box at local[32]; the same box showed
-    * 0.79s and 1.62s on consecutive passes minutes apart — the wobble the
+    * 0.62s and 1.05s on consecutive passes minutes apart — the wobble the
     * factor exists to expose); host_factor divides by this. Re-pin only if
     * the kernel itself changes. */
-  val HostKernelRefSec = 0.8
+  val HostKernelRefSec = 0.65
 
   /** Fixed deterministic no-I/O kernel: 50M longs -> xxhash64 ->
     * 9973-key hash aggregate -> sort. Partition count is pinned (64) so
     * the measured work is identical regardless of SPARK_GRAFT_CPUS; the
     * result exercises codegen, shuffle write/read and sort — the same
-    * machinery the real queries stress — with zero data dependence. */
+    * machinery the real queries stress — with zero data dependence.
+    * The sorted frame is driven through a noop WRITE, not count():
+    * under count() Catalyst eliminates the Sort beneath the count
+    * aggregate and the kernel would silently stop measuring the
+    * sort/range-exchange path. */
   def hostKernelSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 50000000L, 1, 64)
-      .select((col("id") % 9973).as("k"), xxhash64(col("id")).as("h"))
+      // pmod bounds the summed value: 50M raw xxhash64 longs would
+      // overflow the ANSI sum (and with count() instead of the noop
+      // write, column pruning would silently skip the sum altogether)
+      .select((col("id") % 9973).as("k"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
       .groupBy(col("k"))
       .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
-      .orderBy(col("s")).count()
+      .orderBy(col("s"))
+      .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -175,6 +184,10 @@ object Bench {
     val streamDetail =
       scala.collection.concurrent.TrieMap.empty[String, String]
     def runStream(name: String, df: DataFrame, mode: String): Unit = {
+      // drop any previous pass's entry first: a stream that fails or
+      // exceeds the cap must not report the prior pass's batch stats
+      // next to its own -1 timing
+      streamDetail.remove(name)
       val q = df.writeStream.format("noop").outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -211,6 +224,10 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
+    // locale-safe 3-decimal rendering: the f-interpolator goes through
+    // String.format and would emit "1,234" (invalid JSON) on
+    // comma-decimal locales; Double.toString never does
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def sumOk(rs: Seq[(String, Double)]): Double =
@@ -240,7 +257,7 @@ object Bench {
       val wall = (System.nanoTime() - w0) / 1e9
       println(s"""{"metric":"pass","pass":$pass,"value":${sumOk(p.main)},""" +
         s""""unit":"sec","wall":$wall,""" +
-        f""""host_factor":${p.hostFactor}%.3f,""" +
+        s""""host_factor":${r3(p.hostFactor)},""" +
         s""""queries":${jsonMap(p.main)},""" +
         s""""scale_queries":${jsonMap(p.scale)},""" +
         s""""streaming_queries":${jsonMap(p.streaming)},""" +
@@ -268,7 +285,7 @@ object Bench {
     val bestFactor = passes.map(_.hostFactor).min
     println(s"""{"metric":"total","value":${sumOk(results)},"unit":"sec",""" +
       s""""reps":${passes.size},""" +
-      f""""host_factor":$bestFactor%.3f,""" +
+      s""""host_factor":${r3(bestFactor)},""" +
       s""""queries":${jsonMap(results)},""" +
       s""""scale_queries":${jsonMap(scaleResults)},""" +
       s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}""")

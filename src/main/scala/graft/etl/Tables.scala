@@ -98,11 +98,39 @@ object Tables {
     path
   }
 
+  /** Egress mirror of [[jdbc]]: push a frame back to a JDBC table — the
+    * reverse linked-server direction (a warehouse writing a reporting
+    * snapshot back to an operational store). Overwrite mode drops and
+    * recreates the remote table through the engine's JDBC dialect;
+    * `batchsize` controls rows per INSERT round trip. Reporting-sized
+    * frames only — a fact-sized egress belongs in parquet. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite",
+                props: java.util.Properties =
+                  new java.util.Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** Process-unique scratch directory under the fixture cache — for
     * write-direction queries that pay their own materialization each
-    * invocation (q52-q54). Two concurrent JVMs never collide. */
-  def scratchDir(tag: String): String =
-    s"$cacheRoot/${tag}_" + ProcessHandle.current().pid()
+    * invocation (q52-q54). Two concurrent JVMs never collide, and every
+    * scratch path this JVM hands out is deleted on exit — unlike the
+    * content-keyed exportMemo copies (reused across runs), pid-keyed
+    * paths are dead the moment the process ends and would otherwise
+    * accumulate one egress copy per bench/test run. */
+  private val scratchIssued =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private lazy val scratchCleanup: Unit = {
+    sys.addShutdownHook {
+      scratchIssued.keys.foreach(p => deleteRecursively(new java.io.File(p)))
+    }
+    ()
+  }
+  def scratchDir(tag: String): String = {
+    scratchCleanup
+    val p = s"$cacheRoot/${tag}_" + ProcessHandle.current().pid()
+    scratchIssued.put(p, ())
+    p
+  }
 
   /** Write-then-read round trip through [[writeSnapshot]] and the
     * schema-explicit readers above: the frame's own schema is captured as

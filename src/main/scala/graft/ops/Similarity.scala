@@ -74,23 +74,29 @@ object Similarity {
     planes.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Bucketed ANN: corpus and queries hashed to `bits`-bit buckets; each
-    * query only scans its bucket (multi-probe: plus buckets at Hamming
-    * distance 1 when `probe1` — recall/cost knob). Returns top-k per query
-    * among candidates. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
-              probe1: Boolean = true, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      rhpBucket(col(vecCol), bits).as("bucket"))
-    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      rhpBucket(col(vecCol), bits).as("b0"))
-    val probes =
-      if (!probe1) array(col("b0"))
-      else array(col("b0") +:
-        (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)): _*)
-    val qb = broadcast(qBase.select(col("query_id"), col("__qv"),
-      explode(probes).as("bucket")))
+  /** Probe buckets for a `b0` bucket column: own bucket, plus Hamming-1
+    * neighbors (`probe1`), plus Hamming-2 (`probe2` — the recall-tail
+    * knob: 1+bits+C(bits,2) probes; recall/cost measured in
+    * SimilaritySpec). All probe values are distinct and a neighbor lives
+    * in exactly one bucket, so a (query, neighbor) pair matches at most
+    * one probe — no dedup needed before ranking. */
+  private def probeSet(b0: Column, bits: Int, probe1: Boolean,
+                       probe2: Boolean): Seq[Column] =
+    Seq(b0) ++
+      (if (probe1 || probe2)
+        (0 until bits).map(p => b0.bitwiseXOR(1 << p)) else Nil) ++
+      (if (probe2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield b0.bitwiseXOR((1 << i) | (1 << j))
+      else Nil)
+
+  /** Shared candidate-join + rank core of [[lshTopK]] and [[knnJoin]]:
+    * bucket-keyed equi-join, self-pair filter, exact cosine, top-k per
+    * query with the neighbor_id tiebreak, cosine rounded to 4 — the ONE
+    * definition the DuckDB oracles mirror. `qb` must carry
+    * (query_id, __qv, bucket), `cb` (neighbor_id, __cv, bucket). */
+  private def bucketedTopK(qb: DataFrame, cb: DataFrame,
+                           k: Int): DataFrame =
     qb.join(cb, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
@@ -100,7 +106,33 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
-  }
+
+  private def bucketCorpus(corpus: DataFrame, bits: Int, idCol: String,
+                           vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      rhpBucket(col(vecCol), bits).as("bucket"))
+
+  private def explodeProbes(queries: DataFrame, bits: Int, probe1: Boolean,
+                            probe2: Boolean, idCol: String,
+                            vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        rhpBucket(col(vecCol), bits).as("b0"))
+      .select(col("query_id"), col("__qv"),
+        explode(array(probeSet(col("b0"), bits, probe1, probe2): _*))
+          .as("bucket"))
+
+  /** Bucketed ANN: corpus and queries hashed to `bits`-bit buckets; each
+    * query only scans its bucket (multi-probe: plus buckets at Hamming
+    * distance 1 when `probe1` — recall/cost knob). Returns top-k per query
+    * among candidates. The (small) query side is broadcast; for a
+    * large-batch query side use [[knnJoin]]. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+              probe1: Boolean = true, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    bucketedTopK(
+      broadcast(explodeProbes(queries, bits, probe1, probe2 = false,
+        idCol, vecCol)),
+      bucketCorpus(corpus, bits, idCol, vecCol), k)
 
   /** Two-sided scalable knn-join — "for every left row, its k nearest
     * right rows" where BOTH sides are large. Unlike [[lshTopK]], which
@@ -119,35 +151,10 @@ object Similarity {
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
               probe1: Boolean = true, probe2: Boolean = false,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val cb = right.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      rhpBucket(col(vecCol), bits).as("bucket"))
-    // probe set: own bucket, plus Hamming-1 neighbors (probe1), plus
-    // Hamming-2 (probe2 — the recall-tail knob: 1+bits+C(bits,2) probes,
-    // recall/cost measured in SimilaritySpec). All probe values are
-    // distinct and a neighbor lives in exactly one bucket, so a
-    // (query, neighbor) pair still matches at most one probe.
-    val probes: Seq[Column] = Seq(col("b0")) ++
-      (if (probe1 || probe2)
-        (0 until bits).map(p => col("b0").bitwiseXOR(1 << p)) else Nil) ++
-      (if (probe2)
-        for { i <- 0 until bits; j <- (i + 1) until bits }
-          yield col("b0").bitwiseXOR((1 << i) | (1 << j))
-      else Nil)
-    val qb = left.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        rhpBucket(col(vecCol), bits).as("b0"))
-      .select(col("query_id"), col("__qv"),
-        explode(array(probes: _*)).as("bucket"))
-    qb.join(cb, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-  }
+              vecCol: String = "embedding"): DataFrame =
+    bucketedTopK(
+      explodeProbes(left, bits, probe1, probe2, idCol, vecCol),
+      bucketCorpus(right, bits, idCol, vecCol), k)
 
   /** IVF-style coarse quantizer: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)); search then

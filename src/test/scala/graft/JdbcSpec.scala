@@ -54,6 +54,21 @@ class JdbcSpec extends SparkSpec {
     assert(q.columns.toSeq.map(_.toUpperCase) == Seq("ID", "NAME"))
   }
 
+  test("writeJdbc round-trips a snapshot through Derby, decimals intact") {
+    val df = spark.range(1, 51).select(col("id").cast("int").as("id"),
+      concat(lit("n"), col("id")).as("name"),
+      (col("id") * 2).cast("decimal(18,4)").as("spend"))
+    Tables.writeJdbc(df, url, "egress_snapshot")
+    val back = Tables.jdbc(spark, url, "egress_snapshot")
+    assert(back.count() == 50)
+    assert(back.agg(sum(col("ID"))).first().getLong(0) == 1275L)
+    assert(back.schema.find(_.name.equalsIgnoreCase("spend")).get.dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 4))
+    // overwrite replaces, not appends
+    Tables.writeJdbc(df.limit(10), url, "egress_snapshot")
+    assert(Tables.jdbc(spark, url, "egress_snapshot").count() == 10)
+  }
+
   test("bounded partitioned read splits into parallel range cursors") {
     seed()
     val pdf = Tables.jdbc(spark, url, "dim_client",
