@@ -18,6 +18,11 @@ object Verify {
   private val expensive = Set(
     "q34_seg_personas", "q41_client_minimarket_top", "q43_industry_spend",
     "q44_client_spend", "q51_client_territory_spend",
+    // q52-q54 pay a write+read round trip, and q52/q53 recompute the q51
+    // snapshot (triggering the Seg staging fill if they run first) — keep
+    // them behind the cheap singles so a dying sweep still maximizes
+    // comparable rows
+    "q52_csv_egress", "q53_json_egress", "q54_partitioned_egress",
     "q36_new_fingerprints", "q37_billing_group_scd",
     "t03_minhash_lsh", "t04_jaccard_pairs", "t05_simhash",
     "t14_neardup_clusters")
