@@ -87,7 +87,14 @@ object Tables {
     * distributed — each task writes its own partition file; the
     * `coalesce(1)` mirrors the single-file snapshot a spreadsheet consumer
     * expects and is only sane for reporting-sized frames (a fact-sized
-    * egress keeps its partitioning and writes one file per task). */
+    * egress keeps its partitioning and writes one file per task).
+    *
+    * CSV contract (pinned by EgressSpec): quoting/commas and NULLs
+    * round-trip; empty strings read back as NULL (default null encoding —
+    * normalize with Ops.emptyToNull upstream, as the reference snapshots
+    * do), and embedded newlines do not survive — the readers stay
+    * single-line-record for splittability. JSON-lines round-trips all of
+    * those exactly; prefer it for free-text columns. */
   def writeSnapshot(df: DataFrame, fmt: String, path: String): String = {
     val w = df.coalesce(1).write.mode("overwrite")
     fmt match {
