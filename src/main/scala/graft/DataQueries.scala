@@ -203,6 +203,18 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Adaptive-probe knn-join over the whole corpus: queries whose
+    * Hamming-1 candidate census falls under k re-probe at Hamming-2; the
+    * oracle mirrors the integer census and the split exactly, so a wrong
+    * starvation decision on even one query breaks the hash. */
+  val t30KnnAdaptive: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.knnJoinAdaptive(emb, emb, k = 5, bits = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: documents wrapped as binary media assets, decoded
     * partition-wise through the (stubbed) codec into typed metadata. */
   val t08MediaMeta: Q = (s, d) =>
@@ -495,6 +507,7 @@ object DataQueries {
     "t27_decontaminate" -> t27Decontaminate,
     "t28_kmeans_train" -> t28KmeansTrain,
     "t29_knn_join" -> t29KnnJoin,
+    "t30_knn_adaptive" -> t30KnnAdaptive,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

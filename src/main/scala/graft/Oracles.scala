@@ -916,6 +916,19 @@ object Oracles {
     "-1,-1,-1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,1,1,-1,1,-1,1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,1,1,1,-1,-1,-1,-1,1,1,1,1,-1,-1,-1,-1,1,-1,1,1,-1,-1,1,1,-1,1,1,-1,1,1",
     "1,1,-1,1,-1,1,-1,-1,1,-1,-1,-1,1,-1,1,1,-1,1,-1,1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,-1,-1,-1,1,-1,1,-1,1,1,-1,-1,1,-1,1,-1,1,1,1,-1,1,-1,-1,-1,-1,1,-1,1,1,1,1,1,1")
 
+  /** DuckDB list literal of probe buckets over a bucket column `b0`:
+    * own bucket + Hamming-1 xors (+ Hamming-2 when `probe2`) — mirrors
+    * Similarity.probeSet exactly. */
+  private def probeListSql(b0: String, bits: Int, probe2: Boolean): String = {
+    val h1 = (0 until bits).map(p => s"xor($b0, ${1 << p})")
+    val h2 =
+      if (probe2)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield s"xor($b0, ${(1 << i) | (1 << j)})"
+      else Nil
+    (b0 +: (h1 ++ h2)).mkString("[", ", ", "]")
+  }
+
   /** `bucket` column SQL over column `vcol` for the first `bits` planes. */
   private def rhpBucketSql(vcol: String, bits: Int): String =
     (0 until bits).map { p =>
@@ -1244,6 +1257,42 @@ object Oracles {
         | cast(neighbor_id as bigint) AS neighbor_id,
         | round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // exact recomputation of the adaptive-probe knn-join: integer
+    // Hamming-1 candidate census (sum of probed bucket sizes minus
+    // self), queries under k re-probe with the Hamming-2 set, disjoint
+    // populations union before the per-query top-5
+    "t30_knn_adaptive" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM embeddings),
+        |sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |q0 AS (SELECT vec_id, embedding, bucket AS b0 FROM b),
+        |p1 AS (SELECT vec_id AS query_id, embedding AS qv,
+        |  unnest(${probeListSql("b0", 8, probe2 = false)}) AS bucket
+        |  FROM q0),
+        |cand AS (SELECT query_id, coalesce(sum(n), 0) - 1 AS c
+        |  FROM p1 LEFT JOIN sizes USING (bucket) GROUP BY 1),
+        |starved AS (SELECT query_id FROM cand WHERE c < 5),
+        |probes AS (
+        |  SELECT query_id, qv, bucket FROM p1
+        |  WHERE query_id NOT IN (SELECT query_id FROM starved)
+        |  UNION ALL
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |    unnest(${probeListSql("b0", 8, probe2 = true)}) AS bucket
+        |  FROM q0 WHERE vec_id IN (SELECT query_id FROM starved)),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(c.embedding as double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     // exact recomputation of the RHP-LSH ANN path: buckets from the
     // inlined hyperplane weights (bits=4), multi-probe at Hamming

@@ -156,6 +156,37 @@ object Similarity {
       explodeProbes(left, bits, probe1, probe2, idCol, vecCol),
       bucketCorpus(right, bits, idCol, vecCol), k)
 
+  /** Adaptive probe depth over [[knnJoin]]: probe Hamming-2 only for the
+    * queries whose Hamming-1 candidate census falls under `k` — recall
+    * where needed, cost where not. The census is exact and cheap: bucket
+    * sizes are a 2^bits-row broadcast frame, and a query's Hamming-1
+    * candidate count is the sum of its probed buckets' sizes minus one
+    * (its own vector lives in exactly one probed bucket). Queries at or
+    * above `k` take the 1+bits probe set; starved queries re-probe with
+    * the full 1+bits+C(bits,2) set. The two populations are disjoint, so
+    * per-query ranks union cleanly. Everything is integer arithmetic —
+    * the t30 DuckDB oracle mirrors the split decision exactly. */
+  def knnJoinAdaptive(left: DataFrame, right: DataFrame, k: Int,
+                      bits: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val cb = bucketCorpus(right, bits, idCol, vecCol)
+    val sizes = broadcast(cb.groupBy(col("bucket")).count())
+    val census = explodeProbes(left, bits, probe1 = true, probe2 = false,
+        idCol, vecCol)
+      .join(sizes, Seq("bucket"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(col("count")), lit(0L)) - 1).as("__cand"))
+    val starvedIds = census.filter(col("__cand") < k).select(col("query_id"))
+    val rich = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
+      "left_anti")
+    val starved = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
+      "left_semi")
+    bucketedTopK(explodeProbes(rich, bits, probe1 = true, probe2 = false,
+        idCol, vecCol), cb, k)
+      .unionByName(bucketedTopK(explodeProbes(starved, bits, probe1 = true,
+        probe2 = true, idCol, vecCol), cb, k))
+  }
+
   /** IVF-style coarse quantizer: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)); search then
     * probes only matching lists. Building centroids (k-means) is out of

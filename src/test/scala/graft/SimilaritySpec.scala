@@ -18,14 +18,17 @@ class SimilaritySpec extends SparkSpec {
     .select(col("vec_id"), col("embedding"))
     .localCheckpoint()
 
-  private def recallAtBits(bits: Int, k: Int = 3,
-                           probe2: Boolean = false): Double = {
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+                       k: Int): Double = {
     val exact = Similarity.bruteForceTopK(emb, emb, k)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.knnJoin(emb, emb, k, bits, probe2 = probe2)
-      .select(col("query_id"), col("neighbor_id"))
-    exact.intersect(approx).count().toDouble / exact.count()
+    exact.intersect(approx.select(col("query_id"), col("neighbor_id")))
+      .count().toDouble / exact.count()
   }
+
+  private def recallAtBits(bits: Int, k: Int = 3,
+                           probe2: Boolean = false): Double =
+    recallOf(Similarity.knnJoin(emb, emb, k, bits, probe2 = probe2), k)
 
   /** Sum over buckets of |queries∩bucket|·|corpus∩bucket| — the pair
     * volume a single-probe bucket join would compare. */
@@ -50,6 +53,24 @@ class SimilaritySpec extends SparkSpec {
     val r8p2 = recallAtBits(8, probe2 = true)
     info(f"recall@3 bits=8 probe2: $r8p2%.3f")
     assert(r8p2 >= r8, f"probe2 lost recall: $r8p2%.3f < $r8%.3f")
+    // adaptive probing sits between the fixed depths by construction:
+    // rich queries take the probe1 set, starved ones the probe2 set.
+    // At k=3 nearly every query's Hamming-1 census covers k (average
+    // ~16 candidates) so adaptive ≈ probe1; at k=10 starvation is
+    // common and the adaptive path must lift recall above probe1 while
+    // staying under always-probe2
+    val rAd3 = recallOf(Similarity.knnJoinAdaptive(emb, emb, 3, 8), 3)
+    info(f"recall@3 bits=8 adaptive: $rAd3%.3f")
+    assert(rAd3 >= r8 - 0.001 && rAd3 <= r8p2 + 0.001,
+      f"adaptive recall $rAd3%.3f outside [$r8%.3f, $r8p2%.3f]")
+    val r10p1 = recallOf(Similarity.knnJoin(emb, emb, 10, 8), 10)
+    val r10ad = recallOf(Similarity.knnJoinAdaptive(emb, emb, 10, 8), 10)
+    val r10p2 = recallOf(Similarity.knnJoin(emb, emb, 10, 8,
+      probe2 = true), 10)
+    info(f"recall@10 bits=8: probe1 $r10p1%.3f, adaptive $r10ad%.3f, " +
+      f"probe2 $r10p2%.3f")
+    assert(r10ad >= r10p1 && r10ad <= r10p2 + 0.001,
+      f"adaptive@10 $r10ad%.3f outside [$r10p1%.3f, $r10p2%.3f]")
   }
 
   test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
