@@ -91,14 +91,16 @@ object Similarity {
       else Nil)
 
   /** Shared candidate-join + rank core of [[lshTopK]] and [[knnJoin]]:
-    * bucket-keyed equi-join, self-pair filter, exact cosine, top-k per
-    * query with the neighbor_id tiebreak, cosine rounded to 4 — the ONE
+    * bucket-keyed equi-join, self-pair filter (only when the two sides
+    * share an id space — `excludeSelf`), exact cosine, top-k per query
+    * with the neighbor_id tiebreak, cosine rounded to 4 — the ONE
     * definition the DuckDB oracles mirror. `qb` must carry
     * (query_id, __qv, bucket), `cb` (neighbor_id, __cv, bucket). */
-  private def bucketedTopK(qb: DataFrame, cb: DataFrame,
-                           k: Int): DataFrame =
+  private def bucketedTopK(qb: DataFrame, cb: DataFrame, k: Int,
+                           excludeSelf: Boolean = true): DataFrame =
     qb.join(cb, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -147,44 +149,70 @@ object Similarity {
     * candidates once on query_id for the rank; no unbounded frame ever
     * ships to every executor. A neighbor lives in exactly one bucket and
     * the probe list is distinct, so a (query, neighbor) pair can match at
-    * most one probe — no dedup needed before the rank. */
+    * most one probe — no dedup needed before the rank.
+    *
+    * `selfJoin` declares whether left and right share an id space (left
+    * drawn from right, e.g. a corpus joined to itself): when true
+    * (default), a query's own row is filtered out of its neighbors. Set
+    * it false for genuinely disjoint frames — otherwise a right row whose
+    * id happens to collide with a query id would be silently dropped. */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int = 8,
               probe1: Boolean = true, probe2: Boolean = false,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame =
+              vecCol: String = "embedding",
+              selfJoin: Boolean = true): DataFrame =
     bucketedTopK(
       explodeProbes(left, bits, probe1, probe2, idCol, vecCol),
-      bucketCorpus(right, bits, idCol, vecCol), k)
+      bucketCorpus(right, bits, idCol, vecCol), k, excludeSelf = selfJoin)
+
+  /** Exact Hamming-1 candidate census behind [[knnJoinAdaptive]]'s probe
+    * decision: per query, how many right-side rows its 1+bits probe set
+    * would meet. Bucket sizes are a 2^bits-row broadcast frame; the count
+    * is the sum of the probed buckets' sizes, minus one only when
+    * `selfJoin` (the query's own vector then sits in exactly one probed
+    * bucket and is never a neighbor). For disjoint sides no row is
+    * subtracted — an unconditional minus-one would undercount by one and
+    * send borderline queries into needlessly deep probes.
+    * Returns (query_id, __cand). */
+  private[graft] def knnCensus(left: DataFrame, right: DataFrame,
+                               bits: Int, idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               selfJoin: Boolean = true): DataFrame = {
+    val sizes = broadcast(
+      bucketCorpus(right, bits, idCol, vecCol)
+        .groupBy(col("bucket")).count())
+    explodeProbes(left, bits, probe1 = true, probe2 = false, idCol, vecCol)
+      .join(sizes, Seq("bucket"), "left")
+      .groupBy(col("query_id"))
+      .agg((coalesce(sum(col("count")), lit(0L)) -
+        (if (selfJoin) 1 else 0)).as("__cand"))
+  }
 
   /** Adaptive probe depth over [[knnJoin]]: probe Hamming-2 only for the
     * queries whose Hamming-1 candidate census falls under `k` — recall
-    * where needed, cost where not. The census is exact and cheap: bucket
-    * sizes are a 2^bits-row broadcast frame, and a query's Hamming-1
-    * candidate count is the sum of its probed buckets' sizes minus one
-    * (its own vector lives in exactly one probed bucket). Queries at or
-    * above `k` take the 1+bits probe set; starved queries re-probe with
-    * the full 1+bits+C(bits,2) set. The two populations are disjoint, so
-    * per-query ranks union cleanly. Everything is integer arithmetic —
-    * the t30 DuckDB oracle mirrors the split decision exactly. */
+    * where needed, cost where not. The census ([[knnCensus]]) is exact
+    * and cheap: bucket sizes are a 2^bits-row broadcast frame, integer
+    * arithmetic only — the t30 DuckDB oracle mirrors the split decision
+    * exactly. Queries at or above `k` take the 1+bits probe set; starved
+    * queries re-probe with the full 1+bits+C(bits,2) set. The two
+    * populations are disjoint, so per-query ranks union cleanly.
+    * `selfJoin` as in [[knnJoin]]: it gates both the self-pair filter and
+    * the census's minus-one. */
   def knnJoinAdaptive(left: DataFrame, right: DataFrame, k: Int,
                       bits: Int = 8, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      selfJoin: Boolean = true): DataFrame = {
     val cb = bucketCorpus(right, bits, idCol, vecCol)
-    val sizes = broadcast(cb.groupBy(col("bucket")).count())
-    val census = explodeProbes(left, bits, probe1 = true, probe2 = false,
-        idCol, vecCol)
-      .join(sizes, Seq("bucket"), "left")
-      .groupBy(col("query_id"))
-      .agg((coalesce(sum(col("count")), lit(0L)) - 1).as("__cand"))
+    val census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
     val starvedIds = census.filter(col("__cand") < k).select(col("query_id"))
     val rich = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
       "left_anti")
     val starved = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
       "left_semi")
     bucketedTopK(explodeProbes(rich, bits, probe1 = true, probe2 = false,
-        idCol, vecCol), cb, k)
+        idCol, vecCol), cb, k, excludeSelf = selfJoin)
       .unionByName(bucketedTopK(explodeProbes(starved, bits, probe1 = true,
-        probe2 = true, idCol, vecCol), cb, k))
+        probe2 = true, idCol, vecCol), cb, k, excludeSelf = selfJoin))
   }
 
   /** IVF-style coarse quantizer: assign each vector to the nearest of

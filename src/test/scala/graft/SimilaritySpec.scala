@@ -73,6 +73,57 @@ class SimilaritySpec extends SparkSpec {
       f"adaptive@10 $r10ad%.3f outside [$r10p1%.3f, $r10p2%.3f]")
   }
 
+  test("knnCensus equals the true Hamming-1 candidate count, self and disjoint") {
+    // independent recomputation: collect each side's bucket assignments and
+    // count, per query, the right rows within Hamming distance 1 of its
+    // bucket — plain Scala bit-twiddling, none of the engine's join/probe
+    // machinery
+    val bits = 4
+    def buckets(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int)] =
+      df.select(col("vec_id"),
+          Similarity.rhpBucket(col("embedding"), bits).cast("int"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1)))
+    def expected(left: Seq[(Long, Int)], right: Seq[(Long, Int)],
+                 selfJoin: Boolean): Map[Long, Long] =
+      left.map { case (qid, qb) =>
+        qid -> (right.count { case (_, rb) =>
+          Integer.bitCount(qb ^ rb) <= 1
+        }.toLong - (if (selfJoin) 1 else 0))
+      }.toMap
+    def censusOf(l: org.apache.spark.sql.DataFrame,
+                 r: org.apache.spark.sql.DataFrame,
+                 selfJoin: Boolean): Map[Long, Long] =
+      Similarity.knnCensus(l, r, bits, selfJoin = selfJoin)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    // disjoint id spaces: evens query the odds — no minus-one anywhere
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    assert(censusOf(evens, odds, selfJoin = false) ===
+      expected(buckets(evens), buckets(odds), selfJoin = false))
+    // self-join: every query's own vector is discounted from its count
+    assert(censusOf(emb, emb, selfJoin = true) ===
+      expected(buckets(emb), buckets(emb), selfJoin = true))
+  }
+
+  test("selfJoin=false keeps a genuine neighbor whose id equals the query id") {
+    // two frames that happen to share id 0 but are different corpora: with
+    // selfJoin=false the id-0 right row must rank (it IS the query vector,
+    // cosine 1.0); the self-join default would silently drop it
+    val q0 = emb.filter(col("vec_id") === 0)
+    val top = Similarity.knnJoin(q0, emb, k = 1, bits = 8,
+        selfJoin = false)
+      .collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("neighbor_id") === 0L)
+    assert(top.head.getAs[Double]("cosine") === 1.0)
+    // adaptive path under the same contract: census must not starve the
+    // query by discounting a self row that is a legitimate candidate
+    val ad = Similarity.knnJoinAdaptive(q0, emb, k = 1, bits = 8,
+        selfJoin = false).collect()
+    assert(ad.head.getAs[Long]("neighbor_id") === 0L)
+  }
+
   test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
     val v0 = emb.count() * emb.count() // brute force compares everything
     val v4 = candidateVolume(4)
