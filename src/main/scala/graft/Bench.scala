@@ -74,8 +74,7 @@ object Bench {
     * under count() Catalyst eliminates the Sort beneath the count
     * aggregate and the kernel would silently stop measuring the
     * sort/range-exchange path. */
-  def hostKernelSec(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
+  def hostKernelAction(spark: SparkSession): Unit =
     spark.range(0, 50000000L, 1, 64)
       // pmod bounds the summed value: 50M raw xxhash64 longs would
       // overflow the ANSI sum (and with count() instead of the noop
@@ -86,10 +85,20 @@ object Bench {
       .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
       .orderBy(col("s"))
       .write.format("noop").mode("overwrite").save()
+
+  def hostKernelSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    hostKernelAction(spark)
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Extra CLI args are a dev-only name filter (same convention as
+    * Verify): run only the named main/scale/streaming entries. Empty =
+    * everything. The official driver run passes no args. */
   def main(args: Array[String]): Unit = {
+    val nameFilter = args.toSet
+    def keep(name: String): Boolean =
+      nameFilter.isEmpty || nameFilter.contains(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
@@ -158,12 +167,14 @@ object Bench {
         name -> timed(name) { fn(spark, sfDir).count(); () }
       }
 
-    val main = ("seg_staging" ->
+    val main = (("seg_staging" ->
       ((s: SparkSession, d: String) => {
         CoreQueries.warmSegStaging(s, d)
         s.emptyDataFrame
-      })) +: SparkEntry.queries.toSeq.sortBy(_._1)
+      })) +: SparkEntry.queries.toSeq.sortBy(_._1))
+      .filter(p => keep(p._1))
     val scale = DataQueries.benchOnly.toSeq.sortBy(_._1)
+      .filter(p => keep(p._1))
 
     /** Streaming surface timing (reported under "streaming_queries", not
       * the gated total): the events fixture driven through the
@@ -183,18 +194,38 @@ object Bench {
     // count and max/sum triggerExecution ms per stream.
     val streamDetail =
       scala.collection.concurrent.TrieMap.empty[String, String]
+    // State-store partitioning for the streaming entries: a stateful
+    // operator spins up (and commits) one state store per shuffle
+    // partition per microbatch, so at this input scale the session-wide
+    // 32 is pure overhead — the s02 interval join carries 4 stores per
+    // partition. The knob is the deployment-level setting a cluster
+    // would tune per stream; the batch queries keep the session value
+    // (restored in the finally).
+    val streamShuffle =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     def runStream(name: String, df: DataFrame, mode: String): Unit = {
       // drop any previous pass's entry first: a stream that fails or
       // exceeds the cap must not report the prior pass's batch stats
       // next to its own -1 timing
       streamDetail.remove(name)
-      val q = df.writeStream.format("noop").outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", streamShuffle)
+      val q =
+        try df.writeStream.format("noop").outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
-        if (!q.awaitTermination((capSec * 1000).toLong)) {
+        // in-stream cap with headroom UNDER the watchdog: the watchdog's
+        // job-group cancel can't reach the microbatch thread, so this
+        // deadline must expire first — otherwise a slow stream startup
+        // lets the watchdog fire, and the still-active stream's jobs
+        // would overlap and inflate the next timed query
+        val headroomMs = (((capSec - 5).max(1)) * 1000).toLong
+        if (!q.awaitTermination(headroomMs)) {
           q.stop()
-          throw new RuntimeException(s"stream exceeded ${capSec}s cap")
+          throw new RuntimeException(s"stream exceeded in-stream cap " +
+            s"(${headroomMs}ms < watchdog ${capSec}s)")
         }
       } finally if (q.isActive) q.stop()
       val durs = q.recentProgress.toSeq.map(p =>
@@ -216,7 +247,7 @@ object Bench {
           src.filter(col("event_type") === "purchase")), "append")
       }))
     def timeStreamingPass(): Seq[(String, Double)] =
-      streaming.map { case (name, fn) =>
+      streaming.filter(p => keep(p._1)).map { case (name, fn) =>
         name -> timed(name) { fn(spark, sfDir) }
       }
     def streamDetailJson(): String =
@@ -233,6 +264,32 @@ object Bench {
     def sumOk(rs: Seq[(String, Double)]): Double =
       rs.collect { case (_, v) if v >= 0 => v }.sum
 
+    // Persisted bench record (round-6 verdict: BENCH_rN.json's truncated
+    // tail drops pass-1 lines and per-query numbers; they must survive
+    // in-repo, not in /tmp): every pass line and the final total line are
+    // also written — rewritten after each pass, so a killed run still
+    // leaves everything completed so far — to bench_summary_r{N}.json,
+    // N inferred as (max existing BENCH_r*.json round)+1 in the cwd.
+    // Override with SPARK_GRAFT_BENCH_SUMMARY; set it empty to disable.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", {
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      val n = if (rounds.nonEmpty) rounds.max + 1 else 1
+      f"bench_summary_r$n%02d.json"
+    })
+    var passLines = Vector.empty[String]
+    def writeSummary(totalLine: Option[String]): Unit =
+      if (summaryPath.nonEmpty) try {
+        val body = "{\"passes\":[" + passLines.mkString(",\n") + "]" +
+          totalLine.map(t => ",\n\"total\":" + t).getOrElse("") + "}\n"
+        java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
+          body.getBytes("UTF-8"))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+      }
+
     case class Pass(main: Seq[(String, Double)], scale: Seq[(String, Double)],
                     streaming: Seq[(String, Double)], hostFactor: Double)
     var passes = Vector.empty[Pass]
@@ -242,8 +299,14 @@ object Bench {
       pass += 1
       val w0 = System.nanoTime()
       // host-health calibration first: a fixed no-I/O kernel, so every
-      // recorded pass carries how sick the box was WHILE it ran
-      val hostFactor = hostKernelSec(spark) / HostKernelRefSec
+      // recorded pass carries how sick the box was WHILE it ran. It runs
+      // under the same watchdog/cap as the queries — on a wedged host
+      // (the condition the calibration exists to detect) a hang or throw
+      // here records host_factor=-1 instead of killing the whole pass
+      // before any line is emitted.
+      val kernelSec = timed("host_kernel") { hostKernelAction(spark) }
+      val hostFactor =
+        if (kernelSec < 0) -1.0 else kernelSec / HostKernelRefSec
       // cold staging per pass: drop the t03/t14 verified-pairs checkpoint
       // AND every persisted frame (segStaging etc.), so each pass pays
       // each staging fill exactly once — the same work profile as the
@@ -255,13 +318,17 @@ object Bench {
         hostFactor)
       passes :+= p
       val wall = (System.nanoTime() - w0) / 1e9
-      println(s"""{"metric":"pass","pass":$pass,"value":${sumOk(p.main)},""" +
+      val passLine =
+        s"""{"metric":"pass","pass":$pass,"value":${sumOk(p.main)},""" +
         s""""unit":"sec","wall":$wall,""" +
         s""""host_factor":${r3(p.hostFactor)},""" +
         s""""queries":${jsonMap(p.main)},""" +
         s""""scale_queries":${jsonMap(p.scale)},""" +
         s""""streaming_queries":${jsonMap(p.streaming)},""" +
-        s""""streaming_detail":${streamDetailJson()},"sf":"$sfDir"}""")
+        s""""streaming_detail":${streamDetailJson()},"sf":"$sfDir"}"""
+      println(passLine)
+      passLines :+= passLine
+      writeSummary(None)
       if (wall > budgetSec && pass < reps) {
         System.err.println(
           s"[bench] pass $pass took ${wall}s > ${budgetSec}s budget; " +
@@ -282,13 +349,18 @@ object Bench {
     val streamingResults = minOver(passes.map(_.streaming))
     // the total line reports the BEST host_factor seen: the per-query mins
     // it carries were most likely achieved near that health level
-    val bestFactor = passes.map(_.hostFactor).min
-    println(s"""{"metric":"total","value":${sumOk(results)},"unit":"sec",""" +
+    // ignore -1 (failed-calibration) factors unless every pass failed
+    val okFactors = passes.map(_.hostFactor).filter(_ >= 0)
+    val bestFactor = if (okFactors.nonEmpty) okFactors.min else -1.0
+    val totalLine =
+      s"""{"metric":"total","value":${sumOk(results)},"unit":"sec",""" +
       s""""reps":${passes.size},""" +
       s""""host_factor":${r3(bestFactor)},""" +
       s""""queries":${jsonMap(results)},""" +
       s""""scale_queries":${jsonMap(scaleResults)},""" +
-      s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}""")
+      s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}"""
+    println(totalLine)
+    writeSummary(Some(totalLine))
     spark.stop()
   }
 }

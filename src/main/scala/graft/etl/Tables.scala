@@ -132,9 +132,18 @@ object Tables {
     }
     ()
   }
+  /** Per-invocation suffix: pid alone is not enough — a query cancelled
+    * mid-write by the bench watchdog can leave a straggler task still
+    * writing while the next pass's same query reuses the path, and the
+    * read-back would transiently see a mix of both writes. A fresh
+    * directory per invocation makes that impossible; all of them stay
+    * registered for the shutdown-hook cleanup. */
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def scratchDir(tag: String): String = {
     scratchCleanup
-    val p = s"$cacheRoot/${tag}_" + ProcessHandle.current().pid()
+    val p = s"$cacheRoot/${tag}_" + ProcessHandle.current().pid() +
+      "_" + scratchSeq.incrementAndGet()
     scratchIssued.put(p, ())
     p
   }
