@@ -539,5 +539,28 @@ object DataQueries {
       graft.etl.Merge.sequenceKeysScalable(
         T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
         "seq_key", 0L)),
+    // t29's two-sided knn-join measured 8x past fixture scale: the sf
+    // embedding frame replicated with distinct ids (replicas share a
+    // bucket — a duplication-skewed corpus, sign-LSH's worst case for
+    // bucket balance), both sides large, nothing broadcast (PlanSpec
+    // guards the shuffle-join shape on this exact frame). ~16k queries ×
+    // ~576 Hamming-1 candidates ≈ 9M exact cosines at sf0.1.
+    "x29_knn_join_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      Similarity.knnJoin(big, big, k = 3, bits = 8)
+    }),
   )
+
+  /** The sf embedding frame replicated `copies`x with distinct ids —
+    * the scale harness for x29 (replicas keep their vector, so bucket
+    * populations multiply: the skewed-bucket regime, not the easy
+    * uniform one). */
+  private[graft] def scaledEmbeddings(s: SparkSession, d: String,
+                                      copies: Int): DataFrame = {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    (0 until copies).map(i =>
+        emb.select((col("vec_id") * copies + i).as("vec_id"),
+          col("embedding")))
+      .reduce(_ unionByName _)
+  }
 }

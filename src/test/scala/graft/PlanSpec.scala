@@ -93,6 +93,23 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x29: scale-twin knn-join keeps the shuffle-join shape on the 8x frame") {
+    // same guard as t29, but on the exact frame the x29 bench times: the
+    // replicated corpus must flow through a bucket-keyed shuffled
+    // equi-join with no broadcast of either side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = DataQueries.benchOnly("x29_knn_join_scale")(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastExchange"),
+        p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t15: line dedup reads only (doc_id, text) from the scan") {
     val p = plan("t15_line_dedup")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
