@@ -89,7 +89,8 @@ object Tables {
     * expects and is only sane for reporting-sized frames (a fact-sized
     * egress keeps its partitioning and writes one file per task).
     *
-    * CSV contract (pinned by EgressSpec): quoting/commas and NULLs
+    * CSV contract (pinned by EgressSpec, incl. a seeded adversarial-string
+    * property sweep): quoting/commas, edge whitespace and NULLs
     * round-trip; empty strings read back as NULL (default null encoding —
     * normalize with Ops.emptyToNull upstream, as the reference snapshots
     * do), and embedded newlines do not survive — the readers stay
@@ -98,7 +99,15 @@ object Tables {
   def writeSnapshot(df: DataFrame, fmt: String, path: String): String = {
     val w = df.coalesce(1).write.mode("overwrite")
     fmt match {
-      case "csv"  => w.option("header", "true").csv(path)
+      case "csv"  => w.option("header", "true")
+        // univocity's writer-side defaults TRIM unquoted leading/trailing
+        // whitespace — silent value corruption for an egress writer
+        // (found by the EgressSpec property sweep); the reader-side
+        // defaults are already false, so preserving on write restores
+        // the round trip
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
       case "json" => w.json(path)
       case other  => throw new IllegalArgumentException(s"format: $other")
     }
