@@ -215,6 +215,24 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Disjoint-corpora knn-join (`selfJoin = false`): the low-id half of
+    * the embedding frame queries the high-id half RE-KEYED into the same
+    * id range — every query id collides with a right-side id that names a
+    * DIFFERENT vector, so the self-exclusion semantics are load-bearing:
+    * the default self-join filter would silently drop those neighbors and
+    * the census would undercount by one. The oracle mirrors the no-filter,
+    * no-minus-one form exactly — a wrong selfJoin default breaks the hash. */
+  val t31KnnDisjoint: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val left = emb.filter(col("vec_id") < 250)
+    val right = emb.filter(col("vec_id") >= 250)
+      .withColumn("vec_id", col("vec_id") - 250)
+    Similarity.knnJoin(left, right, k = 3, bits = 8, selfJoin = false)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Multimodal plumbing: documents wrapped as binary media assets, decoded
     * partition-wise through the (stubbed) codec into typed metadata. */
   val t08MediaMeta: Q = (s, d) =>
@@ -508,6 +526,7 @@ object DataQueries {
     "t28_kmeans_train" -> t28KmeansTrain,
     "t29_knn_join" -> t29KnnJoin,
     "t30_knn_adaptive" -> t30KnnAdaptive,
+    "t31_knn_disjoint" -> t31KnnDisjoint,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

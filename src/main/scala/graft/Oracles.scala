@@ -1294,6 +1294,36 @@ object Oracles {
         | round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the disjoint-corpora knn-join
+    // (selfJoin=false): left = vec_id < 250, right = the re-keyed high
+    // half (vec_id - 250, same id range, different vectors). No
+    // query<>neighbor filter anywhere — equal-id pairs are genuine
+    // neighbors here, so a wrongly-applied self-exclusion breaks the hash
+    "t31_knn_disjoint" ->
+      s"""WITH l AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 250),
+        |r AS (SELECT vec_id - 250 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 250),
+        |rb AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM r),
+        |lb AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM l),
+        |probes AS (SELECT vec_id AS query_id, embedding AS qv,
+        |  unnest(${probeListSql("bucket", 8, probe2 = false)}) AS bucket
+        |  FROM lb),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(c.embedding as double[])) AS cos
+        |  FROM probes JOIN rb c USING (bucket)),
+        |rk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM rk WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
     // exact recomputation of the RHP-LSH ANN path: buckets from the
     // inlined hyperplane weights (bits=4), multi-probe at Hamming
     // distance 1, per-query top-5 among candidates
