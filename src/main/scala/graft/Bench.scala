@@ -126,6 +126,8 @@ object Bench {
         .filterKeys(k => k.startsWith("q48") || k.startsWith("q49") ||
           k.startsWith("q50"))
         .foreach { case (_, fn) => fn(spark, sfDir).count() }
+      // s03's multi-file export is one-time materialization I/O too
+      graft.etl.Tables.exportedEventsParts(spark, sfDir)
       hostKernelSec(spark) // JIT the calibration kernel itself
       ()
     } catch {
@@ -245,7 +247,15 @@ object Bench {
         runStream("s02_attribution_join", Streams.attributionJoin(
           src.filter(col("event_type") === "click"),
           src.filter(col("event_type") === "purchase")), "append")
-      }))
+      }),
+      // steady-state complement to the s01 one-shot: same rollup, but
+      // paced one file per microbatch over the 8-part export, so the
+      // per-batch (state churn) cost shows up as ~9 batches in
+      // streaming_detail instead of being averaged into 2
+      "s03_steady_rollup" -> ((s, d) =>
+        runStream("s03_steady_rollup",
+          Streams.hourlyRollup(Streams.eventsStreamPaced(s,
+            graft.etl.Tables.exportedEventsParts(s, d))), "append")))
     def timeStreamingPass(): Seq[(String, Double)] =
       streaming.filter(p => keep(p._1)).map { case (name, fn) =>
         name -> timed(name) { fn(spark, sfDir) }

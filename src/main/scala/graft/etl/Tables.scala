@@ -249,6 +249,29 @@ object Tables {
     })
   }
 
+  /** Re-materialize the events fixture as `parts` equal parquet files with
+    * a NORMALIZED timestamp column (micros, session-tz) — the multi-file
+    * layout the steady-state streaming bench paces through one file per
+    * microbatch (`maxFilesPerTrigger=1`), turning the 2-batch AvailableNow
+    * one-shot into a `parts`-batch run whose per-batch cost is the
+    * steady-state signal. Written once per fixture version. */
+  def exportedEventsParts(s: SparkSession, d: String,
+                          parts: Int = 8): String = {
+    val key = (d, "events", s"parts$parts", fixtureMtime(d, "events"))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "events" &&
+          k._3 == s"parts$parts" && k != key)
+        .foreach(exportMemo.remove)
+      val path = s"$cacheRoot/events_parts${parts}_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      materialize(path) { tmp =>
+        events(s, d).repartition(parts)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+  }
+
   /** Re-materialize selected columns of a parquet fixture as a CSV or
     * JSON-lines copy (the non-parquet-source test bed: the copy is written
     * by Spark once per fixture version, then read back through [[csv]] /

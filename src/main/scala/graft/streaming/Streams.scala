@@ -64,6 +64,19 @@ object Streams {
       case _ => eventsStream(spark, dir, glob)
     }
 
+  /** Paced file-source stream over a directory of NORMALIZED event
+    * parquet files (as written by `Tables.exportedEventsParts` — ts is a
+    * genuine TIMESTAMP, no nanos/NTZ variants): `filesPerTrigger` files
+    * per microbatch, so an AvailableNow run executes
+    * ceil(files/filesPerTrigger) batches instead of one ingest batch —
+    * the steady-state shape the s03 bench measures. */
+  def eventsStreamPaced(spark: SparkSession, dir: String,
+                        filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir)
+
   /** At-least-once ingest dedup: drop event_id replays while BOUNDING the
     * dedup state with the watermark — a replay arriving within the
     * watermark horizon is suppressed, and state for ids older than the

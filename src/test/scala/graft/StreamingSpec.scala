@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     assert(tenClick.getLong(2) == 2 && tenClick.getDouble(3) == 4.0)
   }
 
+  test("paced multi-batch rollup == one-shot == batch (steady-state twin)") {
+    // the s03 bench shape: N files, one per microbatch — the rollup's
+    // COMPLETE result must not depend on how ingestion was paced
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d, parts = 4)
+    val q = Streams.hourlyRollup(Streams.eventsStreamPaced(spark, parts, 1))
+      .writeStream.format("memory").queryName("spec_paced")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_paced")
+      .orderBy("hour_start", "event_type").collect().toSeq
+    val batch = Streams.hourlyRollup(graft.etl.Tables.events(spark, d))
+      .orderBy("hour_start", "event_type").collect().toSeq
+    assert(paced == batch)
+  }
+
   test("sessionRollup batch == flatMapGroupsWithState sessionizer") {
     val dir = Files.createTempDirectory("graft_sessions").toString
     // user 7: two sessions (45-min gap); user 8: one session; user 99 is a
