@@ -215,6 +215,20 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Graded probe-budget knn-join: every query takes the shallowest
+    * probe set whose integer census covers k — own bucket only / Hamming-1
+    * / Hamming-2. bits=8/k=8 over the fixture puts real population in
+    * every tier (9/489/2 measured); the oracle recomputes both censuses
+    * and the tier CASE exactly, so one query probing at the wrong depth
+    * breaks the hash. */
+  val t32KnnBudget: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.knnJoinBudget(emb, emb, k = 8, bits = 8)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Disjoint-corpora knn-join (`selfJoin = false`): the low-id half of
     * the embedding frame queries the high-id half RE-KEYED into the same
     * id range — every query id collides with a right-side id that names a
@@ -527,6 +541,7 @@ object DataQueries {
     "t29_knn_join" -> t29KnnJoin,
     "t30_knn_adaptive" -> t30KnnAdaptive,
     "t31_knn_disjoint" -> t31KnnDisjoint,
+    "t32_knn_budget" -> t32KnnBudget,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1294,6 +1294,50 @@ object Oracles {
         | round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the graded probe-budget knn-join: own-bucket
+    // census c0 and Hamming-1 census c1 (both minus self), tier CASE
+    // (c0>=k -> own bucket only; c1>=k -> Hamming-1 set; else Hamming-2
+    // set), disjoint populations union before the per-query top-5
+    "t32_knn_budget" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 8)} AS bucket FROM embeddings),
+        |sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |q0 AS (SELECT vec_id, embedding, bucket AS b0 FROM b),
+        |c0 AS (SELECT q.vec_id AS query_id, coalesce(s.n, 0) - 1 AS c
+        |  FROM b q LEFT JOIN sizes s USING (bucket)),
+        |p1 AS (SELECT vec_id AS query_id,
+        |  unnest(${probeListSql("b0", 8, probe2 = false)}) AS bucket
+        |  FROM q0),
+        |c1 AS (SELECT query_id, coalesce(sum(n), 0) - 1 AS c
+        |  FROM p1 LEFT JOIN sizes USING (bucket) GROUP BY 1),
+        |tier AS (SELECT c0.query_id,
+        |  CASE WHEN c0.c >= 8 THEN 0 WHEN c1.c >= 8 THEN 1 ELSE 2 END AS t
+        |  FROM c0 JOIN c1 USING (query_id)),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv, b0 AS bucket FROM q0
+        |  WHERE vec_id IN (SELECT query_id FROM tier WHERE t = 0)
+        |  UNION ALL
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |    unnest(${probeListSql("b0", 8, probe2 = false)}) AS bucket
+        |  FROM q0 WHERE vec_id IN (SELECT query_id FROM tier WHERE t = 1)
+        |  UNION ALL
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |    unnest(${probeListSql("b0", 8, probe2 = true)}) AS bucket
+        |  FROM q0 WHERE vec_id IN (SELECT query_id FROM tier WHERE t = 2)),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(c.embedding as double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |rk AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM rk WHERE rnk <= 8 ORDER BY query_id, rnk""".stripMargin,
+
     // exact recomputation of the disjoint-corpora knn-join
     // (selfJoin=false): left = vec_id < 250, right = the re-keyed high
     // half (vec_id - 250, same id range, different vectors). No

@@ -215,6 +215,53 @@ object Similarity {
         probe2 = true, idCol, vecCol), cb, k, excludeSelf = selfJoin))
   }
 
+  /** Graded probe budget over [[knnJoin]] — the census-proportional
+    * generalization of [[knnJoinAdaptive]]'s binary split. Each query
+    * gets the SHALLOWEST probe set whose integer candidate census
+    * already covers `k`:
+    *  - tier 0: the query's own bucket holds >= k candidates -> probe
+    *    only it (1 probe instead of 1+bits — in a dense corpus this is
+    *    the majority, and the candidate volume drops ~(1+bits)x);
+    *  - tier 1: the Hamming-1 census covers k -> the 1+bits probe set;
+    *  - tier 2: otherwise -> the full 1+bits+C(bits,2) set.
+    * The censuses are bucket-size sums against the same 2^bits-row
+    * broadcast frame ([[knnCensus]]); tiers are disjoint so per-query
+    * ranks union cleanly, and everything is integer arithmetic — the
+    * t32 DuckDB oracle mirrors the two censuses and the tier CASE
+    * exactly. Cost/recall: tier-0 queries trade Hamming-1 candidates
+    * for a ~(1+bits)x smaller scan, so recall sits at or below the
+    * uniform probe1 join on dense corpora (measured in SimilaritySpec);
+    * probe depth concentrates where the census says it buys neighbors.
+    * `selfJoin` as in [[knnJoin]]. */
+  def knnJoinBudget(left: DataFrame, right: DataFrame, k: Int,
+                    bits: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    selfJoin: Boolean = true): DataFrame = {
+    val cb = bucketCorpus(right, bits, idCol, vecCol)
+    val sizes = broadcast(cb.groupBy(col("bucket")).count())
+    val self = if (selfJoin) 1 else 0
+    val q0 = left.select(col(idCol).as("query_id"),
+      rhpBucket(col(vecCol), bits).as("b0"))
+    val ownCensus = q0.join(sizes, q0("b0") === sizes("bucket"), "left")
+      .select(col("query_id"),
+        (coalesce(col("count"), lit(0L)) - self).as("__c0"))
+    val h1Census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
+    val tiers = ownCensus.join(h1Census, Seq("query_id"))
+      .select(col("query_id"),
+        when(col("__c0") >= k, 0)
+          .when(col("__cand") >= k, 1)
+          .otherwise(2).as("__tier"))
+    def side(tier: Int, probe1: Boolean, probe2: Boolean): DataFrame = {
+      val ids = tiers.filter(col("__tier") === tier).select(col("query_id"))
+      val sub = left.join(ids, left(idCol) === ids("query_id"), "left_semi")
+      bucketedTopK(explodeProbes(sub, bits, probe1, probe2, idCol, vecCol),
+        cb, k, excludeSelf = selfJoin)
+    }
+    side(0, probe1 = false, probe2 = false)
+      .unionByName(side(1, probe1 = true, probe2 = false))
+      .unionByName(side(2, probe1 = true, probe2 = true))
+  }
+
   /** IVF-style coarse quantizer: assign each vector to the nearest of
     * `centroids` (a small broadcast table (centroid_id, vec)); search then
     * probes only matching lists. Building centroids (k-means) is out of

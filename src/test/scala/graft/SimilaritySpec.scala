@@ -73,6 +73,51 @@ class SimilaritySpec extends SparkSpec {
       f"adaptive@10 $r10ad%.3f outside [$r10p1%.3f, $r10p2%.3f]")
   }
 
+  test("knnJoinBudget: probe depth follows the census; cost shrinks, " +
+      "recall stays sandwiched") {
+    // bits=8/k=5 measured on THIS fixture corpus: tiers 64/435/1 — the
+    // one (bits,k) in range where all three probe depths populate
+    // (t32's oracle corpus at sf0.01 uses bits=8/k=8 for the same reason)
+    val bits = 8
+    val k = 5
+    // independent driver-side accounting from the collected bucket
+    // assignments: per query the candidate counts at Hamming <=0/1/2,
+    // the tier the census rule picks, and the total candidate volumes
+    val bk = emb.select(col("vec_id"),
+        Similarity.rhpBucket(col("embedding"), bits).cast("int"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1)))
+    def candAt(qb: Int, maxD: Int): Long =
+      bk.count { case (_, rb) => Integer.bitCount(qb ^ rb) <= maxD } - 1L
+    val tiers = bk.map { case (_, qb) =>
+      val c0 = candAt(qb, 0)
+      if (c0 >= k) (0, c0)
+      else if (candAt(qb, 1) >= k) (1, candAt(qb, 1))
+      else (2, candAt(qb, 2))
+    }
+    val byTier = tiers.groupBy(_._1).view.mapValues(_.size).toMap
+    info(s"tier populations (own/H1/H2): " +
+      (0 to 2).map(t => byTier.getOrElse(t, 0)).mkString("/"))
+    // the fixture must genuinely exercise all three probe depths —
+    // otherwise t32's oracle proves less than it claims
+    assert((0 to 2).forall(t => byTier.getOrElse(t, 0) > 0), byTier.toString)
+    // cost: the budgeted candidate volume vs uniform Hamming-1 probing
+    val volBudget = tiers.map(_._2).sum
+    val volP1 = bk.map { case (_, qb) => candAt(qb, 1) }.sum
+    info(s"candidate volume: budget=$volBudget, uniform probe1=$volP1")
+    assert(volBudget < volP1,
+      s"graded probing must cut candidate volume: $volBudget >= $volP1")
+    // recall: at worst slightly under uniform probe1 (tier-0 queries scan
+    // only their own bucket), never above always-probe2
+    val rBudget = recallOf(Similarity.knnJoinBudget(emb, emb, k, bits), k)
+    val rP1 = recallOf(Similarity.knnJoin(emb, emb, k, bits), k)
+    val rP2 = recallOf(Similarity.knnJoin(emb, emb, k, bits,
+      probe2 = true), k)
+    info(f"recall@$k bits=$bits: budget $rBudget%.3f, probe1 $rP1%.3f, " +
+      f"probe2 $rP2%.3f")
+    assert(rBudget >= rP1 - 0.05 && rBudget <= rP2 + 0.001,
+      f"budget recall $rBudget%.3f outside [$rP1%.3f - 0.05, $rP2%.3f]")
+  }
+
   test("knnCensus equals the true Hamming-1 candidate count, self and disjoint") {
     // independent recomputation: collect each side's bucket assignments and
     // count, per query, the right rows within Hamming distance 1 of its
