@@ -204,7 +204,12 @@ object Similarity {
                       selfJoin: Boolean = true): DataFrame = {
     val cb = bucketCorpus(right, bits, idCol, vecCol)
     val census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
+    // materialized once: both population joins consume it, and without
+    // the checkpoint each would recompute the census (probe explode +
+    // broadcast join + agg) from scratch. The frame is (id) per starved
+    // query — bounded and tiny next to the candidate join it steers.
     val starvedIds = census.filter(col("__cand") < k).select(col("query_id"))
+      .localCheckpoint()
     val rich = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
       "left_anti")
     val starved = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
@@ -246,11 +251,15 @@ object Similarity {
       .select(col("query_id"),
         (coalesce(col("count"), lit(0L)) - self).as("__c0"))
     val h1Census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
+    // materialized once: three branch joins consume the tier map, and
+    // without the checkpoint each would recompute BOTH censuses. (id,
+    // tier) per query — two ints, tiny next to the candidate joins.
     val tiers = ownCensus.join(h1Census, Seq("query_id"))
       .select(col("query_id"),
         when(col("__c0") >= k, 0)
           .when(col("__cand") >= k, 1)
           .otherwise(2).as("__tier"))
+      .localCheckpoint()
     def side(tier: Int, probe1: Boolean, probe2: Boolean): DataFrame = {
       val ids = tiers.filter(col("__tier") === tier).select(col("query_id"))
       val sub = left.join(ids, left(idCol) === ids("query_id"), "left_semi")
