@@ -39,15 +39,18 @@ object Similarity {
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
-    * corpus rows (excluding itself). The query side is expected to be small
-    * and is broadcast; the corpus streams. */
+    * corpus rows (excluding itself when `selfJoin`, the shared-id-space
+    * default — see [[knnJoin]] for the contract). The query side is
+    * expected to be small and is broadcast; the corpus streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     selfJoin: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
+    q.join(c, if (selfJoin) col("query_id") =!= col("neighbor_id")
+              else lit(true))
       .withColumn("cos", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -130,11 +133,12 @@ object Similarity {
     * large-batch query side use [[knnJoin]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
               probe1: Boolean = true, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame =
+              vecCol: String = "embedding",
+              selfJoin: Boolean = true): DataFrame =
     bucketedTopK(
       broadcast(explodeProbes(queries, bits, probe1, probe2 = false,
         idCol, vecCol)),
-      bucketCorpus(corpus, bits, idCol, vecCol), k)
+      bucketCorpus(corpus, bits, idCol, vecCol), k, excludeSelf = selfJoin)
 
   /** Two-sided scalable knn-join — "for every left row, its k nearest
     * right rows" where BOTH sides are large. Unlike [[lshTopK]], which

@@ -167,6 +167,13 @@ class SimilaritySpec extends SparkSpec {
     val ad = Similarity.knnJoinAdaptive(q0, emb, k = 1, bits = 8,
         selfJoin = false).collect()
     assert(ad.head.getAs[Long]("neighbor_id") === 0L)
+    // the whole ANN family honors the same flag
+    val bf = Similarity.bruteForceTopK(emb, q0, k = 1,
+        selfJoin = false).collect()
+    assert(bf.head.getAs[Long]("neighbor_id") === 0L)
+    val lsh = Similarity.lshTopK(emb, q0, k = 1, bits = 8,
+        selfJoin = false).collect()
+    assert(lsh.head.getAs[Long]("neighbor_id") === 0L)
   }
 
   test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
