@@ -25,7 +25,9 @@ object Verify {
     "q52_csv_egress", "q53_json_egress", "q54_partitioned_egress",
     "q36_new_fingerprints", "q37_billing_group_scd",
     "t03_minhash_lsh", "t04_jaccard_pairs", "t05_simhash",
-    "t14_neardup_clusters")
+    "t14_neardup_clusters",
+    // the census-steered knn-joins run 2+ candidate joins each
+    "t30_knn_adaptive", "t32_knn_budget")
   private def costClass(name: String): Int =
     if (expensive(name)) 2
     else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0
