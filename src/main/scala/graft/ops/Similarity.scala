@@ -218,10 +218,15 @@ object Similarity {
       "left_anti")
     val starved = left.join(starvedIds, left(idCol) === starvedIds("query_id"),
       "left_semi")
-    bucketedTopK(explodeProbes(rich, bits, probe1 = true, probe2 = false,
-        idCol, vecCol), cb, k, excludeSelf = selfJoin)
-      .unionByName(bucketedTopK(explodeProbes(starved, bits, probe1 = true,
-        probe2 = true, idCol, vecCol), cb, k, excludeSelf = selfJoin))
+    // union the two populations' probe frames, then ONE candidate join +
+    // rank — two separate joins would re-scan and re-bucket the corpus
+    // twice. Populations are disjoint, so ranks are unchanged.
+    bucketedTopK(
+      explodeProbes(rich, bits, probe1 = true, probe2 = false,
+        idCol, vecCol)
+        .unionByName(explodeProbes(starved, bits, probe1 = true,
+          probe2 = true, idCol, vecCol)),
+      cb, k, excludeSelf = selfJoin)
   }
 
   /** Graded probe budget over [[knnJoin]] — the census-proportional
@@ -264,15 +269,22 @@ object Similarity {
           .when(col("__cand") >= k, 1)
           .otherwise(2).as("__tier"))
       .localCheckpoint()
-    def side(tier: Int, probe1: Boolean, probe2: Boolean): DataFrame = {
+    // union the per-tier PROBE frames (query-sized), then run ONE
+    // candidate join + rank against the bucketed corpus — three separate
+    // joins would re-scan and re-bucket the corpus once per tier. Tier
+    // populations are disjoint and within a probe set a neighbor matches
+    // at most one probe, so the union introduces no duplicate pairs and
+    // per-query ranks are unchanged.
+    def probesFor(tier: Int, probe1: Boolean, probe2: Boolean): DataFrame = {
       val ids = tiers.filter(col("__tier") === tier).select(col("query_id"))
-      val sub = left.join(ids, left(idCol) === ids("query_id"), "left_semi")
-      bucketedTopK(explodeProbes(sub, bits, probe1, probe2, idCol, vecCol),
-        cb, k, excludeSelf = selfJoin)
+      explodeProbes(left.join(ids, left(idCol) === ids("query_id"),
+        "left_semi"), bits, probe1, probe2, idCol, vecCol)
     }
-    side(0, probe1 = false, probe2 = false)
-      .unionByName(side(1, probe1 = true, probe2 = false))
-      .unionByName(side(2, probe1 = true, probe2 = true))
+    bucketedTopK(
+      probesFor(0, probe1 = false, probe2 = false)
+        .unionByName(probesFor(1, probe1 = true, probe2 = false))
+        .unionByName(probesFor(2, probe1 = true, probe2 = true)),
+      cb, k, excludeSelf = selfJoin)
   }
 
   /** IVF-style coarse quantizer: assign each vector to the nearest of
