@@ -390,6 +390,25 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** End-to-end IVF SEARCH — the consumer that makes the trained index
+    * (t22/t28) usable the way t07's LSH path is: a deterministic
+    * every-50th-vector centroid set (10 lists over the fixture corpus),
+    * the whole corpus coarse-quantized once, then each query probes its
+    * nprobe=3 nearest lists and ranks the union of their members. The
+    * oracle recomputes assignment AND probe ranking from the ONE
+    * centroid-distance CTE (same -cosine/centroid_id ordering rule), so
+    * one query probing a wrong list breaks the hash. */
+  val t33IvfTopK: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), centroids,
+        k = 5, nprobe = 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** One spherical-k-means training step over the embedding corpus from
     * the deterministic every-250th init — closes the "centroid training
     * out of scope" gap of the IVF index; exploded to (centroid, dim)
@@ -542,6 +561,7 @@ object DataQueries {
     "t30_knn_adaptive" -> t30KnnAdaptive,
     "t31_knn_disjoint" -> t31KnnDisjoint,
     "t32_knn_budget" -> t32KnnBudget,
+    "t33_ivf_topk" -> t33IvfTopK,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1440,6 +1440,35 @@ object Oracles {
         | round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the end-to-end IVF search: ONE
+    // centroid-distance ranking CTE serves both the corpus assignment
+    // (rn = 1, t11's rule) and the query probe set (rn <= nprobe=3, the
+    // SAME -cosine/centroid_id ordering); candidates = members of the
+    // probed lists, then the standard top-5 contract
+    "t33_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |asg AS (SELECT vec_id, embedding, centroid_id FROM sc WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        |  FROM sc WHERE vec_id < 8 AND rn <= 3),
+        |s AS (SELECT query_id, n.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv as double[]),
+        |      cast(n.embedding as double[])) AS cos
+        |  FROM qp JOIN asg n USING (centroid_id) WHERE query_id <> n.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

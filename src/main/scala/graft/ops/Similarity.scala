@@ -181,16 +181,25 @@ object Similarity {
   private[graft] def knnCensus(left: DataFrame, right: DataFrame,
                                bits: Int, idCol: String = "vec_id",
                                vecCol: String = "embedding",
-                               selfJoin: Boolean = true): DataFrame = {
-    val sizes = broadcast(
-      bucketCorpus(right, bits, idCol, vecCol)
-        .groupBy(col("bucket")).count())
+                               selfJoin: Boolean = true): DataFrame =
+    knnCensusFromSizes(left,
+      broadcast(bucketCorpus(right, bits, idCol, vecCol)
+        .groupBy(col("bucket")).count()),
+      bits, idCol, vecCol, selfJoin)
+
+  /** [[knnCensus]] against a pre-computed broadcast (bucket, count) sizes
+    * frame — the callers that already bucketed the corpus (adaptive /
+    * budget joins) pass their own sizes instead of paying a second
+    * corpus scan + broadcast for the census. */
+  private[graft] def knnCensusFromSizes(left: DataFrame, sizes: DataFrame,
+                                        bits: Int, idCol: String,
+                                        vecCol: String,
+                                        selfJoin: Boolean): DataFrame =
     explodeProbes(left, bits, probe1 = true, probe2 = false, idCol, vecCol)
       .join(sizes, Seq("bucket"), "left")
       .groupBy(col("query_id"))
       .agg((coalesce(sum(col("count")), lit(0L)) -
         (if (selfJoin) 1 else 0)).as("__cand"))
-  }
 
   /** Adaptive probe depth over [[knnJoin]]: probe Hamming-2 only for the
     * queries whose Hamming-1 candidate census falls under `k` — recall
@@ -201,13 +210,22 @@ object Similarity {
     * queries re-probe with the full 1+bits+C(bits,2) set. The two
     * populations are disjoint, so per-query ranks union cleanly.
     * `selfJoin` as in [[knnJoin]]: it gates both the self-pair filter and
-    * the census's minus-one. */
+    * the census's minus-one.
+    *
+    * EAGER: constructing the returned DataFrame already runs Spark jobs —
+    * the census is materialized via `localCheckpoint()` (so the two
+    * population joins don't recompute it), which executes at call time
+    * and pins executor-local blocks that do not survive executor loss.
+    * Callers composing plans lazily (plan inspection, `explain`) should
+    * expect jobs to have run. */
   def knnJoinAdaptive(left: DataFrame, right: DataFrame, k: Int,
                       bits: Int = 8, idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       selfJoin: Boolean = true): DataFrame = {
     val cb = bucketCorpus(right, bits, idCol, vecCol)
-    val census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
+    val sizes = broadcast(cb.groupBy(col("bucket")).count())
+    val census =
+      knnCensusFromSizes(left, sizes, bits, idCol, vecCol, selfJoin)
     // materialized once: both population joins consume it, and without
     // the checkpoint each would recompute the census (probe explode +
     // broadcast join + agg) from scratch. The frame is (id) per starved
@@ -246,7 +264,13 @@ object Similarity {
     * for a ~(1+bits)x smaller scan, so recall sits at or below the
     * uniform probe1 join on dense corpora (measured in SimilaritySpec);
     * probe depth concentrates where the census says it buys neighbors.
-    * `selfJoin` as in [[knnJoin]]. */
+    * `selfJoin` as in [[knnJoin]].
+    *
+    * EAGER: constructing the returned DataFrame already runs Spark jobs —
+    * the tier map is materialized via `localCheckpoint()` (three branch
+    * joins consume it; without the checkpoint each would recompute both
+    * censuses), which executes at call time and pins executor-local
+    * blocks that do not survive executor loss. */
   def knnJoinBudget(left: DataFrame, right: DataFrame, k: Int,
                     bits: Int = 8, idCol: String = "vec_id",
                     vecCol: String = "embedding",
@@ -259,7 +283,10 @@ object Similarity {
     val ownCensus = q0.join(sizes, q0("b0") === sizes("bucket"), "left")
       .select(col("query_id"),
         (coalesce(col("count"), lit(0L)) - self).as("__c0"))
-    val h1Census = knnCensus(left, right, bits, idCol, vecCol, selfJoin)
+    // reuse the broadcast sizes frame: a second knnCensus(left, right, …)
+    // would re-bucket the corpus and build an identical broadcast
+    val h1Census =
+      knnCensusFromSizes(left, sizes, bits, idCol, vecCol, selfJoin)
     // materialized once: three branch joins consume the tier map, and
     // without the checkpoint each would recompute BOTH censuses. (id,
     // tier) per query — two ints, tiny next to the candidate joins.
@@ -288,9 +315,10 @@ object Similarity {
   }
 
   /** IVF-style coarse quantizer: assign each vector to the nearest of
-    * `centroids` (a small broadcast table (centroid_id, vec)); search then
-    * probes only matching lists. Building centroids (k-means) is out of
-    * scope here — any clustering feeding (centroid_id, vec) works. */
+    * `centroids` (a small broadcast table (centroid_id, vec)); search
+    * ([[ivfTopK]]) then probes only the nprobe nearest lists. Centroids
+    * come from [[kmeansCentroids]] — or any clustering feeding
+    * (centroid_id, vec). */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cidCol: String = "centroid_id",
@@ -302,6 +330,50 @@ object Similarity {
         Window.partitionBy(col(idCol)).orderBy(col("__d"), col(cidCol))))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col(cidCol))
+  }
+
+  /** End-to-end IVF search — the piece that makes a trained index
+    * ([[kmeansCentroids]] or any (centroid_id, cvec) frame) usable the
+    * way [[lshTopK]]/[[knnJoin]] are. Per query: rank all centroids by
+    * cosine (same deterministic -cosine/centroid_id ordering as
+    * [[ivfAssign]]'s quantizer), probe the `nprobe` nearest lists,
+    * candidates = union of the probed lists' members, then the standard
+    * top-k contract ([[bucketedTopK]]: exact cosine, neighbor_id
+    * tiebreak, cosine rounded to 4).
+    *
+    * Scale shape: the centroid table is small and broadcast twice (once
+    * into the corpus assign pass, once into the query probe ranking); the
+    * corpus shuffles once on its list id and candidates once on query_id
+    * for the rank — the same discipline as [[knnJoin]], with the list id
+    * playing the bucket role. Each corpus row lives in exactly one list
+    * and a query's nprobe list ids are distinct, so no (query, neighbor)
+    * pair duplicates before the rank. `selfJoin` as in [[knnJoin]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+              vecCol: String = "embedding", cidCol: String = "centroid_id",
+              cvecCol: String = "cvec",
+              selfJoin: Boolean = true): DataFrame = {
+    // align centroid element type to the corpus vectors (same rule as
+    // kmeansStep): a trained centroid frame carries array<double> means,
+    // and the cosine kernel requires both sides the same element type.
+    // For raw-vector centroids the element-wise cast is a no-op
+    val elemType = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val cents = centroids.withColumn(cvecCol,
+      transform(col(cvecCol), x => x.cast(elemType)))
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol, cidCol,
+        cvecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        col(cidCol).as("bucket"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", -cosine(col("__qv"), col(cvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d"), col(cidCol))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col(cidCol).as("bucket"))
+    bucketedTopK(probes, assigned, k, excludeSelf = selfJoin)
   }
 
   /** One spherical-k-means (Lloyd) step — the centroid TRAINING that
