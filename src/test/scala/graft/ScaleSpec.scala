@@ -106,6 +106,70 @@ class ScaleSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("knn recall at the benched scale regimes is measured and floored") {
+    import graft.ops.Similarity
+    val sf = "/root/testdata/sf0.1"
+    val emb2k = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def recallOf(approx: org.apache.spark.sql.DataFrame,
+                 exact: org.apache.spark.sql.DataFrame): Double = {
+      val e = exact.select(col("query_id"), col("neighbor_id"))
+      e.intersect(approx.select(col("query_id"), col("neighbor_id")))
+        .count().toDouble / e.count()
+    }
+    // (a) the sf0.1 corpus: 2000 DISTINCT vectors, 4x the fixture the
+    // SimilaritySpec sandwich runs on — full ground truth is 4M cosines
+    val gt2k = Similarity.bruteForceTopK(emb2k, emb2k, 3).localCheckpoint()
+    val rP1 = recallOf(Similarity.knnJoin(emb2k, emb2k, 3, bits = 8), gt2k)
+    val rBud = recallOf(Similarity.knnJoinBudget(emb2k, emb2k, 3, bits = 8),
+      gt2k)
+    info(f"2000-distinct recall@3 bits=8: probe1 $rP1%.3f, budget $rBud%.3f")
+    // (b) the EXACT 16k x29/x30 benched frame (sf0.1 replicated 8x,
+    // duplication-skewed buckets): ground truth for a 200-query sample
+    // (vec_id % 80) against the FULL frame's join output — the per-query
+    // probe machinery is independent, so the sample restriction loses
+    // nothing while keeping brute force at 3.2M cosines
+    val big = DataQueries.scaledEmbeddings(spark, sf, copies = 8)
+    val sample = big.filter(col("vec_id") % 80 === 0).localCheckpoint()
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("query_id") % 80 === 0)
+    val gt3 = Similarity.bruteForceTopK(big, sample, 3).localCheckpoint()
+    val x29 = recallOf(sampled(Similarity.knnJoin(big, big, 3, bits = 8)),
+      gt3)
+    val x30 = recallOf(sampled(Similarity.knnJoinBudget(big, big, 3,
+      bits = 8)), gt3)
+    // k=8 > the 7 identical replicas each vector has in the 8x frame, so
+    // at least one slot per query must be a genuinely-searched neighbor
+    val gt8 = Similarity.bruteForceTopK(big, sample, 8).localCheckpoint()
+    val x29k8 = recallOf(sampled(Similarity.knnJoin(big, big, 8, bits = 8)),
+      gt8)
+    val x30k8 = recallOf(sampled(Similarity.knnJoinBudget(big, big, 8,
+      bits = 8)), gt8)
+    info(f"16k-frame sampled recall bits=8: @3 probe1 $x29%.3f / " +
+      f"budget $x30%.3f; @8 probe1 $x29k8%.3f / budget $x30k8%.3f")
+    // floors pinned under measured (see PLANS.md "knn recall at scale";
+    // measured: 0.139/0.028, 1.000/1.000, 0.893/0.878); a probe/kernel
+    // regression at the benched regime trips them where the
+    // fixture-scale sandwich could miss it. The 2000-distinct budget
+    // number is LOW by design: at ~8 vectors per bucket every census
+    // covers k=3, so nearly all queries take the own-bucket tier — the
+    // ~(1+bits)x candidate cut is exactly what the 0.11-point recall gap
+    // buys; callers who need probe1 recall on dense corpora should use
+    // knnJoin, and the gap is now a recorded number, not a claim
+    assert(rP1 >= 0.10 && rBud >= 0.015,
+      f"2000-distinct recall collapsed: probe1 $rP1%.3f budget $rBud%.3f")
+    assert(x29 >= 0.80 && x30 >= 0.80,
+      f"16k replicated recall@3 collapsed: $x29%.3f / $x30%.3f")
+    assert(x29k8 >= 0.50 && x30k8 >= 0.50,
+      f"16k replicated recall@8 collapsed: $x29k8%.3f / $x30k8%.3f")
+    // the budget join's contract at scale: recall at or below the
+    // uniform probe1 join (tier-0 queries scan fewer candidates), never
+    // meaningfully above it by accident of bucketing
+    assert(x30 <= x29 + 0.001 && x30k8 <= x29k8 + 0.001,
+      f"budget recall above probe1 at scale: $x30%.3f>$x29%.3f or " +
+        f"$x30k8%.3f>$x29k8%.3f")
+  }
+
   test("writeFactByMonth enables partition pruning on the month") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
     val fact = Seq((1L, 20250115L, 10.0), (2L, 20250220L, 20.0),
