@@ -221,6 +221,12 @@ object Bench {
     streamSpark.conf.set("spark.sql.shuffle.partitions", streamShuffle)
     streamSpark.conf.set("spark.sql.session.timeZone", "UTC")
     streamSpark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // state-store provider A/B knob (PLANS.md "s03 state-store provider"
+    // records the controlled HDFS-default vs RocksDB measurement); the
+    // default stays Spark's default provider
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").foreach(p =>
+      streamSpark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p))
     def runStream(name: String, df: DataFrame, mode: String): Unit = {
       // drop any previous pass's entry first: a stream that fails or
       // exceeds the cap must not report the prior pass's batch stats
