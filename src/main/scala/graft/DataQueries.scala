@@ -528,6 +528,59 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Synthetic repetition corpus for t34: each doc becomes four lines —
+    * the body, its first-4-token prefix TWICE (one guaranteed within-doc
+    * duplicate line), and a unique footer. Deterministic and mirrored
+    * line-for-line by the oracle. */
+  private def repDocs(s: SparkSession, d: String) = {
+    val prefix = concat_ws(" ",
+      slice(split(trim(col("text")), "\\s+"), 1, 4))
+    T.documents(s, d).select(col("doc_id"),
+      concat_ws("\n", col("text"), prefix, prefix,
+        concat(lit("footer "), col("doc_id").cast("string"))).as("text"))
+  }
+
+  /** Gopher-style repetition screens over the planted-repetition corpus:
+    * duplicate-line fraction / duplicate-line char fraction (pure
+    * map-side array expressions) and the modal-bigram occurrence
+    * fraction (one doc-keyed aggregate). */
+  val t34RepetitionStats: Q = (s, d) =>
+    TextOps.repetitionStats(repDocs(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Per-source document cap (domain-balancing): at most 20 docs per
+    * source, selected by the deterministic md5-order sample — the
+    * training-mix construction that stops one domain dominating. */
+  val t35CapPerSource: Q = (s, d) =>
+    TextOps.capPerGroup(
+        T.documents(s, d).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), n = 20, salt = "cap1")
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus heavy hitters: exact top-20 word bigrams with counts —
+    * the boilerplate/vocabulary screen. */
+  val t36TopNgrams: Q = (s, d) =>
+    TextOps.topNgrams(T.documents(s, d), n = 2, k = 20)
+      .orderBy(col("rk"))
+
+  /** PII scrub over a planted-PII corpus: every doc gets a deterministic
+    * e-mail and phone appended, every third doc a card number; the scrub
+    * must mask exactly those and count them. */
+  val t37PiiScrub: Q = (s, d) => {
+    val planted = T.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        when(col("doc_id") % 3 === 0, lit(" card 4111111111111111"))
+          .otherwise(lit(""))).as("text"))
+    TextOps.scrubPii(planted)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -562,6 +615,10 @@ object DataQueries {
     "t31_knn_disjoint" -> t31KnnDisjoint,
     "t32_knn_budget" -> t32KnnBudget,
     "t33_ivf_topk" -> t33IvfTopK,
+    "t34_repetition_stats" -> t34RepetitionStats,
+    "t35_cap_per_source" -> t35CapPerSource,
+    "t36_top_ngrams" -> t36TopNgrams,
+    "t37_pii_scrub" -> t37PiiScrub,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1469,6 +1469,104 @@ object Oracles {
         | round(cos, 4) AS cosine
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the Gopher-style repetition screens over the
+    // planted-repetition corpus (body + first-4-token prefix twice +
+    // unique footer): line metrics from the list functions, modal-bigram
+    // fraction from the unnested bigram counts
+    "t34_repetition_stats" ->
+      """WITH p AS (SELECT doc_id, text,
+        |    array_to_string((regexp_split_to_array(trim(text),'\s+'))[1:4],
+        |      ' ') AS pfx FROM documents),
+        |d AS (SELECT doc_id, concat_ws(chr(10), text, pfx, pfx,
+        |    'footer ' || cast(doc_id as varchar)) AS text FROM p),
+        |l AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      x -> trim(x) <> '') AS lines,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM d),
+        |ls AS (SELECT doc_id,
+        |    len(lines) AS n_lines,
+        |    len(list_distinct(lines)) AS n_distinct,
+        |    coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+        |      AS tot_chars,
+        |    coalesce(list_sum(list_transform(list_distinct(lines),
+        |      x -> length(x))), 0) AS uniq_chars
+        |  FROM l),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM l WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, max(c) AS max_c, sum(c) AS n_bg
+        |  FROM bc GROUP BY 1)
+        |SELECT cast(ls.doc_id as bigint) AS doc_id,
+        | cast(n_lines as bigint) AS n_lines,
+        | round(CASE WHEN n_lines = 0 THEN 0.0
+        |   ELSE cast(n_lines - n_distinct as double)/n_lines END, 4)
+        |   AS dup_line_frac,
+        | round(CASE WHEN tot_chars = 0 THEN 0.0
+        |   ELSE cast(tot_chars - uniq_chars as double)/tot_chars END, 4)
+        |   AS dup_line_char_frac,
+        | coalesce(round(cast(max_c as double)/n_bg, 4), 0.0)
+        |   AS top_bigram_frac
+        |FROM ls LEFT JOIN tb ON ls.doc_id = tb.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact recomputation of the per-source cap: same md5-u32 sample
+    // order (salt 'cap1'), same doc_id tie-break, same cap of 20
+    "t35_cap_per_source" ->
+      """SELECT cast(doc_id as bigint) AS doc_id, source,
+        | cast(rk as bigint) AS rk
+        |FROM (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY
+        |      ('0x'||substr(md5('cap1'||cast(doc_id as varchar)),1,8))::bigint,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    // exact recomputation of the corpus heavy hitters: unnested word
+    // bigrams, exact counts, count-desc / bigram-asc total order
+    "t36_top_ngrams" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS t FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram FROM d WHERE len(t) >= 2),
+        |c AS (SELECT ngram, count(*) AS cnt FROM g GROUP BY 1),
+        |r AS (SELECT ngram, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, ngram) AS rk FROM c)
+        |SELECT cast(rk as bigint) AS rk, ngram, cast(cnt as bigint) AS cnt
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // byte-for-byte replay of the PII scrub on the planted corpus: cards
+    // masked first, phones counted on the card-masked text (so a
+    // separator-free digit run is never double-claimed), e-mails last —
+    // the same chain as TextOps.scrubPii; patterns are in the
+    // Java-regex/RE2 common subset
+    "t37_pii_scrub" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    ' contact user' || cast(doc_id as varchar) ||
+        |    '@example.com or 555-' ||
+        |    lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-' ||
+        |    lpad(cast((doc_id * 7) % 10000 as varchar), 4, '0') ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' card 4111111111111111'
+        |      ELSE '' END AS text FROM documents),
+        |s AS (SELECT doc_id, text,
+        |    regexp_replace(text, '\b[0-9]{13,16}\b', '<CARD>', 'g') AS t1
+        |  FROM d)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        | regexp_replace(
+        |   regexp_replace(t1, '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+        |     '<PHONE>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |   '<EMAIL>', 'g') AS clean_text,
+        | cast(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint)
+        |   AS n_emails,
+        | cast(len(regexp_extract_all(t1,
+        |   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) as bigint) AS n_phones,
+        | cast(len(regexp_extract_all(text, '\b[0-9]{13,16}\b')) as bigint)
+        |   AS n_cards
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

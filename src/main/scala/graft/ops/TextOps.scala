@@ -285,6 +285,124 @@ object TextOps {
       docFingerprint(t).as("fingerprint"))
   }
 
+  /** Gopher-style repetition quality stats per document (Rae et al. 2021
+    * §A1.1 repetition filters, re-expressed relationally): duplicate-line
+    * fraction, duplicate-line character fraction, and the modal word-bigram
+    * occurrence fraction — the standard cheap screens for boilerplate and
+    * degenerate repetition ahead of training-mix construction.
+    *
+    * Scale shape: the line metrics are PURE column expressions (split /
+    * array_distinct / aggregate) — a map-only projection that streams
+    * through the corpus scan with no shuffle. Only the bigram mode needs
+    * an aggregation: explode to (doc, bigram) with map-side partial
+    * counts, then one doc-keyed max/sum reduce joined back. Blank lines
+    * are excluded from line stats; docs with < 2 tokens have no bigrams
+    * (fraction 0). All ratios round(4) so an oracle can mirror them
+    * term-for-term. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val uniq = array_distinct(lines)
+    val sumLen = (a: Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + length(x))
+    val lineStats = docs.select(col(idCol).as("doc_id"),
+        size(lines).as("n_lines"),
+        size(uniq).as("n_distinct"),
+        sumLen(lines).as("tot_chars"),
+        sumLen(uniq).as("uniq_chars"))
+    val bigrams = docs.select(col(idCol).as("doc_id"),
+        explode(wordShingles(col(textCol), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_bg"))
+    val frac = (num: Column, den: Column) =>
+      round(when(den === 0, 0.0)
+        .otherwise(num.cast("double") / den.cast("double")), 4)
+    lineStats.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_lines").cast("long").as("n_lines"),
+        frac(col("n_lines") - col("n_distinct"), col("n_lines"))
+          .as("dup_line_frac"),
+        frac(col("tot_chars") - col("uniq_chars"), col("tot_chars"))
+          .as("dup_line_char_frac"),
+        coalesce(frac(col("max_c"), col("n_bg")), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** Per-group document cap (RefinedWeb/CCNet-style per-domain balancing):
+    * keep at most `n` rows per `group`, chosen by the deterministic
+    * [[md5U32]] order over `key` (ties broken by `key`) — so the retained
+    * subset is a reproducible uniform sample of each group, stable across
+    * runs, engines and cluster sizes, and different `salt`s draw
+    * independent caps. Returns the input columns plus the within-group
+    * rank `rk`.
+    *
+    * Scale shape: one shuffle keyed on the group column; the
+    * `row_number <= n` filter is rewritten by Catalyst into
+    * WindowGroupLimit, so each map task forwards at most `n` rows per
+    * group before the exchange — the reduce side never sees more than
+    * n * shuffle_partitions rows per group. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int,
+                  salt: String = ""): DataFrame =
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(group).orderBy(
+          md5U32(concat(lit(salt), key.cast("string"))), key)))
+      .filter(col("rk") <= n)
+
+  /** Corpus-wide heavy hitters: the `k` most frequent word `n`-grams with
+    * exact counts (rank ties break by n-gram ascending, so the result is
+    * total-ordered and reproducible). The usual vocabulary/contamination
+    * screen — e.g. the top boilerplate bigrams to strip before training.
+    *
+    * Scale shape: explode to n-gram rows (map-side partial count keeps
+    * the exchange vocabulary-sized, not corpus-sized), one n-gram-keyed
+    * aggregate, then a global rank that Catalyst collapses to
+    * TakeOrderedAndProject — each task forwards only its local top `k`,
+    * so the final step merges k * partitions rows, never the vocabulary
+    * (plan verified: no vocabulary-sized single-partition exchange). For
+    * a one-pass approximate variant with bounded state see
+    * [[graft.functions.MisraGries]]. */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(wordShingles(col(textCol), n)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("ngram"))))
+      .filter(col("rk") <= k)
+      .select(col("rk").cast("long").as("rk"), col("ngram"),
+        col("cnt").cast("long").as("cnt"))
+
+  /** PII scrubbing for training corpora: masks e-mail addresses,
+    * NNN-NNN-NNNN / NNN.NNN.NNNN phone numbers and 13-16-digit card
+    * numbers with typed placeholder tokens, and reports per-document
+    * match counts (the audit trail a redaction pass needs). Patterns are
+    * deliberately restricted to the regex subset with identical semantics
+    * in Java regex and RE2, so an external engine can replay the scrub
+    * byte-for-byte. Card runs are masked before phones so a separator-free
+    * digit run is never half-claimed by the phone pattern; e-mails last
+    * (their local parts cannot match the digit patterns' word boundaries).
+    *
+    * Scale shape: a pure projection — three codegen'd regexp_replace /
+    * regexp_extract_all chains, no shuffle, streams through the scan. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    val card  = "\\b[0-9]{13,16}\\b"
+    val nMatches = (c: Column, pat: String) =>
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, card, "<CARD>"),
+          phone, "<PHONE>"),
+        email, "<EMAIL>").as("clean_text"),
+      nMatches(t, email).as("n_emails"),
+      nMatches(regexp_replace(t, card, "<CARD>"), phone).as("n_phones"),
+      nMatches(t, card).as("n_cards"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms per document by
     * `tf * ln(N / df)` over the corpus (terms = lowercased whitespace
     * tokens of >= `minLen` chars; N = corpus document count; ties break

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGries
+import graft.ops.TextOps
+
+/** Specs for the training-mix quality ops: repetition screens, per-group
+  * caps, corpus heavy hitters (exact + Misra-Gries sketch), PII scrub. */
+class TextQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats measures duplicate lines and the modal bigram") {
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),      // 3 lines, one dup pair
+      (2L, "x y\n\nz w"),         // blank line excluded
+      (3L, "solo")                // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs).orderBy("doc_id").collect()
+    // doc 1: lines [a b, a b, c d] -> 3 lines, 2 distinct; chars 9 vs 6;
+    // tokens a b a b c d -> bigrams [a b, b a, a b, b c, c d], modal 2/5
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 0.3333)
+    assert(out(0).getDouble(3) == 0.3333)
+    assert(out(0).getDouble(4) == 0.4)
+    // doc 2: blank line dropped, no dups, 2 distinct bigrams... tokens
+    // are x y z w -> bigrams [x y, y z, z w] all unique -> 1/3
+    assert(out(1).getLong(1) == 2L)
+    assert(out(1).getDouble(2) == 0.0)
+    assert(out(1).getDouble(4) == 0.3333)
+    // doc 3: one line, no bigrams -> fraction 0
+    assert(out(2).getLong(1) == 1L)
+    assert(out(2).getDouble(4) == 0.0)
+  }
+
+  test("capPerGroup keeps exactly n per group, deterministically") {
+    val df = (1L to 25L).map(i => (i, if (i <= 15) "a" else "b"))
+      .toDF("id", "grp")
+    val cap = TextOps.capPerGroup(df, col("grp"), col("id"), n = 5,
+      salt = "s1")
+    val byGrp = cap.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("a" -> 5L, "b" -> 5L))
+    assert(cap.agg(max("rk")).first().getInt(0) == 5)
+    // reproducible: a second run selects the identical ids
+    val ids1 = cap.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.capPerGroup(df, col("grp"), col("id"), 5, "s1")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a different salt draws a different (independent) sample of "a"'s 15
+    val ids3 = TextOps.capPerGroup(df, col("grp"), col("id"), 5, "s2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 != ids3)
+  }
+
+  test("topNgrams ranks exact bigram counts with ngram tie-break") {
+    val docs = Seq("a b a b", "a b c", "c d").toDF("text")
+    // bigrams: doc1 [a b, b a, a b], doc2 [a b, b c], doc3 [c d]
+    val out = TextOps.topNgrams(docs, n = 2, k = 3).orderBy("rk").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a b", 3L), (2L, "b a", 1L), (3L, "b c", 1L)))
+  }
+
+  test("Misra-Gries sketch is exact when capacity exceeds the vocabulary " +
+    "and an undercount within n/capacity when it does not") {
+    val items = (Seq.fill(40)("hot") ++ Seq.fill(12)("warm") ++
+      (1 to 28).map(i => s"cold$i"))
+    val ds = spark.createDataset(scala.util.Random.shuffle(items))
+      .repartition(4)
+    val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // capacity > |vocab| = 30: exact
+    val full = ds.select(MisraGries.sketch(64)).first()
+    assert(full == exact)
+    // capacity 8 over n=80: every estimate <= truth, undercount <= n/cap,
+    // and any item with freq > n/cap = 10 must survive
+    val small = ds.select(MisraGries.sketch(8)).first()
+    small.foreach { case (k, est) =>
+      val t = exact(k)
+      assert(est <= t && t - est <= 80 / 8)
+    }
+    assert(small.contains("hot") && small.contains("warm"))
+  }
+
+  test("scrubPii masks planted e-mails, phones and cards and counts them") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@ex-mail.co or call 555-123-4567"),
+      (2L, "card 4111111111111111 and phone 555.987.6543"),
+      (3L, "nothing here 12345")
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubPii(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mail me at <EMAIL> or call <PHONE>")
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4)) ==
+      (1L, 1L, 0L))
+    assert(out(1).getString(1) == "card <CARD> and phone <PHONE>")
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(4)) ==
+      (0L, 1L, 1L))
+    // 5-digit run is neither a card nor a phone
+    assert(out(2).getString(1) == "nothing here 12345")
+    assert((out(2).getLong(2), out(2).getLong(3), out(2).getLong(4)) ==
+      (0L, 0L, 0L))
+  }
+}
