@@ -559,9 +559,16 @@ object DataQueries {
       .orderBy(col("doc_id"))
 
   /** Corpus heavy hitters: exact top-20 word bigrams with counts —
-    * the boilerplate/vocabulary screen. */
+    * the boilerplate/vocabulary screen. The fixture parquet is a single
+    * row group (1 input split) while the bigram explode is CPU-dense, so
+    * spread to the session's parallelism first (same rationale as
+    * [[withPlantedDups]]; profiled: the un-spread form ran its whole
+    * explode+count in ONE task). */
   val t36TopNgrams: Q = (s, d) =>
-    TextOps.topNgrams(T.documents(s, d), n = 2, k = 20)
+    TextOps.topNgrams(
+        T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism),
+        n = 2, k = 20)
       .orderBy(col("rk"))
 
   /** PII scrub over a planted-PII corpus: every doc gets a deterministic
@@ -579,6 +586,30 @@ object DataQueries {
           .otherwise(lit(""))).as("text"))
     TextOps.scrubPii(planted)
       .orderBy(col("doc_id"))
+  }
+
+  /** PQ encode of the embedding corpus: m=4 subspaces over the 64-dim
+    * vectors, codebooks sampled every 25th vector — each vector becomes
+    * 4 small codes (decimal-exact argmin, code_id tiebreak). */
+  val t38PqEncode: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val cb = Similarity.pqCodebooksFromSample(emb, m = 4, every = 25)
+    Similarity.pqEncode(emb, cb, m = 4)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("subspace").cast("long").as("subspace"),
+        col("code_id").cast("long").as("code_id"))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** PQ asymmetric-distance search: full-precision queries (vec_id < 8)
+    * against the code-space corpus, top-5 by the decimal-exact ADC sum. */
+  val t39PqAdc: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val cb = Similarity.pqCodebooksFromSample(emb, m = 4, every = 25)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), cb, m = 4, k = 5)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   val all: Map[String, Q] = Map(
@@ -619,6 +650,8 @@ object DataQueries {
     "t35_cap_per_source" -> t35CapPerSource,
     "t36_top_ngrams" -> t36TopNgrams,
     "t37_pii_scrub" -> t37PiiScrub,
+    "t38_pq_encode" -> t38PqEncode,
+    "t39_pq_adc" -> t39PqAdc,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

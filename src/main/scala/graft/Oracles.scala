@@ -1567,6 +1567,74 @@ object Oracles {
         |   AS n_cards
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // exact recomputation of the PQ encode: same every-25th-vector
+    // codebooks, same 4x16 subvector slices, squared-L2 argmin on the
+    // DECIMAL(27,12) truncation (ties -> code_id), mirrored slice by
+    // slice
+    "t38_pq_encode" ->
+      """WITH sp AS (SELECT unnest(range(0, 4)) AS subspace),
+        |cw AS (SELECT sp.subspace, vec_id AS code_id,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS w
+        |  FROM embeddings CROSS JOIN sp WHERE vec_id % 25 = 0),
+        |v AS (SELECT vec_id, sp.subspace,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM embeddings CROSS JOIN sp),
+        |d AS (SELECT vec_id, v.subspace, code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dist
+        |  FROM v JOIN cw ON v.subspace = cw.subspace),
+        |r AS (SELECT vec_id, subspace, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS rn
+        |  FROM d)
+        |SELECT cast(vec_id as bigint) AS vec_id,
+        | cast(subspace as bigint) AS subspace,
+        | cast(code_id as bigint) AS code_id
+        |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    // exact recomputation of the PQ asymmetric-distance search: the t38
+    // code assignment, the per-query distance table against the same
+    // codebooks, ADC = sum of the m DECIMAL(27,12) table entries (exact
+    // arithmetic, so the RANKING itself is engine-portable), top-5
+    // ascending with neighbor_id tiebreak
+    "t39_pq_adc" ->
+      """WITH sp AS (SELECT unnest(range(0, 4)) AS subspace),
+        |cw AS (SELECT sp.subspace, vec_id AS code_id,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS w
+        |  FROM embeddings CROSS JOIN sp WHERE vec_id % 25 = 0),
+        |v AS (SELECT vec_id, sp.subspace,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM embeddings CROSS JOIN sp),
+        |d AS (SELECT vec_id, v.subspace, code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dist
+        |  FROM v JOIN cw ON v.subspace = cw.subspace),
+        |r AS (SELECT vec_id, subspace, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS rn
+        |  FROM d),
+        |code AS (SELECT vec_id AS neighbor_id, subspace, code_id
+        |  FROM r WHERE rn = 1),
+        |qt AS (SELECT vec_id AS query_id, cw.subspace, cw.code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dq
+        |  FROM v JOIN cw ON v.subspace = cw.subspace
+        |  WHERE vec_id < 8),
+        |adc AS (SELECT query_id, neighbor_id, sum(dq) AS adc_d
+        |  FROM code JOIN qt ON code.subspace = qt.subspace
+        |    AND code.code_id = qt.code_id
+        |  WHERE query_id <> neighbor_id GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_d, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rnk
+        |  FROM adc)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cast(adc_d as double), 6) AS adc
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -376,6 +376,114 @@ object Similarity {
     bucketedTopK(probes, assigned, k, excludeSelf = selfJoin)
   }
 
+  /** Squared L2 between two equal-length numeric array columns, as the
+    * DECIMAL(27,12) truncation of the sequential double fold. The decimal
+    * cast makes downstream argmin/rank comparisons exact and
+    * engine-portable: two distances closer than 1e-12 round equal and
+    * fall to the deterministic id tiebreak instead of hinging on the
+    * last float ULP. */
+  private def l2sqDec(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v).cast("decimal(27,12)")
+
+  /** The `m` subvector slices of `vec` as (subspace, sub) structs;
+    * dsub = len/m is computed in-expression so one definition serves any
+    * dimension. */
+  private def subVectors(vec: Column, m: Int): Column = {
+    val dsub = (size(vec) / m).cast("int")
+    array((0 until m).map(s =>
+      struct(lit(s).as("subspace"),
+        slice(vec, lit(s) * dsub + 1, dsub).as("sub"))): _*)
+  }
+
+  /** Product-quantization codebooks by deterministic sampling (the same
+    * every-`every`-th-vector init rule as [[kmeansCentroids]]): codebook
+    * of subspace s = the s-th subvector slice of every sampled vector,
+    * keyed by the source id. (subspace, code_id, w) — small: m * (n/every)
+    * rows, meant to be broadcast. A k-means-refined codebook (run
+    * [[kmeansStep]] per subspace) plugs into the same (subspace, code_id,
+    * w) contract. */
+  def pqCodebooksFromSample(vecs: DataFrame, m: Int, every: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame =
+    vecs.filter(col(idCol) % every === 0)
+      .select(col(idCol).cast("long").as("code_id"),
+        explode(subVectors(col(vecCol), m)).as("sv"))
+      .select(col("sv.subspace").as("subspace"), col("code_id"),
+        col("sv.sub").as("w"))
+
+  /** Product-quantization encode (Jegou et al. 2011): each vector becomes
+    * `m` small codes — per subspace, the id of the nearest codeword by
+    * squared L2 (decimal-exact compare, code_id tiebreak). Returns the
+    * exploded (vec_id, subspace, code_id) frame — the compressed corpus
+    * representation that [[pqTopK]] scans; at 64 codewords a 64-dim float
+    * vector (256 B) compresses to m bytes.
+    *
+    * Scale shape: corpus x broadcast-codebook expansion is map-side only;
+    * the per-(vector, subspace) argmin is a partial-aggregated
+    * min(struct) — each map task reduces to m rows per vector before the
+    * one (vec_id, subspace)-keyed exchange. The full vector never
+    * shuffles. */
+  def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol).as("vec_id"),
+        explode(subVectors(col(vecCol), m)).as("sv"))
+      .select(col("vec_id"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("sub"))
+      .join(broadcast(codebooks), Seq("subspace"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(struct(l2sqDec(col("sub"), col("w")).as("d"),
+        col("code_id").as("code_id"))).as("__m"))
+      .select(col("vec_id"), col("subspace"),
+        col("__m.code_id").as("code_id"))
+
+  /** PQ asymmetric-distance (ADC) top-k: queries keep full precision,
+    * the corpus is scanned in code space. Per query and subspace a
+    * distance table d(q_sub, codeword) is built against the broadcast
+    * codebook; a corpus vector's approximate distance is the sum of its
+    * m table entries; rank ascending (squared L2), neighbor_id tiebreak.
+    * Distances accumulate as DECIMAL(27,12), so the ranking — not just
+    * the output — is exact integer-like arithmetic that an external
+    * engine replays bit-for-bit.
+    *
+    * Scale shape: the query table (|q| * m * K rows) broadcasts; the
+    * corpus flows as its (vec_id, subspace, code) codes — m ints per
+    * vector, not the vector — through one map-side-combined
+    * (query, neighbor) sum. The scan is corpus-complete by design (ADC
+    * is compressed brute force); at 100 TB compose with the IVF coarse
+    * quantizer ([[ivfAssign]] lists as a pre-filter on the code frame)
+    * so only probed lists are scanned — the codes frame joins on vec_id
+    * against any candidate-restriction frame without re-encoding. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             m: Int, k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             selfJoin: Boolean = true): DataFrame = {
+    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val qtab = queries.select(col(idCol).as("query_id"),
+        explode(subVectors(col(vecCol), m)).as("sv"))
+      .select(col("query_id"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("sub"))
+      .join(codebooks, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code_id"),
+        l2sqDec(col("sub"), col("w")).as("dq"))
+    codes.join(broadcast(qtab), Seq("subspace", "code_id"))
+      .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dq")).as("__adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__adc"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("__adc").cast("double"), 6).as("adc"))
+  }
+
   /** One spherical-k-means (Lloyd) step — the centroid TRAINING that
     * [[ivfAssign]]'s Scaladoc used to leave out of scope: assign every
     * vector to its nearest centroid by cosine (deterministic centroid_id

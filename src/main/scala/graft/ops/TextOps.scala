@@ -50,13 +50,23 @@ object TextOps {
       s => length(s) === n)
   }
 
-  /** Word n-gram shingles. */
+  /** Word n-gram shingles, in position order. Built with the same
+    * chained zip_with-over-shifted-slices discipline as
+    * [[wordShingleHashes]]: every lambda reads ONLY its input elements.
+    * (The earlier transform-over-positions formulation captured `toks`
+    * inside its lambda via slice(toks, i+1, n), and a captured outer
+    * expression re-evaluates per element — every shingle position
+    * re-split the whole text, which benched ~5x slower on the corpus
+    * bigram count.) zip_with pads the shorter side with null and
+    * concat_ws skips nulls, so the trailing (n-1) short entries are cut
+    * by the final slice instead of a per-shingle token-count filter —
+    * output is identical to the old formulation. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => size(split(s, " ")) === n)
+    val rolled = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, k, 1 << 30), (a, b) => concat_ws(" ", a, b))
+    }
+    slice(rolled, lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
 
   /** Word n-gram shingles as 64-bit hashes, built WITHOUT materializing the
@@ -285,6 +295,32 @@ object TextOps {
       docFingerprint(t).as("fingerprint"))
   }
 
+  /** Word n-grams as EXPLODED rows — the formulation for corpus-scale
+    * n-gram counting. Semantically `explode(wordShingles(text, n))` (plus
+    * the `keep` pass-through columns), but built from codegen'd operators
+    * only: n shifted slices of the token array, arrays_zip + explode +
+    * concat_ws, with the padded tail rows filtered on the last zip field.
+    * [[wordShingles]]'s higher-order functions (zip_with / transform) have
+    * no doGenCode and evaluate interpreted; profiled on the corpus bigram
+    * count, the interpreted form's task time scaled with THREAD COUNT
+    * (lock/allocation contention in the fallback path) while this form
+    * stays inside whole-stage codegen and scales with cores. */
+  private[graft] def ngramRows(docs: DataFrame, n: Int,
+                               textCol: String = "text",
+                               keep: Seq[String] = Nil): DataFrame = {
+    val k0 = keep.map(col)
+    val withToks = docs.select(
+      k0 :+ split(lower(trim(col(textCol))), "\\s+").as("__t"): _*)
+    val slices = (0 until n).map(i =>
+      slice(col("__t"), i + 1, 1 << 30).as(s"__s$i"))
+    val zipped = withToks.select(k0 ++ slices: _*)
+      .select(k0 :+ explode(arrays_zip(
+        (0 until n).map(i => col(s"__s$i")): _*)).as("__z"): _*)
+    zipped.filter(col(s"__z.__s${n - 1}").isNotNull)
+      .select(k0 :+ concat_ws(" ",
+        (0 until n).map(i => col(s"__z.__s$i")): _*).as("ngram"): _*)
+  }
+
   /** Gopher-style repetition quality stats per document (Rae et al. 2021
     * §A1.1 repetition filters, re-expressed relationally): duplicate-line
     * fraction, duplicate-line character fraction, and the modal word-bigram
@@ -310,9 +346,10 @@ object TextOps {
         size(uniq).as("n_distinct"),
         sumLen(lines).as("tot_chars"),
         sumLen(uniq).as("uniq_chars"))
-    val bigrams = docs.select(col(idCol).as("doc_id"),
-        explode(wordShingles(col(textCol), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val bigrams = ngramRows(
+        docs.select(col(idCol).as("doc_id"), col(textCol)),
+        n = 2, textCol, keep = Seq("doc_id"))
+      .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_bg"))
     val frac = (num: Column, den: Column) =>
@@ -364,7 +401,7 @@ object TextOps {
     * [[graft.functions.MisraGries]]. */
   def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 20,
                 textCol: String = "text"): DataFrame =
-    docs.select(explode(wordShingles(col(textCol), n)).as("ngram"))
+    ngramRows(docs, n, textCol)
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("ngram"))))
