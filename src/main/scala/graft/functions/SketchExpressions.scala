@@ -386,6 +386,30 @@ object VectorKernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  /** Squared L2 with sequential double accumulation — bit-identical to
+    * the zip_with/aggregate fold it replaces (same operation order:
+    * (x-y)*(x-y) per dimension, left-to-right sum), so DuckDB-oracle
+    * parity is preserved. Accepts float or double arrays. */
+  def l2sq(a: ArrayData, b: ArrayData, isFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val d = a.getDouble(i) - b.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+    }
+    acc
+  }
 }
 
 /** `cosine_sim(a, b)` — cosine similarity of two float/double arrays.
@@ -422,6 +446,40 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** `l2_sq(a, b)` — squared Euclidean distance of two float/double arrays;
+  * the codegen'd kernel under the PQ encode/ADC hot path
+  * (graft.ops.Similarity.pqEncode / pqTopK run it corpus x codebook
+  * times — interpreted HOF folds benched ~10x slower there). */
+case class L2SqExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_sq requires two array<float> or two array<double> " +
+            s"arguments, got ${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.l2sq($a, $b, $isFloat);")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): L2SqExpr = copy(left = l, right = r)
+  override def prettyName: String = "l2_sq"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -439,6 +497,8 @@ object GraftFunctions {
     column(LineHashesExpr(expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
+  def l2_sq(a: Column, b: Column): Column =
+    column(L2SqExpr(expression(a), expression(b)))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

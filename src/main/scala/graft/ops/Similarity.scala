@@ -377,16 +377,16 @@ object Similarity {
   }
 
   /** Squared L2 between two equal-length numeric array columns, as the
-    * DECIMAL(27,12) truncation of the sequential double fold. The decimal
-    * cast makes downstream argmin/rank comparisons exact and
+    * DECIMAL(27,12) truncation of the sequential double fold (the native
+    * codegen'd [[graft.functions.L2SqExpr]] kernel — same operation
+    * order as the zip_with/aggregate fold, which runs interpreted and
+    * benched ~10x slower on the corpus x codebook PQ hot path). The
+    * decimal cast makes downstream argmin/rank comparisons exact and
     * engine-portable: two distances closer than 1e-12 round equal and
     * fall to the deterministic id tiebreak instead of hinging on the
     * last float ULP. */
   private def l2sqDec(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v).cast("decimal(27,12)")
+    graft.functions.GraftFunctions.l2_sq(a, b).cast("decimal(27,12)")
 
   /** The `m` subvector slices of `vec` as (subspace, sub) structs;
     * dsub = len/m is computed in-expression so one definition serves any
@@ -396,6 +396,18 @@ object Similarity {
     array((0 until m).map(s =>
       struct(lit(s).as("subspace"),
         slice(vec, lit(s) * dsub + 1, dsub).as("sub"))): _*)
+  }
+
+  /** Align codebook element type to the vector column's (same
+    * re-alignment rule as [[ivfTopK]]/[[kmeansStep]]): the native L2
+    * kernel requires both sides the same element type, and a
+    * k-means-refined codebook carries array<double> means. No-op for
+    * same-type codebooks. */
+  private def alignCodebooks(codebooks: DataFrame, vecs: DataFrame,
+                             vecCol: String): DataFrame = {
+    val elemType = vecs.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    codebooks.withColumn("w", transform(col("w"), x => x.cast(elemType)))
   }
 
   /** Product-quantization codebooks by deterministic sampling (the same
@@ -433,7 +445,8 @@ object Similarity {
         explode(subVectors(col(vecCol), m)).as("sv"))
       .select(col("vec_id"), col("sv.subspace").as("subspace"),
         col("sv.sub").as("sub"))
-      .join(broadcast(codebooks), Seq("subspace"))
+      .join(broadcast(alignCodebooks(codebooks, vecs, vecCol)),
+        Seq("subspace"))
       .groupBy(col("vec_id"), col("subspace"))
       .agg(min(struct(l2sqDec(col("sub"), col("w")).as("d"),
         col("code_id").as("code_id"))).as("__m"))
@@ -467,7 +480,7 @@ object Similarity {
         explode(subVectors(col(vecCol), m)).as("sv"))
       .select(col("query_id"), col("sv.subspace").as("subspace"),
         col("sv.sub").as("sub"))
-      .join(codebooks, Seq("subspace"))
+      .join(alignCodebooks(codebooks, queries, vecCol), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
         l2sqDec(col("sub"), col("w")).as("dq"))
     codes.join(broadcast(qtab), Seq("subspace", "code_id"))

@@ -61,6 +61,28 @@ class SketchExprSpec extends SparkSpec {
     assert(r.getInt(0) == 32)
   }
 
+  test("l2_sq kernel is bit-identical to the HOF fold, float and double") {
+    val l2Hof = (a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    val f = Seq((Array(1.5f, -2.25f, 0.125f), Array(0.5f, 3.75f, -1.0f)))
+      .toDF("a", "b")
+    val rf = f.select(GraftFunctions.l2_sq(col("a"), col("b")).as("k"),
+      l2Hof(col("a"), col("b")).as("h")).first()
+    assert(rf.getDouble(0) === rf.getDouble(1))
+    val d = Seq((Array(1.0e-7, 2.0, -3.0), Array(4.0, -5.0e3, 6.0)))
+      .toDF("a", "b")
+    val rd = d.select(GraftFunctions.l2_sq(col("a"), col("b")).as("k"),
+      l2Hof(col("a"), col("b")).as("h")).first()
+    assert(rd.getDouble(0) === rd.getDouble(1))
+    // identical arrays -> exactly zero (the pqTopK self-rank invariant)
+    assert(f.select(GraftFunctions.l2_sq(col("a"), col("a"))).first()
+      .getDouble(0) === 0.0)
+  }
+
   test("simHashCandidates on the native path still finds planted dup") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base),
