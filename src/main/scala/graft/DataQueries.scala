@@ -612,6 +612,37 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composition: the t33 coarse quantizer (vec_id % 50 centroid
+    * lists, nprobe=3) restricts candidates, the t38/t39 PQ codebooks
+    * score them in code space — the compressed-probed-scan shape a
+    * 100 TB index actually runs. The oracle recomputes assignment,
+    * probe set, codes and the decimal ADC sum from the same CTEs. */
+  val t40IvfPq: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebooksFromSample(emb, m = 4, every = 25)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), centroids,
+        cb, m = 4, k = 5, nprobe = 3)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One L2-Lloyd refinement of the t38 PQ codebooks, exploded to
+    * (subspace, code_id, pos, val) rows (t22's output discipline) — the
+    * oracle recomputes assignment and the decimal-accumulated means
+    * term-for-term. */
+  val t41PqKmeans: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.pqCodebooksKmeans(emb, m = 4, every = 25, iters = 1)
+      .select(col("subspace").cast("long").as("subspace"), col("code_id"),
+        posexplode(col("w")))
+      .select(col("subspace"), col("code_id"),
+        col("pos").cast("long").as("pos"), round(col("col"), 6).as("val"))
+      .orderBy(col("subspace"), col("code_id"), col("pos"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -652,6 +683,8 @@ object DataQueries {
     "t37_pii_scrub" -> t37PiiScrub,
     "t38_pq_encode" -> t38PqEncode,
     "t39_pq_adc" -> t39PqAdc,
+    "t40_ivf_pq" -> t40IvfPq,
+    "t41_pq_kmeans" -> t41PqKmeans,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -700,6 +733,19 @@ object DataQueries {
     "x30_knn_budget_scale" -> ((s, d) => {
       val big = scaledEmbeddings(s, d, copies = 8)
       Similarity.knnJoinBudget(big, big, k = 3, bits = 8)
+    }),
+    // t36's heavy hitters through the Misra-Gries one-pass sketch: the
+    // bounded-state path whose exchange is capacity * partitions
+    // regardless of vocabulary (t36's exact count stays the oracle path;
+    // sketch-vs-exact agreement is TextQualitySpec-pinned)
+    "x36_heavy_hitters_sketch" -> ((s, d) => {
+      import s.implicits._
+      val items = TextOps.ngramRows(T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism), 2)
+        .select("ngram").as[String]
+      items.select(graft.functions.MisraGries.sketch(256)).toDF("sk")
+        .select(explode(col("sk")).as(Seq("ngram", "est")))
+        .orderBy(col("est").desc, col("ngram")).limit(20)
     }),
   )
 

@@ -1635,6 +1635,97 @@ object Oracles {
         | round(cast(adc_d as double), 6) AS adc
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the IVF-PQ composition: t33's centroid
+    // ranking CTE serves assignment (rn = 1) and the query probe set
+    // (rn <= 3); t38's codebook CTEs assign codes; candidates = members
+    // of probed lists; ADC = decimal sum of the per-query table entries
+    "t40_ivf_pq" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT vec_id, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |asg AS (SELECT vec_id AS neighbor_id, centroid_id
+        |  FROM sc WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, centroid_id
+        |  FROM sc WHERE vec_id < 8 AND rn <= 3),
+        |sp AS (SELECT unnest(range(0, 4)) AS subspace),
+        |cw AS (SELECT sp.subspace, vec_id AS code_id,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS w
+        |  FROM embeddings CROSS JOIN sp WHERE vec_id % 25 = 0),
+        |v AS (SELECT vec_id, sp.subspace,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM embeddings CROSS JOIN sp),
+        |pd AS (SELECT vec_id, v.subspace, code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dist
+        |  FROM v JOIN cw ON v.subspace = cw.subspace),
+        |pr AS (SELECT vec_id, subspace, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS prn
+        |  FROM pd),
+        |code AS (SELECT vec_id AS neighbor_id, subspace, code_id
+        |  FROM pr WHERE prn = 1),
+        |qt AS (SELECT vec_id AS query_id, cw.subspace, cw.code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dq
+        |  FROM v JOIN cw ON v.subspace = cw.subspace
+        |  WHERE vec_id < 8),
+        |cand AS (SELECT query_id, neighbor_id
+        |  FROM qp JOIN asg USING (centroid_id)
+        |  WHERE query_id <> neighbor_id),
+        |adc AS (SELECT cand.query_id, cand.neighbor_id, sum(dq) AS adc_d
+        |  FROM cand
+        |  JOIN code ON cand.neighbor_id = code.neighbor_id
+        |  JOIN qt ON qt.query_id = cand.query_id
+        |    AND qt.subspace = code.subspace AND qt.code_id = code.code_id
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_d, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rnk
+        |  FROM adc)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cast(adc_d as double), 6) AS adc
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // exact recomputation of the one-step L2-Lloyd PQ codebook
+    // refinement: t38's code assignment, then per-(subspace, code, dim)
+    // decimal-accumulated means (t22's discipline) over the assigned
+    // subvectors
+    "t41_pq_kmeans" ->
+      """WITH sp AS (SELECT unnest(range(0, 4)) AS subspace),
+        |cw AS (SELECT sp.subspace, vec_id AS code_id,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS w
+        |  FROM embeddings CROSS JOIN sp WHERE vec_id % 25 = 0),
+        |v AS (SELECT vec_id, sp.subspace,
+        |    (cast(embedding as double[]))
+        |      [sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM embeddings CROSS JOIN sp),
+        |pd AS (SELECT vec_id, v.subspace, code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dist
+        |  FROM v JOIN cw ON v.subspace = cw.subspace),
+        |pr AS (SELECT vec_id, subspace, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS prn
+        |  FROM pd),
+        |code AS (SELECT vec_id, subspace, code_id FROM pr WHERE prn = 1),
+        |dims AS (SELECT code.subspace, code.code_id, g.i AS pos,
+        |    cast(sub[g.i + 1] as double) AS x
+        |  FROM code JOIN v ON v.vec_id = code.vec_id
+        |    AND v.subspace = code.subspace
+        |  CROSS JOIN generate_series(0, 15) AS g(i))
+        |SELECT cast(subspace as bigint) AS subspace,
+        | cast(code_id as bigint) AS code_id,
+        | cast(pos as bigint) AS pos,
+        | round(cast(sum(cast(x as decimal(27,12))) as double) / count(*), 6)
+        |   AS val
+        |FROM dims GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -426,6 +426,46 @@ object Similarity {
       .select(col("sv.subspace").as("subspace"), col("code_id"),
         col("sv.sub").as("w"))
 
+  /** L2-Lloyd-refined PQ codebooks: `iters` k-means steps per subspace
+    * from the [[pqCodebooksFromSample]] init — assignment IS
+    * [[pqEncode]] (decimal-exact squared-L2 argmin, code_id tiebreak),
+    * means accumulate per dimension as DECIMAL(27,12) exactly like
+    * [[kmeansStep]] so the refined codewords are partitioning- and
+    * order-independent and an external engine recomputes them
+    * term-for-term. A codeword that attracts no subvectors drops out
+    * (standard Lloyd). Returns the same (subspace, code_id, w) contract
+    * pqEncode/pqTopK consume (w comes back array<double>; the encode
+    * path re-aligns element types itself).
+    *
+    * Scale shape per iteration: one encode pass (see [[pqEncode]]) +
+    * one (subspace, code, dim)-keyed decimal aggregate; each exchanged
+    * row is (int, long, int, decimal) — subvectors never cross the wire
+    * unaggregated. Refined codebooks stay m * K rows, localCheckpointed
+    * per round so round r+1's plan does not replay round r. */
+  def pqCodebooksKmeans(vecs: DataFrame, m: Int, every: Int, iters: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val sub = vecs.select(col(idCol).as("vec_id"),
+        explode(subVectors(col(vecCol), m)).as("sv"))
+      .select(col("vec_id"), col("sv.subspace").as("subspace"),
+        col("sv.sub").as("sub"))
+    var cb = pqCodebooksFromSample(vecs, m, every, idCol, vecCol)
+    for (_ <- 1 to iters)
+      cb = pqEncode(vecs, cb, m, idCol, vecCol)
+        .join(sub, Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("code_id"), posexplode(col("sub")))
+        .groupBy(col("subspace"), col("code_id"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("__val"))
+        .groupBy(col("subspace"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("__val"))))
+          .as("__a"))
+        .select(col("subspace"), col("code_id"),
+          transform(col("__a"), x => x.getField("__val")).as("w"))
+        .localCheckpoint()
+    cb
+  }
+
   /** Product-quantization encode (Jegou et al. 2011): each vector becomes
     * `m` small codes — per subspace, the id of the nearest codeword by
     * squared L2 (decimal-exact compare, code_id tiebreak). Returns the
@@ -476,17 +516,31 @@ object Similarity {
              selfJoin: Boolean = true): DataFrame = {
     val codes = pqEncode(corpus, codebooks, m, idCol, vecCol)
       .withColumnRenamed("vec_id", "neighbor_id")
-    val qtab = queries.select(col(idCol).as("query_id"),
+    codes.join(broadcast(pqQueryTable(queries, codebooks, m, idCol, vecCol)),
+        Seq("subspace", "code_id"))
+      .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .transform(adcRank(k))
+  }
+
+  /** Per-query ADC distance table: d(q_sub, codeword) for every
+    * (query, subspace, codeword) — |q| * m * K rows, meant to be
+    * broadcast. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
+  private def pqQueryTable(queries: DataFrame, codebooks: DataFrame, m: Int,
+                           idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"),
         explode(subVectors(col(vecCol), m)).as("sv"))
       .select(col("query_id"), col("sv.subspace").as("subspace"),
         col("sv.sub").as("sub"))
       .join(alignCodebooks(codebooks, queries, vecCol), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
         l2sqDec(col("sub"), col("w")).as("dq"))
-    codes.join(broadcast(qtab), Seq("subspace", "code_id"))
-      .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
-              else lit(true))
-      .groupBy(col("query_id"), col("neighbor_id"))
+
+  /** Sum the m per-subspace table entries and rank ascending — the ADC
+    * tail shared by [[pqTopK]] and [[ivfPqTopK]]. Input rows:
+    * (query_id, neighbor_id, dq). */
+  private def adcRank(k: Int)(cand: DataFrame): DataFrame =
+    cand.groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("dq")).as("__adc"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -495,6 +549,52 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         round(col("__adc").cast("double"), 6).as("adc"))
+
+  /** IVF-PQ search — the 100 TB composition the two indexes exist for:
+    * the IVF coarse quantizer restricts candidates to the `nprobe`
+    * probed lists ([[ivfTopK]]'s probe rule), PQ scans those candidates
+    * in code space ([[pqTopK]]'s ADC), so the compressed scan covers
+    * |corpus| * nprobe / nlists instead of |corpus| and the scanned
+    * payload is m codes per row, not the vector.
+    *
+    * Scale shape: centroids broadcast twice (corpus assign, query probe
+    * ranking); the candidate frame is probes ⋈ assignment on the list id
+    * (|q| * avg-list-size * nprobe pairs), joined to the code frame on
+    * neighbor_id and to the broadcast query distance table on
+    * (query_id, subspace, code_id); one map-side-combined decimal sum,
+    * one query-keyed rank. A neighbor lives in exactly one list and
+    * probe list ids are distinct, so no pair duplicates before the
+    * rank. `selfJoin` as in [[knnJoin]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                centroids: DataFrame, codebooks: DataFrame, m: Int, k: Int,
+                nprobe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding", cidCol: String = "centroid_id",
+                cvecCol: String = "cvec",
+                selfJoin: Boolean = true): DataFrame = {
+    val elemType = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val cents = centroids.withColumn(cvecCol,
+      transform(col(cvecCol), x => x.cast(elemType)))
+    val assigned = ivfAssign(corpus, cents, idCol, vecCol, cidCol, cvecCol)
+      .select(col(idCol).as("neighbor_id"), col(cidCol))
+    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", -cosine(col("__qv"), col(cvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d"), col(cidCol))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col(cidCol))
+    probes.join(assigned, Seq(cidCol))
+      .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(pqQueryTable(queries, codebooks, m, idCol, vecCol)),
+        Seq("query_id", "subspace", "code_id"))
+      .transform(adcRank(k))
   }
 
   /** One spherical-k-means (Lloyd) step — the centroid TRAINING that

@@ -347,6 +347,19 @@ class SimilaritySpec extends SparkSpec {
     val r8 = recallAtM(8)
     info(f"pqTopK recall@$k vs exact L2: m=4 $r4%.3f, m=8 $r8%.3f " +
       f"(20 codewords/subspace, near-random 64-dim fixture)")
+    // Lloyd-refined codebooks must not LOSE recall vs the raw sample
+    // init (each step reduces total quantization error); record the
+    // lift — the ROADMAP idea-4 number
+    val cbK = Similarity.pqCodebooksKmeans(emb, m = 4, every = 25,
+      iters = 2)
+    val adcK = Similarity.pqTopK(emb, emb, cbK, m = 4, k)
+    val rK = exact.intersect(
+        adcK.select(col("query_id"), col("neighbor_id")))
+      .count().toDouble / nExact
+    info(f"pqTopK m=4 with 2-step Lloyd-refined codebooks: $rK%.3f " +
+      f"(sampled init: $r4%.3f)")
+    assert(rK >= r4 - 0.02,
+      f"refined codebooks lost recall: $rK%.3f vs sampled $r4%.3f")
     // observed m=4: 0.081, m=8: 0.141 — coarse by construction: random
     // data is the PQ worst case (no cluster structure for codewords to
     // exploit) yet still 8-16x above the ~0.01 chance floor, and recall
@@ -356,6 +369,50 @@ class SimilaritySpec extends SparkSpec {
     // flapping on fixture noise
     assert(r4 >= 0.05, f"pqTopK m=4 recall collapsed: $r4%.3f")
     assert(r8 >= r4, f"finer subspaces lost recall: m=8 $r8%.3f < m=4 $r4%.3f")
+  }
+
+  test("ivfPqTopK agrees with the full ADC scan on shared candidates " +
+      "and cuts the scan by the probed fraction") {
+    val m = 4
+    val k = 5
+    val nprobe = 2
+    val cb = Similarity.pqCodebooksFromSample(emb, m, every = 25)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val nLists = cents.count()
+    val queries = emb.filter(col("vec_id") < 50)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, cents, cb, m, k, nprobe)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    // every (query, neighbor, adc) the composition emits must carry the
+    // SAME adc the full scan computes — the coarse quantizer may only
+    // restrict candidates, never change scores
+    val full = Similarity.pqTopK(emb, queries, cb, m, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (pair, adc) =>
+      assert(full(pair) === adc, s"adc diverged for $pair")
+    }
+    // scan cut: candidate pairs vs the full |q| x |corpus| ADC scan
+    val asg = Similarity.ivfAssign(emb, cents)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", -Similarity.cosine(col("__qv"), col("cvec")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("__d"), col("centroid_id"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val candPairs = probes.join(asg, Seq("centroid_id")).count()
+    val fullPairs = queries.count() * emb.count()
+    info(f"ivfPqTopK: $candPairs%d candidate pairs vs $fullPairs%d full " +
+      f"scan (${candPairs.toDouble / fullPairs}%.3f; nprobe=$nprobe of " +
+      f"$nLists%d lists)")
+    assert(candPairs < fullPairs / 2,
+      s"coarse quantizer failed to cut the scan: $candPairs vs $fullPairs")
   }
 
   test("candidate volume shrinks as bucket bits grow (the 100 TB cost knob)") {
