@@ -133,8 +133,10 @@ object Bench {
         .filterKeys(k => k.startsWith("q48") || k.startsWith("q49") ||
           k.startsWith("q50"))
         .foreach { case (_, fn) => fn(spark, sfDir).count() }
-      // s03's multi-file export is one-time materialization I/O too
+      // s03's / s04's multi-file exports are one-time materialization
+      // I/O too
       graft.etl.Tables.exportedEventsParts(spark, sfDir)
+      graft.etl.Tables.exportedDocsParts(spark, sfDir)
       hostKernelSec(spark) // JIT the calibration kernel itself
       ()
     } catch {
@@ -273,7 +275,14 @@ object Bench {
       "s03_steady_rollup" -> ((s, d) =>
         runStream("s03_steady_rollup",
           Streams.hourlyRollup(Streams.eventsStreamPaced(s,
-            graft.etl.Tables.exportedEventsParts(s, d))), "append")))
+            graft.etl.Tables.exportedEventsParts(s, d))), "append")),
+      // ingest quality gate: per-source quality/PII screen as a running
+      // aggregate over the paced 8-part document export (complete mode,
+      // one state row per source)
+      "s04_quality_gate" -> ((s, d) =>
+        runStream("s04_quality_gate",
+          Streams.qualityScreen(Streams.docsStreamPaced(s,
+            graft.etl.Tables.exportedDocsParts(s, d))), "complete")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

@@ -643,6 +643,26 @@ object DataQueries {
       .orderBy(col("subspace"), col("code_id"), col("pos"))
   }
 
+  /** Training-mix egress: per-source cap (30) -> banded hash sample
+    * (long docs 0.75, short 0.25, dyadic so the threshold is
+    * integer-exact) -> sequence packing -> bucket-partitioned parquet,
+    * read back through partition discovery. The materialization is paid
+    * INSIDE the query (q54's discipline), so the write path is under
+    * the oracle: dropped rows, mangled partition values or a
+    * nondeterministic sample all break the hash. */
+  val t42TrainingMix: Q = (s, d) => {
+    val path = graft.etl.Tables.scratchDir("training_mix")
+    TextOps.writeTrainingMix(T.documents(s, d), path,
+        capPerSource = 30,
+        rate = when(length(col("text")) >= 300, 0.75).otherwise(0.25),
+        salt = "mix2", capacity = 2000, buckets = 8)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("bucket").cast("long").as("bucket"),
+        col("bin").cast("long").as("bin"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -685,6 +705,7 @@ object DataQueries {
     "t39_pq_adc" -> t39PqAdc,
     "t40_ivf_pq" -> t40IvfPq,
     "t41_pq_kmeans" -> t41PqKmeans,
+    "t42_training_mix" -> t42TrainingMix,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

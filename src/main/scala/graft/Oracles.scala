@@ -1726,6 +1726,34 @@ object Oracles {
         |   AS val
         |FROM dims GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // exact recomputation of the training-mix egress: the t35 cap rule
+    // under salt 'mix2:cap', the t16 banded sample rule under 'mix2:mix'
+    // (dyadic rates -> integer-exact threshold), the t19 running-sum
+    // packing over the survivors
+    "t42_training_mix" ->
+      """WITH capd AS (SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text, row_number() OVER (
+        |      PARTITION BY source ORDER BY
+        |        ('0x'||substr(md5('mix2:cap'||cast(doc_id as varchar)),1,8))
+        |          ::bigint, doc_id) AS rk
+        |    FROM documents) WHERE rk <= 30),
+        |samp AS (SELECT doc_id, source, text FROM capd
+        |  WHERE ('0x'||substr(md5('mix2:mix'||cast(doc_id as varchar)),1,8))
+        |      ::bigint
+        |    < cast(floor((CASE WHEN length(text) >= 300 THEN 0.75
+        |        ELSE 0.25 END) * 4294967296.0) as bigint)),
+        |nt AS (SELECT doc_id, source,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |  FROM samp)
+        |SELECT cast(doc_id as bigint) AS doc_id, source,
+        | cast(doc_id%8 as bigint) AS bucket,
+        | cast(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id%8
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) // 2000 as bigint) AS bin,
+        | cast(n_tokens as bigint) AS n_tokens
+        |FROM nt ORDER BY doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

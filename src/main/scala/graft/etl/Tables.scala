@@ -272,6 +272,27 @@ object Tables {
     })
   }
 
+  /** Re-materialize the documents fixture as `parts` equal parquet files
+    * — the multi-file layout the streaming ingest quality gate (s04)
+    * paces through one file per microbatch, the document-corpus twin of
+    * [[exportedEventsParts]]. Written once per fixture version. */
+  def exportedDocsParts(s: SparkSession, d: String,
+                        parts: Int = 8): String = {
+    val key = (d, "documents", s"parts$parts", fixtureMtime(d, "documents"))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "documents" &&
+          k._3 == s"parts$parts" && k != key)
+        .foreach(exportMemo.remove)
+      val path = s"$cacheRoot/docs_parts${parts}_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      materialize(path) { tmp =>
+        documents(s, d).repartition(parts)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+  }
+
   /** Re-materialize selected columns of a parquet fixture as a CSV or
     * JSON-lines copy (the non-parquet-source test bed: the copy is written
     * by Spark once per fixture version, then read back through [[csv]] /

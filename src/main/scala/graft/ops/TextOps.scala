@@ -421,13 +421,23 @@ object TextOps {
     *
     * Scale shape: a pure projection — three codegen'd regexp_replace /
     * regexp_extract_all chains, no shuffle, streams through the scan. */
+  private val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val card  = "\\b[0-9]{13,16}\\b"
+  private val nMatches = (c: Column, pat: String) =>
+    size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+
+  /** Total PII matches in `text` under [[scrubPii]]'s patterns and
+    * double-claim rule (cards counted on the raw text, phones on the
+    * card-masked text, e-mails on the raw) — the per-document alarm
+    * metric of the streaming ingest gate. */
+  def piiCount(text: Column): Column =
+    nMatches(text, email) +
+      nMatches(regexp_replace(text, card, "<CARD>"), phone) +
+      nMatches(text, card)
+
   def scrubPii(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
-    val card  = "\\b[0-9]{13,16}\\b"
-    val nMatches = (c: Column, pat: String) =>
-      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
     val t = col(textCol)
     docs.select(col(idCol).as("doc_id"),
       regexp_replace(
@@ -438,6 +448,39 @@ object TextOps {
       nMatches(t, email).as("n_emails"),
       nMatches(regexp_replace(t, card, "<CARD>"), phone).as("n_phones"),
       nMatches(t, card).as("n_cards"))
+  }
+
+  /** Deterministic training-mix materialization — the last mile of the
+    * corpus pipeline, composing the mix primitives into one egress:
+    * [[capPerGroup]] bounds every source's share, [[hashSample]] applies
+    * the per-band keep rate, [[packDocuments]] lays the survivors into
+    * capacity-token sequences, and the result lands as bucket-partitioned
+    * parquet (one writer task per bucket — the fact-layout discipline of
+    * `Scale.writeFactByMonth`). Every stage keys off md5 of the document
+    * id under a derived salt, so the SAME mix comes out on every run,
+    * engine and cluster size — re-runs are bit-stable and an external
+    * engine can audit membership row by row. Returns the read-back frame
+    * (doc_id, `sourceCol`, n_tokens, bin, bucket) so the WRITE path —
+    * not a plan that was never materialized — is what downstream checks
+    * hash.
+    *
+    * Scale shape: cap = one group-keyed WindowGroupLimit exchange;
+    * sample = stateless filter; pack = one per-bucket window; write =
+    * `buckets` parallel writers, each a single partition directory.
+    * Nothing corpus-sized is collected or broadcast. */
+  def writeTrainingMix(docs: DataFrame, path: String, capPerSource: Int,
+                       rate: Column, salt: String, capacity: Int,
+                       buckets: Int = 8, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       sourceCol: String = "source"): DataFrame = {
+    val capped = capPerGroup(docs, col(sourceCol), col(idCol),
+      capPerSource, salt + ":cap").drop("rk")
+    val sampled = hashSample(capped, col(idCol), rate, salt + ":mix")
+    val packed = packDocuments(sampled, capacity, buckets, idCol, textCol)
+    packed.join(sampled.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    docs.sparkSession.read.parquet(path)
   }
 
   /** TF-IDF keyword extraction: the top-`k` terms per document by

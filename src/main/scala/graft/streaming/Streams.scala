@@ -77,6 +77,54 @@ object Streams {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir)
 
+  /** Document schema for the paced corpus stream (matches the documents
+    * fixture / `Tables.exportedDocsParts` layout). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Paced file-source stream over a directory of document parquet parts
+    * (as written by `Tables.exportedDocsParts`): `filesPerTrigger` files
+    * per microbatch — the ingest shape the s04 quality gate screens. */
+  def docsStreamPaced(spark: SparkSession, dir: String,
+                      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir)
+
+  /** Streaming ingest quality gate: per-source document counts, the
+    * decimal-exact mean quality score, total PII matches, and an `alarm`
+    * flag when mean quality sinks under `minQuality` or PII incidence
+    * passes `maxPiiPerKDocs` per thousand documents — the ingest-time
+    * twin of the batch corpus screens (TextOps.documentStats /
+    * scrubPii). Stateless projection + running aggregate: on a stream
+    * the per-source state is one row per source (run in complete mode —
+    * s04); on a batch frame it is the plain aggregate, so the paced
+    * stream's final frame must equal the batch answer
+    * (StreamingSpec-pinned). */
+  def qualityScreen(docs: DataFrame, minQuality: Double = 0.3,
+                    maxPiiPerKDocs: Double = 50.0): DataFrame = {
+    import graft.ops.TextOps
+    docs
+      .select(col("source"),
+        TextOps.qualityScore(col("text")).as("__q"),
+        TextOps.piiCount(col("text")).as("__pii"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("__q").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("__mq"),
+        sum(col("__pii")).as("n_pii"))
+      .select(col("source"), col("n_docs"),
+        round(col("__mq"), 4).as("mean_quality"), col("n_pii"),
+        (col("__mq") < minQuality ||
+          col("n_pii") * lit(1000.0) / col("n_docs") > maxPiiPerKDocs)
+          .as("alarm"))
+  }
+
   /** At-least-once ingest dedup: drop event_id replays while BOUNDING the
     * dedup state with the watermark — a replay arriving within the
     * watermark horizon is suppressed, and state for ids older than the

@@ -52,6 +52,40 @@ class StreamingSpec extends SparkSpec {
     assert(paced == batch)
   }
 
+  test("qualityScreen: paced stream == batch; alarm fires on planted " +
+      "PII and low quality") {
+    // paced == batch over the real fixture (the s04 bench shape)
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val q = Streams.qualityScreen(Streams.docsStreamPaced(spark, parts, 1))
+      .writeStream.format("memory").queryName("spec_gate")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_gate").orderBy("source").collect().toSeq
+    val batch = Streams
+      .qualityScreen(graft.etl.Tables.documents(spark, d))
+      .orderBy("source").collect().toSeq
+    assert(paced == batch)
+    // alarm semantics on a planted frame: src_pii trips the PII rate,
+    // src_bad the quality floor, src_ok neither
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "walks home through the quiet town in the early evening light"
+    val planted = Seq(
+      (1L, good, "en", "src_ok", 1L),
+      (2L, good + " mail me at a.b@example.com", "en", "src_pii", 1L),
+      (3L, "!?!?!?!?!?!?!?!?!?!?!?", "und", "src_bad", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val gate = Streams.qualityScreen(planted, minQuality = 0.3,
+        maxPiiPerKDocs = 50.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(gate === Map("src_ok" -> false, "src_pii" -> true,
+      "src_bad" -> true))
+  }
+
   test("sessionRollup batch == flatMapGroupsWithState sessionizer") {
     val dir = Files.createTempDirectory("graft_sessions").toString
     // user 7: two sessions (45-min gap); user 8: one session; user 99 is a

@@ -80,6 +80,41 @@ class TextQualitySpec extends SparkSpec {
     assert(small.contains("hot") && small.contains("warm"))
   }
 
+  test("writeTrainingMix: deterministic membership, cap respected, " +
+      "packing survives the round trip") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"src${i % 3}", Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def run(tag: String) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"mix_$tag").toString
+      TextOps.writeTrainingMix(docs, dir, capPerSource = 20,
+          rate = lit(0.5), salt = "s", capacity = 10, buckets = 4)
+        .select("doc_id", "source", "bucket", "bin", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getAs[Number](2).longValue(), r.getLong(3), r.getLong(4)))
+        .toSet
+    }
+    val a = run("a")
+    assert(a.nonEmpty)
+    // same salt + inputs -> identical mix, file layout independent
+    assert(a === run("b"))
+    // the cap bounds every source BEFORE sampling, so no source can
+    // exceed it after
+    val bySource = a.groupBy(_._2).view.mapValues(_.size)
+    assert(bySource.values.forall(_ <= 20), bySource.toMap.toString)
+    // packing invariant holds on the read-back frame: within a bucket,
+    // bins are dense from 0 and every doc's bin matches the running sum
+    // of earlier docs' tokens
+    a.groupBy(_._3).foreach { case (_, rows) =>
+      var before = 0L
+      rows.toSeq.sortBy(_._1).foreach { case (_, _, _, bin, n) =>
+        assert(bin === before / 10)
+        before += n
+      }
+    }
+  }
+
   test("scrubPii masks planted e-mails, phones and cards and counts them") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-mail.co or call 555-123-4567"),
