@@ -663,6 +663,21 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Packed-sequence payloads: t19's packing plan materialized — member
+    * docs of every (bucket, bin) concatenated in id order with an EOS
+    * separator; the oracle rebuilds each sequence byte-for-byte with an
+    * ordered string_agg. */
+  val t43PackedSequences: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val packed = TextOps.packDocuments(docs, capacity = 2000, buckets = 8)
+    TextOps.materializeSequences(docs, packed)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("bin").cast("long").as("bin"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"), col("seq_text"))
+      .orderBy(col("bucket"), col("bin"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -706,6 +721,7 @@ object DataQueries {
     "t40_ivf_pq" -> t40IvfPq,
     "t41_pq_kmeans" -> t41PqKmeans,
     "t42_training_mix" -> t42TrainingMix,
+    "t43_packed_sequences" -> t43PackedSequences,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1754,6 +1754,24 @@ object Oracles {
         | cast(n_tokens as bigint) AS n_tokens
         |FROM nt ORDER BY doc_id""".stripMargin,
 
+    // exact recomputation of the packed-sequence payloads: t19's
+    // running-sum packing, then an id-ordered string_agg per bin —
+    // any concatenation-order or membership drift breaks the hash
+    "t43_packed_sequences" ->
+      """WITH nt AS (SELECT doc_id, text,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, text, doc_id%8 AS bucket,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY doc_id%8
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) // 2000 AS bin,
+        |  n_tokens FROM nt)
+        |SELECT cast(bucket as bigint) AS bucket, cast(bin as bigint) AS bin,
+        | count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS n_tokens,
+        | string_agg(text, '<|eos|>' ORDER BY doc_id) AS seq_text
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

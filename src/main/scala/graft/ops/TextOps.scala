@@ -450,6 +450,33 @@ object TextOps {
       nMatches(t, card).as("n_cards"))
   }
 
+  /** Materialize packed training sequences: for each (bucket, bin) of a
+    * [[packDocuments]] assignment, the member documents concatenated in
+    * id order with `sep` between them — the payload step that turns a
+    * packing PLAN into the pretraining batches themselves. Returns
+    * (bucket, bin, n_docs, n_tokens, seq_text), deterministic (id-order
+    * concatenation) and SQL-expressible so an oracle recomputes the
+    * sequence text byte-for-byte.
+    *
+    * Scale shape: one doc_id-keyed join of the (id, bucket, bin) plan
+    * back to the corpus — the only point text moves — then one
+    * (bucket, bin)-keyed aggregate; a bin's payload is bounded by
+    * `capacity` tokens plus one straddling tail, so no group outgrows
+    * memory by construction. */
+  def materializeSequences(docs: DataFrame, packed: DataFrame,
+                           sep: String = "<|eos|>",
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(packed.select(col(idCol).as("doc_id"), col("bucket"),
+        col("bin"), col("n_tokens")), Seq("doc_id"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+          s => s.getField("__text")), sep).as("seq_text"))
+
   /** Deterministic training-mix materialization — the last mile of the
     * corpus pipeline, composing the mix primitives into one egress:
     * [[capPerGroup]] bounds every source's share, [[hashSample]] applies
@@ -477,10 +504,52 @@ object TextOps {
       capPerSource, salt + ":cap").drop("rk")
     val sampled = hashSample(capped, col(idCol), rate, salt + ":mix")
     val packed = packDocuments(sampled, capacity, buckets, idCol, textCol)
-    packed.join(sampled.select(col(idCol), col(sourceCol)), Seq(idCol))
-      .repartition(col("bucket"))
+    val out = packed.join(sampled.select(col(idCol), col(sourceCol)),
+      Seq(idCol))
+    out.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // sibling manifest: what SHOULD be in every (bucket, bin) — counts,
+    // token sums, an order-independent membership hash. Written from the
+    // pre-write frame, so auditTrainingMix comparing it against the
+    // landed payload catches write loss, not just plan drift
+    mixManifest(out).coalesce(1)
+      .write.mode("overwrite").parquet(path + "_manifest")
     docs.sparkSession.read.parquet(path)
+  }
+
+  /** Per-(bucket, bin) mix summary: document count, token sum, and an
+    * order-independent membership hash (xxhash64 of the sorted id list —
+    * id sets at a few hundred docs per bin, bounded by the packer). */
+  private def mixManifest(mix: DataFrame): DataFrame =
+    mix.groupBy(col("bucket").cast("long").as("bucket"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        xxhash64(concat_ws(",",
+          array_sort(collect_list(col("doc_id").cast("string")))))
+          .as("content_hash"))
+
+  /** Audit a [[writeTrainingMix]] layout: recompute the manifest from
+    * the LANDED payload and diff it against the sibling manifest written
+    * at mix time. Returns one row per (bucket, bin) present on either
+    * side with both views and an `ok` flag — a dropped partition, a
+    * half-written bin or a membership change all surface as ok=false
+    * rows (empty-result audit == clean layout when filtered on !ok).
+    * The audit reads payload metadata columns only (id/token/bucket/
+    * bin), never the text payload. */
+  def auditTrainingMix(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val actual = mixManifest(spark.read.parquet(path)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("bin")))
+      .select(col("bucket"), col("bin"), col("n_docs").as("a_docs"),
+        col("n_tokens").as("a_tokens"), col("content_hash").as("a_hash"))
+    val expected = spark.read.parquet(path + "_manifest")
+      .select(col("bucket"), col("bin"), col("n_docs").as("e_docs"),
+        col("n_tokens").as("e_tokens"), col("content_hash").as("e_hash"))
+    expected.join(actual, Seq("bucket", "bin"), "full_outer")
+      .withColumn("ok",
+        col("e_docs") === col("a_docs") &&
+          col("e_tokens") === col("a_tokens") &&
+          col("e_hash") === col("a_hash"))
+      .withColumn("ok", coalesce(col("ok"), lit(false)))
   }
 
   /** TF-IDF keyword extraction: the top-`k` terms per document by

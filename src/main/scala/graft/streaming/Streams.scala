@@ -107,9 +107,10 @@ object Streams {
     * stream's final frame must equal the batch answer
     * (StreamingSpec-pinned). */
   def qualityScreen(docs: DataFrame, minQuality: Double = 0.3,
-                    maxPiiPerKDocs: Double = 50.0): DataFrame = {
+                    maxPiiPerKDocs: Double = 50.0,
+                    thresholds: Option[DataFrame] = None): DataFrame = {
     import graft.ops.TextOps
-    docs
+    val agg = docs
       .select(col("source"),
         TextOps.qualityScore(col("text")).as("__q"),
         TextOps.piiCount(col("text")).as("__pii"))
@@ -118,11 +119,24 @@ object Streams {
         (sum(col("__q").cast("decimal(18,4)")).cast("double") /
           count(lit(1))).as("__mq"),
         sum(col("__pii")).as("n_pii"))
-      .select(col("source"), col("n_docs"),
-        round(col("__mq"), 4).as("mean_quality"), col("n_pii"),
-        (col("__mq") < minQuality ||
-          col("n_pii") * lit(1000.0) / col("n_docs") > maxPiiPerKDocs)
-          .as("alarm"))
+    // per-source overrides ride a broadcast stream-static join (a
+    // deployment would load them from a config table); sources without
+    // an override fall back to the global knobs
+    val withKnobs = thresholds match {
+      case Some(t) => agg.join(
+        broadcast(t.select(col("source"),
+          col("min_quality").as("__min_q"),
+          col("max_pii_per_k").as("__max_pii"))),
+        Seq("source"), "left")
+      case None => agg.withColumn("__min_q", lit(null).cast("double"))
+        .withColumn("__max_pii", lit(null).cast("double"))
+    }
+    withKnobs.select(col("source"), col("n_docs"),
+      round(col("__mq"), 4).as("mean_quality"), col("n_pii"),
+      (col("__mq") < coalesce(col("__min_q"), lit(minQuality)) ||
+        col("n_pii") * lit(1000.0) / col("n_docs") >
+          coalesce(col("__max_pii"), lit(maxPiiPerKDocs)))
+        .as("alarm"))
   }
 
   /** At-least-once ingest dedup: drop event_id replays while BOUNDING the

@@ -84,6 +84,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
     assert(gate === Map("src_ok" -> false, "src_pii" -> true,
       "src_bad" -> true))
+    // per-source overrides beat the global knobs: a lenient PII budget
+    // silences src_pii and a lenient quality floor silences src_bad,
+    // while un-overridden sources (src_ok) keep the globals
+    val knobs = Seq(("src_pii", 0.1, 2000.0), ("src_bad", 0.05, 50.0))
+      .toDF("source", "min_quality", "max_pii_per_k")
+    val gated = Streams.qualityScreen(planted, minQuality = 0.3,
+        maxPiiPerKDocs = 50.0, thresholds = Some(knobs))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(gated === Map("src_ok" -> false, "src_pii" -> false,
+      "src_bad" -> false))
   }
 
   test("sessionRollup batch == flatMapGroupsWithState sessionizer") {

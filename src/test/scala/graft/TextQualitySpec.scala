@@ -115,6 +115,44 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("auditTrainingMix: clean layout audits ok; a dropped partition " +
+      "surfaces as ok=false") {
+    val docs = (1L to 100L).map(i =>
+      (i, s"src${i % 2}", Seq.fill((i % 5).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mix_audit").toString
+    TextOps.writeTrainingMix(docs, dir, capPerSource = 60, rate = lit(0.5),
+      salt = "a", capacity = 12, buckets = 4)
+    val clean = TextOps.auditTrainingMix(spark, dir)
+    assert(clean.count() > 0 && clean.filter(!col("ok")).count() === 0)
+    // drop one bucket's payload directory -> every bin of that bucket
+    // must flag, the rest stay ok
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket=")).head
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(victim)
+    val audit = TextOps.auditTrainingMix(spark, dir)
+    val droppedBucket = victim.getName.stripPrefix("bucket=").toLong
+    assert(audit.filter(col("bucket") === droppedBucket)
+      .filter(col("ok")).count() === 0)
+    assert(audit.filter(col("bucket") =!= droppedBucket)
+      .filter(!col("ok")).count() === 0)
+  }
+
+  test("materializeSequences concatenates bin members in id order") {
+    val docs = Seq((1L, "a a"), (2L, "b"), (3L, "c c c"), (5L, "d"))
+      .toDF("doc_id", "text")
+    val packed = TextOps.packDocuments(docs, capacity = 3, buckets = 1)
+    val out = TextOps.materializeSequences(docs, packed, sep = "|")
+      .orderBy("bin").collect()
+    // tokens: 2,1,3,1 -> bins by running sum/3: doc1@0->bin0, doc2@2->
+    // bin0, doc3@3->bin1, doc5@6->bin2
+    assert(out.map(r => (r.getLong(1), r.getString(4))).toSeq ===
+      Seq((0L, "a a|b"), (1L, "c c c"), (2L, "d")))
+  }
+
   test("scrubPii masks planted e-mails, phones and cards and counts them") {
     val docs = Seq(
       (1L, "mail me at jo.doe+x@ex-mail.co or call 555-123-4567"),
