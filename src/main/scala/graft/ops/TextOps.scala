@@ -500,12 +500,8 @@ object TextOps {
                        buckets: Int = 8, idCol: String = "doc_id",
                        textCol: String = "text",
                        sourceCol: String = "source"): DataFrame = {
-    val capped = capPerGroup(docs, col(sourceCol), col(idCol),
-      capPerSource, salt + ":cap").drop("rk")
-    val sampled = hashSample(capped, col(idCol), rate, salt + ":mix")
-    val packed = packDocuments(sampled, capacity, buckets, idCol, textCol)
-    val out = packed.join(sampled.select(col(idCol), col(sourceCol)),
-      Seq(idCol))
+    val out = mixFrame(docs, capPerSource, rate, salt, capacity, buckets,
+      idCol, textCol, sourceCol)
     out.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     // sibling manifest: what SHOULD be in every (bucket, bin) — counts,
@@ -515,6 +511,47 @@ object TextOps {
     mixManifest(out).coalesce(1)
       .write.mode("overwrite").parquet(path + "_manifest")
     docs.sparkSession.read.parquet(path)
+  }
+
+  /** The deterministic mix frame (doc_id, bucket, bin, n_tokens,
+    * source) — the computation [[writeTrainingMix]] materializes and
+    * [[repairTrainingMix]] recomputes for damaged buckets. */
+  private def mixFrame(docs: DataFrame, capPerSource: Int, rate: Column,
+                       salt: String, capacity: Int, buckets: Int,
+                       idCol: String, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val capped = capPerGroup(docs, col(sourceCol), col(idCol),
+      capPerSource, salt + ":cap").drop("rk")
+    val sampled = hashSample(capped, col(idCol), rate, salt + ":mix")
+    packDocuments(sampled, capacity, buckets, idCol, textCol)
+      .join(sampled.select(col(idCol), col(sourceCol)), Seq(idCol))
+  }
+
+  /** Repair a damaged [[writeTrainingMix]] layout in place: recompute
+    * the mix (same inputs, same salt — the determinism that makes
+    * repair possible at all), and rewrite ONLY the buckets whose
+    * [[auditTrainingMix]] rows flag, via dynamic partition overwrite —
+    * healthy buckets' files are never touched. The damaged-bucket list
+    * is collected to the driver, bounded by `buckets` by construction.
+    * Returns the post-repair audit (all-ok on success). */
+  def repairTrainingMix(docs: DataFrame, path: String, capPerSource: Int,
+                        rate: Column, salt: String, capacity: Int,
+                        buckets: Int = 8, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        sourceCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    val bad = auditTrainingMix(spark, path).filter(!col("ok"))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    if (bad.nonEmpty)
+      mixFrame(docs, capPerSource, rate, salt, capacity, buckets,
+          idCol, textCol, sourceCol)
+        .filter(col("bucket").isin(bad.toIndexedSeq: _*))
+        .repartition(col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+    auditTrainingMix(spark, path)
   }
 
   /** Per-(bucket, bin) mix summary: document count, token sum, and an

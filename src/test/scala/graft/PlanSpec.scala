@@ -135,4 +135,33 @@ class PlanSpec extends SparkSpec {
     // sampling decision must not introduce an exchange of its own
     assert(!p.contains("hashpartitioning"), p.take(2000))
   }
+
+  test("t35: the cap's rank-limit runs map-side (WindowGroupLimit " +
+      "before the group exchange)") {
+    val p = plan("t35_cap_per_source")
+    // Catalyst must rewrite row_number <= n into WindowGroupLimit with a
+    // Partial mode instance upstream of the exchange — each map task
+    // then forwards at most n rows per group, the property capPerGroup's
+    // 100 TB story rests on
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("Partial"), p.take(2000))
+  }
+
+  test("t36: global top-k collapses to TakeOrderedAndProject, not a " +
+      "vocabulary-sized single-partition sort") {
+    val p = plan("t36_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // the only single-partition exchange allowed is AFTER the k-row
+    // cut — a SinglePartition exchange feeding a Sort of the full
+    // aggregate would be the anti-pattern
+    assert(!p.contains("rangepartitioning(cnt"), p.take(2000))
+  }
+
+  test("t37: the PII scrub is a pure projection over the scan") {
+    val p = plan("t37_pii_scrub")
+    // no aggregate, no join, no window — one codegen'd projection, then
+    // the output sort
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }

@@ -139,6 +139,18 @@ class TextQualitySpec extends SparkSpec {
       .filter(col("ok")).count() === 0)
     assert(audit.filter(col("bucket") =!= droppedBucket)
       .filter(!col("ok")).count() === 0)
+    // repair rewrites ONLY the damaged bucket (healthy buckets' files
+    // keep their mtimes) and the post-repair audit is clean
+    val healthyFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val repaired = TextOps.repairTrainingMix(docs, dir, capPerSource = 60,
+      rate = lit(0.5), salt = "a", capacity = 12, buckets = 4)
+    assert(repaired.filter(!col("ok")).count() === 0)
+    healthyFiles.foreach { case (p, mtime) =>
+      assert(new java.io.File(p).lastModified() === mtime,
+        s"healthy file rewritten: $p")
+    }
   }
 
   test("materializeSequences concatenates bin members in id order") {
