@@ -157,6 +157,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning(cnt"), p.take(2000))
   }
 
+  test("t38: PQ encode's argmin is a map-side partial aggregate against " +
+      "a broadcast codebook") {
+    val p = plan("t38_pq_encode")
+    // the corpus x codebook expansion must meet in a broadcast join and
+    // reduce to one row per (vector, subspace) BEFORE the exchange —
+    // partial_min(struct(dist, code)) upstream of the shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_min"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t39: ADC joins the broadcast query table and ranks via " +
+      "map-side WindowGroupLimit; the corpus codes never broadcast") {
+    val p = plan("t39_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("t37: the PII scrub is a pure projection over the scan") {
     val p = plan("t37_pii_scrub")
     // no aggregate, no join, no window — one codegen'd projection, then
