@@ -678,6 +678,30 @@ object DataQueries {
       .orderBy(col("bucket"), col("bin"))
   }
 
+  /** SemDeDup-style semantic dedup: the t12 perturbed-twin corpus (every
+    * vector + a +0.001 first-dim copy at id+100000) partitioned by the
+    * t33 coarse quantizer (every-50th-vector centroids), then the
+    * lower-id dominance screen at cosine >= 0.99 WITHIN clusters only.
+    * Every twin must flag as a dup of its original (same cluster, cosine
+    * ~1) and originals must survive; the oracle recomputes the
+    * assignment AND the within-cluster pair screen, so a vector flagged
+    * from outside its cluster — or a twin assigned to a different list
+    * than its original — breaks the hash. */
+  val t44SemanticDedup: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val perturbed = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val all = emb.unionByName(perturbed)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    Dedup.semanticDedup(all, centroids, tau = 0.99)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("is_semantic_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -722,6 +746,7 @@ object DataQueries {
     "t41_pq_kmeans" -> t41PqKmeans,
     "t42_training_mix" -> t42TrainingMix,
     "t43_packed_sequences" -> t43PackedSequences,
+    "t44_semantic_dedup" -> t44SemanticDedup,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1772,6 +1772,38 @@ object Oracles {
         | string_agg(text, '<|eos|>' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // exact recomputation of the SemDeDup screen: the t12 perturbed-twin
+    // corpus, the t33 centroid-assignment CTE (same -cosine/centroid_id
+    // ordering), then the lower-id dominance flag from WITHIN-cluster
+    // pairs only — a flag sourced from outside the cluster, or a twin
+    // landing in a different list than its original, breaks the hash
+    "t44_semantic_dedup" ->
+      """WITH allv AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([embedding[1] + 0.001::REAL], embedding[2:])
+        |      AS embedding
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM allv CROSS JOIN c),
+        |asg AS (SELECT vec_id, embedding, centroid_id FROM sc WHERE rn = 1),
+        |d AS (SELECT DISTINCT r.vec_id FROM asg l JOIN asg r
+        |  ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+        |  WHERE list_cosine_similarity(cast(l.embedding as double[]),
+        |    cast(r.embedding as double[])) >= 0.99)
+        |SELECT cast(a.vec_id as bigint) AS vec_id,
+        | cast(a.centroid_id as bigint) AS centroid_id,
+        | cast(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END as bigint)
+        |   AS is_semantic_dup
+        |FROM asg a LEFT JOIN d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -459,4 +459,72 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. '23, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): partition the embedding space with a coarse
+    * quantizer ([[Similarity.ivfAssign]] against a small broadcast
+    * centroid table — [[Similarity.kmeansCentroids]]-trained or any
+    * (centroid_id, cvec) frame), then compare vectors ONLY within their
+    * cluster and flag every vector that has a LOWER-ID cluster-mate at
+    * cosine >= `tau`. Returns one row per input vector:
+    * (id, centroid_id, is_semantic_dup 0/1).
+    *
+    * The lower-id dominance rule is deliberately non-transitive (a
+    * vector is flagged even when its dominating mate was itself
+    * flagged): it is order-deterministic, needs exactly one
+    * within-cluster join, and is what makes the screen mirrorable as a
+    * single SQL statement (the t44 oracle). For transitive
+    * keep-one-per-component retention, feed [[semanticDupPairs]] into
+    * [[connectedComponents]] and keep the min id per component — the
+    * same composition the MinHash family uses for t14.
+    *
+    * Scale shape: the centroid table broadcasts; the corpus shuffles
+    * once on its cluster id and the pairwise compare fans out
+    * (cluster_size)^2 per cluster, never corpus^2 — SemDeDup's own
+    * regime sizes the cluster count so clusters stay ~sqrt(corpus).
+    * The tau screen cuts candidates before the distinct/flag join, and
+    * only (id) rows cross the final shuffle. */
+  def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    cidCol: String = "centroid_id",
+                    cvecCol: String = "cvec"): DataFrame = {
+    val assigned =
+      Similarity.ivfAssign(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+    val dups = semanticDupPairsFromAssigned(assigned, tau, idCol, vecCol,
+        cidCol)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(1L))
+    assigned.select(col(idCol), col(cidCol))
+      .join(dups, Seq(idCol), "left")
+      .select(col(idCol), col(cidCol),
+        coalesce(col("__dup"), lit(0L)).as("is_semantic_dup"))
+  }
+
+  /** The within-cluster candidate pairs behind [[semanticDedup]]:
+    * (id_a, id_b, cosine) with id_a < id_b and cosine >= `tau`, compared
+    * only inside a shared coarse-quantizer cell. Feed into
+    * [[connectedComponents]] for transitive semantic-dup clusters. */
+  def semanticDupPairs(vecs: DataFrame, centroids: DataFrame, tau: Double,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       cidCol: String = "centroid_id",
+                       cvecCol: String = "cvec"): DataFrame =
+    semanticDupPairsFromAssigned(
+      Similarity.ivfAssign(vecs, centroids, idCol, vecCol, cidCol, cvecCol),
+      tau, idCol, vecCol, cidCol)
+
+  private def semanticDupPairsFromAssigned(assigned: DataFrame, tau: Double,
+                                           idCol: String, vecCol: String,
+                                           cidCol: String): DataFrame = {
+    val l = assigned.select(col(cidCol), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = assigned.select(col(cidCol), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    l.join(r, Seq(cidCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= tau)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

@@ -423,4 +423,55 @@ class SimilaritySpec extends SparkSpec {
     assert(v4 < v0 && v8 < v4,
       s"bucketing must cut pair volume monotonically: $v0 -> $v4 -> $v8")
   }
+
+  test("semanticDedup: planted twins flag exactly when co-clustered with " +
+      "their original; pairs compose with connectedComponents") {
+    import graft.ops.Dedup
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+    val all = emb.unionByName(twins).localCheckpoint()
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val flagged = Dedup.semanticDedup(all, cents, tau = 0.99)
+      .localCheckpoint()
+    // the fixture corpus is near-random: no two ORIGINALS sit at cosine
+    // >= 0.99, so no original may ever be flagged
+    val flaggedOriginals = flagged
+      .filter(col("vec_id") < 100000L && col("is_semantic_dup") === 1)
+      .count()
+    assert(flaggedOriginals === 0L,
+      s"$flaggedOriginals originals flagged as semantic dups")
+    // given that, the ONLY >= 0.99 pairs are (original, its twin) — so
+    // the flagged set must EQUAL the set of twins the quantizer
+    // co-assigned with their original (cluster-mateship is the screen's
+    // only reachability; this is an exact property, not a floor)
+    val asg = Similarity.ivfAssign(all, cents)
+    val orig = asg.filter(col("vec_id") < 100000L)
+      .select(col("vec_id"), col("centroid_id"))
+    val twinAsg = asg.filter(col("vec_id") >= 100000L)
+      .select((col("vec_id") - 100000L).as("vec_id"),
+        col("centroid_id").as("__tc"))
+    val coAssigned = orig.join(twinAsg, Seq("vec_id"))
+      .filter(col("centroid_id") === col("__tc")).count()
+    val nFlagged = flagged.filter(col("is_semantic_dup") === 1).count()
+    info(s"co-assigned twins: $coAssigned / ${emb.count()}, " +
+      s"flagged: $nFlagged")
+    assert(nFlagged === coAssigned,
+      s"flagged $nFlagged != co-assigned twins $coAssigned")
+    // transitive retention composes exactly like the MinHash family:
+    // pairs -> connectedComponents -> keep min id per component. Every
+    // component here is one (original, twin) edge — 2 nodes, and the
+    // component label is the original's id
+    val comps = Dedup.connectedComponents(
+      Dedup.semanticDupPairs(all, cents, tau = 0.99)
+        .select(col("id_a"), col("id_b")))
+    val sizes = comps.groupBy(col("comp")).count()
+    assert(sizes.filter(col("count") =!= 2).count() === 0L,
+      "expected every semantic-dup component to be an (original, twin) pair")
+    assert(sizes.count() === nFlagged,
+      "one component per flagged twin expected")
+    assert(comps.filter(col("comp") >= 100000L).count() === 0L,
+      "component label must be the original's (min) id")
+  }
 }
