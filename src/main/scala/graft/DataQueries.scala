@@ -702,6 +702,27 @@ object DataQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Residual-encoded IVF-PQ (the FAISS IVFPQ composition): t40's coarse
+    * quantizer and probe rule, but PQ codes taken over (vector − assigned
+    * centroid) and the query distance table built per probed list
+    * against the query's residual in THAT list's frame. Codebooks =
+    * every-25th residual (trained on the residual space). The oracle
+    * recomputes assignment, residuals, codes, the per-list query tables
+    * and the decimal ADC sum — a candidate scored against the wrong
+    * list's query residual breaks the hash. */
+  val t45IvfPqResidual: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val cb = Similarity.ivfPqResidualCodebooks(emb, centroids,
+      m = 4, every = 25)
+    Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 8),
+        centroids, cb, m = 4, k = 5, nprobe = 3)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -747,6 +768,7 @@ object DataQueries {
     "t42_training_mix" -> t42TrainingMix,
     "t43_packed_sequences" -> t43PackedSequences,
     "t44_semantic_dedup" -> t44SemanticDedup,
+    "t45_ivf_pq_residual" -> t45IvfPqResidual,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

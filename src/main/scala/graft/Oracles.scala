@@ -1804,6 +1804,72 @@ object Oracles {
         |FROM asg a LEFT JOIN d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact recomputation of the residual-encoded IVF-PQ search: t40's
+    // assignment + probe CTEs, but codes/codebooks over (vector − assigned
+    // centroid) computed per element in double, and the query distance
+    // table per PROBED LIST against the query's residual in that list's
+    // frame — the ADC join matches on centroid_id too, so a candidate
+    // scored against the wrong list's query residual breaks the hash
+    "t45_ivf_pq_residual" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, cvec,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |res AS (SELECT vec_id, centroid_id,
+        |    list_transform(range(1, 65), i ->
+        |      (cast(embedding as double[]))[i]
+        |        - (cast(cvec as double[]))[i]) AS r
+        |  FROM sc WHERE rn = 1),
+        |sp AS (SELECT unnest(range(0, 4)) AS subspace),
+        |cw AS (SELECT sp.subspace, vec_id AS code_id,
+        |    r[sp.subspace*16+1 : sp.subspace*16+16] AS w
+        |  FROM res CROSS JOIN sp WHERE vec_id % 25 = 0),
+        |v AS (SELECT vec_id, sp.subspace,
+        |    r[sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM res CROSS JOIN sp),
+        |pd AS (SELECT vec_id, v.subspace, code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dist
+        |  FROM v JOIN cw ON v.subspace = cw.subspace),
+        |pr AS (SELECT vec_id, subspace, code_id, row_number() OVER (
+        |    PARTITION BY vec_id, subspace ORDER BY dist, code_id) AS prn
+        |  FROM pd),
+        |code AS (SELECT vec_id AS neighbor_id, subspace, code_id
+        |  FROM pr WHERE prn = 1),
+        |qp AS (SELECT vec_id AS query_id, centroid_id,
+        |    list_transform(range(1, 65), i ->
+        |      (cast(embedding as double[]))[i]
+        |        - (cast(cvec as double[]))[i]) AS qr
+        |  FROM sc WHERE vec_id < 8 AND rn <= 3),
+        |qv AS (SELECT query_id, centroid_id, sp.subspace,
+        |    qr[sp.subspace*16+1 : sp.subspace*16+16] AS sub
+        |  FROM qp CROSS JOIN sp),
+        |qt AS (SELECT query_id, centroid_id, cw.subspace, cw.code_id,
+        |    cast(list_sum(list_transform(range(1, 17),
+        |      i -> (sub[i]-w[i])^2)) as decimal(27,12)) AS dq
+        |  FROM qv JOIN cw ON qv.subspace = cw.subspace),
+        |cand AS (SELECT query_id, qp.centroid_id, res.vec_id AS neighbor_id
+        |  FROM qp JOIN res ON qp.centroid_id = res.centroid_id
+        |  WHERE query_id <> res.vec_id),
+        |adc AS (SELECT cand.query_id, cand.neighbor_id, sum(dq) AS adc_d
+        |  FROM cand
+        |  JOIN code ON cand.neighbor_id = code.neighbor_id
+        |  JOIN qt ON qt.query_id = cand.query_id
+        |    AND qt.centroid_id = cand.centroid_id
+        |    AND qt.subspace = code.subspace AND qt.code_id = code.code_id
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, neighbor_id, adc_d, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY adc_d, neighbor_id) AS rnk
+        |  FROM adc)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rnk as bigint) AS "rank",
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cast(adc_d as double), 6) AS adc
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

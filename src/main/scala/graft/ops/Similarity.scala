@@ -597,6 +597,106 @@ object Similarity {
       .transform(adcRank(k))
   }
 
+  /** Residual frame for residual-encoded IVF-PQ (Jegou et al. 2011 §IV —
+    * the composition FAISS's IVFPQ runs): each vector minus its assigned
+    * coarse centroid, computed per element in double so the arithmetic
+    * is IEEE-exact and engine-portable. Residual norms are much smaller
+    * than vector norms once the quantizer is trained, so the same m
+    * codes spend their precision on the fine structure the coarse
+    * quantizer missed — the accuracy edge over raw-vector PQ at equal
+    * code budget. Returns (id, residual array<double>, centroid_id).
+    *
+    * Scale shape: one broadcast-assign pass ([[ivfAssign]]) plus a
+    * broadcast re-join to fetch the centroid vector; map-side only. */
+  def ivfResiduals(vecs: DataFrame, centroids: DataFrame,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   cidCol: String = "centroid_id",
+                   cvecCol: String = "cvec"): DataFrame =
+    ivfAssign(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+      .join(broadcast(centroids.select(col(cidCol), col(cvecCol))),
+        Seq(cidCol))
+      .select(col(idCol),
+        zip_with(col(vecCol), col(cvecCol),
+          (x, y) => x.cast("double") - y.cast("double")).as("residual"),
+        col(cidCol))
+
+  /** Sampled PQ codebooks over the RESIDUAL space — the training twin of
+    * [[ivfPqResidualTopK]]: assign + residualize the corpus, then the
+    * deterministic every-`every`-th sampling rule of
+    * [[pqCodebooksFromSample]] on the residual frame. Same
+    * (subspace, code_id, w) contract; refine with [[kmeansStep]] per
+    * subspace or [[pqCodebooksKmeans]]'s discipline if desired. */
+  def ivfPqResidualCodebooks(corpus: DataFrame, centroids: DataFrame,
+                             m: Int, every: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             cidCol: String = "centroid_id",
+                             cvecCol: String = "cvec"): DataFrame =
+    pqCodebooksFromSample(
+      ivfResiduals(corpus, centroids, idCol, vecCol, cidCol, cvecCol),
+      m, every, idCol, "residual")
+
+  /** Residual-encoded IVF-PQ search — [[ivfPqTopK]] with the corpus PQ
+    * codes taken over (vector − assigned centroid) instead of the raw
+    * vector, and the query distance table built PER PROBED LIST against
+    * the query's residual w.r.t. THAT list's centroid (the asymmetry
+    * that makes residual ADC correct: a candidate's codes approximate
+    * its residual in its own list's frame, so the query must be
+    * expressed in the same frame). `codebooks` must be trained on
+    * residuals ([[ivfPqResidualCodebooks]]).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] except the broadcast query
+    * table grows by the nprobe factor (|q| * nprobe * m * K rows — still
+    * query-sized); the corpus-side cost is unchanged (one assign pass,
+    * one residual encode, candidates = probed lists only, m codes per
+    * row on the wire). Distances accumulate as DECIMAL(27,12) — the
+    * ranking is exact and the t45 oracle replays it term-for-term.
+    * `selfJoin` as in [[knnJoin]]. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, codebooks: DataFrame, m: Int,
+                        k: Int, nprobe: Int = 2, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        cidCol: String = "centroid_id",
+                        cvecCol: String = "cvec",
+                        selfJoin: Boolean = true): DataFrame = {
+    val elemType = corpus.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val cents = centroids.withColumn(cvecCol,
+      transform(col(cvecCol), x => x.cast(elemType)))
+    val res = ivfResiduals(corpus, cents, idCol, vecCol, cidCol, cvecCol)
+    val assigned = res.select(col(idCol).as("neighbor_id"), col(cidCol))
+    val codes = pqEncode(res, codebooks, m, idCol, "residual")
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // per-query probe set with the query residual in each probed list's
+    // frame: (query_id, centroid_id, qres)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", -cosine(col("__qv"), col(cvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__d"), col(cidCol))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col(cidCol),
+        zip_with(col("__qv"), col(cvecCol),
+          (x, y) => x.cast("double") - y.cast("double")).as("__qres"))
+    // distance table per (query, probed list): d(qres_sub, codeword)
+    val qt = probes
+      .select(col("query_id"), col(cidCol),
+        explode(subVectors(col("__qres"), m)).as("sv"))
+      .select(col("query_id"), col(cidCol),
+        col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
+      .join(alignCodebooks(codebooks, res, "residual"), Seq("subspace"))
+      .select(col("query_id"), col(cidCol), col("subspace"), col("code_id"),
+        l2sqDec(col("sub"), col("w")).as("dq"))
+    probes.select(col("query_id"), col(cidCol))
+      .join(assigned, Seq(cidCol))
+      .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qt), Seq("query_id", cidCol, "subspace", "code_id"))
+      .transform(adcRank(k))
+  }
+
   /** One spherical-k-means (Lloyd) step — the centroid TRAINING that
     * [[ivfAssign]]'s Scaladoc used to leave out of scope: assign every
     * vector to its nearest centroid by cosine (deterministic centroid_id

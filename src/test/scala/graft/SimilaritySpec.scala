@@ -424,6 +424,111 @@ class SimilaritySpec extends SparkSpec {
       s"bucketing must cut pair volume monotonically: $v0 -> $v4 -> $v8")
   }
 
+  test("ivfPqResidualTopK: codeword source self-ranks at adc 0; residual " +
+      "codes beat raw-vector codes on a clustered corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val m = 4
+    // a vector that SOURCED residual codewords (25 is in the every-25
+    // sample) probing its own list has per-subspace distance 0 to its own
+    // codewords — adc exactly 0 proves assignment, residualization,
+    // encode and the per-list query table agree end-to-end
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val cb = Similarity.ivfPqResidualCodebooks(emb, cents, m, every = 25)
+    val self = Similarity.ivfPqResidualTopK(emb,
+        emb.filter(col("vec_id") === 25), cents, cb, m, k = 1, nprobe = 1,
+        selfJoin = false).collect()
+    assert(self.head.getAs[Long]("neighbor_id") === 25L)
+    assert(self.head.getAs[Double]("adc") === 0.0)
+    // clustered corpus — the regime residual encoding exists for: 53
+    // clusters (MORE than the 20 sampled codewords can enumerate), each
+    // offset +40 along its own axis. The coarse quantizer separates
+    // clusters and residuals collapse every cluster back to the small
+    // noise ball around its representative; raw-vector codewords must
+    // spend their precision on offsets they cannot all represent (most
+    // clusters have no sampled codeword), so at the same code budget
+    // residual encoding must cut the total quantization DISTORTION
+    // (sum over the corpus of the chosen-codeword squared error — the
+    // quantity ADC ranking quality is driven by; recall@k on a
+    // 500-vector fixture is chance-dominated within 9-member clusters,
+    // so it is recorded but not the assertion)
+    val clustered = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("__cl", (col("vec_id") % 53).cast("int"))
+      .select(col("vec_id"), col("__cl"),
+        transform(col("embedding"), (x, i) =>
+          when(i === col("__cl"), x + lit(40.0f)).otherwise(x))
+          .as("embedding"))
+      .localCheckpoint()
+    val labelReps = clustered
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__cl")).orderBy(col("vec_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("__cl").cast("long").as("centroid_id"),
+        col("embedding").as("cvec"))
+      .localCheckpoint()
+    val k = 5
+    val nprobe = 3
+    val l2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val exact = clustered.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv"))
+      .crossJoin(clustered.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(l2, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    val rawCb = Similarity.pqCodebooksFromSample(clustered, m, every = 25)
+    val rRaw = exact.intersect(
+        Similarity.ivfPqTopK(clustered, clustered, labelReps, rawCb, m, k,
+            nprobe)
+          .select(col("query_id"), col("neighbor_id")))
+      .count().toDouble / nExact
+    val resCb = Similarity.ivfPqResidualCodebooks(clustered, labelReps, m,
+      every = 25)
+    val rRes = exact.intersect(
+        Similarity.ivfPqResidualTopK(clustered, clustered, labelReps, resCb,
+            m, k, nprobe)
+          .select(col("query_id"), col("neighbor_id")))
+      .count().toDouble / nExact
+    info(f"clustered-corpus recall@$k: raw-vector IVF-PQ $rRaw%.3f, " +
+      f"residual IVF-PQ $rRes%.3f (53 axis-offset clusters, nprobe=3)")
+    assert(rRes >= 0.25, f"residual IVF-PQ recall collapsed: $rRes%.3f")
+    // the assertion: distortion = sum over (vector, subspace) of the
+    // chosen codeword's squared error. Raw codes must eat the +40
+    // offsets (~3200 per unrepresented cluster-subspace); residual
+    // codes only quantize noise
+    def distortion(vecs: org.apache.spark.sql.DataFrame, vecCol: String,
+                   cbD: org.apache.spark.sql.DataFrame): Double = {
+      val subs = vecs.select(col("vec_id"), posexplode(array(
+          (0 until m).map(s => slice(col(vecCol), s * 16 + 1, 16)): _*)))
+        .select(col("vec_id"), col("pos").as("subspace"),
+          col("col").as("sub"))
+      val codes = Similarity.pqEncode(vecs, cbD, m, vecCol = vecCol)
+      val l2hof = aggregate(zip_with(col("sub"), col("w"), (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      codes.join(subs, Seq("vec_id", "subspace"))
+        .join(cbD, Seq("subspace", "code_id"))
+        .agg(sum(l2hof)).first().getDouble(0)
+    }
+    val dRaw = distortion(clustered, "embedding", rawCb)
+    val dRes = distortion(
+      Similarity.ivfResiduals(clustered, labelReps), "residual", resCb)
+    info(f"clustered-corpus PQ distortion: raw $dRaw%.0f, residual " +
+      f"$dRes%.0f (${dRaw / dRes}%.1f x)")
+    assert(dRaw > 2 * dRes,
+      f"residual encoding must cut quantization distortion on clustered " +
+        f"data: raw $dRaw%.0f vs residual $dRes%.0f")
+  }
+
   test("semanticDedup: planted twins flag exactly when co-clustered with " +
       "their original; pairs compose with connectedComponents") {
     import graft.ops.Dedup
