@@ -229,14 +229,33 @@ object Bench {
     sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").foreach(p =>
       streamSpark.conf.set(
         "spark.sql.streaming.stateStore.providerClass", p))
-    def runStream(name: String, df: DataFrame, mode: String): Unit = {
+    // s05's static corpus band index: built ONCE, untimed (a deployment
+    // prebuilds it — the gate's steady-state cost is the per-batch
+    // band + semi-join, not the index build), shared across passes via
+    // the localCheckpoint
+    val gateIndexMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def gateIndex(s: SparkSession, d: String): DataFrame = synchronized {
+      gateIndexMemo.getOrElseUpdate(d, graft.ops.Dedup.nearDupIndex(
+        graft.etl.Tables.documents(s, d)).localCheckpoint())
+    }
+    try gateIndex(streamSpark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] gate-index warm-up failed: " +
+          s"${e.getMessage}")
+    }
+    def runStream(name: String, df: DataFrame, mode: String): Unit =
+      runStreamQuery(name, () =>
+        df.writeStream.format("noop").outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+    def runStreamQuery(name: String,
+        start: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       // drop any previous pass's entry first: a stream that fails or
       // exceeds the cap must not report the prior pass's batch stats
       // next to its own -1 timing
       streamDetail.remove(name)
-      val q = df.writeStream.format("noop").outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = start()
       try {
         // in-stream cap with headroom UNDER the watchdog: the watchdog's
         // job-group cancel can't reach the microbatch thread, so this
@@ -282,7 +301,24 @@ object Bench {
       "s04_quality_gate" -> ((s, d) =>
         runStream("s04_quality_gate",
           Streams.qualityScreen(Streams.docsStreamPaced(s,
-            graft.etl.Tables.exportedDocsParts(s, d))), "complete")))
+            graft.etl.Tables.exportedDocsParts(s, d))), "complete")),
+      // near-dup ingest gate: paced documents banded per microbatch and
+      // screened against the static corpus band index (built once,
+      // untimed — a deployment prebuilds it) via foreachBatch — the
+      // stream-static MinHash gate shape, stateless across batches
+      "s05_neardup_gate" -> ((s, d) => {
+        val idx = gateIndex(s, d)
+        runStreamQuery("s05_neardup_gate", () =>
+          Streams.docsStreamPaced(s, graft.etl.Tables.exportedDocsParts(s, d))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.ops.Dedup.nearDupFlag(b, idx)
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

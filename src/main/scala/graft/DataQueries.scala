@@ -723,6 +723,35 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Near-dup ingest gate, batch parity shape: the t03 twin corpus
+    * (first word dropped, id+100000) screened against the md5 band index
+    * of the ORIGINAL documents — one flag row per incoming doc, 1 iff
+    * any MinHash band collides with the static index. The oracle
+    * recomputes the signature, banding, index membership and the
+    * unshingleable-doc passthrough exactly; the streaming runner applies
+    * the same gate per microbatch (StreamingSpec pins paced == batch,
+    * benched as s05). */
+  val t46NearDupGate: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val incoming = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
+    Dedup.nearDupFlagMd5(incoming, Dedup.nearDupIndexMd5(docs))
+      .select(col("doc_id").cast("long").as("doc_id"), col("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-proportion stratified train/val/test split: per-source salted
+    * md5 permutation cut at dyadic cumulative boundaries (0.75/0.875) —
+    * the oracle recomputes rank, stratum size and the floor arithmetic,
+    * so one row in the wrong split breaks the hash. */
+  val t47StratifiedSplit: Q = (s, d) =>
+    TextOps.stratifiedSplit(T.documents(s, d),
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("split"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -769,6 +798,8 @@ object DataQueries {
     "t43_packed_sequences" -> t43PackedSequences,
     "t44_semantic_dedup" -> t44SemanticDedup,
     "t45_ivf_pq_residual" -> t45IvfPqResidual,
+    "t46_neardup_gate" -> t46NearDupGate,
+    "t47_stratified_split" -> t47StratifiedSplit,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

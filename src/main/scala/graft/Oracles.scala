@@ -1870,6 +1870,38 @@ object Oracles {
         | round(cast(adc_d as double), 6) AS adc
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // exact recomputation of the batch-parity near-dup ingest gate: the
+    // t03 banded CTEs cover originals AND twins; index = originals'
+    // (band, hash) set, incoming = twins, flag = any band collision.
+    // Unshingleable docs never reach `banded` (both engines), so they
+    // pass with flag 0 through the LEFT JOIN
+    "t46_neardup_gate" ->
+      ("WITH " + minhashLshCtes + """,
+        |hits AS (SELECT DISTINCT l.doc_id FROM banded l JOIN banded r
+        |  ON l.b = r.b AND l.bh = r.bh AND r.doc_id < 100000
+        |  WHERE l.doc_id >= 100000),
+        |inc AS (SELECT doc_id FROM d WHERE doc_id >= 100000)
+        |SELECT cast(inc.doc_id as bigint) AS doc_id,
+        | cast(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END as bigint)
+        |   AS is_near_dup
+        |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
+        |ORDER BY inc.doc_id""".stripMargin),
+
+    // exact recomputation of the stratified split: per-source rank over
+    // the salted md5 permutation, stratum size, and the dyadic floor
+    // boundaries (0.75 / 0.875 — integer-exact in double for any n)
+    "t47_stratified_split" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('split'||cast(doc_id as varchar)), doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT cast(doc_id as bigint) AS doc_id, source,
+        | CASE WHEN rn <= floor(0.75*n) THEN 'train'
+        |      WHEN rn <= floor(0.875*n) THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -460,6 +460,101 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** (id, band, band_hash) banded MinHash frame for the ingest gate —
+    * the corpus/incoming side of a band-keyed membership check. Docs
+    * without a single word `shingleSize`-shingle (fewer than shingleSize
+    * words) are EXCLUDED rather than banded: their signature is the
+    * untouched sentinel vector, which would declare every short doc a
+    * near-dup of every other. `md5Keys` selects the cross-engine
+    * (DuckDB-recomputable) hash family; the xxhash64 family is the
+    * scale path — same twin discipline as the candidate generators. */
+  private def gateBands(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int, rowsPerBand: Int, shingleSize: Int,
+                        md5Keys: Boolean): DataFrame = {
+    val sig =
+      if (md5Keys) graft.functions.GraftFunctions.minhash_sig_md5(
+        col(textCol), bands * rowsPerBand, shingleSize)
+      else graft.functions.GraftFunctions.minhash_sig(
+        col(textCol), bands * rowsPerBand, shingleSize)
+    def key(b: Int): Column =
+      if (md5Keys) md5(array_join(
+        transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          e => e.cast("string")), ","))
+      else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+        lit(b))
+    docs
+      .filter(size(TextOps.wordShingles(col(textCol), shingleSize)) > 0)
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map(key): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+  }
+
+  /** Static band index for the streaming/batch near-dup ingest gate:
+    * the distinct (band, band_hash) set of a reference corpus. Build
+    * once, `localCheckpoint()` (or persist) it, and screen every
+    * incoming batch against it with [[nearDupFlag]] — the stream-static
+    * shape of the ingest dedup gate. xxhash64 scale family; the
+    * [[nearDupIndexMd5]] twin is the oracle-recomputable path. */
+  def nearDupIndex(corpus: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", bands: Int = 8,
+                   rowsPerBand: Int = 4, shingleSize: Int = 3): DataFrame =
+    gateBands(corpus, idCol, textCol, bands, rowsPerBand, shingleSize,
+        md5Keys = false)
+      .select(col("band"), col("band_hash")).distinct()
+
+  /** md5-family twin of [[nearDupIndex]] (DuckDB-recomputable — the t46
+    * oracle path). */
+  def nearDupIndexMd5(corpus: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", bands: Int = 8,
+                      rowsPerBand: Int = 4,
+                      shingleSize: Int = 3): DataFrame =
+    gateBands(corpus, idCol, textCol, bands, rowsPerBand, shingleSize,
+        md5Keys = true)
+      .select(col("band"), col("band_hash")).distinct()
+
+  /** Near-dup ingest gate: every `docs` row back, plus an `is_near_dup`
+    * 0/1 flag — 1 when any of the doc's MinHash bands collides with the
+    * static corpus index ([[nearDupIndex]]). Docs too short to shingle
+    * pass with flag 0 (no evidence either way). Band params must match
+    * the ones the index was built with.
+    *
+    * Scale shape: incoming docs band map-side (native signature kernel),
+    * meet the index in a band-keyed left-semi shuffle join (nothing is
+    * broadcast — at 100 TB the index is corpus-sized), and only (id)
+    * rows cross the flag join back. Works identically on a batch frame
+    * and inside `foreachBatch` on a microbatch — the streaming runner
+    * ([[graft.streaming.Streams]].nearDupGateWriter) applies it
+    * per-microbatch against the checkpointed index. */
+  def nearDupFlag(docs: DataFrame, index: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  bands: Int = 8, rowsPerBand: Int = 4,
+                  shingleSize: Int = 3): DataFrame =
+    nearDupFlagImpl(docs, index, idCol, textCol, bands, rowsPerBand,
+      shingleSize, md5Keys = false)
+
+  /** md5-family twin of [[nearDupFlag]] (the t46 oracle path). */
+  def nearDupFlagMd5(docs: DataFrame, index: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     bands: Int = 8, rowsPerBand: Int = 4,
+                     shingleSize: Int = 3): DataFrame =
+    nearDupFlagImpl(docs, index, idCol, textCol, bands, rowsPerBand,
+      shingleSize, md5Keys = true)
+
+  private def nearDupFlagImpl(docs: DataFrame, index: DataFrame,
+                              idCol: String, textCol: String, bands: Int,
+                              rowsPerBand: Int, shingleSize: Int,
+                              md5Keys: Boolean): DataFrame = {
+    val hits = gateBands(docs, idCol, textCol, bands, rowsPerBand,
+        shingleSize, md5Keys)
+      .join(index, Seq("band", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("__hit", lit(1L))
+    docs.join(hits, docs(idCol) === hits("id"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("__hit"), lit(0L)).as("is_near_dup"): _*)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. '23, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): partition the embedding space with a coarse

@@ -416,4 +416,37 @@ object Streams {
     q.awaitTermination()
     spark.table(sinkName)
   }
+
+  /** Streaming near-dup ingest gate — the stream-static twin of the
+    * MinHash dedup family: incoming documents are banded per microbatch
+    * (native signature kernel) and screened against a STATIC corpus band
+    * index ([[graft.ops.Dedup.nearDupIndex]], built once and
+    * materialized), each row emerging with an `is_near_dup` flag. The
+    * per-doc flag needs an aggregate over the doc's exploded bands, so
+    * the gate runs the documented Spark shape for stream-static
+    * screening with per-batch joins: `foreachBatch`, applying the batch
+    * gate ([[graft.ops.Dedup.nearDupFlag]]) to every microbatch — each
+    * batch is one band-keyed semi-join against the index, stateless
+    * across batches, and the paced stream's union must equal the batch
+    * gate over the same files (StreamingSpec-pinned; benched as s05).
+    * `sink` receives each flagged microbatch (the bench passes a noop
+    * writer; a deployment appends to the ingest table). */
+  def runNearDupGateOnce(spark: SparkSession, dir: String,
+                         index: org.apache.spark.sql.DataFrame,
+                         sink: DataFrame => Unit,
+                         filesPerTrigger: Int = 1,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         shingleSize: Int = 3): Unit = {
+    val q = docsStreamPaced(spark, dir, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Dedup.nearDupFlag(batch, index,
+          bands = bands, rowsPerBand = rowsPerBand,
+          shingleSize = shingleSize))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

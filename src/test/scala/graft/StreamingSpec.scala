@@ -96,6 +96,53 @@ class StreamingSpec extends SparkSpec {
       "src_bad" -> false))
   }
 
+  test("nearDupGate: paced foreachBatch stream == batch gate; twins flag, " +
+      "unshingleable docs pass with 0") {
+    import graft.ops.Dedup
+    // the s05 bench shape: paced documents screened per microbatch
+    // against the static band index of the ORIGINAL corpus
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val docs = graft.etl.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val idx = Dedup.nearDupIndex(docs).localCheckpoint()
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    Streams.runNearDupGateOnce(spark, parts, idx,
+      b => got += b.select(col("doc_id"), col("is_near_dup"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.flatten.sortBy(_._1)
+    val batch = Dedup
+      .nearDupFlag(graft.etl.Tables.documents(spark, d), idx)
+      .select(col("doc_id"), col("is_near_dup"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(paced == batch,
+      "paced per-microbatch gate must equal the batch gate on the same files")
+    // the stream here IS the corpus, so every shingleable doc collides
+    // with its own bands — and unshingleable docs must pass with 0
+    import graft.ops.TextOps
+    val shingleable = docs
+      .filter(size(TextOps.wordShingles(col("text"), 3)) > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    paced.foreach { case (id, flag) =>
+      assert(flag === (if (shingleable(id)) 1L else 0L),
+        s"doc $id: flag $flag vs shingleable=${shingleable(id)}")
+    }
+    // planted twin semantics on a disjoint incoming frame: a near-dup
+    // of a corpus doc flags, a fresh doc does not
+    import spark.implicits._
+    val corpusDoc = docs.orderBy(col("doc_id")).limit(1).collect().head
+    val twinText = corpusDoc.getString(1).trim.split("\\s+").drop(1)
+      .mkString(" ")
+    val fresh = "zyx wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt"
+    val incoming = Seq((900001L, twinText), (900002L, fresh))
+      .toDF("doc_id", "text")
+    val flags = Dedup.nearDupFlag(incoming, idx)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags(900001L) === 1L, "planted twin must flag against the index")
+    assert(flags(900002L) === 0L, "fresh doc must pass the gate")
+  }
+
   test("sessionRollup batch == flatMapGroupsWithState sessionizer") {
     val dir = Files.createTempDirectory("graft_sessions").toString
     // user 7: two sessions (45-min gap); user 8: one session; user 99 is a
