@@ -136,6 +136,63 @@ object TextOps {
     df.filter(md5U32(concat(lit(salt), key.cast("string"))) <
       (rate * lit(4294967296.0)).cast("long"))
 
+  /** Deterministic EXACT-proportion stratified split (train/val/test):
+    * within each stratum, rows are permuted by a salted md5 of their id
+    * (a deterministic uniform shuffle) and cut at the floor of the
+    * cumulative-weight boundaries — every stratum lands within one row
+    * of its exact target fraction no matter how skewed strata sizes are,
+    * where a Bernoulli hash split ([[hashSplit]]) only holds proportions
+    * in expectation. Weights are normalized; dyadic fractions (0.75,
+    * 0.125, …) keep the floor arithmetic integer-exact across engines
+    * (the t47 oracle). Returns every input row + a `split` label.
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-stratum
+    * window rank — a SINGLE task sorts each stratum, so this is the
+    * bounded-strata path (strata of millions, not billions). For
+    * corpus-sized strata use [[hashSplit]]: map-side only, no exchange,
+    * proportions exact to ~n^-1/2. */
+  def stratifiedSplit(df: DataFrame, weights: Seq[(String, Double)],
+                      strataCol: String = "source",
+                      idCol: String = "doc_id",
+                      salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split label required")
+    val total = weights.map(_._2).sum
+    val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val rn = row_number().over(Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))),
+        col(idCol)))
+    val n = count(lit(1)).over(Window.partitionBy(col(strataCol)))
+    val label = weights.init.map(_._1).zip(cums.init)
+      .foldRight(lit(weights.last._1): Column) { case ((w, c), rest) =>
+        when(col("__rn") <= floor(lit(c) * col("__n")), w).otherwise(rest)
+      }
+    df.withColumn("__rn", rn).withColumn("__n", n)
+      .withColumn("split", label)
+      .drop("__rn", "__n")
+  }
+
+  /** Shuffle-free Bernoulli twin of [[stratifiedSplit]] — the 100 TB
+    * path: the split label is a pure per-row function of
+    * md5(salt || id) against the cumulative-weight thresholds, so the
+    * plan is map-side only (no exchange, no window) and any engine or
+    * cluster size reproduces the same assignment. Proportions hold per
+    * stratum in expectation (~n^-1/2 deviation) because the hash is
+    * independent of every stratum column. */
+  def hashSplit(df: DataFrame, weights: Seq[(String, Double)],
+                idCol: String = "doc_id",
+                salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split label required")
+    val total = weights.map(_._2).sum
+    val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val u = md5U32(concat(lit(salt), col(idCol).cast("string")))
+    val label = weights.init.map(_._1).zip(cums.init)
+      .foldRight(lit(weights.last._1): Column) { case ((w, c), rest) =>
+        when(u < (lit(c) * lit(4294967296.0)).cast("long"), w)
+          .otherwise(rest)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Corpus-wide exact line deduplication (C4-style boilerplate removal):
     * every distinct non-blank line is kept only at its first occurrence —
     * the (doc_id, line_no)-lowest — and removed everywhere else; blank

@@ -183,4 +183,53 @@ class TextQualitySpec extends SparkSpec {
     assert((out(2).getLong(2), out(2).getLong(3), out(2).getLong(4)) ==
       (0L, 0L, 0L))
   }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic, " +
+      "covering; hashSplit is map-side and within Bernoulli tolerance") {
+    val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val split = TextOps.stratifiedSplit(docs, w).localCheckpoint()
+    // every row labeled, none dropped or duplicated
+    assert(split.count() === docs.count())
+    assert(split.filter(!col("split").isin("train", "val", "test"))
+      .count() === 0L)
+    // EXACT floor-boundary proportions per stratum: train gets
+    // floor(0.75n), val floor(0.875n)-floor(0.75n), test the rest
+    val got = split.groupBy(col("source"), col("split")).count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val sizes = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      val train = math.floor(0.75 * n).toLong
+      val vl = math.floor(0.875 * n).toLong - train
+      assert(got.getOrElse((src, "train"), 0L) === train,
+        s"$src train: ${got.get((src, "train"))} != $train of $n")
+      assert(got.getOrElse((src, "val"), 0L) === vl,
+        s"$src val: ${got.get((src, "val"))} != $vl of $n")
+      assert(got.getOrElse((src, "test"), 0L) === n - train - vl)
+    }
+    // deterministic: a re-run assigns identical labels
+    val again = TextOps.stratifiedSplit(docs, w)
+      .select(col("doc_id"), col("split"))
+    assert(split.select(col("doc_id"), col("split"))
+      .except(again).count() === 0L)
+    // a different salt reshuffles membership (not a constant function)
+    val other = TextOps.stratifiedSplit(docs, w, salt = "other")
+      .select(col("doc_id"), col("split"))
+    assert(split.select(col("doc_id"), col("split"))
+      .except(other).count() > 0L)
+    // hashSplit: the scale twin must be map-side only — no exchange, no
+    // window in the plan — and land within Bernoulli tolerance
+    val hs = TextOps.hashSplit(docs, w)
+    val plan = hs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"hashSplit must stay map-side, got:\n$plan")
+    val n = docs.count().toDouble
+    val trainFrac = hs.filter(col("split") === "train").count() / n
+    // 0.75 +- 4 sigma of sqrt(p(1-p)/n)
+    val tol = 4 * math.sqrt(0.75 * 0.25 / n)
+    assert(math.abs(trainFrac - 0.75) <= tol,
+      f"hashSplit train fraction $trainFrac%.4f off 0.75 (tol $tol%.4f)")
+  }
 }
