@@ -184,4 +184,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("t44: semantic dedup's within-cluster pair join degrades to a " +
+      "cluster-keyed shuffle join, never a cartesian") {
+    // with auto-broadcast off, the only broadcast left is the explicitly
+    // hinted centroid table (the quantizer's bounded side); the corpus
+    // pair join and the flag join-back must both shuffle on their keys
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t44_semantic_dedup")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t46: the near-dup gate joins shuffle on the band key with NOTHING " +
+      "broadcast — the index is corpus-sized at scale") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t46_neardup_gate")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastExchange"),
+        p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t47: the stratified split is window-only — no join anywhere") {
+    val p = plan("t47_stratified_split")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      p.take(2000))
+  }
 }
