@@ -752,6 +752,18 @@ object DataQueries {
         col("split"))
       .orderBy(col("doc_id"))
 
+  /** Bigram-LM quality score (CCNet-style perplexity filter): the corpus
+    * trains its own add-one-smoothed bigram model and every doc gets the
+    * mean log-probability of its bigrams. The oracle replays counts,
+    * vocabulary, every ln() term and the decimal accumulation. */
+  val t48LmScore: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.lmScore(docs, docs)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_bigrams"), col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -800,6 +812,7 @@ object DataQueries {
     "t45_ivf_pq_residual" -> t45IvfPqResidual,
     "t46_neardup_gate" -> t46NearDupGate,
     "t47_stratified_split" -> t47StratifiedSplit,
+    "t48_lm_score" -> t48LmScore,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -1902,6 +1902,35 @@ object Oracles {
         |      ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // exact recomputation of the bigram-LM score: t36's bigram builder,
+    // add-one smoothing over prefix counts + token vocabulary, each ln()
+    // term cast DECIMAL(27,12) before the order-independent sum, mean in
+    // double rounded to 6 (ln round-trips across engines — t25 precedent)
+    "t48_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |c2 AS (SELECT ngram, count(*) AS c2 FROM g GROUP BY 1),
+        |c1 AS (SELECT string_split(ngram, ' ')[1] AS w1, count(*) AS c1
+        |  FROM g GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u) AS v FROM
+        |  (SELECT unnest(t) AS u FROM d) WHERE u <> ''),
+        |s AS (SELECT g.doc_id,
+        |    cast(ln((c2.c2 + 1)::double / (c1.c1 + v.v)::double)
+        |      as decimal(27,12)) AS lp
+        |  FROM g JOIN c2 USING (ngram)
+        |  JOIN c1 ON string_split(g.ngram, ' ')[1] = c1.w1
+        |  CROSS JOIN v),
+        |a AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    cast(sum(lp) as double) / count(*) AS avg FROM s GROUP BY 1)
+        |SELECT cast(d.doc_id as bigint) AS doc_id,
+        | cast(coalesce(a.n_bigrams, 0) as bigint) AS n_bigrams,
+        | round(a.avg, 6) AS avg_logp
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -378,6 +378,58 @@ object TextOps {
         (0 until n).map(i => col(s"__z.__s$i")): _*).as("ngram"): _*)
   }
 
+  /** Bigram-LM document quality score — the CCNet-style language-model
+    * perplexity filter (Wenzek et al. 2020) re-expressed relationally:
+    * add-one-smoothed bigram conditional probabilities are trained on
+    * `corpus` and each `docs` row is scored as the mean log-probability
+    * of its word bigrams,
+    * avg_logp = (1/n) * sum ln((c(w1 w2) + 1) / (c1(w1) + V)),
+    * where c1 counts bigram-prefix occurrences and V is the corpus token
+    * vocabulary. Low avg_logp = improbable text (gibberish, shuffled
+    * boilerplate) — the screen a training mix ranks or thresholds on.
+    * Unseen bigrams/prefixes take the smoothing mass (left joins), so
+    * any frame can be scored against a fixed corpus model; docs without
+    * a single bigram return n_bigrams = 0 and NULL score (no evidence).
+    *
+    * Determinism: each ln() term is computed in double (ln agrees
+    * across engines — t25's precedent) and accumulated as
+    * DECIMAL(27,12), so the per-doc sum is partitioning- and
+    * order-independent; the mean divides in double and rounds to 6 —
+    * the t48 oracle replays every term.
+    *
+    * Scale shape: [[ngramRows]] is codegen'd and map-side; scoring is
+    * two shuffle equi-joins on compact string keys (bigram, prefix)
+    * against count tables Catalyst may broadcast when small; the
+    * per-doc aggregate ships (id, decimal) rows only. */
+  def lmScore(docs: DataFrame, corpus: DataFrame,
+              idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val grams = ngramRows(corpus, 2, textCol)
+    val c2 = grams.groupBy(col("ngram")).agg(count(lit(1)).as("__c2"))
+    val c1 = grams
+      .select(substring_index(col("ngram"), " ", 1).as("__w1"))
+      .groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = ngramRows(corpus, 1, textCol)
+      .filter(col("ngram") =!= "")
+      .agg(count_distinct(col("ngram")).as("__v"))
+    val perDoc = ngramRows(docs, 2, textCol, keep = Seq(idCol))
+      .join(c2, Seq("ngram"), "left")
+      .withColumn("__w1", substring_index(col("ngram"), " ", 1))
+      .join(c1, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp",
+        log((coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
+          .cast("decimal(27,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("__lp")).cast("double") / count(lit(1))).as("__avg"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__avg"), 6).as("avg_logp"))
+  }
+
   /** Gopher-style repetition quality stats per document (Rae et al. 2021
     * §A1.1 repetition filters, re-expressed relationally): duplicate-line
     * fraction, duplicate-line character fraction, and the modal word-bigram

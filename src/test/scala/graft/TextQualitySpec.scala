@@ -184,6 +184,43 @@ class TextQualitySpec extends SparkSpec {
       (0L, 0L, 0L))
   }
 
+  test("lmScore: hand-computed bigram model; gibberish scores below " +
+      "in-distribution text") {
+    // corpus: doc1 "a b a b", doc2 "a c", doc3 "a" (no bigram)
+    // bigram counts: "a b"->2, "b a"->1, "a c"->1; prefix counts:
+    // a->3, b->1; vocab V = |{a,b,c}| = 3
+    val corpus = Seq((1L, "a b a b"), (2L, "a c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(corpus, corpus).orderBy("doc_id").collect()
+    // doc1: "a b" ln((2+1)/(3+3)) twice, "b a" ln((1+1)/(1+3)) — every
+    // term ln(0.5) -> avg = ln(0.5) = -0.693147
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === -0.693147)
+    // doc2: "a c" ln((1+1)/(3+3)) = ln(1/3) = -1.098612
+    assert(out(1).getLong(1) === 1L)
+    assert(out(1).getDouble(2) === -1.098612)
+    // doc3: no bigram -> no evidence, NULL score
+    assert(out(2).getLong(1) === 0L)
+    assert(out(2).isNullAt(2))
+    // discrimination on the fixture: reversing token ORDER destroys
+    // bigram structure while keeping every unigram — the reversed corpus
+    // must score strictly below the original under the original's model
+    val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val reversed = docs.select(col("doc_id"),
+      array_join(reverse(split(lower(trim(col("text"))), "\\s+")), " ")
+        .as("text"))
+    def meanScore(scored: org.apache.spark.sql.DataFrame): Double =
+      scored.agg(avg(col("avg_logp"))).first().getDouble(0)
+    val natural = meanScore(TextOps.lmScore(docs, docs))
+    val shuffled = meanScore(TextOps.lmScore(reversed, docs))
+    info(f"mean avg_logp: natural $natural%.4f, token-reversed " +
+      f"$shuffled%.4f")
+    assert(natural > shuffled,
+      f"LM score failed to separate in-distribution from reversed text: " +
+        f"$natural%.4f <= $shuffled%.4f")
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, deterministic, " +
       "covering; hashSplit is map-side and within Bernoulli tolerance") {
     val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
