@@ -862,6 +862,18 @@ object DataQueries {
       val big = scaledEmbeddings(s, d, copies = 8)
       Similarity.knnJoinBudget(big, big, k = 3, bits = 8)
     }),
+    // t44's semantic dedup 16x past fixture scale: the replicated frame
+    // with a 64-list quantizer (~250 vectors per cluster after
+    // replication) — the within-cluster pair screen is the quadratic
+    // term SemDeDup bounds by cluster count, so this measures the shape
+    // that dominates at corpus scale (~2M within-cluster cosines)
+    "x44_semantic_dedup_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 16)
+      val cents = big.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+      Dedup.semanticDedup(big, cents, tau = 0.99)
+    }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions
     // regardless of vocabulary (t36's exact count stays the oracle path;

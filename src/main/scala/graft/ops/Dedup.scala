@@ -579,7 +579,13 @@ object Dedup {
     * (cluster_size)^2 per cluster, never corpus^2 — SemDeDup's own
     * regime sizes the cluster count so clusters stay ~sqrt(corpus).
     * The tau screen cuts candidates before the distinct/flag join, and
-    * only (id) rows cross the final shuffle. */
+    * only (id) rows cross the final shuffle. The assignment pass is
+    * consumed twice (pair screen + flag join-back) and deliberately NOT
+    * materialized: it is a map-side broadcast join, so recomputing it
+    * costs one extra corpus scan, where checkpointing it would pin
+    * corpus + vectors on executor storage — the wrong trade at 100 TB.
+    * Callers screening a small corpus repeatedly can pass a persisted
+    * frame instead. */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     cidCol: String = "centroid_id",
