@@ -764,6 +764,23 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup retention policy: the t14 clusters (t03 pairs closed under
+    * transitivity) with keep-the-longest survivorship — one doc per
+    * cluster by (token count desc, id). Unpaired docs survive as their
+    * own cluster. The oracle recomputes clusters with the recursive CTE
+    * and the rank with the same token rule, so a wrong survivor — or a
+    * dropped unpaired doc — breaks the hash. */
+  val t49RetainBest: Q = (s, d) => {
+    val docs = withPlantedDups(T.documents(s, d))
+    val pairs = plantedVerifiedPairs(s, d).select(col("id_a"), col("id_b"))
+    val scores = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("score"))
+    Dedup.retainBest(docs, pairs, scores)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -813,6 +830,7 @@ object DataQueries {
     "t46_neardup_gate" -> t46NearDupGate,
     "t47_stratified_split" -> t47StratifiedSplit,
     "t48_lm_score" -> t48LmScore,
+    "t49_retain_best" -> t49RetainBest,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

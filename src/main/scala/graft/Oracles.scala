@@ -1054,6 +1054,35 @@ object Oracles {
         | cast(CASE WHEN node = comp THEN 1 ELSE 0 END as bigint) AS is_canonical
         |FROM comp ORDER BY doc_id""".stripMargin),
 
+    // t14's recursive clusters + keep-the-longest survivorship: rank by
+    // (token count DESC, id) within each cluster; unpaired docs are
+    // their own single-member cluster via the LEFT JOIN coalesce
+    "t49_retain_best" ->
+      ("WITH RECURSIVE " + minhashLshCtes + """,
+        |edges AS (SELECT id_a, id_b FROM j
+        |  WHERE (CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges),
+        |reach AS (SELECT src AS node, dst AS r FROM sym
+        |  UNION SELECT reach.node, s.dst FROM reach
+        |    JOIN sym s ON s.src = reach.r),
+        |comp AS (SELECT node, least(node, min(r)) AS comp
+        |  FROM reach GROUP BY node),
+        |nt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |    AS n_tokens FROM d),
+        |m AS (SELECT d2.doc_id, coalesce(c.comp, d2.doc_id) AS cluster_id
+        |  FROM (SELECT doc_id FROM d) d2
+        |  LEFT JOIN comp c ON d2.doc_id = c.node),
+        |r AS (SELECT m.doc_id, cluster_id, row_number() OVER (
+        |    PARTITION BY cluster_id ORDER BY n_tokens DESC, m.doc_id)
+        |    AS rk
+        |  FROM m JOIN nt ON m.doc_id = nt.doc_id)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        | cast(cluster_id as bigint) AS cluster_id,
+        | cast(CASE WHEN rk = 1 THEN 1 ELSE 0 END as bigint) AS is_kept
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // exact recomputation of corpus-wide line dedup: same synthetic
     // multi-line docs, md5-keyed first-occurrence survivorship on the
     // composite doc_id*1e6+line_no key, blank lines pass through

@@ -460,6 +460,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Retention policy over near-dup pairs — the production form of
+    * "which duplicate survives": close `pairs` under transitivity
+    * ([[connectedComponents]]) and keep exactly ONE member per cluster,
+    * the one with the highest `scores` value (ties to the lowest id).
+    * Docs that appear in no pair survive trivially as their own
+    * single-member cluster. Returns (id, cluster_id, is_kept 0/1) for
+    * EVERY doc in `docs` — the kept set is the deduplicated corpus, the
+    * rest an auditable drop list. Plug in any per-doc score: token
+    * count (keep the most complete copy), [[TextOps.qualityScore]],
+    * [[TextOps.lmScore]]'s avg_logp — the t49 oracle uses token count.
+    *
+    * Scale shape: the CC loop runs on the (tiny) pair graph; membership
+    * and ranking shuffle only (id, cluster, score) rows, and the
+    * per-cluster rank partitions by cluster id — near-dup clusters are
+    * small by construction, so no window partition grows with the
+    * corpus. */
+  def retainBest(docs: DataFrame, pairs: DataFrame, scores: DataFrame,
+                 idCol: String = "doc_id",
+                 scoreCol: String = "score"): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val members = docs.select(col(idCol))
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol),
+        "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+    members.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .select(col(idCol), col("cluster_id"),
+        (col("__rk") === 1).cast("long").as("is_kept"))
+  }
+
   /** (id, band, band_hash) banded MinHash frame for the ingest gate —
     * the corpus/incoming side of a band-keyed membership check. Docs
     * without a single word `shingleSize`-shingle (fewer than shingleSize

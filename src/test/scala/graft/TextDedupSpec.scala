@@ -310,4 +310,37 @@ class TextDedupSpec extends SparkSpec {
       k = 3, bits = 3).collect()
     assert(out.exists(r => r.getLong(2) == 999L && r.getDouble(3) == 1.0))
   }
+
+  test("retainBest keeps exactly the best-scored member per cluster; " +
+      "unpaired docs survive as their own cluster") {
+    import spark.implicits._
+    // clusters: {1,2,3} (chain 1-2, 2-3), {4,5}; 6 unpaired
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    // doc 2 best in its cluster; 4 and 5 tie -> lowest id (4) wins
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("doc_id", "score")
+    val out = Dedup.retainBest(docs, pairs, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(
+      1L -> (1L, 0L), 2L -> (1L, 1L), 3L -> (1L, 0L),
+      4L -> (4L, 1L), 5L -> (4L, 0L),
+      6L -> (6L, 1L)))
+    // invariant on the real pipeline: one survivor per cluster, total
+    // kept = number of clusters
+    val corpus = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val cands = Dedup.minHashLshCandidatesMd5(corpus)
+    val verified = Dedup.jaccardVerify(cands, corpus, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val kept = Dedup.retainBest(corpus, verified,
+      corpus.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("score")))
+    val perCluster = kept.groupBy(col("cluster_id"))
+      .agg(sum(col("is_kept")).as("k"))
+    assert(perCluster.filter(col("k") =!= 1).count() === 0L,
+      "every cluster must keep exactly one survivor")
+    assert(kept.count() === corpus.count(), "no doc may be dropped")
+  }
 }
