@@ -529,6 +529,44 @@ class SimilaritySpec extends SparkSpec {
         f"data: raw $dRaw%.0f vs residual $dRes%.0f")
   }
 
+  test("residual codebooks refine with the standard Lloyd loop and " +
+      "distortion falls") {
+    // idea-13 closure: pqCodebooksKmeans composes over the RESIDUAL
+    // frame unchanged (vecCol = "residual"), so the t45 path gets
+    // trained codewords without new machinery; Lloyd must not raise
+    // total quantization distortion over the sampled init
+    val m = 4
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val res = Similarity.ivfResiduals(emb, cents).localCheckpoint()
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val subs = res.select(col("vec_id"), posexplode(array(
+          (0 until m).map(s => slice(col("residual"), s * 16 + 1, 16)): _*)))
+        .select(col("vec_id"), col("pos").as("subspace"),
+          col("col").as("sub"))
+      val l2hof = aggregate(zip_with(col("sub"), col("w"), (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      Similarity.pqEncode(res, cb, m, vecCol = "residual")
+        .join(subs, Seq("vec_id", "subspace"))
+        .join(cb.withColumn("w",
+          transform(col("w"), x => x.cast("double"))),
+          Seq("subspace", "code_id"))
+        .agg(sum(l2hof)).first().getDouble(0)
+    }
+    val sampled = Similarity.ivfPqResidualCodebooks(emb, cents, m,
+      every = 25)
+    val refined = Similarity.pqCodebooksKmeans(res, m, every = 25,
+      iters = 2, vecCol = "residual")
+    val d0 = distortion(sampled)
+    val d2 = distortion(refined)
+    info(f"residual-codebook distortion: sampled $d0%.1f, 2-step Lloyd " +
+      f"$d2%.1f (${(1 - d2 / d0) * 100}%.1f%% lower)")
+    assert(d2 <= d0,
+      f"Lloyd refinement raised residual distortion: $d2%.1f > $d0%.1f")
+  }
+
   test("semanticDedup: planted twins flag exactly when co-clustered with " +
       "their original; pairs compose with connectedComponents") {
     import graft.ops.Dedup
