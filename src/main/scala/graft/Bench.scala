@@ -239,9 +239,19 @@ object Bench {
       gateIndexMemo.getOrElseUpdate(d, graft.ops.Dedup.nearDupIndex(
         graft.etl.Tables.documents(s, d)).localCheckpoint())
     }
-    try gateIndex(streamSpark, sfDir) catch {
+    // s06's frozen reference profile: same discipline — a deployment
+    // freezes it long before the stream runs
+    val refProfileMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def refProfile(s: SparkSession, d: String): DataFrame = synchronized {
+      refProfileMemo.getOrElseUpdate(d,
+        graft.streaming.Streams.referenceProfile(
+          graft.etl.Tables.documents(s, d)).localCheckpoint())
+    }
+    try { gateIndex(streamSpark, sfDir); refProfile(streamSpark, sfDir); ()
+    } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] gate-index warm-up failed: " +
+        System.err.println(s"[bench] stream-static warm-up failed: " +
           s"${e.getMessage}")
     }
     def runStream(name: String, df: DataFrame, mode: String): Unit =
@@ -318,7 +328,15 @@ object Bench {
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
-      }))
+      }),
+      // distribution-drift monitor: per-source running means vs the
+      // frozen (untimed) reference profile — complete mode, one state
+      // row per source, the s04 gate generalized to drift
+      "s06_drift_monitor" -> ((s, d) =>
+        runStream("s06_drift_monitor",
+          Streams.driftMonitor(Streams.docsStreamPaced(s,
+            graft.etl.Tables.exportedDocsParts(s, d)), refProfile(s, d)),
+          "complete")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

@@ -781,6 +781,23 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Distribution-drift monitor, batch parity shape: the reference
+    * profile is frozen over the even-id half of the corpus and the full
+    * corpus is monitored against it with tight tolerances — sources
+    * whose odd-id docs pull the rounded means more than the tolerance
+    * drift; the oracle replays the per-doc quality, both profiles and
+    * the flag comparison exactly. The streaming runner is the same
+    * aggregate in complete mode (s06; StreamingSpec pins paced ==
+    * batch). */
+  val t50DriftMonitor: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val profile = graft.streaming.Streams.referenceProfile(
+      docs.filter(col("doc_id") % 2 === 0))
+    graft.streaming.Streams.driftMonitor(docs, profile,
+        qualityTol = 0.005, tokensTol = 1.0)
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -831,6 +848,7 @@ object DataQueries {
     "t47_stratified_split" -> t47StratifiedSplit,
     "t48_lm_score" -> t48LmScore,
     "t49_retain_best" -> t49RetainBest,
+    "t50_drift_monitor" -> t50DriftMonitor,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

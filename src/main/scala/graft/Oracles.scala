@@ -942,6 +942,20 @@ object Oracles {
     * 8x4 bands -> bucket-collision pairs -> exact Jaccard numerator ii /
     * denominator uu in `j`). t03 selects the >= 0.5 pairs from `j`; t14
     * closes the same edge set under transitivity. */
+  /** The TextOps.qualityScore formula over a text column `t` with
+    * token count `n` — shared by the t50 drift mirror (t01 carries its
+    * own inline copy, kept verbatim for hash stability). */
+  private def qualitySql(t: String, n: String): String =
+    s"""round(least(1.0, greatest(0.0,
+       |   (CASE WHEN length($t)=0 THEN 0.0
+       |     ELSE cast(length(regexp_replace($t,'[^A-Za-z ]','','g')) as double)/length($t) END)*0.5
+       |   + (CASE WHEN $n BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.5 END)*0.3
+       |   + (1.0 - least(1.0, (CASE WHEN length($t)=0 THEN 0.0
+       |     ELSE cast(length(regexp_replace($t,'[^.,;:!?]','','g')) as double)/length($t) END)*10))*0.1
+       |   + (CASE WHEN (CASE WHEN $n=0 THEN 0.0
+       |     ELSE cast(length($t) as double)/$n END) BETWEEN 2 AND 12
+       |     THEN 0.1 ELSE 0.0 END))),4)""".stripMargin
+
   private lazy val minhashLshCtes: String =
     """d AS (
       |  SELECT doc_id, text FROM documents
@@ -1082,6 +1096,36 @@ object Oracles {
         | cast(cluster_id as bigint) AS cluster_id,
         | cast(CASE WHEN rk = 1 THEN 1 ELSE 0 END as bigint) AS is_kept
         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // exact recomputation of the drift monitor: per-doc round-4 quality
+    // (the t01 formula), decimal-exact means for the even-id reference
+    // profile and the full-corpus monitor, drift on the ROUND-4 means
+    // vs the tight tolerances (0.005 quality / 1.0 tokens); a source
+    // absent from the profile would flag unconditionally
+    "t50_drift_monitor" ->
+      (s"""WITH q AS (SELECT doc_id, source,
+        |  ${qualitySql("text", "nt")} AS q, nt FROM (
+        |    SELECT doc_id, source, text,
+        |      CASE WHEN length(trim(text))=0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text),'\\s+')) END AS nt
+        |    FROM documents)),
+        |ref AS (SELECT source,
+        |    cast(sum(cast(q as decimal(18,4))) as double)/count(*) AS rq,
+        |    cast(sum(nt) as double)/count(*) AS rt
+        |  FROM q WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cur AS (SELECT source, count(*) AS n_docs,
+        |    round(cast(sum(cast(q as decimal(18,4))) as double)/count(*), 4)
+        |      AS mean_quality,
+        |    round(cast(sum(nt) as double)/count(*), 4) AS mean_tokens
+        |  FROM q GROUP BY 1)
+        |SELECT cur.source, cast(n_docs as bigint) AS n_docs,
+        | mean_quality, mean_tokens,
+        | cast(CASE WHEN ref.source IS NULL
+        |   OR abs(mean_quality - round(rq, 4)) > 0.005
+        |   OR abs(mean_tokens - round(rt, 4)) > 1.0
+        |   THEN 1 ELSE 0 END as bigint) AS drift
+        |FROM cur LEFT JOIN ref ON cur.source = ref.source
+        |ORDER BY cur.source""".stripMargin),
 
     // exact recomputation of corpus-wide line dedup: same synthetic
     // multi-line docs, md5-keyed first-occurrence survivorship on the

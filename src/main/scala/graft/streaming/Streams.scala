@@ -139,6 +139,57 @@ object Streams {
         .as("alarm"))
   }
 
+  /** Per-source reference profile for [[driftMonitor]]: decimal-exact
+    * mean quality score and mean token count over a reference corpus —
+    * the frozen distribution snapshot ingest is later compared against.
+    * Tiny (one row per source): meant to be broadcast. */
+  def referenceProfile(docs: DataFrame): DataFrame = {
+    import graft.ops.TextOps
+    docs.select(col("source"),
+        TextOps.qualityScore(col("text")).as("__q"),
+        TextOps.tokenCount(col("text")).as("__t"))
+      .groupBy(col("source"))
+      .agg((sum(col("__q").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("ref_quality"),
+        (sum(col("__t")).cast("double") / count(lit(1)))
+          .as("ref_tokens"))
+  }
+
+  /** Distribution-drift monitor — the s04 quality gate generalized from
+    * absolute levels to drift against a frozen [[referenceProfile]]:
+    * running per-source mean quality and mean token count, flagged when
+    * either rounded mean moves more than its tolerance from the
+    * reference, or when the source is ABSENT from the profile (a brand
+    * new source is always drift — there is nothing to compare against).
+    * Stateless projection + running aggregate: complete mode on a
+    * stream (one state row per source — s06), plain aggregate on a
+    * batch frame, so the paced stream's final frame must equal the
+    * batch answer (StreamingSpec-pinned); the batch shape is the t50
+    * oracle. Comparisons use the round-4 means, so an external engine
+    * replays the flag exactly. */
+  def driftMonitor(docs: DataFrame, profile: DataFrame,
+                   qualityTol: Double = 0.05,
+                   tokensTol: Double = 20.0): DataFrame = {
+    import graft.ops.TextOps
+    val mq = round(sum(col("__q").cast("decimal(18,4)")).cast("double") /
+      count(lit(1)), 4)
+    val mt = round(sum(col("__t")).cast("double") / count(lit(1)), 4)
+    docs.select(col("source"),
+        TextOps.qualityScore(col("text")).as("__q"),
+        TextOps.tokenCount(col("text")).as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), mq.as("mean_quality"),
+        mt.as("mean_tokens"))
+      .join(broadcast(profile), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("mean_quality"),
+        col("mean_tokens"),
+        (col("ref_quality").isNull ||
+          abs(col("mean_quality") - round(col("ref_quality"), 4)) >
+            qualityTol ||
+          abs(col("mean_tokens") - round(col("ref_tokens"), 4)) >
+            tokensTol).cast("long").as("drift"))
+  }
+
   /** At-least-once ingest dedup: drop event_id replays while BOUNDING the
     * dedup state with the watermark — a replay arriving within the
     * watermark horizon is suppressed, and state for ids older than the

@@ -143,6 +143,53 @@ class StreamingSpec extends SparkSpec {
     assert(flags(900002L) === 0L, "fresh doc must pass the gate")
   }
 
+  test("driftMonitor: paced stream == batch; shifted source drifts, " +
+      "stable source and profile match don't; new source always drifts") {
+    // paced == batch over the real fixture (the s06 bench shape), with
+    // the frozen profile from the same corpus — zero drift everywhere
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val docs = graft.etl.Tables.documents(spark, d)
+    val profile = Streams.referenceProfile(docs).localCheckpoint()
+    val q = Streams.driftMonitor(
+        Streams.docsStreamPaced(spark, parts, 1), profile)
+      .writeStream.format("memory").queryName("spec_drift")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_drift").orderBy("source").collect().toSeq
+    val batch = Streams.driftMonitor(docs, profile)
+      .orderBy("source").collect().toSeq
+    assert(paced == batch)
+    // self-comparison: every source's means equal its own profile
+    assert(batch.forall(_.getLong(4) == 0L),
+      "a corpus monitored against its own profile must not drift")
+    // planted semantics: src_shift's tokens collapse vs its profile,
+    // src_same is byte-identical, src_new has no profile row
+    import spark.implicits._
+    val refDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "en", "src_shift", 1L),
+      (2L, "one two three four five six seven eight nine ten",
+        "en", "src_same", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val incoming = Seq(
+      (3L, "alpha", "en", "src_shift", 1L),
+      (4L, "one two three four five six seven eight nine ten",
+        "en", "src_same", 1L),
+      (5L, "brand new source text here", "en", "src_new", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flags = Streams.driftMonitor(incoming,
+        Streams.referenceProfile(refDocs),
+        qualityTol = 0.05, tokensTol = 2.0)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(flags === Map("src_shift" -> 1L, "src_same" -> 0L,
+      "src_new" -> 1L))
+  }
+
   test("sessionRollup batch == flatMapGroupsWithState sessionizer") {
     val dir = Files.createTempDirectory("graft_sessions").toString
     // user 7: two sessions (45-min gap); user 8: one session; user 99 is a
