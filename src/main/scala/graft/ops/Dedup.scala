@@ -484,7 +484,10 @@ object Dedup {
       .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol),
         "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
-    members.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+    // left join: a doc absent from `scores` must still come back (it
+    // ranks last in its cluster — desc ordering puts NULL scores last)
+    members.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol),
+        "left")
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col(scoreCol).desc, col(idCol))))
