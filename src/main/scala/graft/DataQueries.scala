@@ -798,6 +798,18 @@ object DataQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-language bigram-LM score (CCNet's actual per-language form):
+    * one model per `lang`, every count table and the vocabulary keyed by
+    * it — the oracle replays each language's counts and every ln()
+    * term. */
+  val t51LmScoreByLang: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.lmScoreByLang(docs, docs)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        col("n_bigrams"), col("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -849,6 +861,7 @@ object DataQueries {
     "t48_lm_score" -> t48LmScore,
     "t49_retain_best" -> t49RetainBest,
     "t50_drift_monitor" -> t50DriftMonitor,
+    "t51_lm_by_lang" -> t51LmScoreByLang,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

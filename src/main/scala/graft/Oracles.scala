@@ -2004,6 +2004,34 @@ object Oracles {
         | round(a.avg, 6) AS avg_logp
         |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // t48 per language: every count table and the vocabulary carry the
+    // lang key, so each doc scores against its own language's model
+    "t51_lm_by_lang" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |c2 AS (SELECT lang, ngram, count(*) AS c2 FROM g GROUP BY 1, 2),
+        |c1 AS (SELECT lang, string_split(ngram, ' ')[1] AS w1,
+        |    count(*) AS c1 FROM g GROUP BY 1, 2),
+        |v AS (SELECT lang, count(DISTINCT u) AS v FROM
+        |  (SELECT lang, unnest(t) AS u FROM d) WHERE u <> '' GROUP BY 1),
+        |s AS (SELECT g.doc_id,
+        |    cast(ln((c2.c2 + 1)::double / (c1.c1 + v.v)::double)
+        |      as decimal(27,12)) AS lp
+        |  FROM g JOIN c2 ON g.lang = c2.lang AND g.ngram = c2.ngram
+        |  JOIN c1 ON g.lang = c1.lang
+        |    AND string_split(g.ngram, ' ')[1] = c1.w1
+        |  JOIN v ON g.lang = v.lang),
+        |a AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    cast(sum(lp) as double) / count(*) AS avg FROM s GROUP BY 1)
+        |SELECT cast(d.doc_id as bigint) AS doc_id, d.lang,
+        | cast(coalesce(a.n_bigrams, 0) as bigint) AS n_bigrams,
+        | round(a.avg, 6) AS avg_logp
+        |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -430,6 +430,45 @@ object TextOps {
         round(col("__avg"), 6).as("avg_logp"))
   }
 
+  /** Per-language [[lmScore]] — CCNet's actual form: one bigram model
+    * per language (the `langCol` key rides every count table and the
+    * vocabulary), so a French document scores against the French
+    * distribution instead of a corpus-wide blend that penalizes every
+    * minority language. A doc whose language has no model row falls
+    * back to pure smoothing mass (left joins; its V comes back NULL →
+    * no score, honest "no evidence"). Same determinism contract as
+    * [[lmScore]]: double ln() terms, DECIMAL(27,12) accumulation,
+    * round-6 mean — the t51 oracle replays it per language. */
+  def lmScoreByLang(docs: DataFrame, corpus: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    langCol: String = "lang"): DataFrame = {
+    val grams = ngramRows(corpus, 2, textCol, keep = Seq(langCol))
+    val c2 = grams.groupBy(col(langCol), col("ngram"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = grams
+      .select(col(langCol), substring_index(col("ngram"), " ", 1).as("__w1"))
+      .groupBy(col(langCol), col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = ngramRows(corpus, 1, textCol, keep = Seq(langCol))
+      .filter(col("ngram") =!= "")
+      .groupBy(col(langCol)).agg(count_distinct(col("ngram")).as("__v"))
+    val perDoc = ngramRows(docs, 2, textCol, keep = Seq(idCol, langCol))
+      .join(c2, Seq(langCol, "ngram"), "left")
+      .withColumn("__w1", substring_index(col("ngram"), " ", 1))
+      .join(c1, Seq(langCol, "__w1"), "left")
+      .join(broadcast(vocab), Seq(langCol), "left")
+      .withColumn("__lp",
+        log((coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double"))
+          .cast("decimal(27,12)"))
+      .groupBy(col(idCol))
+      .agg(count(col("__lp")).as("n_bigrams"),
+        (sum(col("__lp")).cast("double") / count(col("__lp"))).as("__avg"))
+    docs.select(col(idCol), col(langCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("__avg"), 6).as("avg_logp"))
+  }
+
   /** Gopher-style repetition quality stats per document (Rae et al. 2021
     * §A1.1 repetition filters, re-expressed relationally): duplicate-line
     * fraction, duplicate-line character fraction, and the modal word-bigram

@@ -221,6 +221,33 @@ class TextQualitySpec extends SparkSpec {
         f"$natural%.4f <= $shuffled%.4f")
   }
 
+  test("lmScoreByLang: each doc scores against its own language's model") {
+    // en model from doc1 only, fr model from doc2 only — the language
+    // key must keep the two count tables fully separate:
+    // doc1 (en): "a b" ln((2+1)/(2+2)) twice, "b a" ln((1+1)/(1+2))
+    //   -> avg = (2*ln 0.75 + ln(2/3))/3 = -0.326943
+    // doc2 (fr): "a c" ln((1+1)/(1+2)) = ln(2/3) = -0.405465
+    // (under the BLENDED t48 model doc2 would see V=3 and score
+    // ln(2/6) instead — keyed counts are observably different)
+    val corpus = Seq((1L, "a b a b", "en"), (2L, "a c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.lmScoreByLang(corpus, corpus)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "en")
+    assert(out(0).getLong(2) === 3L)
+    assert(out(0).getDouble(3) === -0.326943)
+    assert(out(1).getString(1) === "fr")
+    assert(out(1).getLong(2) === 1L)
+    assert(out(1).getDouble(3) === -0.405465)
+    // fixture sanity: every doc comes back, langs preserved, every doc
+    // with a bigram is scored
+    val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+    val scored = TextOps.lmScoreByLang(docs, docs).localCheckpoint()
+    assert(scored.count() === docs.count())
+    assert(scored.filter(col("n_bigrams") > 0 && col("avg_logp").isNull)
+      .count() === 0L)
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, deterministic, " +
       "covering; hashSplit is map-side and within Bernoulli tolerance") {
     val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
