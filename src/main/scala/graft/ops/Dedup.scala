@@ -503,7 +503,7 @@ object Dedup {
     * near-dup of every other. `md5Keys` selects the cross-engine
     * (DuckDB-recomputable) hash family; the xxhash64 family is the
     * scale path — same twin discipline as the candidate generators. */
-  private def gateBands(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def gateBands(docs: DataFrame, idCol: String, textCol: String,
                         bands: Int, rowsPerBand: Int, shingleSize: Int,
                         md5Keys: Boolean): DataFrame = {
     val sig =
@@ -547,6 +547,63 @@ object Dedup {
     gateBands(corpus, idCol, textCol, bands, rowsPerBand, shingleSize,
         md5Keys = true)
       .select(col("band"), col("band_hash")).distinct()
+
+  /** The k Bloom bit positions of a (band, band_hash) pair — a pure
+    * column expression, so the index BUILD ([[nearDupIndexBloom]]) and
+    * the probe ([[nearDupFlagBloomed]]) provably derive positions with
+    * the same function: pos_i = xxhash64(band, band_hash, i) mod m. */
+  private[graft] def bloomPositions(band: Column, bandHash: Column, m: Int,
+                             k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(xxhash64(band, bandHash, i), lit(m.toLong)))
+
+  /** Bloom summary of a [[nearDupIndex]]: one m-element boolean vector
+    * (1-row frame, default 1 MB at m = 2^20) covering every (band,
+    * band_hash) the index holds — the broadcastable pre-filter for
+    * miss-dominated ingest streams. Build once with the index; k and m
+    * must match the probe side. */
+  def nearDupIndexBloom(index: DataFrame, m: Int = 1 << 20,
+                        k: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index
+      .select(explode(bloomPositions(col("band"), col("band_hash"), m, k))
+        .as("p"))
+      .distinct()
+      .as[Long]
+      .select(graft.functions.BloomBits.bits(m))
+      .toDF("bf")
+  }
+
+  /** [[nearDupFlag]] with a Bloom pre-filter: exploded incoming bands
+    * first probe the broadcast [[nearDupIndexBloom]] vector (a map-side
+    * codegen'd forall over k element_at lookups) and only surviving
+    * bands reach the band-keyed semi-join — for miss-dominated streams
+    * (most incoming docs are fresh) this cuts the shuffle to the
+    * candidate bands at the cost of the Bloom's false-positive rate,
+    * which only ever lets EXTRA bands through to the exact join. A
+    * Bloom filter has no false negatives, so the flags are IDENTICAL to
+    * [[nearDupFlag]]'s for any m — the spec pins that equality. */
+  def nearDupFlagBloomed(docs: DataFrame, index: DataFrame,
+                         bloom: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         shingleSize: Int = 3, m: Int = 1 << 20,
+                         k: Int = 4): DataFrame = {
+    val pre = gateBands(docs, idCol, textCol, bands, rowsPerBand,
+        shingleSize, md5Keys = false)
+      .crossJoin(broadcast(bloom))
+      .filter(forall(
+        bloomPositions(col("band"), col("band_hash"), m, k),
+        p => element_at(col("bf"), (p + 1).cast("int"))))
+      .drop("bf")
+    val hits = pre.join(index, Seq("band", "band_hash"), "left_semi")
+      .select(col("id")).distinct()
+      .withColumn("__hit", lit(1L))
+    docs.join(hits, docs(idCol) === hits("id"), "left")
+      .select(docs.columns.map(docs(_)) :+
+        coalesce(col("__hit"), lit(0L)).as("is_near_dup"): _*)
+  }
 
   /** Near-dup ingest gate: every `docs` row back, plus an `is_near_dup`
     * 0/1 flag — 1 when any of the doc's MinHash bands collides with the

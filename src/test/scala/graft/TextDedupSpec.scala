@@ -311,6 +311,51 @@ class TextDedupSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(2) == 999L && r.getDouble(3) == 1.0))
   }
 
+  test("nearDupFlagBloomed == nearDupFlag for any m (no false negatives); " +
+      "the Bloom pre-filter cuts miss-dominated band volume") {
+    import spark.implicits._
+    val corpus = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val idx = Dedup.nearDupIndex(corpus).localCheckpoint()
+    // incoming = the t03 twins (mostly hits) + fresh gibberish (misses)
+    val twins = corpus.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
+    val fresh = spark.range(0, 200).select(
+      (col("id") + 900000L).as("doc_id"),
+      concat_ws(" ", concat(lit("zz"), col("id")),
+        concat(lit("yy"), col("id")), concat(lit("xx"), col("id")),
+        concat(lit("ww"), col("id"))).as("text"))
+    val incoming = twins.unionByName(fresh).localCheckpoint()
+    def flags(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("doc_id"), col("is_near_dup"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = flags(Dedup.nearDupFlag(incoming, idx))
+    // equality must hold for a roomy filter AND a tiny, FP-heavy one —
+    // false positives only ever send extra bands to the exact join
+    for (m <- Seq(1 << 20, 1 << 10)) {
+      val bloom = Dedup.nearDupIndexBloom(idx, m = m).localCheckpoint()
+      val got = flags(Dedup.nearDupFlagBloomed(incoming, idx, bloom, m = m))
+      assert(got === exact, s"bloomed gate diverged at m=$m")
+    }
+    // every fresh doc is a miss; with the roomy filter its 8 bands
+    // should rarely survive the pre-filter — measure the cut
+    val m = 1 << 20
+    val bloom = Dedup.nearDupIndexBloom(idx, m = m).localCheckpoint()
+    val freshBands = Dedup.gateBands(fresh, "doc_id", "text",
+      bands = 8, rowsPerBand = 4, shingleSize = 3, md5Keys = false)
+    val total = freshBands.count()
+    val surviving = freshBands.crossJoin(broadcast(bloom))
+      .filter(forall(
+        Dedup.bloomPositions(col("band"), col("band_hash"), m, 4),
+        p => element_at(col("bf"), (p + 1).cast("int"))))
+      .count()
+    info(s"bloom pre-filter: $surviving of $total miss bands survive " +
+      s"to the semi-join (m=$m)")
+    assert(surviving < total / 2,
+      s"pre-filter failed to cut miss volume: $surviving of $total")
+  }
+
   test("retainBest keeps exactly the best-scored member per cluster; " +
       "unpaired docs survive as their own cluster") {
     import spark.implicits._
