@@ -220,4 +220,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") || p.contains("Window"),
       p.take(2000))
   }
+
+  test("t48/t51: LM scoring is cartesian-free; the only nested-loop is " +
+      "the broadcast 1-row vocabulary scalar") {
+    for (q <- Seq("t48_lm_score", "t51_lm_by_lang")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      // count joins shuffle or broadcast on compact keys — with
+      // auto-broadcast ON at fixture scale any hash-join form is fine;
+      // what must never appear is an unbounded nested loop (the 1-row
+      // vocab crossJoin is a broadcast NLJ by construction and bounded)
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(bnlj <= 1, s"$q: ${bnlj} nested-loop joins (expected only " +
+        s"the 1-row vocab scalar)\n${p.take(2000)}")
+    }
+  }
+
+  test("t50: the drift monitor is one aggregate + a broadcast profile " +
+      "join, cartesian-free") {
+    val p = plan("t50_drift_monitor")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
 }
