@@ -810,6 +810,17 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** UniMax epoch allocation: per-source token sums, the capped
+    * budget/tokens epoch ratio, integer replication + the deterministic
+    * fractional pick — the oracle replays sums, division, floor and the
+    * md5 threshold (t16's floor-then-cast rule). */
+  val t52EpochAllocation: Q = (s, d) =>
+    TextOps.epochAllocation(T.documents(s, d), budgetTokens = 5000L,
+        maxEpochs = 4.0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -862,6 +873,7 @@ object DataQueries {
     "t49_retain_best" -> t49RetainBest,
     "t50_drift_monitor" -> t50DriftMonitor,
     "t51_lm_by_lang" -> t51LmScoreByLang,
+    "t52_epoch_allocation" -> t52EpochAllocation,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2032,6 +2032,29 @@ object Oracles {
         | round(a.avg, 6) AS avg_logp
         |FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // exact recomputation of the UniMax epoch allocation: per-source
+    // token sums, epochs = least(cap, budget/tokens) in double, integer
+    // part replicates, fractional part picks by the md5 threshold with
+    // t16's floor-then-cast rule (Spark's double->long cast truncates;
+    // a bare DuckDB cast would round)
+    "t52_epoch_allocation" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |s AS (SELECT source, sum(nt) AS st FROM t GROUP BY 1),
+        |e AS (SELECT source, least(4.0, 5000.0 / st) AS ep FROM s),
+        |j AS (SELECT t.doc_id, t.source, nt, floor(ep) AS fe,
+        |    ep - floor(ep) AS fr
+        |  FROM t JOIN e USING (source))
+        |SELECT cast(doc_id as bigint) AS doc_id, source,
+        | cast(nt as bigint) AS n_tokens,
+        | cast(fe + CASE WHEN
+        |     ('0x'||substr(md5('epochs'||cast(doc_id as varchar)),1,8))::bigint
+        |       < cast(floor(fr * 4294967296.0) as bigint)
+        |   THEN 1 ELSE 0 END as bigint) AS n_copies
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -430,6 +430,42 @@ object TextOps {
         round(col("__avg"), 6).as("avg_logp"))
   }
 
+  /** UniMax-style per-source epoch allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): each source contributes
+    * epochs = min(maxEpochs, budgetTokens / source_tokens) passes over
+    * its documents — small sources repeat up to the epoch cap instead of
+    * being drowned by large ones, large sources are subsampled to the
+    * budget. The integer part replicates every doc; the fractional
+    * epoch picks docs by the deterministic md5 threshold
+    * ([[hashSample]]'s rule), so re-runs select the same documents.
+    * Returns (id, source, n_tokens, n_copies) — n_copies = 0 drops the
+    * doc, >= 2 repeats it; feed into the mix writer via an explode on
+    * `sequence(1, n_copies)`.
+    *
+    * Scale shape: one per-source token aggregate (a rows-per-source
+    * frame, broadcast back), then a map-side projection — no per-doc
+    * shuffle beyond the count. */
+  def epochAllocation(docs: DataFrame, budgetTokens: Long,
+                      maxEpochs: Double = 4.0, salt: String = "epochs",
+                      idCol: String = "doc_id", srcCol: String = "source",
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), col(srcCol),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val bySrc = toks.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__st"))
+      .withColumn("__e", least(lit(maxEpochs),
+        lit(budgetTokens).cast("double") / col("__st")))
+    toks.join(broadcast(bySrc.select(col(srcCol), col("__e"))), Seq(srcCol))
+      .withColumn("__full", floor(col("__e")).cast("long"))
+      .withColumn("__frac", col("__e") - floor(col("__e")))
+      .withColumn("n_copies", col("__full") +
+        when(md5U32(concat(lit(salt), col(idCol).cast("string"))) <
+          floor(col("__frac") * lit(4294967296.0)).cast("long"), 1L)
+          .otherwise(0L))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("n_copies"))
+  }
+
   /** Per-language [[lmScore]] — CCNet's actual form: one bigram model
     * per language (the `langCol` key rides every count table and the
     * vocabulary), so a French document scores against the French

@@ -221,6 +221,38 @@ class TextQualitySpec extends SparkSpec {
         f"$natural%.4f <= $shuffled%.4f")
   }
 
+  test("epochAllocation: small sources repeat to the cap, large sources " +
+      "subsample to the budget, deterministically") {
+    // "small": 5 docs x 20 tokens = 100 tokens, budget 1000 -> epochs
+    // capped at 4.0 exactly -> every doc gets exactly 4 copies (no
+    // fractional pick). "big": 100 docs x 20 tokens = 2000 tokens ->
+    // epochs 0.5 -> 0 full copies + ~half the docs picked by hash
+    val twenty = (1 to 20).map(i => s"w$i").mkString(" ")
+    val small = (1 to 5).map(i => (i.toLong, twenty, "small"))
+    val big = (101 to 200).map(i => (i.toLong, twenty, "big"))
+    val docs = (small ++ big).toDF("doc_id", "text", "source")
+    val out = TextOps.epochAllocation(docs, budgetTokens = 1000L,
+      maxEpochs = 4.0).localCheckpoint()
+    val smallCopies = out.filter(col("source") === "small")
+      .select(col("n_copies")).collect().map(_.getLong(0))
+    assert(smallCopies.length === 5 && smallCopies.forall(_ === 4L),
+      s"capped source must take exactly maxEpochs copies: " +
+        smallCopies.mkString(","))
+    val bigCopies = out.filter(col("source") === "big")
+      .select(col("n_copies")).collect().map(_.getLong(0))
+    assert(bigCopies.forall(c => c == 0L || c == 1L),
+      "a half-epoch source must only ever pick 0 or 1 copies")
+    val picked = bigCopies.sum
+    // Bernoulli(0.5) over 100 docs: 4-sigma band around 50
+    assert(picked >= 30 && picked <= 70,
+      s"half-epoch pick far off budget: $picked of 100")
+    // deterministic: identical on re-run
+    val again = TextOps.epochAllocation(docs, budgetTokens = 1000L,
+      maxEpochs = 4.0).select(col("doc_id"), col("n_copies"))
+    assert(out.select(col("doc_id"), col("n_copies"))
+      .except(again).count() === 0L)
+  }
+
   test("lmScoreByLang: each doc scores against its own language's model") {
     // en model from doc1 only, fr model from doc2 only — the language
     // key must keep the two count tables fully separate:
