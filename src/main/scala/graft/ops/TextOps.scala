@@ -156,6 +156,7 @@ object TextOps {
                       idCol: String = "doc_id",
                       salt: String = "split"): DataFrame = {
     require(weights.nonEmpty, "at least one split label required")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
     val total = weights.map(_._2).sum
     val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
     val rn = row_number().over(Window.partitionBy(col(strataCol))
@@ -182,6 +183,7 @@ object TextOps {
                 idCol: String = "doc_id",
                 salt: String = "split"): DataFrame = {
     require(weights.nonEmpty, "at least one split label required")
+    require(weights.forall(_._2 > 0), "split weights must be positive")
     val total = weights.map(_._2).sum
     val cums = weights.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
     val u = md5U32(concat(lit(salt), col(idCol).cast("string")))
@@ -450,6 +452,11 @@ object TextOps {
                       maxEpochs: Double = 4.0, salt: String = "epochs",
                       idCol: String = "doc_id", srcCol: String = "source",
                       textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    // a source of only empty docs has zero tokens: budget/0 = +Inf,
+    // capped to maxEpochs — its (token-free) docs replicate to the cap
+    // rather than divide by zero; both engines agree on the arithmetic
     val toks = docs.select(col(idCol), col(srcCol),
       tokenCount(col(textCol)).as("n_tokens"))
     val bySrc = toks.groupBy(col(srcCol))
