@@ -115,4 +115,48 @@ class PropertySpec extends SparkSpec {
         s"texts=$texts kept=${keptLines.toSeq}")
     }
   }
+
+  test("stratifiedSplit: exact floor-boundary proportions, full cover, " +
+      "determinism — for random weights and skewed strata") {
+    import graft.ops.TextOps
+    // random positive weights (2-4 labels) and random skewed stratum
+    // sizes, including singleton and empty-difference cases
+    val wGen = Gen.choose(2, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(1, 9)))
+    val sGen = Gen.listOfN(3, Gen.choose(1, 40))
+    for (i <- 1 to 5) {
+      val ws = wGen.pureApply(Gen.Parameters.default, Seed(300L + i))
+        .zipWithIndex.map { case (w, j) => s"l$j" -> w.toDouble }
+      val sizes = sGen.pureApply(Gen.Parameters.default, Seed(400L + i))
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(r => (s * 1000L + r, s"src$s"))
+      }
+      val docs = rows.toDF("doc_id", "source")
+      val out = TextOps.stratifiedSplit(docs, ws).localCheckpoint()
+      // full cover: every row labeled with a declared label
+      assert(out.count() === rows.length.toLong)
+      assert(out.filter(!col("split").isin(ws.map(_._1): _*)).count() === 0L)
+      // exact floor boundaries per stratum: label j's count equals
+      // floor(cum_j * n) - floor(cum_{j-1} * n)
+      val total = ws.map(_._2).sum
+      val cums = ws.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+      val got = out.groupBy(col("source"), col("split")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      sizes.zipWithIndex.foreach { case (n, s) =>
+        val bounds = (0.0 +: cums).map(c => math.floor(c * n).toLong)
+        ws.map(_._1).zipWithIndex.foreach { case (lbl, j) =>
+          val want =
+            (if (j == ws.size - 1) n.toLong else bounds(j + 1)) - bounds(j)
+          assert(got.getOrElse((s"src$s", lbl), 0L) === want,
+            s"seed=$i stratum=src$s label=$lbl want=$want " +
+              s"got=${got.get((s"src$s", lbl))} (n=$n ws=$ws)")
+        }
+      }
+      // deterministic: re-run assigns identical labels
+      val again = TextOps.stratifiedSplit(docs, ws)
+        .select(col("doc_id"), col("split"))
+      assert(out.select(col("doc_id"), col("split"))
+        .except(again).count() === 0L)
+    }
+  }
 }
