@@ -821,6 +821,17 @@ object DataQueries {
         col("n_tokens").cast("long").as("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-scaled mix allocation at T=2 (sqrt flattening): the
+    * oracle replays the per-source token sums, the pow() shares, the
+    * decimal-accumulated normalizer and the same epoch/threshold tail as
+    * t52. */
+  val t53TemperatureAllocation: Q = (s, d) =>
+    TextOps.temperatureAllocation(T.documents(s, d),
+        totalBudgetTokens = 20000L, temperature = 2.0, maxEpochs = 4.0)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -874,6 +885,7 @@ object DataQueries {
     "t50_drift_monitor" -> t50DriftMonitor,
     "t51_lm_by_lang" -> t51LmScoreByLang,
     "t52_epoch_allocation" -> t52EpochAllocation,
+    "t53_temperature_allocation" -> t53TemperatureAllocation,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2055,6 +2055,33 @@ object Oracles {
         |   THEN 1 ELSE 0 END as bigint) AS n_copies
         |FROM j ORDER BY doc_id""".stripMargin,
 
+    // t52 generalized by temperature: source shares pow(tokens, 1/T)
+    // normalized by a DECIMAL(27,12)-accumulated sum (order-independent,
+    // so both engines compute the same z), then the same epoch/threshold
+    // tail as t52
+    "t53_temperature_allocation" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |s AS (SELECT source, sum(nt) AS st FROM t GROUP BY 1),
+        |w AS (SELECT source, st, pow(cast(st as double), 0.5) AS pw FROM s),
+        |z AS (SELECT cast(sum(cast(pw as decimal(27,12))) as double) AS z
+        |  FROM w),
+        |e AS (SELECT source,
+        |    least(4.0, 20000.0 * pw / z / st) AS ep
+        |  FROM w CROSS JOIN z),
+        |j AS (SELECT t.doc_id, t.source, nt, floor(ep) AS fe,
+        |    ep - floor(ep) AS fr
+        |  FROM t JOIN e USING (source))
+        |SELECT cast(doc_id as bigint) AS doc_id, source,
+        | cast(nt as bigint) AS n_tokens,
+        | cast(fe + CASE WHEN
+        |     ('0x'||substr(md5('epochs'||cast(doc_id as varchar)),1,8))::bigint
+        |       < cast(floor(fr * 4294967296.0) as bigint)
+        |   THEN 1 ELSE 0 END as bigint) AS n_copies
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     "t10_event_hourly" ->
       """SELECT strftime(ts,'%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         | cast(sum(cast(value as decimal(18,4))) as double) AS sum_value

@@ -473,6 +473,57 @@ object TextOps {
       .select(col(idCol), col(srcCol), col("n_tokens"), col("n_copies"))
   }
 
+  /** Temperature-scaled mix allocation (the multinomial
+    * temperature-sampling rule of mT5 / XLM-R, Conneau et al. 2020 §3;
+    * generalizes [[epochAllocation]]): source s receives the share
+    * w_s = tokens_s^(1/T) / sum_r tokens_r^(1/T) of `totalBudgetTokens`,
+    * so epochs_s = min(maxEpochs, budget * w_s / tokens_s). T = 1 is
+    * proportional sampling (every source the same epoch count); larger T
+    * flattens the distribution toward per-source-equal budgets,
+    * upsampling low-resource sources the way multilingual pretraining
+    * mixes do. Replication semantics are [[epochAllocation]]'s: integer
+    * part replicates, the fractional epoch picks docs by the
+    * deterministic md5 threshold.
+    *
+    * Determinism: the share normalizer sums the double pow() terms as
+    * DECIMAL(27,12), so it is partitioning- and order-independent and
+    * the t53 oracle replays it term-for-term.
+    *
+    * Scale shape: one per-source token aggregate, a 1-row normalizer
+    * broadcast back, then a map-side projection. */
+  def temperatureAllocation(docs: DataFrame, totalBudgetTokens: Long,
+                            temperature: Double = 2.0,
+                            maxEpochs: Double = 4.0,
+                            salt: String = "epochs",
+                            idCol: String = "doc_id",
+                            srcCol: String = "source",
+                            textCol: String = "text"): DataFrame = {
+    require(totalBudgetTokens > 0, "totalBudgetTokens must be positive")
+    require(temperature > 0, "temperature must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val toks = docs.select(col(idCol), col(srcCol),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val bySrc = toks.groupBy(col(srcCol))
+      .agg(sum(col("n_tokens")).as("__st"))
+      .withColumn("__pw", pow(col("__st").cast("double"),
+        lit(1.0 / temperature)))
+    val z = bySrc.agg(sum(col("__pw").cast("decimal(27,12)"))
+      .cast("double").as("__z"))
+    val epochs = bySrc.crossJoin(broadcast(z))
+      .withColumn("__e", least(lit(maxEpochs),
+        lit(totalBudgetTokens).cast("double") * col("__pw") / col("__z") /
+          col("__st")))
+      .select(col(srcCol), col("__e"))
+    toks.join(broadcast(epochs), Seq(srcCol))
+      .withColumn("__full", floor(col("__e")).cast("long"))
+      .withColumn("__frac", col("__e") - floor(col("__e")))
+      .withColumn("n_copies", col("__full") +
+        when(md5U32(concat(lit(salt), col(idCol).cast("string"))) <
+          floor(col("__frac") * lit(4294967296.0)).cast("long"), 1L)
+          .otherwise(0L))
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("n_copies"))
+  }
+
   /** Per-language [[lmScore]] — CCNet's actual form: one bigram model
     * per language (the `langCol` key rides every count table and the
     * vocabulary), so a French document scores against the French

@@ -253,6 +253,48 @@ class TextQualitySpec extends SparkSpec {
       .except(again).count() === 0L)
   }
 
+  test("temperatureAllocation: T=1 is proportional, larger T upsamples " +
+      "low-resource sources") {
+    // big: 200 docs x 20 tokens = 4000; small: 100 docs x 5 tokens = 500
+    val big = (1 to 200).map(i =>
+      (i.toLong, (1 to 20).map(j => s"b$j").mkString(" "), "big"))
+    val small = (1001 to 1100).map(i =>
+      (i.toLong, "s1 s2 s3 s4 s5", "small"))
+    val docs = (big ++ small).toDF("doc_id", "text", "source")
+    def meanCopies(t: Double): Map[String, Double] =
+      TextOps.temperatureAllocation(docs, totalBudgetTokens = 4000L,
+          temperature = t, maxEpochs = 100.0)
+        .groupBy(col("source"))
+        .agg((sum(col("n_copies")).cast("double") / count(lit(1)))
+          .as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // T=1: every source gets the same epoch count (B / total tokens =
+    // 4000/4500 ≈ 0.889) — the means may only differ by Bernoulli noise
+    val m1 = meanCopies(1.0)
+    assert(math.abs(m1("big") - m1("small")) < 0.2,
+      s"T=1 must be proportional: $m1")
+    // T=2: e_small = 4000*(sqrt(500)/z)/500 ≈ 2.09 -> every small doc
+    // at least 2 copies (integer floor, deterministic), e_big ≈ 0.74 ->
+    // every big doc at most 1
+    val a2 = TextOps.temperatureAllocation(docs, 4000L, temperature = 2.0,
+      maxEpochs = 100.0).localCheckpoint()
+    val smallMin = a2.filter(col("source") === "small")
+      .agg(min(col("n_copies"))).first().getLong(0)
+    val bigMax = a2.filter(col("source") === "big")
+      .agg(max(col("n_copies"))).first().getLong(0)
+    assert(smallMin >= 2L, s"T=2 small-source floor lost: $smallMin")
+    assert(bigMax <= 1L, s"T=2 big-source cap lost: $bigMax")
+    // flattening is monotone in T: the low-resource source's mean only
+    // grows as T rises (2.09 at T=2 -> ~2.98 at T=4)
+    val m2 = meanCopies(2.0)
+    val m4 = meanCopies(4.0)
+    info(f"small-source mean copies: T=1 ${m1("small")}%.2f, " +
+      f"T=2 ${m2("small")}%.2f, T=4 ${m4("small")}%.2f")
+    assert(m4("small") > m2("small") && m2("small") > m1("small"),
+      s"temperature must monotonically upsample the small source: " +
+        s"$m1 / $m2 / $m4")
+  }
+
   test("lmScoreByLang: each doc scores against its own language's model") {
     // en model from doc1 only, fr model from doc2 only — the language
     // key must keep the two count tables fully separate:
