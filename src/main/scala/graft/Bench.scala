@@ -248,12 +248,20 @@ object Bench {
         graft.streaming.Streams.referenceProfile(
           graft.etl.Tables.documents(s, d)).localCheckpoint())
     }
-    try { gateIndex(streamSpark, sfDir); refProfile(streamSpark, sfDir); ()
+    // warm-up failure must FAIL the dependent benches, not silently move
+    // the index/profile build inside the timed region (getOrElseUpdate
+    // would rebuild on first use): s05/s06 check the flag and record -1
+    var streamStaticWarm = false
+    try { gateIndex(streamSpark, sfDir); refProfile(streamSpark, sfDir)
+      streamStaticWarm = true
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] stream-static warm-up failed: " +
-          s"${e.getMessage}")
+        System.err.println(s"[bench] stream-static warm-up failed " +
+          s"(s05/s06 will record -1): ${e.getMessage}")
     }
+    def requireStreamStaticWarm(): Unit =
+      if (!streamStaticWarm) throw new IllegalStateException(
+        "stream-static warm-up failed; refusing to time an in-pass build")
     def runStream(name: String, df: DataFrame, mode: String): Unit =
       runStreamQuery(name, () =>
         df.writeStream.format("noop").outputMode(mode)
@@ -317,6 +325,7 @@ object Bench {
       // untimed — a deployment prebuilds it) via foreachBatch — the
       // stream-static MinHash gate shape, stateless across batches
       "s05_neardup_gate" -> ((s, d) => {
+        requireStreamStaticWarm()
         val idx = gateIndex(s, d)
         runStreamQuery("s05_neardup_gate", () =>
           Streams.docsStreamPaced(s, graft.etl.Tables.exportedDocsParts(s, d))
@@ -332,11 +341,13 @@ object Bench {
       // distribution-drift monitor: per-source running means vs the
       // frozen (untimed) reference profile — complete mode, one state
       // row per source, the s04 gate generalized to drift
-      "s06_drift_monitor" -> ((s, d) =>
+      "s06_drift_monitor" -> ((s, d) => {
+        requireStreamStaticWarm()
         runStream("s06_drift_monitor",
           Streams.driftMonitor(Streams.docsStreamPaced(s,
             graft.etl.Tables.exportedDocsParts(s, d)), refProfile(s, d)),
-          "complete")))
+          "complete")
+      }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

@@ -673,11 +673,12 @@ object Dedup {
     * The tau screen cuts candidates before the distinct/flag join, and
     * only (id) rows cross the final shuffle. The assignment pass is
     * consumed twice (pair screen + flag join-back) and deliberately NOT
-    * materialized: it is a map-side broadcast join, so recomputing it
-    * costs one extra corpus scan, where checkpointing it would pin
-    * corpus + vectors on executor storage — the wrong trade at 100 TB.
-    * Callers screening a small corpus repeatedly can pass a persisted
-    * frame instead. */
+    * materialized: it is a broadcast join plus a map-side-combined
+    * argmin aggregate ([[Similarity.ivfAssign]]'s min(struct) form), so
+    * each consumer replays one corpus scan and one id-keyed exchange of
+    * (id, vec) rows — where checkpointing it would pin corpus + vectors
+    * on executor storage, the wrong trade at 100 TB. Callers screening
+    * a small corpus repeatedly can pass a persisted frame instead. */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     cidCol: String = "centroid_id",

@@ -318,19 +318,27 @@ object Similarity {
     * `centroids` (a small broadcast table (centroid_id, vec)); search
     * ([[ivfTopK]]) then probes only the nprobe nearest lists. Centroids
     * come from [[kmeansCentroids]] — or any clustering feeding
-    * (centroid_id, vec). */
+    * (centroid_id, vec).
+    *
+    * The argmin is a partial-aggregated `min(struct(-cosine, cid, vec))`
+    * (the [[pqEncode]] discipline), NOT a row_number window: the map-side
+    * combine collapses the corpus x k broadcast expansion back to one row
+    * per vector before the id-keyed exchange, and no sort is needed —
+    * a window formulation would shuffle and sort all corpus x k rows per
+    * consumer. The struct ordering (distance, then centroid_id) is the
+    * same deterministic tiebreak; the vec field rides along and is never
+    * compared (centroid ids are unique). */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cidCol: String = "centroid_id",
-                cvecCol: String = "cvec"): DataFrame = {
-    val joined = vecs.select(col(idCol), col(vecCol))
+                cvecCol: String = "cvec"): DataFrame =
+    vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
-      .withColumn("__d", -cosine(col(vecCol), col(cvecCol)))
-    joined.withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__d"), col(cidCol))))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(cidCol))
-  }
+      .groupBy(col(idCol))
+      .agg(min(struct((-cosine(col(vecCol), col(cvecCol))).as("__d"),
+        col(cidCol).as("__cid"), col(vecCol).as("__v"))).as("__m"))
+      .select(col(idCol), col("__m.__v").as(vecCol),
+        col("__m.__cid").as(cidCol))
 
   /** End-to-end IVF search — the piece that makes a trained index
     * ([[kmeansCentroids]] or any (centroid_id, cvec) frame) usable the
@@ -390,12 +398,21 @@ object Similarity {
 
   /** The `m` subvector slices of `vec` as (subspace, sub) structs;
     * dsub = len/m is computed in-expression so one definition serves any
-    * dimension. */
+    * dimension. Guarded: a dimension not divisible by m would silently
+    * drop the trailing (dim mod m) dimensions from every subspace —
+    * encode/ADC distances would quietly ignore them — so the expression
+    * raises instead (row-level, so a mixed-dimension corpus fails on the
+    * offending row, not only at plan time). */
   private def subVectors(vec: Column, m: Int): Column = {
     val dsub = (size(vec) / m).cast("int")
-    array((0 until m).map(s =>
+    val slices = array((0 until m).map(s =>
       struct(lit(s).as("subspace"),
         slice(vec, lit(s) * dsub + 1, dsub).as("sub"))): _*)
+    when(pmod(size(vec), lit(m)) =!= 0,
+        raise_error(concat(
+          lit(s"PQ requires vector dimension divisible by m=$m; got dim="),
+          size(vec).cast("string"))))
+      .otherwise(slices)
   }
 
   /** Align codebook element type to the vector column's (same

@@ -454,15 +454,20 @@ object TextOps {
                       textCol: String = "text"): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(maxEpochs > 0, "maxEpochs must be positive")
-    // a source of only empty docs has zero tokens: budget/0 = +Inf,
-    // capped to maxEpochs — its (token-free) docs replicate to the cap
-    // rather than divide by zero; both engines agree on the arithmetic
+    // a source of only empty docs has zero tokens: the explicit branch
+    // pins it at the epoch cap (its token-free docs replicate cost-free).
+    // The branch is NOT redundant — under ANSI mode (Spark 4's default)
+    // budget/0 RAISES rather than returning NULL/Inf, so without it the
+    // whole allocation would crash on one degenerate source; the edge is
+    // spec-pinned (TextQualitySpec "epochAllocation caps a zero-token
+    // source at maxEpochs")
     val toks = docs.select(col(idCol), col(srcCol),
       tokenCount(col(textCol)).as("n_tokens"))
     val bySrc = toks.groupBy(col(srcCol))
       .agg(sum(col("n_tokens")).as("__st"))
-      .withColumn("__e", least(lit(maxEpochs),
-        lit(budgetTokens).cast("double") / col("__st")))
+      .withColumn("__e", when(col("__st") === 0, lit(maxEpochs))
+        .otherwise(least(lit(maxEpochs),
+          lit(budgetTokens).cast("double") / col("__st"))))
     toks.join(broadcast(bySrc.select(col(srcCol), col("__e"))), Seq(srcCol))
       .withColumn("__full", floor(col("__e")).cast("long"))
       .withColumn("__frac", col("__e") - floor(col("__e")))
@@ -509,10 +514,14 @@ object TextOps {
         lit(1.0 / temperature)))
     val z = bySrc.agg(sum(col("__pw").cast("decimal(27,12)"))
       .cast("double").as("__z"))
+    // zero-token source: share pw = 0 and tokens = 0 give 0/0, which
+    // RAISES under ANSI mode (Spark 4 default) — pin it at the cap, the
+    // T>1 limit of budget*t^(1/T-1)/z as t->0 and epochAllocation's rule
     val epochs = bySrc.crossJoin(broadcast(z))
-      .withColumn("__e", least(lit(maxEpochs),
-        lit(totalBudgetTokens).cast("double") * col("__pw") / col("__z") /
-          col("__st")))
+      .withColumn("__e", when(col("__st") === 0, lit(maxEpochs))
+        .otherwise(least(lit(maxEpochs),
+          lit(totalBudgetTokens).cast("double") * col("__pw") /
+            col("__z") / col("__st"))))
       .select(col(srcCol), col("__e"))
     toks.join(broadcast(epochs), Seq(srcCol))
       .withColumn("__full", floor(col("__e")).cast("long"))

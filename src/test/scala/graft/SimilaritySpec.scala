@@ -315,6 +315,24 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("adc") === 0.0)
   }
 
+  test("pqEncode raises on a dimension not divisible by m instead of " +
+      "silently dropping trailing dims") {
+    import spark.implicits._
+    // dim 5, m 4: the old slice arithmetic would quietly exclude the
+    // 5th dimension from every subspace; the guard must raise instead
+    val vecs = Seq((1L, Array(1f, 2f, 3f, 4f, 5f)),
+      (0L, Array(5f, 4f, 3f, 2f, 1f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksFromSample(vecs, m = 4, every = 1)
+    val e = intercept[Exception] {
+      Similarity.pqEncode(vecs, cb, m = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("divisible by m")),
+      s"expected the divisibility guard, got: $e")
+  }
+
   test("pqTopK recall vs exact L2 brute force is recorded and bounded; " +
       "finer subspaces buy recall") {
     val k = 5

@@ -253,6 +253,42 @@ class TextQualitySpec extends SparkSpec {
       .except(again).count() === 0L)
   }
 
+  test("epochAllocation caps a zero-token source at maxEpochs " +
+      "(explicit branch — ANSI-safe, no divide-by-zero)") {
+    // an all-empty-doc source has sum(n_tokens)=0: under ANSI mode
+    // (Spark 4's default) budget/0 would RAISE, so the allocation takes
+    // an explicit when(st=0) branch that lands the source exactly at
+    // the epoch cap — every doc gets precisely floor(maxEpochs) copies
+    // with zero fractional pick. This pins the edge on the engine, not
+    // just in prose.
+    val docs = Seq(
+      (1L, "", "empty"), (2L, "   ", "empty"), (3L, "", "empty"),
+      (10L, "a b c d e", "normal"), (11L, "f g h i j", "normal"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.epochAllocation(docs, budgetTokens = 100L,
+      maxEpochs = 4.0).localCheckpoint()
+    val empties = out.filter(col("source") === "empty")
+      .select(col("n_tokens").cast("long"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(empties.length === 3 && empties.forall(_ == (0L, 4L)),
+      s"zero-token source must take exactly maxEpochs copies: " +
+        empties.mkString(","))
+    // the normal source is untouched by the edge: 10 tokens, budget 100
+    // -> capped at 4.0 too, full copies only
+    val normal = out.filter(col("source") === "normal")
+      .select(col("n_copies")).collect().map(_.getLong(0))
+    assert(normal.forall(_ === 4L))
+    // the temperature variant has the same 0/0 hazard (share 0 over
+    // tokens 0) and the same pinned answer
+    val tOut = TextOps.temperatureAllocation(docs, totalBudgetTokens = 100L,
+      temperature = 2.0, maxEpochs = 4.0)
+      .filter(col("source") === "empty")
+      .select(col("n_copies")).collect().map(_.getLong(0))
+    assert(tOut.length === 3 && tOut.forall(_ === 4L),
+      s"temperature variant must cap a zero-token source: " +
+        tOut.mkString(","))
+  }
+
   test("temperatureAllocation: T=1 is proportional, larger T upsamples " +
       "low-resource sources") {
     // big: 200 docs x 20 tokens = 4000; small: 100 docs x 5 tokens = 500
