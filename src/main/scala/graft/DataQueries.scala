@@ -741,6 +741,28 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The t46 gate through the Bloom pre-filter, md5 family end to end:
+    * the corpus band index is summarized into an m=2^16, k=3 bit
+    * vector; incoming bands probe the broadcast vector map-side and
+    * only surviving bands reach the exact band-keyed semi-join. The
+    * oracle replays the bloom POSITION SET, the all-k-positions probe
+    * and the exact join — so a drifted position function, a dropped
+    * probe or a pre-filter that eats true positives all break the
+    * hash. Flags must equal t46's exactly (a Bloom filter has no false
+    * negatives; false positives only admit extra bands to the exact
+    * join). */
+  val t56NearDupGateBloom: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val incoming = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ",
+        slice(split(trim(col("text")), "\\s+"), 2, 1000000)).as("text"))
+    val idx = Dedup.nearDupIndexMd5(docs)
+    val bloom = Dedup.nearDupIndexBloomMd5(idx, m = 1 << 16, k = 3)
+    Dedup.nearDupFlagBloomedMd5(incoming, idx, bloom, m = 1 << 16, k = 3)
+      .select(col("doc_id").cast("long").as("doc_id"), col("is_near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-proportion stratified train/val/test split: per-source salted
     * md5 permutation cut at dyadic cumulative boundaries (0.75/0.875) —
     * the oracle recomputes rank, stratum size and the floor arithmetic,
@@ -886,6 +908,7 @@ object DataQueries {
     "t51_lm_by_lang" -> t51LmScoreByLang,
     "t52_epoch_allocation" -> t52EpochAllocation,
     "t53_temperature_allocation" -> t53TemperatureAllocation,
+    "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

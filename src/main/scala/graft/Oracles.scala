@@ -1960,6 +1960,34 @@ object Oracles {
         |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
         |ORDER BY inc.doc_id""".stripMargin),
 
+    // t46 through the Bloom pre-filter, replayed end to end: the index's
+    // distinct k=3 position set (first-32-bits-of-md5(band:hash:i) mod
+    // 2^16), the incoming bands' all-positions-present probe, then the
+    // exact band-keyed membership — flags must equal t46's exactly (a
+    // Bloom filter has no false negatives; false positives only admit
+    // extra bands to the exact join)
+    "t56_neardup_gate_bloom" ->
+      ("WITH " + minhashLshCtes + """,
+        |idx AS (SELECT DISTINCT b, bh FROM banded WHERE doc_id < 100000),
+        |bpos AS (SELECT DISTINCT
+        |    ('0x'||substr(md5(b::varchar||':'||bh||':'||i::varchar),1,8))::bigint
+        |      % 65536 AS p
+        |  FROM idx CROSS JOIN range(0,3) r(i)),
+        |probe AS (SELECT doc_id, b, bh,
+        |    ('0x'||substr(md5(b::varchar||':'||bh||':'||i::varchar),1,8))::bigint
+        |      % 65536 AS p
+        |  FROM banded CROSS JOIN range(0,3) r(i) WHERE doc_id >= 100000),
+        |pre AS (SELECT doc_id, b, bh FROM probe JOIN bpos USING (p)
+        |  GROUP BY 1, 2, 3 HAVING count(*) = 3),
+        |hits AS (SELECT DISTINCT pre.doc_id FROM pre
+        |  JOIN idx ON pre.b = idx.b AND pre.bh = idx.bh),
+        |inc AS (SELECT doc_id FROM d WHERE doc_id >= 100000)
+        |SELECT cast(inc.doc_id as bigint) AS doc_id,
+        | cast(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END as bigint)
+        |   AS is_near_dup
+        |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
+        |ORDER BY inc.doc_id""".stripMargin),
+
     // exact recomputation of the stratified split: per-source rank over
     // the salted md5 permutation, stratum size, and the dyadic floor
     // boundaries (0.75 / 0.875 — integer-exact in double for any n)

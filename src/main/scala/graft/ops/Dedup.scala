@@ -557,23 +557,41 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       i => pmod(xxhash64(band, bandHash, i), lit(m.toLong)))
 
+  /** md5-family twin of [[bloomPositions]] — cross-engine recomputable
+    * (the t56 oracle replays every position):
+    * pos_i = first-32-bits-of-md5(band ':' band_hash ':' i) mod m. */
+  private[graft] def bloomPositionsMd5(band: Column, bandHash: Column,
+                                       m: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => pmod(TextOps.md5U32(concat_ws(":", band.cast("string"),
+        bandHash.cast("string"), i.cast("string"))), lit(m.toLong)))
+
+  private def bloomOf(index: DataFrame, m: Int,
+                      pos: (Column, Column) => Column): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    index
+      .select(explode(pos(col("band"), col("band_hash"))).as("p"))
+      .distinct()
+      .as[Long]
+      .select(graft.functions.BloomBits.bits(m))
+      .toDF("bf")
+  }
+
   /** Bloom summary of a [[nearDupIndex]]: one m-element boolean vector
     * (1-row frame, default 1 MB at m = 2^20) covering every (band,
     * band_hash) the index holds — the broadcastable pre-filter for
     * miss-dominated ingest streams. Build once with the index; k and m
     * must match the probe side. */
   def nearDupIndexBloom(index: DataFrame, m: Int = 1 << 20,
-                        k: Int = 4): DataFrame = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    index
-      .select(explode(bloomPositions(col("band"), col("band_hash"), m, k))
-        .as("p"))
-      .distinct()
-      .as[Long]
-      .select(graft.functions.BloomBits.bits(m))
-      .toDF("bf")
-  }
+                        k: Int = 4): DataFrame =
+    bloomOf(index, m, bloomPositions(_, _, m, k))
+
+  /** md5-family twin of [[nearDupIndexBloom]] over a [[nearDupIndexMd5]]
+    * (the t56 oracle path — DuckDB rebuilds the same position set). */
+  def nearDupIndexBloomMd5(index: DataFrame, m: Int = 1 << 20,
+                           k: Int = 4): DataFrame =
+    bloomOf(index, m, bloomPositionsMd5(_, _, m, k))
 
   /** [[nearDupFlag]] with a Bloom pre-filter: exploded incoming bands
     * first probe the broadcast [[nearDupIndexBloom]] vector (a map-side
@@ -589,12 +607,38 @@ object Dedup {
                          idCol: String = "doc_id", textCol: String = "text",
                          bands: Int = 8, rowsPerBand: Int = 4,
                          shingleSize: Int = 3, m: Int = 1 << 20,
-                         k: Int = 4): DataFrame = {
+                         k: Int = 4): DataFrame =
+    nearDupFlagBloomedImpl(docs, index, bloom, idCol, textCol, bands,
+      rowsPerBand, shingleSize, bloomPositions(_, _, m, k),
+      md5Keys = false)
+
+  /** md5-family twin of [[nearDupFlagBloomed]] (band keys AND bloom
+    * positions from the md5 family — the t56 oracle replays the bloom
+    * build, the k-position probe and the exact semi-join end to end;
+    * flags still equal [[nearDupFlagMd5]]'s by the no-false-negatives
+    * argument). */
+  def nearDupFlagBloomedMd5(docs: DataFrame, index: DataFrame,
+                            bloom: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            shingleSize: Int = 3, m: Int = 1 << 20,
+                            k: Int = 4): DataFrame =
+    nearDupFlagBloomedImpl(docs, index, bloom, idCol, textCol, bands,
+      rowsPerBand, shingleSize, bloomPositionsMd5(_, _, m, k),
+      md5Keys = true)
+
+  private def nearDupFlagBloomedImpl(docs: DataFrame, index: DataFrame,
+                                     bloom: DataFrame, idCol: String,
+                                     textCol: String, bands: Int,
+                                     rowsPerBand: Int, shingleSize: Int,
+                                     pos: (Column, Column) => Column,
+                                     md5Keys: Boolean): DataFrame = {
     val pre = gateBands(docs, idCol, textCol, bands, rowsPerBand,
-        shingleSize, md5Keys = false)
+        shingleSize, md5Keys)
       .crossJoin(broadcast(bloom))
       .filter(forall(
-        bloomPositions(col("band"), col("band_hash"), m, k),
+        pos(col("band"), col("band_hash")),
         p => element_at(col("bf"), (p + 1).cast("int"))))
       .drop("bf")
     val hits = pre.join(index, Seq("band", "band_hash"), "left_semi")

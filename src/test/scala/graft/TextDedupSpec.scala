@@ -354,6 +354,16 @@ class TextDedupSpec extends SparkSpec {
       s"to the semi-join (m=$m)")
     assert(surviving < total / 2,
       s"pre-filter failed to cut miss volume: $surviving of $total")
+    // the md5-family twin (the t56 oracle path) obeys the same
+    // no-false-negatives equality against ITS exact gate, at the
+    // oracle's own (m=2^16, k=3) sizing
+    val idxMd5 = Dedup.nearDupIndexMd5(corpus).localCheckpoint()
+    val exactMd5 = flags(Dedup.nearDupFlagMd5(incoming, idxMd5))
+    val bloomMd5 = Dedup.nearDupIndexBloomMd5(idxMd5, m = 1 << 16, k = 3)
+      .localCheckpoint()
+    val gotMd5 = flags(Dedup.nearDupFlagBloomedMd5(incoming, idxMd5,
+      bloomMd5, m = 1 << 16, k = 3))
+    assert(gotMd5 === exactMd5, "md5-family bloomed gate diverged")
   }
 
   test("retainBest keeps exactly the best-scored member per cluster; " +
