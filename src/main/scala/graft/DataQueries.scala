@@ -741,6 +741,19 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic shard-shuffle of the corpus into 8 equal shards:
+    * global salted-md5 order, integer-exact contiguous cuts — the
+    * oracle replays the permutation rank, every cut boundary and the
+    * within-shard position, so one row in the wrong shard or position
+    * breaks the hash. */
+  val t55ShardShuffle: Q = (s, d) =>
+    TextOps.shardShuffle(
+        T.documents(s, d).select(col("doc_id"), col("source")), shards = 8)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        col("shard").cast("long").as("shard"),
+        col("pos_in_shard").cast("long").as("pos_in_shard"))
+      .orderBy(col("doc_id"))
+
   /** The t46 gate through the Bloom pre-filter, md5 family end to end:
     * the corpus band index is summarized into an m=2^16, k=3 bit
     * vector; incoming bands probe the broadcast vector map-side and
@@ -908,6 +921,7 @@ object DataQueries {
     "t51_lm_by_lang" -> t51LmScoreByLang,
     "t52_epoch_allocation" -> t52EpochAllocation,
     "t53_temperature_allocation" -> t53TemperatureAllocation,
+    "t55_shard_shuffle" -> t55ShardShuffle,
     "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
   )
 

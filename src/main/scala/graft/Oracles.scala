@@ -1960,6 +1960,22 @@ object Oracles {
         |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
         |ORDER BY inc.doc_id""".stripMargin),
 
+    // exact recomputation of the shard shuffle: global rank over the
+    // salted md5 permutation, then the floor(i*S/n) contiguous cuts and
+    // the ceil(s*n/S) shard starts — all integer division, so both
+    // engines agree on every boundary
+    "t55_shard_shuffle" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  row_number() OVER (
+        |    ORDER BY md5('shuffle'||cast(doc_id as varchar)), doc_id) AS rn,
+        |  count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT cast(doc_id as bigint) AS doc_id, source,
+        | cast(((rn - 1) * 8) // n as bigint) AS shard,
+        | cast((rn - 1) -
+        |   (((((rn - 1) * 8) // n) * n + 7) // 8) as bigint) AS pos_in_shard
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     // t46 through the Bloom pre-filter, replayed end to end: the index's
     // distinct k=3 position set (first-32-bits-of-md5(band:hash:i) mod
     // 2^16), the incoming bands' all-positions-present probe, then the

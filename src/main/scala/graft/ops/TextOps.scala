@@ -195,6 +195,58 @@ object TextOps {
     df.withColumn("split", label)
   }
 
+  /** Deterministic corpus shard-shuffle — the training-order
+    * randomization a mix egress ends with: rows are globally ordered by
+    * the salted md5 of their id (a deterministic uniform permutation —
+    * the same engine-replayable key discipline as [[stratifiedSplit]])
+    * and cut into `shards` contiguous, maximally equal shards
+    * (sizes differ by at most one row, the standard floor(i*S/n)
+    * partition). Returns every input row plus (shard, pos_in_shard);
+    * reading shards in order of (shard, pos_in_shard) replays the
+    * exact global hash order, so any engine — or a resumed training
+    * run — reproduces the identical document sequence. All the cut
+    * arithmetic is integer (div), so the t55 oracle replays it exactly.
+    *
+    * Scale shape: ONE global sort (a range-partitioned exchange on the
+    * 16-byte key) — the bounded-corpus path, exact shard equality.
+    * For corpus-sized inputs use [[hashShard]]: map-side assignment,
+    * no exchange, balanced in expectation. */
+  def shardShuffle(df: DataFrame, shards: Int, idCol: String = "doc_id",
+                   salt: String = "shuffle"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    df.withColumn("__rn",
+        row_number().over(Window.orderBy(key, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      // shard s covers global positions [ceil(s*n/S), ceil((s+1)*n/S));
+      // both bounds via integer div so every engine agrees on every cut
+      .withColumn("shard", expr(s"((__rn - 1) * $shards) div __n"))
+      .withColumn("pos_in_shard",
+        expr(s"(__rn - 1) - ((shard * __n + ${shards - 1}) div $shards)"))
+      .drop("__rn", "__n")
+  }
+
+  /** Shuffle-free scale twin of [[shardShuffle]] — the 100 TB path:
+    * shard = md5_u32(salt || id) mod `shards`, a pure per-row
+    * projection (no exchange, no window; the map-side discipline of
+    * [[hashSplit]]). Shards are balanced in expectation (~n^-1/2
+    * deviation) and the within-shard order key is returned
+    * (`shuffle_key`) so a writer lays each shard out in hash order
+    * with one `repartition(shard) + sortWithinPartitions` — global
+    * order then differs from [[shardShuffle]]'s only in interleaving
+    * BETWEEN shards, which training-order randomization does not care
+    * about. */
+  def hashShard(df: DataFrame, shards: Int, idCol: String = "doc_id",
+                salt: String = "shuffle"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard", pmod(md5U32(concat(lit(salt + ":shard"),
+        col(idCol).cast("string"))), lit(shards.toLong)))
+  }
+
   /** Corpus-wide exact line deduplication (C4-style boilerplate removal):
     * every distinct non-blank line is kept only at its first occurrence —
     * the (doc_id, line_no)-lowest — and removed everywhere else; blank

@@ -331,6 +331,52 @@ class TextQualitySpec extends SparkSpec {
         s"$m1 / $m2 / $m4")
   }
 
+  test("shardShuffle: equal contiguous shards, deterministic, covering; " +
+      "hashShard twin is map-side and balanced") {
+    // 103 rows into 8 shards: 103 = 8*12 + 7, so exactly seven shards
+    // of 13 and one of 12 — the floor(i*S/n) partition's guarantee
+    val df = spark.range(1, 104).select(col("id").as("doc_id"))
+    val out = TextOps.shardShuffle(df, shards = 8).localCheckpoint()
+    val sizes = out.groupBy(col("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (0L until 8L).toSet)
+    assert(sizes.values.toSeq.sorted === Seq(12L, 13L, 13L, 13L, 13L,
+      13L, 13L, 13L), s"unbalanced: $sizes")
+    // positions are contiguous 0..size-1 within every shard
+    val posOk = out.groupBy(col("shard"))
+      .agg(min(col("pos_in_shard")).as("mn"), max(col("pos_in_shard")).as("mx"),
+        count(lit(1)).as("n"), count_distinct(col("pos_in_shard")).as("nd"))
+      .collect()
+    posOk.foreach { r =>
+      assert(r.getAs[Long]("mn") === 0L &&
+        r.getAs[Long]("mx") === r.getAs[Long]("n") - 1 &&
+        r.getAs[Long]("nd") === r.getAs[Long]("n"), r.toString)
+    }
+    // reading (shard, pos) order replays the global hash order exactly
+    val byShardPos = out.orderBy(col("shard"), col("pos_in_shard"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val byHash = df.orderBy(
+        md5(concat(lit("shuffle"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(byShardPos === byHash)
+    // it IS a shuffle: the permutation differs from id order
+    assert(byHash !== byHash.sorted)
+    // deterministic on re-run
+    val again = TextOps.shardShuffle(df, shards = 8)
+    assert(out.except(again).count() === 0L && again.except(out).count() === 0L)
+    // the scale twin: no exchange/window anywhere in the plan (pure
+    // per-row projection), and balance within Bernoulli tolerance
+    val hs = TextOps.hashShard(df, shards = 8)
+    val plan = hs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"hashShard must be map-side only:\n$plan")
+    val hsSizes = hs.groupBy(col("shard")).count()
+      .collect().map(_.getLong(1))
+    assert(hsSizes.forall(n => n > 0 && n < 40),
+      s"hashShard badly unbalanced: ${hsSizes.mkString(",")}")
+  }
+
   test("lmScoreByLang: each doc scores against its own language's model") {
     // en model from doc1 only, fr model from doc2 only — the language
     // key must keep the two count tables fully separate:
