@@ -741,6 +741,34 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated-substring removal on planted boilerplate:
+    * a 13-token license sentence is grafted onto two thirds of the
+    * corpus — as a PREFIX SEPARATED BY A NEWLINE on doc_id%3==0 (the
+    * span crosses a line boundary, which line dedup cannot see) and as
+    * a suffix on doc_id%3==1; doc_id%3==2 is the untouched control.
+    * Every boilerplate token must be excised (all its 5-gram windows
+    * recur corpus-wide). The fixture vocabulary is deliberately tiny,
+    * so ORGANIC 5-gram recurrences across >= 3 docs flag too — the
+    * corpus-frequency machinery is exercised on real collisions, not
+    * only the plant; the oracle replays the construction, shingle
+    * document-frequencies, run coverage and reassembly
+    * token-for-token (the surgical-excision demonstration on crafted
+    * text lives in TextDedupSpec). */
+  val t54RepeatedSubstring: Q = (s, d) => {
+    val boiler = "this software is provided as is without any express " +
+      "or implied warranty of merchantability"
+    val docs = T.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          concat(lit(boiler), lit("\n"), col("text")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" "), lit(boiler)))
+        .otherwise(col("text")).as("text"))
+    TextOps.repeatedNgramRemovalMd5(docs, n = 5, minDocs = 3)
+      .select(col("doc_id").cast("long").as("doc_id"), col("clean_text"),
+        col("n_kept"), col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic shard-shuffle of the corpus into 8 equal shards:
     * global salted-md5 order, integer-exact contiguous cuts — the
     * oracle replays the permutation rank, every cut boundary and the
@@ -921,6 +949,7 @@ object DataQueries {
     "t51_lm_by_lang" -> t51LmScoreByLang,
     "t52_epoch_allocation" -> t52EpochAllocation,
     "t53_temperature_allocation" -> t53TemperatureAllocation,
+    "t54_repeated_substring" -> t54RepeatedSubstring,
     "t55_shard_shuffle" -> t55ShardShuffle,
     "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
   )
@@ -983,6 +1012,20 @@ object DataQueries {
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("cvec"))
       Dedup.semanticDedup(big, cents, tau = 0.99)
+    }),
+    // t54's repeated-substring removal on the xxhash64 digest family:
+    // same planted corpus, 8-byte gram digests instead of md5 hex on
+    // every exchanged row — the family a cluster would run
+    "x54_repeated_substring_scale" -> ((s, d) => {
+      val boiler = "this software is provided as is without any express " +
+        "or implied warranty of merchantability"
+      val docs = T.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit(boiler), lit("\n"), col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" "), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      TextOps.repeatedNgramRemoval(docs, n = 5, minDocs = 3)
     }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions

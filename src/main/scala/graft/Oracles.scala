@@ -1960,6 +1960,37 @@ object Oracles {
         |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
         |ORDER BY inc.doc_id""".stripMargin),
 
+    // exact recomputation of the repeated-substring removal: the planted
+    // corpus, positional 5-gram md5 digests, document frequency >= 3,
+    // coverage = union of flagged [pos, pos+4] windows, reassembly of
+    // uncovered tokens in order — token-for-token
+    "t54_repeated_substring" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'this software is provided as is without any express or implied warranty of merchantability' || chr(10) || text
+        |         WHEN doc_id % 3 = 1 THEN text || ' ' || 'this software is provided as is without any express or implied warranty of merchantability'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS lt FROM d),
+        |p AS (SELECT doc_id, lt,
+        |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |f AS (SELECT dg FROM g GROUP BY dg HAVING count(DISTINCT doc_id) >= 3),
+        |cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS cp
+        |  FROM g JOIN f USING (dg) CROSS JOIN range(0,5) r(j)),
+        |tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p2 FROM tok),
+        |kt AS (SELECT tp.doc_id, p2, tp.t[p2] AS w FROM tp
+        |  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.p2
+        |  WHERE cov.cp IS NULL),
+        |a AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p2) AS clean_text,
+        |    count(*) AS nk FROM kt GROUP BY 1)
+        |SELECT cast(tok.doc_id as bigint) AS doc_id,
+        | coalesce(a.clean_text, '') AS clean_text,
+        | cast(coalesce(a.nk, 0) as bigint) AS n_kept,
+        | cast(len(tok.t) - coalesce(a.nk, 0) as bigint) AS n_removed
+        |FROM tok LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // exact recomputation of the shard shuffle: global rank over the
     // salted md5 permutation, then the floor(i*S/n) contiguous cuts and
     // the ceil(s*n/S) shard starts — all integer division, so both

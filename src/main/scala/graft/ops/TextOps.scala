@@ -195,6 +195,110 @@ object TextOps {
     df.withColumn("split", label)
   }
 
+  /** (doc_id, pos, dg) word-n-gram rows with the 0-based START position
+    * of every window — the positional form of [[ngramRows]] that
+    * [[repeatedNgramRemoval]] needs to excise runs. Same codegen-only
+    * construction (shifted slices + arrays_zip + posexplode, no
+    * interpreted HOFs on the corpus path); gram keys are lowercased,
+    * digests md5 (cross-engine) or xxhash64 (scale family). */
+  private def gramPositionRows(docs: DataFrame, n: Int, idCol: String,
+                               textCol: String,
+                               md5Keys: Boolean): DataFrame = {
+    val withToks = docs.select(col(idCol).as("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("__t"))
+    val slices = (0 until n).map(i =>
+      slice(col("__t"), i + 1, 1 << 30).as(s"__s$i"))
+    val zipped = withToks.select(col("doc_id"), arrays_zip(slices: _*).as("__a"))
+      .select(col("doc_id"), posexplode(col("__a")))
+      .filter(col(s"col.__s${n - 1}").isNotNull)
+    val fields = (0 until n).map(i => col(s"col.__s$i"))
+    val dg = if (md5Keys) md5(concat_ws(" ", fields: _*))
+             else xxhash64(fields: _*)
+    zipped.select(col("doc_id"), col("pos"), dg.as("dg"))
+  }
+
+  /** Cross-document repeated-substring removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" §4,
+    * re-expressed relationally at word-shingle granularity): any word
+    * `n`-gram occurring in >= `minDocs` DISTINCT documents is
+    * boilerplate; every token covered by a flagged window is excised
+    * and each document reassembled from its surviving tokens in order.
+    * Overlapping and adjacent flagged windows merge into maximal runs
+    * automatically (coverage is a position-set union), so a reflowed
+    * license block or navigation chrome is cut as one span wherever it
+    * sits — including ACROSS line boundaries, the case [[lineDedup]]
+    * (line-aligned) and the MinHash/SimHash family (whole-document)
+    * both miss. Windows straddling a boilerplate/unique boundary are
+    * per-document unique, so they never flag and excision cannot eat
+    * into surrounding unique text beyond the shared span itself.
+    *
+    * Output is the normalized token stream (tokens joined by single
+    * spaces — what a tokenizer consumes; original intra-token case is
+    * preserved, gram matching is case-insensitive):
+    * (doc_id, clean_text, n_kept, n_removed). Deterministic and
+    * SQL-expressible — the t54 oracle replays shingle counts, run
+    * detection and excision term-for-term.
+    *
+    * Scale shape — one digest-keyed discipline, NO suffix arrays, no
+    * per-partition collects: the corpus-side gram explode is map-side
+    * and carries (id, pos, digest) rows only; corpus-wide frequency is
+    * ONE digest-keyed aggregate (map-side partial count of distinct
+    * per-doc gram rows); flagged positions come back through a
+    * digest-keyed semi-join; coverage is a doc-keyed aggregate over
+    * FLAGGED rows only (boilerplate-sized, bounded per doc by token
+    * count); and document text moves exactly once, in the final
+    * doc-keyed join that projects kept tokens by index. */
+  def repeatedNgramRemoval(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    repeatedNgramRemovalImpl(docs, n, minDocs, idCol, textCol,
+      md5Keys = false)
+
+  /** md5-family twin of [[repeatedNgramRemoval]] (the t54 oracle path —
+    * DuckDB recomputes the same digests). The xxhash64 family is the
+    * scale path; family parity on fixture corpora is spec-guarded
+    * (TextDedupSpec). */
+  def repeatedNgramRemovalMd5(docs: DataFrame, n: Int = 5,
+                              minDocs: Int = 2, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame =
+    repeatedNgramRemovalImpl(docs, n, minDocs, idCol, textCol,
+      md5Keys = true)
+
+  private def repeatedNgramRemovalImpl(docs: DataFrame, n: Int,
+                                       minDocs: Int, idCol: String,
+                                       textCol: String,
+                                       md5Keys: Boolean): DataFrame = {
+    require(n > 0, "shingle width must be positive")
+    require(minDocs > 1, "minDocs < 2 would flag every gram")
+    val grams = gramPositionRows(docs, n, idCol, textCol, md5Keys)
+    // document frequency per digest; a gram repeated WITHIN one doc
+    // counts once (distinct doc_id) — the cross-document rule
+    val flagged = grams.groupBy(col("dg"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("dg"))
+    // covered 1-based token positions per doc: union of [pos+1, pos+n]
+    // over flagged window starts — collect_set merges overlaps into
+    // maximal runs; only flagged rows reach this aggregate
+    val covered = grams.join(flagged, Seq("dg"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + n)).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("cp")).as("__cov"))
+    docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("__cov",
+        coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"),
+          (_, i) => !array_contains(col("__cov"), i + 1)), " ")
+          .as("clean_text"),
+        (size(col("__toks")) - size(col("__cov"))).cast("long")
+          .as("n_kept"),
+        size(col("__cov")).cast("long").as("n_removed"))
+  }
+
   /** Deterministic corpus shard-shuffle — the training-order
     * randomization a mix egress ends with: rows are globally ordered by
     * the salted md5 of their id (a deterministic uniform permutation —

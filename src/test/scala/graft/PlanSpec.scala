@@ -214,6 +214,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t54: repeated-substring removal is cartesian-free digest-keyed " +
+      "work — no window over corpus text, text joins back once by doc id") {
+    val p = plan("t54_repeated_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // survivorship is aggregates + equi-joins; no corpus-wide sort-window
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      p.take(2000))
+    // with broadcast disabled every join degrades to a keyed shuffle
+    // join — the digest/doc_id-keyed discipline, nothing data-sized
+    // broadcast by necessity
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p2 = plan("t54_repeated_substring")
+      assert(!p2.contains("BroadcastExchange") &&
+        !p2.contains("CartesianProduct") &&
+        (p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin")),
+        p2.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t47: the stratified split is window-only — no join anywhere") {
     val p = plan("t47_stratified_split")
     assert(!p.contains("Join"), p.take(2000))

@@ -366,6 +366,61 @@ class TextDedupSpec extends SparkSpec {
     assert(gotMd5 === exactMd5, "md5-family bloomed gate diverged")
   }
 
+  test("repeatedNgramRemoval excises a REFLOWED license block across " +
+      "line boundaries and keeps every unique token") {
+    import spark.implicits._
+    // the same 13-token license block embedded in three docs with
+    // DIFFERENT line breaks (not line-aligned — lineDedup cannot see
+    // it) and unique text around it; a fourth doc has no block
+    val lic = Seq("permission", "is", "hereby", "granted", "free", "of",
+      "charge", "to", "any", "person", "obtaining", "a", "copy")
+    def reflow(breakAfter: Set[Int]): String =
+      lic.zipWithIndex.map { case (w, i) =>
+        if (breakAfter(i)) w + "\n" else w + " " }.mkString.trim
+    val docs = Seq(
+      (1L, "alpha bravo charlie\n" + reflow(Set(5)) + "\ndelta echo foxtrot"),
+      (2L, "golf hotel india juliet " + reflow(Set(2, 9)) + " kilo lima"),
+      (3L, reflow(Set(7)) + "\nmike november oscar papa"),
+      (4L, "quebec romeo sierra tango uniform victor"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repeatedNgramRemoval(docs, n = 4, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("alpha bravo charlie delta echo foxtrot", 6L, 13L)))
+    assert(out(2L) === (("golf hotel india juliet kilo lima", 6L, 13L)))
+    assert(out(3L) === (("mike november oscar papa", 4L, 13L)))
+    // the block-free doc is byte-identical (it had no internal newlines)
+    assert(out(4L) === (("quebec romeo sierra tango uniform victor", 6L, 0L)))
+    // minDocs=5 > block frequency: nothing flags, every doc comes back
+    // whitespace-normalized but complete
+    val none = TextOps.repeatedNgramRemoval(docs, n = 4, minDocs = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(none.values.forall(_ === 0L))
+  }
+
+  test("repeatedNgramRemoval: xxhash64 scale family == md5 oracle family " +
+      "on the planted fixture corpus") {
+    val boiler = "this software is provided as is without any express " +
+      "or implied warranty of merchantability"
+    val docs = graft.etl.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit(boiler), lit("\n"), col("text")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" "), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+    val md5Out = TextOps.repeatedNgramRemovalMd5(docs, n = 5, minDocs = 3)
+    val xxOut = TextOps.repeatedNgramRemoval(docs, n = 5, minDocs = 3)
+    assert(md5Out.except(xxOut).count() === 0L &&
+      xxOut.except(md5Out).count() === 0L,
+      "hash families disagree on survivorship")
+    // the plant is actually exercised: every planted doc lost at least
+    // the 13 boilerplate tokens
+    val planted = md5Out.join(docs.select(col("doc_id")), Seq("doc_id"))
+      .filter(col("doc_id") % 3 < 2)
+    assert(planted.filter(col("n_removed") < 13).count() === 0L)
+  }
+
   test("retainBest keeps exactly the best-scored member per cluster; " +
       "unpaired docs survive as their own cluster") {
     import spark.implicits._
