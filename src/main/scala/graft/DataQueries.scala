@@ -1013,6 +1013,41 @@ object DataQueries {
           col("embedding").as("cvec"))
       Dedup.semanticDedup(big, cents, tau = 0.99)
     }),
+    // t38's PQ encode 8x past fixture scale: the corpus x broadcast-
+    // codebook expansion with the map-side min(struct) argmin — 16k
+    // vectors x 4 subspaces x ~81 codewords of the native L2 kernel
+    "x38_pq_encode_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
+      Similarity.pqEncode(big, cb, m = 4)
+    }),
+    // t40's IVF-PQ composed search at the 16k regime: 128 coarse lists
+    // (~125 vectors each), nprobe=3, candidates scanned as codes only;
+    // k=8 exceeds the 7 identical replicas per vector, so the last
+    // slot is a genuinely searched neighbor (recall pinned in ScaleSpec)
+    "x40_ivf_pq_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      val queries = big.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      val cents = big.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
+      Similarity.ivfPqTopK(big, queries, cents, cb, m = 4, k = 8,
+        nprobe = 3)
+    }),
+    // t45's residual-encoded IVF-PQ at the same regime: per-probed-list
+    // query tables against residual-trained codebooks
+    "x45_ivf_pq_residual_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      val queries = big.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      val cents = big.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+      val cb = Similarity.ivfPqResidualCodebooks(big, cents, m = 4,
+        every = 200)
+      Similarity.ivfPqResidualTopK(big, queries, cents, cb, m = 4, k = 8,
+        nprobe = 3)
+    }),
     // t54's repeated-substring removal on the xxhash64 digest family:
     // same planted corpus, 8-byte gram digests instead of md5 hex on
     // every exchanged row — the family a cluster would run

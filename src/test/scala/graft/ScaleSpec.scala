@@ -170,6 +170,66 @@ class ScaleSpec extends SparkSpec {
         f"$x30k8%.3f>$x29k8%.3f")
   }
 
+  test("PQ-family ADC recall at the benched 16k regime is measured and " +
+      "floored (the x38/x40/x45 frames)") {
+    import graft.ops.Similarity
+    val sf = "/root/testdata/sf0.1"
+    // the EXACT x40/x45 benched shape: sf0.1 replicated 8x, 8 distinct
+    // queries, 128 coarse lists, m=4 codebooks sampled every 200
+    val big = DataQueries.scaledEmbeddings(spark, sf, copies = 8)
+    val queries = big.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      .localCheckpoint()
+    val cents = big.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .localCheckpoint()
+    val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
+      .localCheckpoint()
+    val cbRes = Similarity.ivfPqResidualCodebooks(big, cents, m = 4,
+      every = 200).localCheckpoint()
+    // exact squared-L2 ground truth for the 8 queries (ADC approximates
+    // L2; a cosine baseline would mix metrics), same neighbor_id tiebreak
+    val k = 8
+    val l2 = aggregate(zip_with(col("__qv"), col("__cv"), (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val exact = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__qv")))
+      .crossJoin(big.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(l2, col("neighbor_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nExact = exact.count()
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.intersect(approx.select(col("query_id"), col("neighbor_id")))
+        .count().toDouble / nExact
+    val rPq = recallOf(Similarity.pqTopK(big, queries, cb, m = 4, k = k))
+    val rIvf = recallOf(Similarity.ivfPqTopK(big, queries, cents, cb,
+      m = 4, k = k, nprobe = 3))
+    val rRes = recallOf(Similarity.ivfPqResidualTopK(big, queries, cents,
+      cbRes, m = 4, k = k, nprobe = 3))
+    info(f"16k-frame ADC recall@$k: pq $rPq%.3f, ivfPq $rIvf%.3f, " +
+      f"residual ivfPq $rRes%.3f")
+    // structural floor: each query has 7 identical replicas at exact
+    // distance 0 sharing its codes and coarse list — correct encode,
+    // probe and tiebreak machinery MUST return all 7 (56 of the 64
+    // ground-truth slots = 0.875); only the genuinely searched 8th slot
+    // is corpus-quality-dependent. Measured: exactly 0.875 for all
+    // three paths (the 8th slot misses on the near-random fixture —
+    // m=4 ADC's single-slot hit rate there is ~the t38 family's 0.08
+    // fixture recall, consistent with 0/8 queries landing it). A broken
+    // table join, probe set or argmin collapses these to ~chance,
+    // which is what the floor trips.
+    assert(rPq >= 0.875, f"pqTopK lost replica slots: $rPq%.3f")
+    assert(rIvf >= 0.875, f"ivfPqTopK lost replica slots: $rIvf%.3f")
+    assert(rRes >= 0.875, f"residual ivfPqTopK lost replica slots: $rRes%.3f")
+  }
+
   test("writeFactByMonth enables partition pruning on the month") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
     val fact = Seq((1L, 20250115L, 10.0), (2L, 20250220L, 20.0),
