@@ -895,6 +895,36 @@ object DataQueries {
         col("n_tokens").cast("long").as("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** Semantic ingest gate, batch parity shape (the s07 stream's
+    * per-microbatch screen): the frozen index is the corpus assigned to
+    * the t33/t44 coarse quantizer (every-50th-vector centroids); the
+    * incoming batch mixes the t44 perturbed twins (+0.001 on dim 0 at
+    * id+100000 — same cluster as their original, cosine ~1, must flag 1)
+    * with NEGATED vectors at id+200000 (cosine −1 to their original and
+    * far from every list mate — must flag 0 unless a genuine >= tau mate
+    * exists, which the oracle decides). The oracle recomputes BOTH
+    * assignment passes and the within-list cosine screen, so a flag
+    * sourced from outside the incoming vector's list — or an incoming
+    * vector probing a different list than the gate assigns — breaks the
+    * hash. */
+  val t57SemanticGate: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val index = Dedup.semanticIndex(emb, centroids)
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+        .as("embedding"))
+    val negated = emb.select((col("vec_id") + 200000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    Dedup.semanticDupFlag(twins.unionByName(negated), index, centroids,
+        tau = 0.99)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("is_semantic_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -952,6 +982,7 @@ object DataQueries {
     "t54_repeated_substring" -> t54RepeatedSubstring,
     "t55_shard_shuffle" -> t55ShardShuffle,
     "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
+    "t57_semantic_gate" -> t57SemanticGate,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2035,6 +2035,47 @@ object Oracles {
         |FROM inc LEFT JOIN hits h ON inc.doc_id = h.doc_id
         |ORDER BY inc.doc_id""".stripMargin),
 
+    // exact recomputation of the semantic ingest gate (the s07 stream's
+    // per-microbatch screen): the frozen index = t44's corpus-assignment
+    // CTE (same -cosine/centroid_id argmin), the incoming batch (t44
+    // twins at +100000 UNION negated vectors at +200000) assigned by the
+    // SAME rule, then the within-list >= 0.99 screen — a flag sourced
+    // from outside the incoming vector's list, or an incoming vector
+    // probing a different list than the gate assigns, breaks the hash
+    "t57_semantic_gate" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |idx AS (SELECT vec_id, embedding, centroid_id FROM sc WHERE rn = 1),
+        |inc AS (
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_concat([embedding[1] + 0.001::REAL], embedding[2:])
+        |      AS embedding
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id,
+        |    list_transform(embedding, x -> -x) AS embedding
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM inc CROSS JOIN c),
+        |qa AS (SELECT vec_id, embedding, centroid_id FROM qs WHERE rn = 1),
+        |h AS (SELECT DISTINCT q.vec_id FROM qa q JOIN idx i
+        |  ON q.centroid_id = i.centroid_id
+        |  WHERE list_cosine_similarity(cast(q.embedding as double[]),
+        |    cast(i.embedding as double[])) >= 0.99)
+        |SELECT cast(a.vec_id as bigint) AS vec_id,
+        | cast(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END as bigint)
+        |   AS is_semantic_dup
+        |FROM qa a LEFT JOIN h ON a.vec_id = h.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     // exact recomputation of the stratified split: per-source rank over
     // the salted md5 permutation, stratum size, and the dyadic floor
     // boundaries (0.75 / 0.875 — integer-exact in double for any n)

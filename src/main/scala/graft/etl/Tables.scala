@@ -293,6 +293,27 @@ object Tables {
     })
   }
 
+  /** Re-materialize the embeddings fixture as `parts` equal parquet
+    * files — the multi-file layout the streaming semantic ingest gate
+    * (s07) paces through one file per microbatch, the embedding-corpus
+    * twin of [[exportedDocsParts]]. Written once per fixture version. */
+  def exportedEmbsParts(s: SparkSession, d: String,
+                        parts: Int = 8): String = {
+    val key = (d, "embeddings", s"parts$parts", fixtureMtime(d, "embeddings"))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "embeddings" &&
+          k._3 == s"parts$parts" && k != key)
+        .foreach(exportMemo.remove)
+      val path = s"$cacheRoot/embs_parts${parts}_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      materialize(path) { tmp =>
+        embeddings(s, d).repartition(parts)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    })
+  }
+
   /** Re-materialize selected columns of a parquet fixture as a CSV or
     * JSON-lines copy (the non-parquet-source test bed: the copy is written
     * by Spark once per fixture version, then read back through [[csv]] /

@@ -765,4 +765,56 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Frozen semantic ingest index — the embedding-modality twin of
+    * [[nearDupIndex]]: the corpus assigned to its coarse-quantizer lists
+    * ([[Similarity.ivfAssign]] against a small broadcast centroid table,
+    * [[Similarity.kmeansCentroids]]-trained or any (centroid_id, cvec)
+    * frame), one (id, vec, centroid_id) row per corpus vector. Build
+    * once, materialize (localCheckpoint / parquet), then screen every
+    * incoming batch against it with [[semanticDupFlag]] — the same
+    * build-once/probe-forever discipline as the MinHash band index. */
+  def semanticIndex(corpus: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding",
+                    cidCol: String = "centroid_id",
+                    cvecCol: String = "cvec"): DataFrame =
+    Similarity.ivfAssign(corpus, centroids, idCol, vecCol, cidCol, cvecCol)
+
+  /** Semantic near-dup ingest gate — [[semanticDedup]]'s screen applied
+    * at ingest, the embedding-modality twin of [[nearDupFlag]]: each
+    * incoming vector is assigned to its nearest centroid (the exact
+    * argmin the index build used) and flagged 1 iff ANY index vector in
+    * the SAME list sits at cosine >= `tau`. Returns every input row
+    * plus `is_semantic_dup` 0/1. Centroids must be the frame the index
+    * was built with — a gate probing different lists than the index's
+    * silently loses recall.
+    *
+    * Scale shape: the centroid table broadcasts twice (assign pass on
+    * each side at build/probe time); the incoming batch and the
+    * (corpus-sized, never broadcast) index meet in ONE centroid_id-keyed
+    * shuffle join, so candidates are bounded by list populations —
+    * never all-pairs — and the tau screen cuts them before the distinct;
+    * only (id) rows cross the flag join back. Stateless across batches:
+    * the streaming runner ([[graft.streaming.Streams]].runSemanticGateOnce)
+    * applies it per-microbatch against the frozen index (StreamingSpec
+    * pins paced == batch; t57 oracle; benched as s07). */
+  def semanticDupFlag(vecs: DataFrame, index: DataFrame,
+                      centroids: DataFrame, tau: Double,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      cidCol: String = "centroid_id",
+                      cvecCol: String = "cvec"): DataFrame = {
+    val assigned =
+      Similarity.ivfAssign(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+    val hits = assigned
+      .select(col(cidCol), col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      .join(index.select(col(cidCol), col(vecCol).as("__iv")), Seq(cidCol))
+      .filter(Similarity.cosine(col("__qv"), col("__iv")) >= tau)
+      .select(col("__qid")).distinct()
+      .withColumn("__hit", lit(1L))
+    vecs.join(hits, vecs(idCol) === hits("__qid"), "left")
+      .select(vecs.columns.map(vecs(_)) :+
+        coalesce(col("__hit"), lit(0L)).as("is_semantic_dup"): _*)
+  }
 }

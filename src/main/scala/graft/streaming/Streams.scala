@@ -96,6 +96,24 @@ object Streams {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir)
 
+  /** Embedding schema for the paced ingest stream (matches the
+    * embeddings fixture / `Tables.exportedEmbsParts` layout). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Paced file-source stream over a directory of embedding parquet
+    * parts (as written by `Tables.exportedEmbsParts`): `filesPerTrigger`
+    * files per microbatch — the ingest shape the s07 semantic gate
+    * screens. */
+  def embsStreamPaced(spark: SparkSession, dir: String,
+                      filesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(dir)
+
   /** Streaming ingest quality gate: per-source document counts, the
     * decimal-exact mean quality score, total PII matches, and an `alarm`
     * flag when mean quality sinks under `minQuality` or PII incidence
@@ -494,6 +512,38 @@ object Streams {
         sink(graft.ops.Dedup.nearDupFlag(batch, index,
           bands = bands, rowsPerBand = rowsPerBand,
           shingleSize = shingleSize))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming semantic ingest gate — the s05 discipline applied to the
+    * embedding modality: incoming vectors are screened per microbatch
+    * against a FROZEN coarse-quantizer index
+    * ([[graft.ops.Dedup.semanticIndex]], built once and materialized)
+    * with the within-cluster cosine threshold, each row emerging with an
+    * `is_semantic_dup` flag. The per-doc flag needs an aggregate over
+    * the batch's candidate pairs, so the gate runs the documented Spark
+    * shape for stream-static screening with per-batch joins:
+    * `foreachBatch`, applying the batch gate
+    * ([[graft.ops.Dedup.semanticDupFlag]]) to every microbatch — each
+    * batch is one centroid_id-keyed join against the index, stateless
+    * across batches, and the paced stream's union must equal the batch
+    * gate over the same files (StreamingSpec-pinned; benched as s07).
+    * `centroids` MUST be the frame `index` was built with. `sink`
+    * receives each flagged microbatch (the bench passes a noop writer;
+    * a deployment appends kept rows to the ingest table). */
+  def runSemanticGateOnce(spark: SparkSession, dir: String,
+                          index: DataFrame, centroids: DataFrame,
+                          sink: DataFrame => Unit,
+                          tau: Double = 0.99,
+                          filesPerTrigger: Int = 1): Unit = {
+    val q = embsStreamPaced(spark, dir, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Dedup.semanticDupFlag(batch, index, centroids, tau))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -200,6 +200,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t57: the semantic gate's index join shuffles on the list key — " +
+      "only the hinted centroid table broadcasts, never the index") {
+    // with auto-broadcast off, the only broadcast left is the explicitly
+    // hinted centroid table (bounded by the list count); the incoming
+    // batch and the corpus-sized index must meet in a centroid_id-keyed
+    // shuffle join, and the flag join-back shuffles on the id
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t57_semantic_gate")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t46: the near-dup gate joins shuffle on the band key with NOTHING " +
       "broadcast — the index is corpus-sized at scale") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

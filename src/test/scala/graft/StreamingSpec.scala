@@ -143,6 +143,55 @@ class StreamingSpec extends SparkSpec {
     assert(flags(900002L) === 0L, "fresh doc must pass the gate")
   }
 
+  test("semanticGate: paced foreachBatch stream == batch gate; perturbed " +
+      "twin flags, negated vector passes") {
+    import graft.ops.Dedup
+    // the s07 bench shape: paced embeddings assigned per microbatch to
+    // the frozen coarse quantizer and screened within-list against the
+    // static assigned-corpus index of the ORIGINAL embeddings
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEmbsParts(spark, d, parts = 4)
+    val emb = graft.etl.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .localCheckpoint()
+    val idx = Dedup.semanticIndex(emb, cents).localCheckpoint()
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    Streams.runSemanticGateOnce(spark, parts, idx, cents,
+      b => got += b.select(col("vec_id"), col("is_semantic_dup"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.flatten.sortBy(_._1)
+    val batch = Dedup
+      .semanticDupFlag(graft.etl.Tables.embeddings(spark, d), idx, cents,
+        tau = 0.99)
+      .select(col("vec_id"), col("is_semantic_dup"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(paced == batch,
+      "paced per-microbatch gate must equal the batch gate on the same files")
+    // the stream here IS the corpus, so every vector collides with its
+    // own index row at cosine 1
+    assert(paced.nonEmpty && paced.forall(_._2 == 1L),
+      "re-ingesting the indexed corpus must flag every vector")
+    // planted semantics on a disjoint incoming frame: a +0.001 perturbed
+    // twin of a corpus vector flags (same list, cosine ~1); its NEGATED
+    // vector (cosine -1 to the original, far from every list mate) passes
+    val incoming = emb.filter(col("vec_id") === 0L)
+      .select(lit(900001L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x))
+          .as("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(900002L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+    val flags = Dedup.semanticDupFlag(incoming, idx, cents, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags(900001L) === 1L,
+      "perturbed twin must flag against the index")
+    assert(flags(900002L) === 0L, "negated vector must pass the gate")
+  }
+
   test("driftMonitor: paced stream == batch; shifted source drifts, " +
       "stable source and profile match don't; new source always drifts") {
     // paced == batch over the real fixture (the s06 bench shape), with
