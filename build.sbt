@@ -23,6 +23,31 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Bench's driver contract wants its compact JSON record to be the LAST
+// stdout line of the sbt invocation, but the forked bench JVM exits
+// before sbt prints its "[success] Total time…" epilogue. Bench hands
+// the line over via target/bench_last_line.json; this JVM shutdown
+// hook (registered in the SBT process at project load) prints it raw
+// as sbt itself exits — after the epilogue — then deletes the file so
+// unrelated sbt invocations never replay a stale record.
+// (sbt evaluates .sbt expressions more than once, so several hooks can
+// register and they all run CONCURRENTLY at shutdown — the atomic
+// rename makes exactly one of them win and print.)
+val benchLastLineEcho: Thread = {
+  val t = new Thread(() => {
+    val f = new java.io.File("target/bench_last_line.json")
+    val claimed = new java.io.File(
+      s"target/bench_last_line.${Thread.currentThread.getId}.claimed")
+    if (f.exists && f.renameTo(claimed)) {
+      val src = scala.io.Source.fromFile(claimed, "UTF-8")
+      val line = try src.mkString.trim finally src.close()
+      claimed.delete()
+      if (line.nonEmpty) println(line)
+    }
+  })
+  java.lang.Runtime.getRuntime.addShutdownHook(t)
+  t
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -444,7 +444,7 @@ object Bench {
     var passes = Vector.empty[Pass]
     var pass = 0
     var continue = true
-    while (continue && pass < reps) {
+    def runPass(): Double = {
       pass += 1
       val w0 = System.nanoTime()
       // host-health calibration at pass START and again at pass END
@@ -480,12 +480,33 @@ object Bench {
       println(passLine)
       passLines :+= passLine
       writeSummary(None)
-      if (wall > budgetSec && pass < reps) {
+      wall
+    }
+    var lastWall = 0.0
+    while (continue && pass < reps) {
+      lastWall = runPass()
+      if (lastWall > budgetSec && pass < reps) {
         System.err.println(
-          s"[bench] pass $pass took ${wall}s > ${budgetSec}s budget; " +
+          s"[bench] pass $pass took ${lastWall}s > ${budgetSec}s budget; " +
             s"downshifting from $reps to $pass passes")
         continue = false
       }
+    }
+    // Noise guard (round-9 verdict: pass 1 ran on a degrading host and
+    // left 1.5-2x artifacts on sub-second queries that the min-of-2
+    // couldn't erase): when any completed pass's host_factor drifted
+    // >10% between its start and end kernels, the per-query mins carry
+    // mid-pass host noise — run ONE extra pass so the min has a stable
+    // pass to draw from. Only when the normal reps completed (no budget
+    // downshift — a dying host gets no extra work) and at most once.
+    def drifted(p: Pass): Boolean =
+      p.hostFactor > 0 && p.hostFactorEnd > 0 &&
+        math.abs(p.hostFactorEnd / p.hostFactor - 1.0) > 0.10
+    if (continue && reps > 1 && pass == reps && lastWall <= budgetSec &&
+        passes.exists(drifted)) {
+      System.err.println(s"[bench] host_factor drifted >10% within a " +
+        s"pass; running one noise-guard extra pass (min-of-${reps + 1})")
+      runPass()
     }
 
     // -1 rescue for single-pass records (round-7 post-mortem: when the
@@ -559,10 +580,15 @@ object Bench {
     def topOf(rs: Seq[(String, Double)], n: Int): Seq[(String, Double)] =
       rs.filter(_._2 >= 0).sortBy(-_._2).take(n)
         .map { case (k, v) => k -> r3(v) }
+    // n_failed counts across ALL THREE families, so n_total does too —
+    // a consumer computing a failure rate divides matching populations
+    // (n_queries stays the gated count, the denominator of "value")
     val compactLine =
       s"""{"metric":"total","value":${r3(sumOk(results))},"unit":"sec",""" +
       s""""reps":$pass,"host_factor":${r3(bestFactor)},""" +
       s""""n_queries":${results.size},""" +
+      s""""n_total":${results.size + scaleResults.size +
+        streamingResults.size},""" +
       s""""n_failed":${(results ++ scaleResults ++ streamingResults)
         .count(_._2 < 0)},""" +
       s""""scale_total":${r3(sumOk(scaleResults))},""" +
@@ -570,6 +596,20 @@ object Bench {
       s""""top_queries":${jsonMap(topOf(results, 8))},""" +
       s""""detail":"$summaryPath","sf":"$sfDir"}"""
     println(compactLine)
+    // The driver parses the LAST stdout line of the sbt invocation, but
+    // the bench runs in a forked JVM and sbt prints its "[success]
+    // Total time…" epilogue AFTER this process exits — so nothing
+    // printed here can be the last line. Hand the compact record to the
+    // sbt process instead: build.sbt's Global/onUnload hook reads this
+    // file and prints it raw during sbt shutdown, after the epilogue.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last_line.json"),
+      (compactLine + "\n").getBytes("UTF-8"))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] last-line handoff failed: " +
+          s"${e.getMessage}")
+    }
     spark.stop()
   }
 }
