@@ -137,6 +137,9 @@ object Bench {
       // I/O too
       graft.etl.Tables.exportedEventsParts(spark, sfDir)
       graft.etl.Tables.exportedDocsParts(spark, sfDir)
+      // the split PQ scale benches' frozen corpus/centroids/codebooks:
+      // trained once here so x40/x45 search entries time pure search
+      DataQueries.warmPqStatics(spark, sfDir)
       hostKernelSec(spark) // JIT the calibration kernel itself
       ()
     } catch {

@@ -1052,32 +1052,44 @@ object DataQueries {
       val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
       Similarity.pqEncode(big, cb, m = 4)
     }),
-    // t40's IVF-PQ composed search at the 16k regime: 128 coarse lists
-    // (~125 vectors each), nprobe=3, candidates scanned as codes only;
-    // k=8 exceeds the 7 identical replicas per vector, so the last
-    // slot is a genuinely searched neighbor (recall pinned in ScaleSpec)
-    "x40_ivf_pq_scale" -> ((s, d) => {
-      val big = scaledEmbeddings(s, d, copies = 8)
-      val queries = big.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
-      val cents = big.filter(col("vec_id") % 125 === 0)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("cvec"))
-      val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
-      Similarity.ivfPqTopK(big, queries, cents, cb, m = 4, k = 8,
+    // t40's IVF-PQ at the 16k regime, TRAINING only: the sampled
+    // codebook pass over the shared pre-materialized corpus — timed
+    // fresh each pass so a training-path regression has its own number
+    // (round-9 verdict: the combined entry's search cost was masked
+    // inside a training-dominated total)
+    "x40_ivf_pq_train" -> ((s, d) =>
+      Similarity.pqCodebooksFromSample(pqStatics(s, d).big, m = 4,
+        every = 200)),
+    // t40's IVF-PQ composed SEARCH at the 16k regime against the frozen
+    // warm-up-trained codebooks: 128 coarse lists (~125 vectors each),
+    // nprobe=3, candidates scanned as codes only; k=8 exceeds the 7
+    // identical replicas per vector, so the last slot is a genuinely
+    // searched neighbor (recall pinned in ScaleSpec). Includes the
+    // corpus assign+encode passes — the per-search cost of the raw-
+    // corpus API — but no training
+    "x40_ivf_pq_search" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      Similarity.ivfPqTopK(st.big, queries, st.cents, st.cb, m = 4, k = 8,
         nprobe = 3)
     }),
-    // t45's residual-encoded IVF-PQ at the same regime: per-probed-list
-    // query tables against residual-trained codebooks
-    "x45_ivf_pq_residual_scale" -> ((s, d) => {
-      val big = scaledEmbeddings(s, d, copies = 8)
-      val queries = big.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
-      val cents = big.filter(col("vec_id") % 125 === 0)
-        .select(col("vec_id").as("centroid_id"),
-          col("embedding").as("cvec"))
-      val cb = Similarity.ivfPqResidualCodebooks(big, cents, m = 4,
+    // t45's residual-encoded IVF-PQ, TRAINING only: assign + residual
+    // pass + sampled codebooks over the residual space
+    "x45_ivf_pq_residual_train" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      Similarity.ivfPqResidualCodebooks(st.big, st.cents, m = 4,
         every = 200)
-      Similarity.ivfPqResidualTopK(big, queries, cents, cb, m = 4, k = 8,
-        nprobe = 3)
+    }),
+    // t45's residual-encoded IVF-PQ SEARCH at the same regime against
+    // the frozen residual codebooks: per-probed-list query tables,
+    // probed-list-restricted candidates
+    "x45_ivf_pq_residual_search" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      Similarity.ivfPqResidualTopK(st.big, queries, st.cents, st.cbr,
+        m = 4, k = 8, nprobe = 3)
     }),
     // t54's repeated-substring removal on the xxhash64 digest family:
     // same planted corpus, 8-byte gram digests instead of md5 hex on
@@ -1107,6 +1119,37 @@ object DataQueries {
         .orderBy(col("est").desc, col("ngram")).limit(20)
     }),
   )
+
+  /** Frozen statics for the split PQ train/search scale benches: the
+    * shared 16k corpus, its 128-list coarse centroids, and the plain +
+    * residual codebooks, all localCheckpointed. Built ONCE untimed
+    * (Bench warm-up calls [[warmPqStatics]]; a dev-filtered run builds
+    * lazily inside the first entry that needs them) so the search
+    * entries time pure search order-independently while the train
+    * entries time a fresh training run each pass. Deliberately NOT
+    * cleared by [[clearStagingCache]]: a deployment trains its index
+    * long before any search runs, so per-pass cold staging does not
+    * apply to the index side. */
+  private case class PqStatics(big: DataFrame, cents: DataFrame,
+                               cb: DataFrame, cbr: DataFrame)
+  private val pqStaticsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, PqStatics]
+  private def pqStatics(s: SparkSession, d: String): PqStatics =
+    pqStaticsMemo.getOrElseUpdate(d, {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      val cents = big.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+        .localCheckpoint()
+      PqStatics(big, cents,
+        Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
+          .localCheckpoint(),
+        Similarity.ivfPqResidualCodebooks(big, cents, m = 4, every = 200)
+          .localCheckpoint())
+    })
+  private[graft] def warmPqStatics(s: SparkSession, d: String): Unit = {
+    pqStatics(s, d); ()
+  }
 
   /** The sf embedding frame replicated `copies`x with distinct ids —
     * the scale harness for x29/x30 (replicas keep their vector, so bucket
