@@ -920,6 +920,42 @@ object TextOps {
     docs.sparkSession.read.parquet(path)
   }
 
+  /** Shard-shuffled mix egress — the opt-in final stage that finishes
+    * what [[shardShuffle]] opened: the same deterministic mix as
+    * [[writeTrainingMix]], laid out as `shards` shard=N directories in
+    * training order instead of bucket directories. Shard assignment and
+    * the within-shard order key come from [[hashShard]] (map-side md5,
+    * no global sort), and each shard directory is written in
+    * `shuffle_key` order by ONE `repartition(shard) +
+    * sortWithinPartitions` — so a trainer (or a resumed run) reading a
+    * shard's rows in file order replays the documented hash order, and
+    * the only exchange in the plan is the shard repartition. The
+    * `shuffle_key` rides along in the payload as the order's audit
+    * trail. The sibling manifest and [[auditTrainingMix]] work
+    * unchanged: they key on the (bucket, bin) DATA columns, which the
+    * sharded layout carries like any other field. */
+  def writeTrainingMixSharded(docs: DataFrame, path: String,
+                              capPerSource: Int, rate: Column,
+                              salt: String, capacity: Int,
+                              buckets: Int = 8, shards: Int = 8,
+                              idCol: String = "doc_id",
+                              textCol: String = "text",
+                              sourceCol: String = "source"): DataFrame = {
+    val out = mixFrame(docs, capPerSource, rate, salt, capacity, buckets,
+      idCol, textCol, sourceCol)
+    hashShard(out, shards, idCol, salt = salt + ":shuffle")
+      .repartition(shards, col("shard"))
+      // shard leads the sort so the partitioned writer's required
+      // ordering (partition columns first) is already satisfied —
+      // otherwise FileFormatWriter inserts its own shard-only sort and
+      // destroys the shuffle_key order this layout exists to persist
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    mixManifest(out).coalesce(1)
+      .write.mode("overwrite").parquet(path + "_manifest")
+    docs.sparkSession.read.parquet(path)
+  }
+
   /** The deterministic mix frame (doc_id, bucket, bin, n_tokens,
     * source) — the computation [[writeTrainingMix]] materializes and
     * [[repairTrainingMix]] recomputes for damaged buckets. */

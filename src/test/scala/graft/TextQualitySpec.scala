@@ -115,6 +115,46 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("writeTrainingMixSharded: same mix as the bucket layout, audit " +
+      "passes, and per-shard file order replays hashShard's order") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"src${i % 3}", Seq.fill((i % 7).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mix_shard").toString
+    val back = TextOps.writeTrainingMixSharded(docs, dir, capPerSource = 20,
+      rate = lit(0.5), salt = "s", capacity = 10, buckets = 4, shards = 4)
+    // the mix is the SAME mix as writeTrainingMix (same salt/inputs) —
+    // sharding only changes the layout, never membership
+    val bucketDir =
+      java.nio.file.Files.createTempDirectory("mix_bucket").toString
+    val bucketed = TextOps.writeTrainingMix(docs, bucketDir,
+      capPerSource = 20, rate = lit(0.5), salt = "s", capacity = 10,
+      buckets = 4)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      bucketed.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // the audit contract survives the sharded layout unchanged
+    assert(TextOps.auditTrainingMix(spark, dir)
+      .filter(!col("ok")).count() === 0)
+    // shard assignment and within-shard file order replay the public
+    // hashShard twin exactly: reading shard s's rows in file order IS
+    // the documented (shuffle_key, doc_id) hash order
+    val hs = TextOps.hashShard(back.select("doc_id").distinct(),
+        shards = 4, salt = "s:shuffle")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number]("shard").longValue(),
+        r.getAs[String]("shuffle_key"))).toMap
+    (0 until 4).foreach { s =>
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val members = hs.filter(_._2._1 == s).keys.toSeq
+      assert(got.toSet === members.toSet,
+        s"shard $s membership diverged from hashShard")
+      val expected = members.sortBy(id => (hs(id)._2, id))
+      assert(got === expected,
+        s"shard $s file order is not the documented hash order")
+    }
+  }
+
   test("auditTrainingMix: clean layout audits ok; a dropped partition " +
       "surfaces as ok=false") {
     val docs = (1L to 100L).map(i =>
