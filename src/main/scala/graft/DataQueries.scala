@@ -1105,6 +1105,35 @@ object DataQueries {
           .otherwise(col("text")).as("text"))
       TextOps.repeatedNgramRemoval(docs, n = 5, minDocs = 3)
     }),
+    // the reference's heaviest real shape (Seg:74-75: the 12-month
+    // trailing window over the full fact; Seg:211's ~9M-patron
+    // backfill regime) rehearsed at 10x patron scale on the
+    // month-partitioned layout: the window predicate prunes to 12 of
+    // ~80 month directories (ScaleSpec proves the file count), then the
+    // Seg two-level decimal aggregate runs over the pruned months only
+    // — partition pruning + AQE doing at 10x exactly what they would do
+    // at 100 TB. The fact export is one-time I/O (Bench warm-up)
+    "x34_seg_window_scale" -> ((s, d) => {
+      val copies = 10
+      val root = graft.etl.Tables.exportedSegFactByMonth(s, d, copies)
+      val fact = s.read.parquet(root)
+        .where(col("date_month").between(199709, 199808))
+      val dimZip = T.nation(s, d).join(broadcast(T.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("GeographyID"),
+          col("r_name").as("SalesTerritory"),
+          col("n_name").as("DIN_DisplayMiniMarketName"))
+      // the replicated patron population, every replica high-value —
+      // the same id arithmetic the fact export used
+      val dup = T.customer(s, d)
+        .select(col("c_custkey"),
+          explode(sequence(lit(0), lit(copies - 1))).as("__i"))
+        .select((col("c_custkey") * copies + col("__i"))
+          .as("UniquePatronId"), lit(1).as("IsHighValue"))
+      val mm = graft.pipelines.Segmentation.minimarketSpend(fact, dimZip,
+        dup, 19970901L, 19980831L)
+      graft.pipelines.Segmentation.spendRatios(mm)
+    }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions
     // regardless of vocabulary (t36's exact count stays the oracle path;

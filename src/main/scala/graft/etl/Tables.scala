@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Fixture / warehouse readers.
@@ -289,6 +289,51 @@ object Tables {
       materialize(path) { tmp =>
         documents(s, d).repartition(parts)
           .write.mode("overwrite").parquet(tmp)
+      }
+    })
+  }
+
+  /** The Seg fact (lineitem⋈orders⋈supplier projection — the
+    * [[graft.CoreQueries]] segStaging shape) replicated `copies`x with
+    * distinct patron ids and laid out as date_month=yyyyMM partition
+    * directories ([[Scale.writeFactByMonth]]'s layout) — the 100 TB
+    * fact posture for the reference's heaviest real shape, the
+    * 12-month trailing window over the full fact (Seg:74-75, ~9M-patron
+    * backfill Seg:211). Replicas multiply the patron population, not
+    * the calendar, so the month layout and any window's selectivity
+    * are scale-invariant. Written once per fixture version; read back
+    * with `spark.read.parquet(root)` so a DateKey-window predicate
+    * prunes whole month directories (ScaleSpec proves the file count;
+    * benched as x34). */
+  def exportedSegFactByMonth(s: SparkSession, d: String,
+                             copies: Int = 10): String = {
+    val ver = Seq("lineitem", "orders", "supplier")
+      .map(fixtureMtime(d, _)).max
+    val key = (d, "segfact", s"bymonth$copies", ver)
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "segfact" &&
+          k._3 == s"bymonth$copies" && k != key)
+        .foreach(exportMemo.remove)
+      val path = s"$cacheRoot/segfact_bymonth${copies}_${ver.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      materialize(path) { tmp =>
+        val fact = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("o_custkey").as("UniquePatronId"),
+            col("s_nationkey").as("GeographyID"),
+            Ops.dateKey(col("o_orderdate")).as("DateKey"),
+            col("l_extendedprice").cast("decimal(18,4)").as("Amount"))
+        (0 until copies).map(i =>
+            fact.select(
+              (col("UniquePatronId") * copies + i).as("UniquePatronId"),
+              col("GeographyID"), col("DateKey"), col("Amount")))
+          .reduce(_ unionByName _)
+          .withColumn("date_month", (col("DateKey") / 100).cast("int"))
+          .repartition(col("date_month"))
+          .write.mode("overwrite").partitionBy("date_month").parquet(tmp)
       }
     })
   }

@@ -20,6 +20,43 @@ class ScaleSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("x34: the 12-month trailing window prunes the 10x " +
+      "month-partitioned fact to its anchored month directories") {
+    val d = "/root/testdata/sf0.001"
+    val root = graft.etl.Tables.exportedSegFactByMonth(spark, d, copies = 10)
+    val all = spark.read.parquet(root)
+    val totalMonths = all.select("date_month").distinct().count()
+    assert(totalMonths >= 60,
+      s"fixture should span a multi-year calendar, saw $totalMonths months")
+    val win = all.where(col("date_month").between(199709, 199808))
+    val winMonths = win.select("date_month").distinct().count()
+    assert(winMonths === 12L)
+    // the window predicate must land on the scan as a partition filter,
+    // pruning directories before any data is read
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("date_month"), plan.take(1500))
+    // and the executed scan touches only the window's directories: the
+    // export wrote one file per month (repartition on the partition
+    // column), so the distinct files actually read must track the
+    // window's 12 months, not the table's ~80
+    val files = win.select(input_file_name()).distinct().count()
+    assert(files <= winMonths * 2,
+      s"read $files files for $winMonths month directories — pruning lost")
+    // replication preserved the calendar: the window's row count is
+    // exactly 10x the base fact's rows in the same DateKey span
+    val base = graft.etl.Tables.lineitem(spark, d)
+      .join(graft.etl.Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(graft.etl.Tables.supplier(spark, d),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(graft.etl.Ops.dateKey(col("o_orderdate"))
+        .between(19970901L, 19980831L))
+      .count()
+    assert(win.where(col("DateKey").between(19970901L, 19980831L)).count()
+      === base * 10)
+  }
+
   test("bucketed tables sort-merge join with no exchange") {
     val a = spark.range(1000).select(col("id").as("k"),
       (col("id") * 2).as("va"))
