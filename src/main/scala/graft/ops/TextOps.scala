@@ -285,17 +285,27 @@ object TextOps {
         explode(sequence(col("pos") + 1, col("pos") + n)).as("cp"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("cp")).as("__cov"))
+    // reassembly is O(tokens + covered) per doc: kept positions come
+    // from ONE array_except (hash-set membership, ascending order
+    // preserved), then a direct index projection — a per-token
+    // array_contains over the covered set would be O(tokens x covered),
+    // quadratic for a large fully-boilerplate doc. The per-doc covered
+    // array is bounded by the doc's own token count (the same order as
+    // the text row it sits next to), so the single aggregate row adds
+    // no new memory class.
     docs.select(col(idCol).as("doc_id"),
         split(trim(col(textCol)), "\\s+").as("__toks"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("__cov",
         coalesce(col("__cov"), array().cast("array<int>")))
+      // split("") yields [""], so __toks is never empty and the
+      // ascending sequence(1, n) is always well-formed
+      .withColumn("__kept",
+        array_except(sequence(lit(1), size(col("__toks"))), col("__cov")))
       .select(col("doc_id"),
-        array_join(filter(col("__toks"),
-          (_, i) => !array_contains(col("__cov"), i + 1)), " ")
-          .as("clean_text"),
-        (size(col("__toks")) - size(col("__cov"))).cast("long")
-          .as("n_kept"),
+        array_join(transform(col("__kept"),
+          p => element_at(col("__toks"), p)), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
         size(col("__cov")).cast("long").as("n_removed"))
   }
 
@@ -312,21 +322,34 @@ object TextOps {
     * arithmetic is integer (div), so the t55 oracle replays it exactly.
     *
     * Scale shape: ONE global sort (a range-partitioned exchange on the
-    * 16-byte key) — the bounded-corpus path, exact shard equality.
-    * For corpus-sized inputs use [[hashShard]]: map-side assignment,
-    * no exchange, balanced in expectation. */
+    * 16-byte key), the row count riding in as a broadcast scalar — the
+    * BOUNDED-CORPUS path, exact shard equality. This path serializes
+    * the permutation through a single sorted pass by construction, so
+    * it guards itself: more than `maxRows` input rows fail the job
+    * with a pointer at [[hashShard]] (map-side assignment, no
+    * exchange, balanced in expectation — the mandatory form for
+    * corpus-sized inputs; [[writeTrainingMixSharded]] uses it). */
   def shardShuffle(df: DataFrame, shards: Int, idCol: String = "doc_id",
-                   salt: String = "shuffle"): DataFrame = {
+                   salt: String = "shuffle",
+                   maxRows: Long = 100000000L): DataFrame = {
     require(shards > 0, "shards must be positive")
     val key = md5(concat(lit(salt), col(idCol).cast("string")))
+    // the count joins in as a broadcast one-row frame instead of a
+    // second unbounded window — one fewer whole-corpus window pass
+    val n = df.agg(count(lit(1)).as("__n"))
     df.withColumn("__rn",
         row_number().over(Window.orderBy(key, col(idCol))))
-      .withColumn("__n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+      .crossJoin(broadcast(n))
       // shard s covers global positions [ceil(s*n/S), ceil((s+1)*n/S));
-      // both bounds via integer div so every engine agrees on every cut
-      .withColumn("shard", expr(s"((__rn - 1) * $shards) div __n"))
+      // both bounds via integer div so every engine agrees on every cut.
+      // assert_true (null when passing) is woven into the always-kept
+      // shard column so column pruning can never drop the guard
+      .withColumn("shard",
+        when(assert_true(col("__n") <= maxRows,
+            lit(s"shardShuffle is the bounded-corpus exact path (one " +
+              s"global sort); input exceeds $maxRows rows — use " +
+              "hashShard, the exchange-free twin")).isNull,
+          expr(s"((__rn - 1) * $shards) div __n")))
       .withColumn("pos_in_shard",
         expr(s"(__rn - 1) - ((shard * __n + ${shards - 1}) div $shards)"))
       .drop("__rn", "__n")

@@ -415,6 +415,13 @@ class TextQualitySpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(hsSizes.forall(n => n > 0 && n < 40),
       s"hashShard badly unbalanced: ${hsSizes.mkString(",")}")
+    // the bounded-corpus guard: an input past maxRows fails the job
+    // with the hashShard pointer instead of silently serializing
+    val boom = intercept[Exception] {
+      TextOps.shardShuffle(df, shards = 8, maxRows = 10).collect()
+    }
+    assert(String.valueOf(boom.getMessage).contains("hashShard") ||
+      String.valueOf(boom.getCause).contains("hashShard"), boom.toString)
   }
 
   test("lmScoreByLang: each doc scores against its own language's model") {
