@@ -925,6 +925,40 @@ object DataQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The t57 gate's recall knob exercised on a PLANTED boundary corpus
+    * where probe depth visibly changes the answer (t57's twins
+    * co-assign with their originals, so any probe depth gives the same
+    * flags there — useless for pinning the probe machinery): each
+    * incoming vector is its corpus original pulled toward centroid 0
+    * (m = o + 0.75·c0, float arithmetic both engines replay exactly).
+    * m's NEAREST list is c0's, where nothing reaches tau (cos(m, c0) ≈
+    * 0.6 < 0.75); its >= tau mate o sits in whatever list ranks
+    * SECOND, so the flag is decided by the probe ranking itself — on
+    * this fixture 50 vectors flag at nprobe=1, 317 at nprobe=2, 401 at
+    * nprobe=3, with every compare cosine >= 0.0034 from the threshold.
+    * The oracle replays the blend, both assignment rankings (rn <= 2)
+    * and the within-probed-list screen — one probe too many or too
+    * few, or a wrong tiebreak, moves dozens of flags and breaks the
+    * hash. SimilaritySpec pins the hand-built boundary-twin case and
+    * nprobe monotonicity. */
+  val t58SemanticGateProbed: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val index = Dedup.semanticIndex(emb, centroids)
+    val c0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("__d"))
+    val incoming = emb.crossJoin(broadcast(c0))
+      .select((col("vec_id") + 300000L).as("vec_id"),
+        zip_with(col("embedding"), col("__d"),
+          (x, y) => x + lit(0.75f) * y).as("embedding"))
+    Dedup.semanticDupFlagProbed(incoming, index, centroids,
+        tau = 0.75, nprobe = 2)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("is_semantic_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -983,6 +1017,7 @@ object DataQueries {
     "t55_shard_shuffle" -> t55ShardShuffle,
     "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
     "t57_semantic_gate" -> t57SemanticGate,
+    "t58_semantic_gate_probed" -> t58SemanticGateProbed,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

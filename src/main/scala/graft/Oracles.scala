@@ -2076,6 +2076,44 @@ object Oracles {
         |FROM qa a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // the probed gate on the planted boundary corpus: each incoming
+    // vector = its original pulled toward centroid 0 (float blend both
+    // engines compute identically), whose nearest list holds nothing
+    // >= tau while its true mate sits in the SECOND-ranked list — so
+    // the flags are decided by the probe ranking (rn <= 2) itself; one
+    // probe too many or too few, or a wrong tiebreak, moves dozens of
+    // flags and breaks the hash
+    "t58_semantic_gate_probed" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c0 AS (SELECT embedding AS d FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings CROSS JOIN c),
+        |idx AS (SELECT vec_id, embedding, centroid_id FROM sc WHERE rn = 1),
+        |inc AS (SELECT vec_id + 300000 AS vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> cast(embedding[i] + 0.75::REAL * d[i] as REAL))
+        |      AS embedding
+        |  FROM embeddings CROSS JOIN c0),
+        |qs AS (SELECT vec_id, embedding, centroid_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY
+        |      -list_cosine_similarity(cast(embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM inc CROSS JOIN c),
+        |qp AS (SELECT vec_id, embedding, centroid_id FROM qs WHERE rn <= 2),
+        |h AS (SELECT DISTINCT q.vec_id FROM qp q JOIN idx i
+        |  ON q.centroid_id = i.centroid_id
+        |  WHERE list_cosine_similarity(cast(q.embedding as double[]),
+        |    cast(i.embedding as double[])) >= 0.75)
+        |SELECT cast(a.vec_id as bigint) AS vec_id,
+        | cast(CASE WHEN h.vec_id IS NULL THEN 0 ELSE 1 END as bigint)
+        |   AS is_semantic_dup
+        |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
     // exact recomputation of the stratified split: per-source rank over
     // the salted md5 permutation, stratum size, and the dyadic floor
     // boundaries (0.75 / 0.875 — integer-exact in double for any n)

@@ -817,4 +817,44 @@ object Dedup {
       .select(vecs.columns.map(vecs(_)) :+
         coalesce(col("__hit"), lit(0L)).as("is_semantic_dup"): _*)
   }
+
+  /** Multi-probe form of [[semanticDupFlag]] — the gate's recall knob:
+    * an incoming vector near a Voronoi boundary can quantize to a
+    * DIFFERENT list than its corpus twin and slip through the one-list
+    * screen; probing the `nprobe` nearest lists (the [[Similarity.ivfTopK]]
+    * probe rule: rank by -cosine, centroid_id tiebreak) closes exactly
+    * that gap. nprobe=1 reproduces [[semanticDupFlag]]'s flags; the
+    * flagged set grows monotonically with nprobe (spec-pinned), reaching
+    * the exhaustive within-tau screen at nprobe=lists.
+    *
+    * Scale shape: identical to the 1-probe gate except the incoming
+    * side carries nprobe rows per vector into the SAME centroid_id-keyed
+    * shuffle join — candidates are the union of the probed lists'
+    * populations, still never all-pairs, and the index side is
+    * untouched (no rebuild to change nprobe). t58 oracle; the probe
+    * ranking window partitions by incoming id (batch-sized, never
+    * corpus-wide). */
+  def semanticDupFlagProbed(vecs: DataFrame, index: DataFrame,
+                            centroids: DataFrame, tau: Double,
+                            nprobe: Int = 2,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            cidCol: String = "centroid_id",
+                            cvecCol: String = "cvec"): DataFrame = {
+    val probes = vecs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", -Similarity.cosine(col("__qv"), col(cvecCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__d"), col(cidCol))))
+      .filter(col("__rn") <= nprobe)
+      .select(col(cidCol), col("__qid"), col("__qv"))
+    val hits = probes
+      .join(index.select(col(cidCol), col(vecCol).as("__iv")), Seq(cidCol))
+      .filter(Similarity.cosine(col("__qv"), col("__iv")) >= tau)
+      .select(col("__qid")).distinct()
+      .withColumn("__hit", lit(1L))
+    vecs.join(hits, vecs(idCol) === hits("__qid"), "left")
+      .select(vecs.columns.map(vecs(_)) :+
+        coalesce(col("__hit"), lit(0L)).as("is_semantic_dup"): _*)
+  }
 }

@@ -635,4 +635,48 @@ class SimilaritySpec extends SparkSpec {
     assert(comps.filter(col("comp") >= 100000L).count() === 0L,
       "component label must be the original's (min) id")
   }
+
+  test("semanticDupFlagProbed: boundary twin missed at nprobe=1 is caught " +
+      "at nprobe=2; nprobe=1 == semanticDupFlag; flags grow monotonically") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // hand-built Voronoi boundary case — the gap the probe knob exists
+    // for: centroids at 0° and 36.87°, corpus vector at 17° (quantizes
+    // to c1), incoming twin at 20° (quantizes to c2, 3° = cosine 0.9986
+    // from its corpus twin). One probe screens the wrong list and
+    // misses; two probes reach the twin's list and flag.
+    val corpus = Seq((1L, Array(0.95630f, 0.29237f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Array(1f, 0f)), (20L, Array(0.8f, 0.6f)))
+      .toDF("centroid_id", "cvec")
+    val idx = Dedup.semanticIndex(corpus, cents)
+    val incoming = Seq((100L, Array(0.93969f, 0.34202f)))
+      .toDF("vec_id", "embedding")
+    def flags(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(flags(Dedup.semanticDupFlag(incoming, idx, cents, tau = 0.99))
+      === Map(100L -> 0L), "one-list gate must miss the boundary twin")
+    assert(flags(Dedup.semanticDupFlagProbed(incoming, idx, cents,
+      tau = 0.99, nprobe = 1)) === Map(100L -> 0L))
+    assert(flags(Dedup.semanticDupFlagProbed(incoming, idx, cents,
+      tau = 0.99, nprobe = 2)) === Map(100L -> 1L),
+      "two probes must reach the corpus twin's list")
+    // fixture scale: nprobe=1 reproduces the base gate exactly, and the
+    // flagged set grows monotonically with nprobe
+    val cents2 = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val idx2 = Dedup.semanticIndex(emb, cents2).localCheckpoint()
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i === 0, x + lit(0.001f)).otherwise(x)).as("embedding"))
+      .localCheckpoint()
+    val base = flags(Dedup.semanticDupFlag(twins, idx2, cents2, tau = 0.99))
+    val p1 = flags(Dedup.semanticDupFlagProbed(twins, idx2, cents2,
+      tau = 0.99, nprobe = 1))
+    val p2 = flags(Dedup.semanticDupFlagProbed(twins, idx2, cents2,
+      tau = 0.99, nprobe = 2))
+    assert(p1 === base, "nprobe=1 must reproduce the one-list gate")
+    assert(p1.forall { case (id, f) => f <= p2(id) },
+      "flags must grow monotonically with nprobe")
+  }
 }
