@@ -534,16 +534,25 @@ object Streams {
     * gate over the same files (StreamingSpec-pinned; benched as s07).
     * `centroids` MUST be the frame `index` was built with. `sink`
     * receives each flagged microbatch (the bench passes a noop writer;
-    * a deployment appends kept rows to the ingest table). */
+    * a deployment appends kept rows to the ingest table). `nprobe > 1`
+    * runs the multi-probe gate
+    * ([[graft.ops.Dedup.semanticDupFlagProbed]]) — the recall knob for
+    * Voronoi-boundary twins, raised without touching the index. */
   def runSemanticGateOnce(spark: SparkSession, dir: String,
                           index: DataFrame, centroids: DataFrame,
                           sink: DataFrame => Unit,
                           tau: Double = 0.99,
-                          filesPerTrigger: Int = 1): Unit = {
+                          filesPerTrigger: Int = 1,
+                          nprobe: Int = 1): Unit = {
     val q = embsStreamPaced(spark, dir, filesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.ops.Dedup.semanticDupFlag(batch, index, centroids, tau))
+        sink(
+          if (nprobe > 1)
+            graft.ops.Dedup.semanticDupFlagProbed(batch, index, centroids,
+              tau, nprobe)
+          else
+            graft.ops.Dedup.semanticDupFlag(batch, index, centroids, tau))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -190,6 +190,20 @@ class StreamingSpec extends SparkSpec {
     assert(flags(900001L) === 1L,
       "perturbed twin must flag against the index")
     assert(flags(900002L) === 0L, "negated vector must pass the gate")
+    // the runner's probe knob: paced nprobe=2 == batch probed gate
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    Streams.runSemanticGateOnce(spark, parts, idx, cents,
+      b => got2 += b.select(col("vec_id"), col("is_semantic_dup"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))),
+      nprobe = 2)
+    val paced2 = got2.flatten.sortBy(_._1)
+    val batch2 = Dedup
+      .semanticDupFlagProbed(graft.etl.Tables.embeddings(spark, d), idx,
+        cents, tau = 0.99, nprobe = 2)
+      .select(col("vec_id"), col("is_semantic_dup"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(paced2 == batch2,
+      "paced multi-probe gate must equal the batch probed gate")
   }
 
   test("driftMonitor: paced stream == batch; shifted source drifts, " +
