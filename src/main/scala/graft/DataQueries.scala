@@ -959,6 +959,35 @@ object DataQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** C4 line-rule cleaning on a planted multi-line corpus: every doc
+    * gets an unpunctuated header (dropped: terminal-punctuation rule),
+    * its own text as a period-terminated body (kept iff >= 5 words —
+    * the fixture's length spread exercises both outcomes), a
+    * too-short line (dropped: word floor), a javascript line (dropped:
+    * blocklist) and a surviving closer; doc_id%7==0 docs also carry a
+    * "lorem ipsum {" line, tripping BOTH page screens (the line itself
+    * dies on the punctuation rule). The oracle replays the
+    * construction and all three line rules plus the page screens
+    * character-for-character. */
+  val t59C4LineFilter: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("Shared promo header with no terminal punctuation\n"),
+        trim(col("text")), lit(".\n"),
+        lit("too short.\n"),
+        lit("This line mentions javascript so the blocklist must " +
+          "drop it.\n"),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum {\n"))
+          .otherwise(lit("")),
+        lit("A final good line with enough words to survive the filter."))
+        .as("text"))
+    TextOps.c4LineFilter(docs, minWords = 5)
+      .select(col("doc_id").cast("long").as("doc_id"), col("clean_text"),
+        col("n_kept"), col("n_removed"),
+        col("page_ok").cast("long").as("page_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1018,6 +1047,7 @@ object DataQueries {
     "t56_neardup_gate_bloom" -> t56NearDupGateBloom,
     "t57_semantic_gate" -> t57SemanticGate,
     "t58_semantic_gate_probed" -> t58SemanticGateProbed,
+    "t59_c4_line_filter" -> t59C4LineFilter,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2114,6 +2114,41 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact replay of the C4 line rules on the planted corpus: the
+    // same concatenated construction, then per line — last character
+    // in the terminal set, >= 5 whitespace tokens, no blocklist phrase
+    // — plus the page-level lorem-ipsum/brace screens; reassembly and
+    // counts must match byte-for-byte
+    "t59_c4_line_filter" ->
+      """WITH d AS (SELECT doc_id,
+        |    'Shared promo header with no terminal punctuation' || chr(10) ||
+        |    trim(text) || '.' || chr(10) ||
+        |    'too short.' || chr(10) ||
+        |    'This line mentions javascript so the blocklist must drop it.'
+        |      || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum {' || chr(10)
+        |      ELSE '' END ||
+        |    'A final good line with enough words to survive the filter.'
+        |      AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+        |  FROM d),
+        |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+        |    list_filter(ls, x ->
+        |      right(trim(x), 1) IN ('.', '!', '?', '"')
+        |      AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(x)), 'javascript')
+        |      AND NOT contains(lower(trim(x)), 'cookie policy')) AS kept
+        |  FROM l)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        | array_to_string(kept, chr(10)) AS clean_text,
+        | cast(len(kept) as bigint) AS n_kept,
+        | cast(n_lines - len(kept) as bigint) AS n_removed,
+        | cast(CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{') THEN 1 ELSE 0 END as bigint)
+        |   AS page_ok
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     // exact recomputation of the stratified split: per-source rank over
     // the salted md5 permutation, stratum size, and the dyadic floor
     // boundaries (0.75 / 0.875 — integer-exact in double for any n)

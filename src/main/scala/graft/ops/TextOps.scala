@@ -374,6 +374,48 @@ object TextOps {
         col(idCol).cast("string"))), lit(shards.toLong)))
   }
 
+  /** C4-style line-rule cleaning (Raffel et al. 2020 §2.2 — "we
+    * retained only lines that ended in a terminal punctuation mark",
+    * "discarded any ... line with fewer than [minWords] words",
+    * "removed any line with the word Javascript"): each doc's lines
+    * are kept iff they end in `.` `!` `?` `"`, carry at least
+    * `minWords` whitespace tokens, and contain no blocklist phrase
+    * (case-insensitive); survivors reassemble in order. `page_ok`
+    * carries the page-level screens ("lorem ipsum", curly brace) so
+    * the caller decides drop-vs-keep at the doc grain.
+    *
+    * Scale shape: a PURE per-row projection — split, filter (all three
+    * rules are codegen'd string ops), rejoin; no explode, no shuffle,
+    * no state (spec-pinned exchange-free plan). The complement of
+    * [[lineDedup]]: that removes lines the CORPUS repeats, this
+    * removes lines that fail local rules — compose freely, both move
+    * each doc's text once. */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5,
+                   blocklist: Seq[String] =
+                     Seq("javascript", "cookie policy"),
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "pass a non-empty blocklist")
+    val lines = split(col(textCol), "\n")
+    def keepRule(ln: Column): Column = {
+      val t = trim(ln)
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !blocklist.map(p => lower(t).contains(lit(p)))
+          .reduce(_ || _)
+    }
+    docs.select(col(idCol).as("doc_id"),
+        lines.as("__ls"), col(textCol).as("__t"))
+      .withColumn("__kept", filter(col("__ls"), keepRule(_)))
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        (!lower(col("__t")).contains("lorem ipsum") &&
+          !col("__t").contains("{")).as("page_ok"))
+  }
+
   /** Corpus-wide exact line deduplication (C4-style boilerplate removal):
     * every distinct non-blank line is kept only at its first occurrence —
     * the (doc_id, line_no)-lowest — and removed everywhere else; blank

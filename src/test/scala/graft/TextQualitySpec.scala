@@ -115,6 +115,40 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("c4LineFilter: the three line rules and the page screens on a " +
+      "hand-built doc; pure projection (no exchange in the plan)") {
+    val text = Seq(
+      "A good first sentence with plenty of words here.",   // kept
+      "no terminal punctuation so this one dies",           // punct rule
+      "Too short.",                                         // word floor
+      "  An indented line that still ends properly, kept!  ", // kept (trim)
+      "Enable JavaScript to view the comments.",            // blocklist
+      "Review our Cookie Policy before you continue today.",// blocklist
+      "Ends with a quoted word so it survives the \"rules\"" // kept (quote)
+    ).mkString("\n")
+    val docs = Seq((1L, text), (2L, "lorem ipsum { dolor sit amet."))
+      .toDF("doc_id", "text")
+    val out = TextOps.c4LineFilter(docs, minWords = 5,
+        blocklist = Seq("javascript", "cookie policy"))
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getString(1) ===
+      Seq("A good first sentence with plenty of words here.",
+        "  An indented line that still ends properly, kept!  ",
+        "Ends with a quoted word so it survives the \"rules\"")
+        .mkString("\n"))
+    assert(r1.getLong(2) === 3L && r1.getLong(3) === 4L)
+    assert(r1.getBoolean(4), "doc 1 passes the page screens")
+    assert(!out(1).getBoolean(4),
+      "lorem ipsum + brace must trip the page screens")
+    // scale shape: a pure per-row projection — no exchange, no join,
+    // no window anywhere in the plan
+    val plan = TextOps.c4LineFilter(docs).queryExecution.executedPlan
+      .toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"), plan.take(1500))
+  }
+
   test("writeTrainingMixSharded: same mix as the bucket layout, audit " +
       "passes, and per-shard file order replays hashShard's order") {
     val docs = (1L to 200L).map(i =>
