@@ -988,6 +988,24 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source head-of-distribution quality pruning: keep the top 3/4
+    * of every source by (quality desc, doc_id). Quality is the t01
+    * score (4-decimal-rounded — rank ties resolve identically in both
+    * engines); the oracle replays the score, the per-source rank, the
+    * group size and the integer rank·4 <= n·3 cut, so one row on the
+    * wrong side of any source's boundary breaks the hash. */
+  val t60QualityPrune: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.keepTopFraction(docs, col("source"),
+        TextOps.qualityScore(col("text")), col("doc_id"),
+        num = 3, den = 4)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        col("grp_rank").cast("long").as("grp_rank"),
+        col("grp_n"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1048,6 +1066,7 @@ object DataQueries {
     "t57_semantic_gate" -> t57SemanticGate,
     "t58_semantic_gate_probed" -> t58SemanticGateProbed,
     "t59_c4_line_filter" -> t59C4LineFilter,
+    "t60_quality_prune" -> t60QualityPrune,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

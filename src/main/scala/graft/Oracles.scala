@@ -2114,6 +2114,30 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact replay of the per-source rank cut: the t01 quality score
+    // (round-4 — rank ties resolve identically), the per-source
+    // (quality desc, doc_id) rank, the group size, and the integer
+    // rank*4 <= n*3 keep rule — one row on the wrong side of any
+    // source's boundary breaks the hash
+    "t60_quality_prune" ->
+      (s"""WITH q AS (SELECT doc_id, source,
+        |  ${qualitySql("text",
+            "(CASE WHEN length(trim(text))=0 THEN 0 " +
+              "ELSE len(regexp_split_to_array(trim(text),'\\s+')) END)")}
+        |    AS quality
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, quality,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id) AS grp_rank,
+        |    count(*) OVER (PARTITION BY source) AS grp_n
+        |  FROM q)
+        |SELECT cast(doc_id as bigint) AS doc_id, source, quality,
+        | cast(grp_rank as bigint) AS grp_rank,
+        | cast(grp_n as bigint) AS grp_n,
+        | cast(CASE WHEN grp_rank * 4 <= grp_n * 3 THEN 1 ELSE 0 END
+        |   as bigint) AS is_kept
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // exact replay of the C4 line rules on the planted corpus: the
     // same concatenated construction, then per line — last character
     // in the terminal set, >= 5 whitespace tokens, no blocklist phrase

@@ -1097,6 +1097,38 @@ object TextOps {
       .withColumn("ok", coalesce(col("ok"), lit(false)))
   }
 
+  /** Per-group head-of-distribution pruning (the CCNet discipline of
+    * keeping the best slice of each domain's quality/perplexity
+    * distribution): every row is ranked within its group by
+    * (`score` desc, `id`) and flagged kept while
+    * rank·`den` <= n·`num` — the RANK formulation of "keep the top
+    * num/den fraction of each group", all integer arithmetic. An
+    * interpolated-quantile threshold would make the boundary row
+    * engine-dependent at float equality; the rank cut is exact and
+    * any engine replays it (t60 oracle). Returns every input row plus
+    * (grp_rank, grp_n, is_kept) — an auditable drop list, the
+    * retainBest discipline; callers filter on is_kept.
+    *
+    * Scale shape: ONE group-keyed exchange (both windows share the
+    * partition spec); groups are domain-sized and sort within
+    * themselves. If a single group dwarfs executor memory, derive an
+    * approximate score threshold instead ([[graft.ops.Stats]]
+    * percentilesBy on a sample + broadcast join) and accept an
+    * inexact boundary. */
+  def keepTopFraction(df: DataFrame, group: Column, score: Column,
+                      id: Column, num: Int, den: Int): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"keep fraction $num/$den must sit in [0, 1]")
+    val w = Window.partitionBy(group)
+    df.withColumn("grp_rank",
+        row_number().over(w.orderBy(score.desc, id)))
+      .withColumn("grp_n", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("is_kept",
+        (col("grp_rank") * den <= col("grp_n") * num).cast("long"))
+  }
+
   /** TF-IDF keyword extraction: the top-`k` terms per document by
     * `tf * ln(N / df)` over the corpus (terms = lowercased whitespace
     * tokens of >= `minLen` chars; N = corpus document count; ties break

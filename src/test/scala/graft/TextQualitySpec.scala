@@ -115,6 +115,33 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("keepTopFraction: exact integer boundaries per group; best score " +
+      "survives first; a singleton group keeps nothing at 3/4") {
+    // groups of 4, 5 and 1 at num/den = 3/4: rank*4 <= n*3 keeps
+    // exactly 3 (4*3/4), 3 (floor of 3.75) and 0 (1*4 > 3)
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.7), ("a", 4L, 0.6),
+      ("b", 5L, 0.5), ("b", 6L, 0.5), ("b", 7L, 0.4), ("b", 8L, 0.3),
+      ("b", 9L, 0.2),
+      ("c", 10L, 1.0)
+    ).toDF("source", "doc_id", "score")
+    val out = TextOps.keepTopFraction(df, col("source"), col("score"),
+        col("doc_id"), num = 3, den = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("is_kept"), r.getAs[Int]("grp_rank"))).toMap
+    assert(out.view.mapValues(_._1).toMap === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 1L, 6L -> 1L, 7L -> 1L, 8L -> 0L, 9L -> 0L,
+      10L -> 0L))
+    // equal scores rank by id ascending — 5 before 6
+    assert(out(5L)._2 === 1 && out(6L)._2 === 2)
+    // one group-keyed exchange, nothing else
+    val plan = TextOps.keepTopFraction(df, col("source"), col("score"),
+      col("doc_id"), 3, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert("hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(1500))
+  }
+
   test("c4LineFilter: the three line rules and the page screens on a " +
       "hand-built doc; pure projection (no exchange in the plan)") {
     val text = Seq(
