@@ -1006,6 +1006,38 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t27's planted train corpus scored as overlap FRACTIONS: the
+    * drop-first-word twins are near-fully contaminated (every surviving
+    * 5-gram also occurs in the original), the exact copies sit at
+    * overlap 1.0, and the zzq-prefixed fresh docs at 0.0 (too short to
+    * shingle at 5 — n_grams 0). The oracle replays the construction,
+    * per-doc DISTINCT gram counts, the eval membership counts and the
+    * exact long/long division. */
+  val t61DecontaminationReport: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val perturbed = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 2, 1000000))
+        .as("text"))
+    val exactCopies = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val clean = docs.select((col("doc_id") + 300000L).as("doc_id"),
+      concat(lit("zzq "), col("doc_id").cast("string"),
+        lit(" alpha beta gamma delta")).as("text"))
+    // the mixed class: the original's first 8 tokens + a 6-token fresh
+    // tail — only windows fully inside the copied prefix are
+    // contaminated, so overlap lands at genuine fractions
+    val mixed = docs.select((col("doc_id") + 400000L).as("doc_id"),
+      concat(
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)),
+        lit(" zzq mixa mixb mixc mixd mixe")).as("text"))
+    val train = perturbed.unionByName(exactCopies).unionByName(clean)
+      .unionByName(mixed)
+    Dedup.decontaminationReport(train, docs, shingleSize = 5)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_grams"), col("n_contaminated"), col("overlap_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1067,6 +1099,7 @@ object DataQueries {
     "t58_semantic_gate_probed" -> t58SemanticGateProbed,
     "t59_c4_line_filter" -> t59C4LineFilter,
     "t60_quality_prune" -> t60QualityPrune,
+    "t61_decontamination_report" -> t61DecontaminationReport,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2114,6 +2114,49 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // t27's construction scored as fractions: per-doc DISTINCT 5-gram
+    // hashes, eval membership counts, and the exact long/long division
+    // — a single extra or missing gram on either side of any doc
+    // breaks the hash
+    "t61_decontamination_report" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents),
+        |train AS (
+        |  SELECT doc_id + 100000 AS doc_id, array_to_string(
+        |      (regexp_split_to_array(trim(text), '\s+'))[2:], ' ') AS text
+        |    FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, concat('zzq ', cast(doc_id as varchar),
+        |      ' alpha beta gamma delta') FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, array_to_string(
+        |      (regexp_split_to_array(trim(text), '\s+'))[1:8], ' ')
+        |      || ' zzq mixa mixb mixc mixd mixe' FROM documents),
+        |evg AS (SELECT DISTINCT md5(g) AS gh FROM (
+        |  SELECT unnest([array_to_string(tk[i:i+4], ' ')
+        |      for i in range(1, cast(len(tk)-3 as bigint))]) AS g
+        |  FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+        |    FROM ev))),
+        |tg AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+4], ' ')
+        |      for i in range(1, cast(len(tk)-3 as bigint))]) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+        |      '\s+') AS tk FROM train))),
+        |cnt AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+        |hit AS (SELECT doc_id, count(*) AS n_cont FROM tg
+        |  WHERE gh IN (SELECT gh FROM evg) GROUP BY 1)
+        |SELECT cast(t.doc_id as bigint) AS doc_id,
+        | cast(coalesce(cnt.n_grams, 0) as bigint) AS n_grams,
+        | cast(coalesce(hit.n_cont, 0) as bigint) AS n_contaminated,
+        | CASE WHEN coalesce(cnt.n_grams, 0) > 0
+        |   THEN cast(coalesce(hit.n_cont, 0) as double) / cnt.n_grams
+        |   ELSE 0.0 END AS overlap_frac
+        |FROM (SELECT doc_id FROM train) t
+        |LEFT JOIN cnt ON t.doc_id = cnt.doc_id
+        |LEFT JOIN hit ON t.doc_id = hit.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // exact replay of the per-source rank cut: the t01 quality score
     // (round-4 — rank ties resolve identically), the per-source
     // (quality desc, doc_id) rank, the group size, and the integer

@@ -264,6 +264,45 @@ object Dedup {
         coalesce(col("__gram"), lit(0L)).as("ngram_contaminated"))
   }
 
+  /** Per-document contamination REPORT — [[decontaminate]]'s n-gram
+    * screen as a fraction instead of a flag (the number a
+    * decontamination policy actually thresholds on): for every train
+    * doc, the count of its DISTINCT `shingleSize`-gram hashes, how many
+    * of those occur anywhere in the eval set, and the overlap fraction
+    * (0.0 for docs too short to shingle). The division is one exact
+    * long/long in double, so any engine reproduces it bit-for-bit
+    * (t61 oracle).
+    *
+    * Scale shape — the flag's discipline unchanged: eval grams dedup
+    * once to a compact 16-byte hash column; train grams dedup per doc
+    * and meet them in ONE hash-keyed left-semi join; only (id, count)
+    * rows aggregate after it. Nothing text-sized crosses a shuffle. */
+  def decontaminationReport(train: DataFrame, evalSet: DataFrame,
+                            shingleSize: Int = 5,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(graft.ops.TextOps.wordShingles(
+        col(textCol), shingleSize)).as("__g"): _*)
+    val evalGrams = grams(evalSet).select(md5(col("__g")).as("__gh"))
+      .distinct()
+    val tg = grams(train, col(idCol))
+      .select(col(idCol), md5(col("__g")).as("__gh"))
+      .distinct()
+    val counts = tg.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val hits = tg.join(evalGrams, Seq("__gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+    train.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__c"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          coalesce(col("__c"), lit(0L)).cast("double") / col("__n"))
+          .otherwise(lit(0.0)).as("overlap_frac"))
+  }
+
   /** Exact n-gram Jaccard similarity for a set of candidate pairs — the
     * verification stage after LSH. `pairs` has columns (id_a, id_b).
     *

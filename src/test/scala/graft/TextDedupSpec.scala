@@ -232,6 +232,17 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
     assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 1L)
     assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L)
+    // the report form: exact fractions, not just flags. Doc 11 has 6
+    // distinct 5-grams ("prefix words then quick brown" ... "fox jumps
+    // over the end") of which exactly 2 ("quick brown fox jumps over",
+    // "brown fox jumps over the") occur in the eval set; doc 10 is
+    // fully contained; doc 12 is fresh
+    val rep = Dedup.decontaminationReport(train, evalSet, shingleSize = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep(0) === ((6L, 6L, 1.0)))
+    assert(rep(1) === ((6L, 2L, 2.0 / 6)))
+    assert(rep(2) === ((5L, 0L, 0.0)))
   }
 
   test("tfIdfTopTerms: rare terms outrank corpus-wide ones") {
