@@ -273,19 +273,33 @@ object Bench {
             graft.ops.Dedup.semanticIndex(emb, cents).localCheckpoint())
         })
       }
+    // s08's frozen per-list embedding profile: the s06 discipline on
+    // the embedding modality
+    val embProfileMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def embProfile(s: SparkSession, d: String): DataFrame = synchronized {
+      embProfileMemo.getOrElseUpdate(d, {
+        val (cents, _) = semGateStatics(s, d)
+        graft.ops.Similarity.embeddingProfile(
+          graft.etl.Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding")), cents)
+          .localCheckpoint()
+      })
+    }
     // warm-up failure must FAIL the dependent benches, not silently move
     // the index/profile build inside the timed region (getOrElseUpdate
-    // would rebuild on first use): s05/s06/s07 check the flag and
+    // would rebuild on first use): s05/s06/s07/s08 check the flag and
     // record -1
     var streamStaticWarm = false
     try { gateIndex(streamSpark, sfDir); refProfile(streamSpark, sfDir)
       semGateStatics(streamSpark, sfDir)
+      embProfile(streamSpark, sfDir)
       graft.etl.Tables.exportedEmbsParts(streamSpark, sfDir)
       streamStaticWarm = true
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream-static warm-up failed " +
-          s"(s05/s06/s07 will record -1): ${e.getMessage}")
+          s"(s05/s06/s07/s08 will record -1): ${e.getMessage}")
     }
     def requireStreamStaticWarm(): Unit =
       if (!streamStaticWarm) throw new IllegalStateException(
@@ -394,6 +408,21 @@ object Bench {
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
+      }),
+      // embedding-space drift monitor: paced embeddings quantized
+      // against the frozen centroids per microbatch, per-list running
+      // count + mean cosine vs the frozen (untimed) profile — complete
+      // mode, one state row per list, the s06 gate on the embedding
+      // modality
+      "s08_embedding_drift" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val (cents, _) = semGateStatics(s, d)
+        runStream("s08_embedding_drift",
+          graft.ops.Similarity.embeddingDriftMonitor(
+            Streams.embsStreamPaced(s,
+              graft.etl.Tables.exportedEmbsParts(s, d)),
+            cents, embProfile(s, d)),
+          "complete")
       }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =

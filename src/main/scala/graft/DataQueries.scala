@@ -1038,6 +1038,27 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-space drift, batch parity shape (t50's discipline on
+    * the embedding modality): the frozen per-list profile comes from
+    * the even-id half of the corpus and the FULL corpus is monitored
+    * against it at a tight tolerance — lists whose odd-id members pull
+    * the rounded mean cosine more than 0.012 drift; the oracle replays
+    * the assignment (cosine kept), both decimal-accumulated means and
+    * the flag comparison exactly. The streaming runner is the same
+    * aggregate in complete mode (s08; StreamingSpec pins paced ==
+    * batch). */
+  val t62EmbeddingDrift: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val profile = Similarity.embeddingProfile(
+      emb.filter(col("vec_id") % 2 === 0), cents)
+    Similarity.embeddingDriftMonitor(emb, cents, profile, cosTol = 0.012)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("n_vecs"), col("mean_cos"), col("drift"))
+      .orderBy(col("centroid_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1100,6 +1121,7 @@ object DataQueries {
     "t59_c4_line_filter" -> t59C4LineFilter,
     "t60_quality_prune" -> t60QualityPrune,
     "t61_decontamination_report" -> t61DecontaminationReport,
+    "t62_embedding_drift" -> t62EmbeddingDrift,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2114,6 +2114,38 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact recomputation of the embedding drift monitor: the t44
+    // assignment CTE with the winning cosine kept, the even-id-half
+    // profile and the full-corpus means both decimal-accumulated, and
+    // the round-4 flag comparison — a list flagged from the wrong
+    // population or a mean off by one rounding step breaks the hash
+    "t62_embedding_drift" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |sc AS (SELECT e.vec_id, centroid_id,
+        |    list_cosine_similarity(cast(e.embedding as double[]),
+        |      cast(cvec as double[])) AS cos,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      -list_cosine_similarity(cast(e.embedding as double[]),
+        |        cast(cvec as double[])), centroid_id) AS rn
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id, cos FROM sc WHERE rn = 1),
+        |prof AS (SELECT centroid_id,
+        |    cast(sum(cast(cos as decimal(18,4))) as double) / count(*)
+        |      AS ref_cos
+        |  FROM a WHERE vec_id % 2 = 0 GROUP BY 1),
+        |m AS (SELECT centroid_id, count(*) AS n_vecs,
+        |    round(cast(sum(cast(cos as decimal(18,4))) as double)
+        |      / count(*), 4) AS mean_cos
+        |  FROM a GROUP BY 1)
+        |SELECT cast(m.centroid_id as bigint) AS centroid_id,
+        | cast(n_vecs as bigint) AS n_vecs, mean_cos,
+        | cast(CASE WHEN p.ref_cos IS NULL
+        |   OR abs(mean_cos - round(p.ref_cos, 4)) > 0.012
+        |   THEN 1 ELSE 0 END as bigint) AS drift
+        |FROM m LEFT JOIN prof p ON m.centroid_id = p.centroid_id
+        |ORDER BY m.centroid_id""".stripMargin,
+
     // t27's construction scored as fractions: per-doc DISTINCT 5-gram
     // hashes, eval membership counts, and the exact long/long division
     // — a single extra or missing gram on either side of any doc

@@ -767,4 +767,83 @@ object Similarity {
       cents = kmeansStep(vecs, cents, idCol, vecCol).localCheckpoint()
     cents
   }
+
+  /** [[ivfAssign]] keeping the winning cosine — (id, centroid_id,
+    * cos_to_centroid) — as a PURE PROJECTION: the centroid table
+    * collapses to a one-row broadcast array and every vector folds
+    * over it with the exact (-cosine, centroid_id) ordering
+    * [[ivfAssign]]'s argmin uses. No aggregate and no exchange at all,
+    * which is what lets [[embeddingDriftMonitor]] run on a stream in
+    * complete mode with exactly ONE stateful operator (an
+    * aggregate-shaped assignment would chain two and trip the global
+    * watermark correctness check) — and costs batch callers nothing
+    * (same k cosines per row, one shuffle less). */
+  def ivfAssignWithCos(vecs: DataFrame, centroids: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       cidCol: String = "centroid_id",
+                       cvecCol: String = "cvec"): DataFrame = {
+    val cs = centroids.agg(collect_list(
+      struct(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec")))
+      .as("__cs"))
+    vecs.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cs))
+      .withColumn("__best", aggregate(col("__cs"),
+        struct(lit(Double.MaxValue).as("d"),
+          lit(Long.MaxValue).as("cid")),
+        (acc, c) => {
+          val d = -cosine(col(vecCol), c.getField("cvec"))
+          val cid = c.getField("cid")
+          when(d < acc.getField("d") ||
+              (d === acc.getField("d") && cid < acc.getField("cid")),
+            struct(d.as("d"), cid.as("cid"))).otherwise(acc)
+        }))
+      .select(col(idCol), col("__best.cid").as(cidCol),
+        (-col("__best.d")).as("cos_to_centroid"))
+  }
+
+  /** Frozen per-list profile for [[embeddingDriftMonitor]]: for every
+    * coarse-quantizer list, the reference corpus's population and its
+    * decimal-exact mean cosine-to-centroid — the embedding-modality
+    * twin of [[graft.streaming.Streams.referenceProfile]]. Tiny (one
+    * row per centroid): meant to be broadcast. */
+  def embeddingProfile(vecs: DataFrame, centroids: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       cidCol: String = "centroid_id",
+                       cvecCol: String = "cvec"): DataFrame =
+    ivfAssignWithCos(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+      .groupBy(col(cidCol))
+      .agg(count(lit(1)).as("ref_n"),
+        (sum(col("cos_to_centroid").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("ref_cos"))
+
+  /** Embedding-space drift monitor — the
+    * [[graft.streaming.Streams.driftMonitor]] discipline on the
+    * embedding modality: incoming vectors quantize against the FROZEN
+    * centroids and each populated list reports its count and rounded
+    * mean cosine-to-centroid, flagged when the mean moves more than
+    * `cosTol` from the frozen [[embeddingProfile]] or when the list is
+    * ABSENT from the profile (a never-before-populated region of the
+    * space is always drift). Comparisons use round-4 means so an
+    * external engine replays the flag exactly (t62 oracle). One
+    * broadcast join + one list-keyed aggregate: complete mode on a
+    * stream (one state row per list — s08), plain aggregate on a
+    * batch frame, so paced == batch (StreamingSpec-pinned). */
+  def embeddingDriftMonitor(vecs: DataFrame, centroids: DataFrame,
+                            profile: DataFrame, cosTol: Double = 0.05,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            cidCol: String = "centroid_id",
+                            cvecCol: String = "cvec"): DataFrame =
+    ivfAssignWithCos(vecs, centroids, idCol, vecCol, cidCol, cvecCol)
+      .groupBy(col(cidCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos_to_centroid").cast("decimal(18,4)"))
+          .cast("double") / count(lit(1)), 4).as("mean_cos"))
+      .join(broadcast(profile), Seq(cidCol), "left")
+      .select(col(cidCol), col("n_vecs"), col("mean_cos"),
+        (col("ref_cos").isNull ||
+          abs(col("mean_cos") - round(col("ref_cos"), 4)) > cosTol)
+          .cast("long").as("drift"))
 }

@@ -206,6 +206,52 @@ class StreamingSpec extends SparkSpec {
       "paced multi-probe gate must equal the batch probed gate")
   }
 
+  test("embeddingDriftMonitor: paced stream == batch; self profile is " +
+      "drift-free; a corpus pulled toward one centroid drifts its list") {
+    import graft.ops.Similarity
+    // the s08 bench shape: paced embeddings quantized per microbatch,
+    // per-list running mean cosine vs the frozen profile
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEmbsParts(spark, d, parts = 4)
+    val emb = graft.etl.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      .localCheckpoint()
+    val profile = Similarity.embeddingProfile(emb, cents).localCheckpoint()
+    val q = Similarity.embeddingDriftMonitor(
+        Streams.embsStreamPaced(spark, parts, 1), cents, profile)
+      .writeStream.format("memory").queryName("spec_emb_drift")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_emb_drift")
+      .orderBy("centroid_id").collect().toSeq
+    val batch = Similarity.embeddingDriftMonitor(emb, cents, profile)
+      .orderBy("centroid_id").collect().toSeq
+    assert(paced == batch)
+    // self-comparison: a corpus monitored against its own profile must
+    // not drift anywhere
+    assert(batch.forall(_.getLong(3) == 0L),
+      "own-profile monitoring must be drift-free")
+    // planted shift: every vector pulled toward centroid 0 piles into
+    // c0's list with a far higher mean cosine than the profile's — the
+    // list must flag
+    val c0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("__d"))
+    val pulled = emb.crossJoin(broadcast(c0))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("__d"),
+          (x, y) => x + lit(0.75f) * y).as("embedding"))
+    val drifted = Similarity.embeddingDriftMonitor(pulled, cents, profile)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(drifted(0L) === 1L,
+      "the pulled-toward list must drift against the frozen profile")
+  }
+
   test("driftMonitor: paced stream == batch; shifted source drifts, " +
       "stable source and profile match don't; new source always drifts") {
     // paced == batch over the real fixture (the s06 bench shape), with
