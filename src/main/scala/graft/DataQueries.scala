@@ -1074,6 +1074,19 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Context-length chunking at maxTokens=40 / overlap=8 over the
+    * corpus: the fixture's token-count spread produces single-chunk
+    * short docs, exact-fit docs and multi-chunk long ones with a short
+    * tail. The oracle replays the token split, the ceil boundary
+    * arithmetic, every slice and the per-chunk token counts — one cut
+    * off by one anywhere breaks the hash. */
+  val t64ChunkDocuments: Q = (s, d) =>
+    TextOps.chunkDocuments(T.documents(s, d), maxTokens = 40,
+        overlap = 8)
+      .select(col("doc_id").cast("long").as("doc_id"), col("chunk_no"),
+        col("chunk_text"), col("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1138,6 +1151,7 @@ object DataQueries {
     "t61_decontamination_report" -> t61DecontaminationReport,
     "t62_embedding_drift" -> t62EmbeddingDrift,
     "t63_sq_topk" -> t63SqTopK,
+    "t64_chunk_documents" -> t64ChunkDocuments,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1288,6 +1302,16 @@ object DataQueries {
       val mm = graft.pipelines.Segmentation.minimarketSpend(fact, dimZip,
         dup, 19970901L, 19980831L)
       graft.pipelines.Segmentation.spendRatios(mm)
+    }),
+    // t63's SQ8 search at the 16k regime: the same 64-query slate the
+    // PQ family benches, corpus flowing as int8 codes — the
+    // quantization family's third point (PQ / residual IVF-PQ / SQ8)
+    // at a comparable scale number
+    "x63_sq_scale" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      Similarity.sqTopK(st.big, queries, k = 8)
     }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions

@@ -2114,6 +2114,26 @@ object Oracles {
         |FROM inc a LEFT JOIN h ON a.vec_id = h.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
+    // exact replay of the context-length chunking: token split, the
+    // ceil((n-40)/32) last-chunk boundary (clamped at 0 — div vs //
+    // only differ where the clamp wins), every 40-token slice at
+    // stride 32 and the per-chunk counts
+    "t64_chunk_documents" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM d),
+        |c AS (SELECT doc_id, tk, n,
+        |    unnest(range(0, greatest((n - 40 + 31) // 32, 0) + 1))
+        |      AS chunk_no
+        |  FROM n)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        | cast(chunk_no as bigint) AS chunk_no,
+        | array_to_string(tk[chunk_no*32+1 : chunk_no*32+40], ' ')
+        |   AS chunk_text,
+        | cast(least(40, n - chunk_no*32) as bigint) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
     // exact replay of the SQ8 encode + search: every element's
     // round(127·x/maxabs) integer code, then the t06 ranking contract
     // (cosine desc, neighbor tiebreak, round-4) on the codes

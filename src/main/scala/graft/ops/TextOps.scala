@@ -416,6 +416,42 @@ object TextOps {
           !col("__t").contains("{")).as("page_ok"))
   }
 
+  /** Context-length chunking — the training-prep splitter for documents
+    * past the model's window, and [[packDocuments]]'s inverse companion
+    * (that concatenates short docs up to capacity; this splits long
+    * ones down to it): token windows of `maxTokens` advancing by
+    * `maxTokens - overlap`, so consecutive chunks share exactly
+    * `overlap` tokens, every token lands in at least one chunk, and
+    * only the final window may run short. Every boundary is integer
+    * arithmetic the t64 oracle replays cut-for-cut.
+    *
+    * Scale shape: a pure per-row explode (chunk count rows per doc) —
+    * no shuffle, no state; chunk text is a slice of the doc's own
+    * token array. */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must sit in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    docs.select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // last chunk index: ceil((n - maxTokens)/stride), floored at 0 —
+      // div truncates toward zero but the operand is only negative when
+      // the clamp wins, so every engine agrees on every value
+      .withColumn("__last", greatest(lit(0),
+        expr(s"(__n - $maxTokens + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__last"))).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        array_join(slice(col("__toks"), col("chunk_no") * stride + 1,
+          lit(maxTokens)), " ").as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_no") * stride)
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Corpus-wide exact line deduplication (C4-style boilerplate removal):
     * every distinct non-blank line is kept only at its first occurrence —
     * the (doc_id, line_no)-lowest — and removed everywhere else; blank

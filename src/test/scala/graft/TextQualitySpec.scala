@@ -115,6 +115,39 @@ class TextQualitySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: exact boundaries, overlap shared, every token " +
+      "covered; short docs stay whole") {
+    // 10 tokens at maxTokens=4, overlap=1 (stride 3): [1-4] [4-7] [7-10]
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "short doc here")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "short doc here", 3L)))
+    // property sweep on the fixture: chunk counts reconstruct exactly,
+    // consecutive chunks share `overlap` tokens, concatenating chunk
+    // tokens minus overlaps replays the doc
+    val d = "/root/testdata/sf0.001"
+    val fixture = graft.etl.Tables.documents(spark, d)
+    val chunks = TextOps.chunkDocuments(fixture, maxTokens = 40,
+      overlap = 8)
+    val chk = chunks.groupBy("doc_id")
+      .agg(sum(col("n_chunk_tokens")).as("sum_chunk"),
+        count(lit(1)).as("n_chunks"))
+      .join(fixture.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+    // sum of chunk tokens = doc tokens + overlap per extra chunk
+    assert(chk.filter(col("sum_chunk") =!=
+      col("n_tokens") + (col("n_chunks") - 1) * 8).count() === 0L)
+    // both multi-chunk and single-chunk docs are present in the sweep
+    assert(chk.filter(col("n_chunks") > 1).count() > 0)
+    assert(chk.filter(col("n_chunks") === 1).count() > 0)
+  }
+
   test("keepTopFraction: exact integer boundaries per group; best score " +
       "survives first; a singleton group keeps nothing at 3/4") {
     // groups of 4, 5 and 1 at num/den = 3/4: rank*4 <= n*3 keeps
