@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipelines.Curation
+
+/** End-to-end curation pipeline: every planted defect dies at its
+  * stage, survivors reach the sharded mix, the audit is clean, and the
+  * per-stage report is monotone through the attrition stages. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two-line bodies from a rotating word bank: every line passes the
+  // C4 rules (terminal punctuation, >= 5 words, no blocklist) and
+  // DIFFERENT ids share almost no 3-shingles (distinct word runs), so
+  // only the deliberately planted pairs are near-dups
+  private val bank = Vector("amber", "birch", "copper", "dunes",
+    "ember", "fjord", "garnet", "harbor", "indigo", "juniper", "kelp",
+    "lantern", "marble", "nectar", "opal", "prairie", "quartz", "raven",
+    "saffron", "timber", "umber", "velvet", "willow", "xenon", "yarrow",
+    "zephyr", "basalt", "cedar", "delta")
+  // id-bearing tokens are interleaved mid-line so even ids whose word
+  // RUNS collide (i ≡ i' mod 29) stay well under Jaccard 0.5 — only
+  // the planted pair crosses the near-dup threshold
+  private def run(i: Long, off: Int): String =
+    (0 until 8).map(j => bank(((i * 7 + off * 11 + j * 3) % 29).toInt))
+      .mkString(" ")
+  private def body(i: Long): String =
+    s"${run(i, 0)} marker${i}a holds ${i * 3} and ${i * 7} ends " +
+      "cleanly today.\n" +
+      s"${run(i, 1)} marker${i}b keeps ${i * 5} with ${i * 11} also " +
+      "ends properly."
+  private val boiler =
+    "This shared promotional footer sentence appears in many documents."
+
+  private def corpus = {
+    val good = (1L to 20L).map(i =>
+      (i, body(i), if (i % 2 == 0) "web" else "books"))
+    val exactPair = Seq(
+      (100L, body(100), "web"), (101L, body(100), "web"))
+    // near-dup: 103 swaps one mid-line word of 102's text — both lines
+    // still pass the C4 rules, neither line is byte-identical to 102's
+    // (doc dedup catches it before line dedup could), Jaccard stays
+    // high, token counts tie so the keep-the-longest rank falls to the
+    // lower id
+    val nd = body(102)
+    val nearPair = Seq((102L, nd, "web"),
+      (103L, nd.replace(" also ", " too "), "web"))
+    // contaminated: a copy of the eval doc (plus one clean line so the
+    // C4 pass keeps it alive until decontamination)
+    val contaminated = Seq((104L,
+      evalDoc + "\nAn extra clean line keeps this document alive here.",
+      "web"))
+    val pii = Seq((105L,
+      "Contact me at someone@example.com for all further details today.",
+      "books"))
+    // 110/111 share the boilerplate footer: it survives once (in 110,
+    // the lowest occurrence) and dies in 111; 116 is ONLY boilerplate
+    // and must die entirely at line dedup
+    val boilered = Seq(
+      (110L, body(110) + "\n" + boiler, "books"),
+      (111L, body(111) + "\n" + boiler, "books"),
+      (116L, boiler, "books"))
+    (good ++ exactPair ++ nearPair ++ contaminated ++ pii ++ boilered)
+      .toDF("doc_id", "text", "source")
+  }
+  private val evalDoc =
+    "The held out benchmark prompt sentence lives here with its own " +
+      "very distinctive ten word tail for exact matching."
+  private def evalSet = Seq((9001L, evalDoc)).toDF("doc_id", "text")
+
+  test("curation pipeline: planted defects die at their stages, " +
+      "survivors land sharded, audit clean, report monotone") {
+    val out = java.nio.file.Files.createTempDirectory("curate").toString
+    val r = Curation.run(corpus, evalSet, out,
+      keepNum = 1, keepDen = 1, // prune pass-through: survival below is
+                                // asserted per id, not per quantile
+      budgetTokens = 100000L, capacity = 64, buckets = 4, shards = 4)
+    val report = r.report.orderBy("stage_no").collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toSeq
+    val byStage = report.toMap
+    // attrition is monotone from input through quality_prune
+    val order = Seq("input", "c4_clean", "pii_scrub", "exact_dedup",
+      "near_dedup", "line_dedup", "decontaminate", "quality_prune")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(b) <= byStage(a), s"$b grew over $a: $report")
+    }
+    // every planted death at exactly its stage: the exact twin at
+    // exact_dedup, the word-swapped near-dup at near_dedup, the
+    // boilerplate-only doc at line_dedup, the eval copy at decontaminate
+    assert(byStage("pii_scrub") === byStage("input"))
+    assert(byStage("exact_dedup") === byStage("pii_scrub") - 1)
+    assert(byStage("near_dedup") === byStage("exact_dedup") - 1)
+    assert(byStage("line_dedup") === byStage("near_dedup") - 1)
+    assert(byStage("decontaminate") === byStage("line_dedup") - 1)
+    // replication multiplies docs (tiny corpus, roomy budget)
+    assert(byStage("allocate") > byStage("quality_prune"))
+    // the landed mix: replica ids recover originals via div 8
+    val landed = r.mix.select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    Seq(101L, 103L, 104L, 116L).foreach(id =>
+      assert(!landed(id), s"doc $id should have died upstream"))
+    Seq(1L, 102L, 105L, 110L, 111L).foreach(id =>
+      assert(landed(id), s"doc $id should have survived to the mix"))
+    // the landed layout audits clean
+    assert(r.audit.filter(!col("ok")).count() === 0L)
+    // a genuine prune (keep 1/2 per source) removes docs while the
+    // same planted deaths still happen upstream
+    val out2 = java.nio.file.Files.createTempDirectory("curate2").toString
+    val r2 = Curation.run(corpus, evalSet, out2,
+      keepNum = 1, keepDen = 2, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4)
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2("quality_prune") < by2("decontaminate"))
+    assert(r2.audit.filter(!col("ok")).count() === 0L)
+  }
+}
