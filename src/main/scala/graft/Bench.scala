@@ -112,6 +112,12 @@ object Bench {
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toDouble
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    // clear any stale last-line handoff: a previous run killed between
+    // writing the file and sbt's exit hook would otherwise replay its
+    // record into some LATER sbt invocation's stdout
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("target/bench_last_line.json"))
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

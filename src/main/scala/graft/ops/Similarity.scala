@@ -836,16 +836,13 @@ object Similarity {
       .as("__cs"))
     vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cs))
-      .withColumn("__best", aggregate(col("__cs"),
-        struct(lit(Double.MaxValue).as("d"),
-          lit(Long.MaxValue).as("cid")),
-        (acc, c) => {
-          val d = -cosine(col(vecCol), c.getField("cvec"))
-          val cid = c.getField("cid")
-          when(d < acc.getField("d") ||
-              (d === acc.getField("d") && cid < acc.getField("cid")),
-            struct(d.as("d"), cid.as("cid"))).otherwise(acc)
-        }))
+      // one kernel evaluation per centroid: the (distance, id) structs
+      // materialize once, array_min picks the winner under the same
+      // lexicographic ordering min(struct(...)) uses
+      .withColumn("__best", array_min(transform(col("__cs"),
+        c => struct(
+          (-cosine(col(vecCol), c.getField("cvec"))).as("d"),
+          c.getField("cid").as("cid")))))
       .select(col(idCol), col("__best.cid").as(cidCol),
         (-col("__best.d")).as("cos_to_centroid"))
   }
