@@ -641,8 +641,9 @@ object Bench {
     // the bench runs in a forked JVM and sbt prints its "[success]
     // Total time…" epilogue AFTER this process exits — so nothing
     // printed here can be the last line. Hand the compact record to the
-    // sbt process instead: build.sbt's Global/onUnload hook reads this
-    // file and prints it raw during sbt shutdown, after the epilogue.
+    // sbt process instead: the JVM shutdown hook build.sbt registers
+    // (benchLastLineEcho, via Runtime.addShutdownHook) reads this file
+    // and prints it raw during sbt shutdown, after the epilogue.
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("target/bench_last_line.json"),
       (compactLine + "\n").getBytes("UTF-8"))

@@ -1009,8 +1009,9 @@ object DataQueries {
   /** t27's planted train corpus scored as overlap FRACTIONS: the
     * drop-first-word twins are near-fully contaminated (every surviving
     * 5-gram also occurs in the original), the exact copies sit at
-    * overlap 1.0, and the zzq-prefixed fresh docs at 0.0 (too short to
-    * shingle at 5 — n_grams 0). The oracle replays the construction,
+    * overlap 1.0, and the zzq-prefixed fresh docs at 0.0 (6 tokens →
+    * two 5-grams, each carrying the unique "zzq <id>" prefix, so
+    * neither occurs in the eval set). The oracle replays the construction,
     * per-doc DISTINCT gram counts, the eval membership counts and the
     * exact long/long division. */
   val t61DecontaminationReport: Q = (s, d) => {

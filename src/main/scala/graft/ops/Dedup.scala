@@ -274,7 +274,7 @@ object Dedup {
     * (t61 oracle).
     *
     * Scale shape — the flag's discipline unchanged: eval grams dedup
-    * once to a compact 16-byte hash column; train grams dedup per doc
+    * once to a compact md5-hex hash column; train grams dedup per doc
     * and meet them in ONE hash-keyed left-semi join; only (id, count)
     * rows aggregate after it. Nothing text-sized crosses a shuffle. */
   def decontaminationReport(train: DataFrame, evalSet: DataFrame,
@@ -881,7 +881,9 @@ object Dedup {
                             cidCol: String = "centroid_id",
                             cvecCol: String = "cvec"): DataFrame = {
     val probes = vecs.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .crossJoin(broadcast(
+        Similarity.alignCentroids(vecs, centroids, vecCol, cvecCol)
+          .select(col(cidCol), col(cvecCol))))
       .withColumn("__d", -Similarity.cosine(col("__qv"), col(cvecCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__qid")).orderBy(col("__d"), col(cidCol))))

@@ -328,12 +328,30 @@ object Similarity {
     * consumer. The struct ordering (distance, then centroid_id) is the
     * same deterministic tiebreak; the vec field rides along and is never
     * compared (centroid ids are unique). */
+  /** Align a centroid frame's vector element type to the corpus's (the
+    * [[ivfTopK]]/[[kmeansStep]] rule, centralized): trained centroid
+    * frames carry array<double> decimal-accumulated means while corpora
+    * are array<float>, and the cosine kernel rejects mixed widths at
+    * analysis time. A no-op projection when the types already agree. */
+  private[ops] def alignCentroids(vecs: DataFrame, centroids: DataFrame,
+                                  vecCol: String,
+                                  cvecCol: String): DataFrame = {
+    val elemType = vecs.schema(vecCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    if (centroids.schema(cvecCol).dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType == elemType) centroids
+    else centroids.withColumn(cvecCol,
+      transform(col(cvecCol), x => x.cast(elemType)))
+  }
+
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cidCol: String = "centroid_id",
                 cvecCol: String = "cvec"): DataFrame =
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .crossJoin(broadcast(alignCentroids(vecs, centroids, vecCol, cvecCol)
+        .select(col(cidCol), col(cvecCol))))
       .groupBy(col(idCol))
       .agg(min(struct((-cosine(col(vecCol), col(cvecCol))).as("__d"),
         col(cidCol).as("__cid"), col(vecCol).as("__v"))).as("__m"))
@@ -831,9 +849,10 @@ object Similarity {
                        vecCol: String = "embedding",
                        cidCol: String = "centroid_id",
                        cvecCol: String = "cvec"): DataFrame = {
-    val cs = centroids.agg(collect_list(
-      struct(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec")))
-      .as("__cs"))
+    val cs = alignCentroids(vecs, centroids, vecCol, cvecCol)
+      .agg(collect_list(
+        struct(col(cidCol).cast("long").as("cid"),
+          col(cvecCol).as("cvec"))).as("__cs"))
     vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cs))
       // one kernel evaluation per centroid: the (distance, id) structs

@@ -349,9 +349,10 @@ object TextOps {
             lit(s"shardShuffle is the bounded-corpus exact path (one " +
               s"global sort); input exceeds $maxRows rows — use " +
               "hashShard, the exchange-free twin")).isNull,
-          expr(s"((__rn - 1) * $shards) div __n")))
+          expr(s"((cast(__rn as bigint) - 1) * $shards) div __n")))
       .withColumn("pos_in_shard",
-        expr(s"(__rn - 1) - ((shard * __n + ${shards - 1}) div $shards)"))
+        expr(s"(cast(__rn as bigint) - 1) - " +
+          s"((shard * __n + ${shards - 1}) div $shards)"))
       .drop("__rn", "__n")
   }
 
@@ -401,7 +402,7 @@ object TextOps {
       val t = trim(ln)
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(t, "\\s+")) >= minWords &&
-        !blocklist.map(p => lower(t).contains(lit(p)))
+        !blocklist.map(p => lower(t).contains(lit(p.toLowerCase)))
           .reduce(_ || _)
     }
     docs.select(col(idCol).as("doc_id"),
@@ -1162,7 +1163,8 @@ object TextOps {
         w.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)))
       .withColumn("is_kept",
-        (col("grp_rank") * den <= col("grp_n") * num).cast("long"))
+        (col("grp_rank").cast("long") * den <=
+          col("grp_n") * num).cast("long"))
   }
 
   /** TF-IDF keyword extraction: the top-`k` terms per document by

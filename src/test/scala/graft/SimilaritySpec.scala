@@ -700,4 +700,40 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.forall { case (id, f) => f <= p2(id) },
       "flags must grow monotonically with nprobe")
   }
+
+  test("embedding gate/profile/monitor accept kmeansCentroids-trained " +
+      "(array<double>) centroid frames — element types align internally") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val trained = Similarity.kmeansCentroids(emb, initEvery = 100,
+      iters = 1).localCheckpoint()
+    // the mixed-width case is real: trained means are array<double>,
+    // the corpus is array<float>
+    assert(trained.schema("cvec").dataType
+      .asInstanceOf[ArrayType].elementType === DoubleType)
+    val idx = Dedup.semanticIndex(emb, trained).localCheckpoint()
+    // the incoming rows ARE index members → every one must flag 1,
+    // which also requires the gate's assign pass to agree with the
+    // index build's (same aligned quantizer both sides)
+    val incoming = emb.limit(50).localCheckpoint()
+    val g1 = Dedup.semanticDupFlag(incoming, idx, trained, tau = 0.99)
+    assert(g1.filter(col("is_semantic_dup") === 1L).count() === 50L)
+    val g2 = Dedup.semanticDupFlagProbed(incoming, idx, trained,
+      tau = 0.99, nprobe = 2)
+    assert(g2.filter(col("is_semantic_dup") === 1L).count() === 50L)
+    // alignment is a pure element cast: assignment under trained
+    // centroids equals assignment under the same centroids pre-cast
+    // to the corpus's float width
+    val asFloat = trained.withColumn("cvec",
+      transform(col("cvec"), x => x.cast("float")))
+    val aT = Similarity.ivfAssignWithCos(emb, trained)
+      .select(col("vec_id"), col("centroid_id"))
+    val aF = Similarity.ivfAssignWithCos(emb, asFloat)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(aT.except(aF).count() === 0L && aF.except(aT).count() === 0L)
+    // profile + monitor on the same corpus: no drift anywhere
+    val prof = Similarity.embeddingProfile(emb, trained)
+    val mon = Similarity.embeddingDriftMonitor(emb, trained, prof)
+    assert(mon.filter(col("drift") === 1L).count() === 0L)
+  }
 }

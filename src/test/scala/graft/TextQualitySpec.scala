@@ -207,6 +207,14 @@ class TextQualitySpec extends SparkSpec {
       .toString
     assert(!plan.contains("Exchange") && !plan.contains("Join") &&
       !plan.contains("Window"), plan.take(1500))
+    // the blocklist is case-insensitive on BOTH sides: natural-casing
+    // entries must screen exactly like their lowercase forms
+    val mixed = TextOps.c4LineFilter(docs, minWords = 5,
+        blocklist = Seq("JavaScript", "Cookie Policy"))
+      .orderBy("doc_id").collect()
+    assert(mixed(0).getString(1) === r1.getString(1) &&
+      mixed(0).getLong(3) === r1.getLong(3),
+      "mixed-case blocklist entries must match case-insensitively")
   }
 
   test("writeTrainingMixSharded: same mix as the bucket layout, audit " +
