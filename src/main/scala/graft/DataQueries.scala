@@ -1088,6 +1088,40 @@ object DataQueries {
         col("chunk_text"), col("n_chunk_tokens"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
+  /** Binary-quantization search over the corpus: sign-bit codes,
+    * Hamming shortlist of 20, exact-cosine rerank to top-5 for the
+    * same 8-query slate as t63. The oracle recomputes every Hamming
+    * count straight from the sign definition (count of dimensions
+    * whose signs differ) — independent of the packed-word
+    * representation the Spark path flows — then replays the shortlist
+    * rank, the rerank and the round-4 cosines. */
+  val t65BqTopK: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    Similarity.bqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        shortlist = 20)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("hamming"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DSIR importance weights for the full corpus against the English
+    * slice as the target distribution: word bigrams hashed into 512
+    * buckets, add-one smoothed ratio, per-doc decimal-accumulated
+    * log-weight sum rounded to 6. The oracle replays the bigram
+    * construction, the md5 bucket of every gram, both count tables,
+    * the totals and every ln() term. */
+  val t66DsirWeights: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+      col("text"))
+    TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        n = 2, buckets = 512)
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_grams"),
+        col("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1153,6 +1187,8 @@ object DataQueries {
     "t62_embedding_drift" -> t62EmbeddingDrift,
     "t63_sq_topk" -> t63SqTopK,
     "t64_chunk_documents" -> t64ChunkDocuments,
+    "t65_bq_topk" -> t65BqTopK,
+    "t66_dsir_weights" -> t66DsirWeights,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1313,6 +1349,16 @@ object DataQueries {
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.sqTopK(st.big, queries, k = 8)
+    }),
+    // t65's binary search at the same 16k regime and query slate: the
+    // quantization ladder's most aggressive point (32x cut) — stage 1
+    // flows sign codes only, stage 2 reranks just the 64-deep
+    // shortlist with exact cosines (recall floored in ScaleSpec)
+    "x65_bq_scale" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      Similarity.bqTopK(st.big, queries, k = 8, shortlist = 64)
     }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions

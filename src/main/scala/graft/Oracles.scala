@@ -2161,6 +2161,75 @@ object Oracles {
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // binary-quantization search recomputed INDEPENDENTLY of the packed
+    // representation: Hamming distance is re-derived straight from the
+    // sign definition (count of dimensions whose signs differ), then the
+    // (hamming, neighbor_id) shortlist rank, the exact-cosine rerank and
+    // the round-4 output are replayed — a packing bug that changed any
+    // popcount anywhere breaks the hash
+    "t65_bq_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |ham AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    cast(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CASE WHEN (qv[i] > 0) <> (e.embedding[i] > 0)
+        |           THEN 1 ELSE 0 END)) as bigint) AS hamming
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, neighbor_id, hamming, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS hr
+        |  FROM ham),
+        |cand AS (SELECT query_id, neighbor_id, hamming,
+        |    list_cosine_similarity(cast(eq.embedding as double[]),
+        |      cast(en.embedding as double[])) AS cos
+        |  FROM sl JOIN embeddings eq ON eq.vec_id = sl.query_id
+        |  JOIN embeddings en ON en.vec_id = sl.neighbor_id
+        |  WHERE hr <= 20),
+        |r AS (SELECT query_id, neighbor_id, hamming, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM cand)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rank as bigint) AS rank,
+        | cast(neighbor_id as bigint) AS neighbor_id, hamming,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // DSIR importance weights: the bigram construction, the md5 bucket
+    // of every gram occurrence, both 512-bucket count tables, the two
+    // totals and every add-one-smoothed ln() term (factors cast to
+    // double BEFORE multiplying, decimal accumulation, round 6) are all
+    // replayed — a single gram landing in the wrong bucket on either
+    // side breaks the hash
+    "t66_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |bk AS (SELECT doc_id, lang,
+        |    ('0x'||substr(md5('dsir'||ngram),1,8))::bigint % 512 AS b
+        |  FROM g),
+        |tc AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en'
+        |  GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt,
+        |    (SELECT sum(cr) FROM rc) AS nr),
+        |s AS (SELECT doc_id, cast(ln(
+        |      ((coalesce(tc.ct, 0) + 1)::double * (tot.nr + 512)::double)
+        |      / ((coalesce(rc.cr, 0) + 1)::double
+        |         * (tot.nt + 512)::double)) as decimal(27,12)) AS lw
+        |  FROM bk LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  CROSS JOIN tot),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    round(cast(sum(lw) as double), 6) AS w FROM s GROUP BY 1)
+        |SELECT cast(d.doc_id as bigint) AS doc_id,
+        | cast(coalesce(a.n_grams, 0) as bigint) AS n_grams,
+        | a.w AS log_weight
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // exact recomputation of the embedding drift monitor: the t44
     // assignment CTE with the winning cosine kept, the even-id-half
     // profile and the full-corpus means both decimal-accumulated, and

@@ -834,6 +834,82 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Binary (sign-bit) quantization encode — 1 bit per dimension,
+    * 64 dimensions packed per long: word `w`'s bit `i` is set iff
+    * `x[64w+i] > 0`. A 32x memory cut vs float32 (the most aggressive
+    * point on the PQ/SQ8/binary quantization ladder), and Hamming
+    * distance over the packed words — popcount of XOR — is a
+    * monotone proxy for angular distance (Charikar 2002 sign-LSH:
+    * E[hamming]/dims = angle/pi). Pure per-row projection, no shuffle;
+    * the bit arithmetic is integer-exact so any engine replays the
+    * downstream Hamming counts (t65 oracle recomputes them straight
+    * from the sign definition, independent of this packing). */
+  def bqEncode(vecs: DataFrame, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol),
+      when(size(col(vecCol)) === 0, expr("cast(array() as array<bigint>)"))
+        .otherwise(expr(
+          s"""transform(
+             |  sequence(0, cast(ceil(size(`$vecCol`) / 64.0) as int) - 1),
+             |  w -> aggregate(
+             |    transform(slice(`$vecCol`, w * 64 + 1, 64),
+             |      (x, i) -> if(x > 0, shiftleft(cast(1 as bigint), i),
+             |                   cast(0 as bigint))),
+             |    cast(0 as bigint), (acc, b) -> acc | b))""".stripMargin))
+        .as("words"))
+
+  /** Brute-force top-k over binary codes with exact rerank — the
+    * two-stage contract every binary-embedding search engine uses:
+    * (1) Hamming shortlist: rank ALL corpus codes per query by
+    * (popcount(q XOR c), neighbor_id) and keep the `shortlist`
+    * nearest (default 4k); (2) exact rerank: fetch only the
+    * shortlisted vectors' floats and apply the standard top-k contract
+    * ([[bruteForceTopK]]: cosine desc, neighbor_id tiebreak, cosine
+    * rounded to 4). shortlist >= corpus size degenerates to exactly
+    * [[bruteForceTopK]] (spec-pinned), so recall is a pure function of
+    * the shortlist knob.
+    *
+    * Scale shape: queries broadcast with their codes and floats; the
+    * corpus flows through stage 1 as (id, words) ONLY — 1/32nd of the
+    * float bytes, the whole point — and stage 2 re-joins the corpus
+    * floats for just the |Q| x shortlist surviving pairs on one
+    * id-keyed equi-join. Nothing corpus-sized is ever broadcast. */
+  def bqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             shortlist: Int = 0, idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             selfJoin: Boolean = true): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 4 * k
+    val enc = bqEncode(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("words").as("__cw"))
+    val q = broadcast(bqEncode(queries, idCol, vecCol)
+      .join(queries.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("query_id"), col("words").as("__qw"),
+        col(vecCol).as("__qv")))
+    val short = q
+      .join(enc, if (selfJoin) col("query_id") =!= col("neighbor_id")
+                 else lit(true))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(__qw, __cw, (a, b) -> bit_count(a ^ b)), " +
+          "0, (acc, x) -> acc + x)"))
+      .withColumn("__hr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("neighbor_id"))))
+      .filter(col("__hr") <= r)
+      .select(col("query_id"), col("__qv"), col("neighbor_id"),
+        col("hamming"))
+    short
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv")), Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("hamming").cast("long").as("hamming"),
+        round(col("cos"), 4).as("cosine"))
+  }
+
   /** [[ivfAssign]] keeping the winning cosine — (id, centroid_id,
     * cos_to_centroid) — as a PURE PROJECTION: the centroid table
     * collapses to a one-row broadcast array and every vector folds

@@ -1199,4 +1199,70 @@ object TextOps {
       .filter(col("term_rank") <= k)
       .select(col(idCol), col("term_rank"), col("term"), col("score"))
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every `raw` document by how much more probable its word
+    * n-grams are under the `target` corpus's hashed-feature
+    * distribution than under `raw`'s own,
+    * log_weight = sum over the doc's gram occurrences of
+    * ln( p_target(bucket) / p_raw(bucket) ),
+    * where bucket = md5_u32(salt || gram) mod `buckets` and both
+    * distributions are add-one smoothed over the bucket space
+    * (p(b) = (count(b)+1)/(total+buckets)) so unseen buckets carry
+    * smoothing mass, never a zero. High log_weight = looks like the
+    * target; feed into [[hashSample]] with an exp-weight-derived rate
+    * or [[keepTopFraction]] for the resampling step. Docs without a
+    * single n-gram return n_grams = 0 and NULL weight (no evidence —
+    * the [[lmScore]] contract).
+    *
+    * Determinism: each ln() term is one double expression of integer
+    * counts — (ct+1)·(Nr+B) / ((cr+1)·(Nt+B)) with every factor cast
+    * to double BEFORE multiplying, so nothing overflows at corpus
+    * scale and every engine computes the identical double —
+    * accumulated as DECIMAL(27,12) (order-independent), mean-free sum,
+    * rounded to 6 (t66 oracle replays every term).
+    *
+    * Scale shape: both corpora explode to gram rows map-side
+    * ([[ngramRows]]), each collapsing to a `buckets`-row count table
+    * (map-side partial agg) that joins back BROADCAST onto the raw
+    * gram rows; the only corpus-sized shuffle is the per-doc
+    * aggregate, which ships (id, decimal) rows. The feature space is
+    * fixed at `buckets` regardless of corpus size — the reason DSIR
+    * scales where exact-vocabulary importance weights don't. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
+                  buckets: Int = 4096, salt: String = "dsir",
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketRows(df: DataFrame, keep: Seq[String]): DataFrame =
+      ngramRows(df, n, textCol, keep)
+        .withColumn("__b",
+          pmod(md5U32(concat(lit(salt), col("ngram"))), lit(buckets)))
+    val tc = bucketRows(target, Nil)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rc = bucketRows(raw, Nil)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val dist = tc.join(rc, Seq("__b"), "full_outer")
+      .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val totals = dist.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))
+    val perDoc = bucketRows(raw, Seq(idCol))
+      .join(broadcast(dist), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lw", log(
+        ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") *
+          (col("__nr") + buckets).cast("double")) /
+        ((coalesce(col("__cr"), lit(0L)) + 1).cast("double") *
+          (col("__nt") + buckets).cast("double")))
+        .cast("decimal(27,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("__lw")).cast("double"), 6).as("__w"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        col("__w").as("log_weight"))
+  }
 }

@@ -17,6 +17,8 @@ import graft.ops.{Dedup, TextOps}
   *   5. corpus-wide line dedup                ([[TextOps.lineDedupScalable]])
   *   6. eval-set decontamination              ([[Dedup.decontaminate]])
   *   7. per-source quality pruning            ([[TextOps.keepTopFraction]])
+  *   7b. (optional) DSIR target-distribution selection
+  *                                            ([[TextOps.dsirWeights]])
   *   8. temperature epoch allocation → integer replication
   *                                            ([[TextOps.temperatureAllocation]])
   *   9. packed, shard-shuffled egress + manifest audit
@@ -56,7 +58,10 @@ object Curation {
           budgetTokens: Long = 100000L, temperature: Double = 2.0,
           maxEpochs: Double = 4.0, capacity: Int = 512,
           buckets: Int = 8, shards: Int = 8,
-          salt: String = "curate"): Result = {
+          salt: String = "curate",
+          dsirTarget: Option[DataFrame] = None,
+          dsirNum: Int = 1, dsirDen: Int = 2,
+          dsirBuckets: Int = 4096): Result = {
     val spark = docs.sparkSession
     var ledger = Vector.empty[(String, Long, Long)]
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -128,16 +133,35 @@ object Curation {
         .filter(col("is_kept") === 1)
         .select(col("doc_id"), col("text"), col("source")))
 
+    // 7b (optional): DSIR target-distribution selection — score the
+    // survivors' hashed n-grams against the target corpus
+    // ([[TextOps.dsirWeights]]) and keep the top dsirNum/dsirDen of
+    // each source by log_weight (the same per-source rank cut as the
+    // quality prune, so the window stays domain-sized at scale; docs
+    // with no n-gram evidence rank last and die first). Skipped —
+    // and absent from the report — when no target is given.
+    val selected = dsirTarget match {
+      case None => pruned
+      case Some(tgt) => stage("dsir_select")(
+        TextOps.keepTopFraction(
+            TextOps.dsirWeights(pruned, tgt, n = 2, buckets = dsirBuckets)
+              .join(pruned, Seq("doc_id")),
+            col("source"), col("log_weight"), col("doc_id"),
+            dsirNum, dsirDen)
+          .filter(col("is_kept") === 1)
+          .select(col("doc_id"), col("text"), col("source")))
+    }
+
     // 8: temperature allocation → integer replication (replica ids
     // doc_id·8 + copy; n_copies <= maxEpochs, and maxEpochs <= 7 keeps
     // the id arithmetic collision-free)
     require(maxEpochs <= 7.0, "replica id arithmetic caps maxEpochs at 7")
     val replicated = stage("allocate")(
-      TextOps.temperatureAllocation(pruned, budgetTokens, temperature,
+      TextOps.temperatureAllocation(selected, budgetTokens, temperature,
           maxEpochs)
         .select(col("doc_id"), col("n_copies"))
         .filter(col("n_copies") > 0)
-        .join(pruned, Seq("doc_id"))
+        .join(selected, Seq("doc_id"))
         .withColumn("__copy", explode(sequence(lit(1L), col("n_copies"))))
         .select((col("doc_id") * 8 + col("__copy")).as("doc_id"),
           col("text"), col("source")))

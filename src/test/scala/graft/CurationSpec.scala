@@ -113,5 +113,45 @@ class CurationSpec extends SparkSpec {
       .map(row => row.getString(1) -> row.getLong(2)).toMap
     assert(by2("quality_prune") < by2("decontaminate"))
     assert(r2.audit.filter(!col("ok")).count() === 0L)
+    // no DSIR target -> no dsir_select stage in the report
+    assert(!r.report.collect().map(_.getString(1)).contains("dsir_select"))
+  }
+
+  test("optional DSIR selection stage: off-distribution docs die at " +
+      "dsir_select, the stage sits between prune and allocate") {
+    // two fully-gibberish docs — every line passes the C4 rules, all
+    // words are outside the bank so they share no shingles with
+    // anything (no near-dup deaths) and none of their bigrams occur in
+    // the target corpus: every gram sits at the smoothing floor, so
+    // their log-weights are decisively the lowest in their sources
+    val gib = Seq(
+      (120L, "quopl vrint slabe droqk minty phrex grolt brinth varnel " +
+        "crusk.\nzamber crolux vintle pharn deblik rostun welkin " +
+        "darnel frosk plim.", "web"),
+      (121L, "oblysk trewn shamble quopt nivrel dask corvid planx " +
+        "zint mur.\nmorvel dunst crebble wost farlix intorp grimsel " +
+        "vontu ablek rin.", "books"))
+      .toDF("doc_id", "text", "source")
+    val docs = corpus.unionByName(gib)
+    val target = (1L to 20L).map(i => (i, body(i))).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("curate3").toString
+    val r = Curation.run(docs, evalSet, out,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4,
+      dsirTarget = Some(target), dsirNum = 3, dsirDen = 4)
+    val rep = r.report.orderBy("stage_no").collect()
+    val names = rep.map(_.getString(1)).toSeq
+    assert(names.indexOf("dsir_select") ===
+      names.indexOf("quality_prune") + 1,
+      s"dsir_select must follow quality_prune: $names")
+    val byStage = rep.map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(byStage("dsir_select") < byStage("quality_prune"),
+      "the 3/4 cut must drop documents")
+    val landed = r.mix.select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(!landed(120L) && !landed(121L),
+      "off-distribution docs must die at the DSIR cut")
+    assert(landed.exists(_ <= 20L), "in-distribution docs must survive")
+    assert(r.audit.filter(!col("ok")).count() === 0L)
   }
 }

@@ -265,6 +265,15 @@ class ScaleSpec extends SparkSpec {
     assert(rPq >= 0.875, f"pqTopK lost replica slots: $rPq%.3f")
     assert(rIvf >= 0.875, f"ivfPqTopK lost replica slots: $rIvf%.3f")
     assert(rRes >= 0.875, f"residual ivfPqTopK lost replica slots: $rRes%.3f")
+    // the x65 binary-search shape: a query's 7 identical replicas share
+    // its sign codes exactly (Hamming 0), so the shortlist must carry
+    // all 7 and the exact rerank must place them first — the same
+    // structural floor. (bq reranks by cosine, but identical vectors
+    // tie at the top under either metric.)
+    val rBq = recallOf(Similarity.bqTopK(big, queries, k = k,
+      shortlist = 64))
+    info(f"16k-frame bq recall@$k (shortlist=64): $rBq%.3f")
+    assert(rBq >= 0.875, f"bqTopK lost replica slots: $rBq%.3f")
   }
 
   test("writeFactByMonth enables partition pruning on the month") {

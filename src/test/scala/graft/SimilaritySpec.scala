@@ -736,4 +736,37 @@ class SimilaritySpec extends SparkSpec {
     val mon = Similarity.embeddingDriftMonitor(emb, trained, prof)
     assert(mon.filter(col("drift") === 1L).count() === 0L)
   }
+
+  test("bqEncode packs sign bits exactly (incl. bit 63 and the zero " +
+      "edge); bqTopK at full shortlist equals brute force; shortlist " +
+      "recall is measured and floored") {
+    import spark.implicits._
+    def wordsOf(v: Array[Float]): Seq[Long] =
+      Similarity.bqEncode(Seq((1L, v)).toDF("vec_id", "embedding"))
+        .select("words").first().getSeq[Long](0)
+    // dims 0, 2 and 65 positive over 66 dims → word0 bits {0,2},
+    // word1 bit 1 (dim 64 negative)
+    val v = Array.fill(66)(-1f)
+    v(0) = 1f; v(2) = 0.5f; v(65) = 2f
+    assert(wordsOf(v) === Seq(5L, 2L))
+    // zero is NOT positive; an all-zero vector packs to a zero word
+    assert(wordsOf(Array.fill(64)(0f)) === Seq(0L))
+    // bit 63 is the long's sign bit — packing must not mangle it
+    val v63 = Array.fill(64)(-1f); v63(63) = 1f
+    assert(wordsOf(v63) === Seq(Long.MinValue))
+    // shortlist >= corpus degenerates to EXACTLY the brute force:
+    // every candidate survives stage 1, stage 2 is the standard
+    // top-k contract
+    val q = emb.filter(col("vec_id") < 8)
+    val full = Similarity.bqTopK(emb, q, k = 5,
+        shortlist = emb.count().toInt)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+    assert(full.except(brute).count() === 0L &&
+      brute.except(full).count() === 0L)
+    // recall of the default 4k Hamming shortlist vs exact
+    val r = recallOf(Similarity.bqTopK(emb, emb, 5), 5)
+    info(f"bq recall@5 (shortlist=20) vs exact: $r%.3f")
+    assert(r >= 0.25, f"bq shortlist recall collapsed: $r%.3f")
+  }
 }

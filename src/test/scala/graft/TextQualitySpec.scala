@@ -601,4 +601,35 @@ class TextQualitySpec extends SparkSpec {
     assert(math.abs(trainFrac - 0.75) <= tol,
       f"hashSplit train fraction $trainFrac%.4f off 0.75 (tol $tol%.4f)")
   }
+
+  test("dsirWeights: target-like docs outscore off-distribution ones; " +
+      "gramless docs return n_grams 0 / NULL weight; deterministic") {
+    // target distribution: bigrams over a small 'alpha…' vocabulary
+    val target = (1 to 20).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (101L, "alpha beta gamma delta"),  // in-distribution
+      (102L, "qq ww ee rr tt"),          // off-distribution
+      (103L, "solo")                     // 1 token -> no bigrams
+    ).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target, n = 2, buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(w(101)._1 === 3L && w(102)._1 === 4L)
+    assert(w(103) === ((0L, None)),
+      "a gramless doc must carry no evidence")
+    assert(w(101)._2.get > w(102)._2.get,
+      s"in-distribution doc must outscore the off-distribution one: $w")
+    // every off-distribution bigram sits at the smoothing floor
+    // ln(1·(Nr+B) / ((cr+1)·(Nt+B))) < 0 for this fixture's totals
+    assert(w(102)._2.get < 0.0)
+    // hash-bucketed features + decimal accumulation: bit-for-bit rerun
+    val w2 = TextOps.dsirWeights(raw, target, n = 2, buckets = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(w === w2)
+  }
 }
