@@ -292,6 +292,20 @@ object Bench {
           .localCheckpoint()
       })
     }
+    // s09's frozen DSIR profile (raw model = the corpus, target model =
+    // its English slice): built and materialized untimed, the same
+    // discipline as the band/quantizer indexes
+    val dsirProfileMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def dsirProf(s: SparkSession, d: String): DataFrame = synchronized {
+      dsirProfileMemo.getOrElseUpdate(d, {
+        val docs = graft.etl.Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"))
+        graft.ops.TextOps.dsirProfile(docs,
+          docs.filter(col("lang") === "en"), n = 2, buckets = 4096)
+          .localCheckpoint()
+      })
+    }
     // warm-up failure must FAIL the dependent benches, not silently move
     // the index/profile build inside the timed region (getOrElseUpdate
     // would rebuild on first use): s05/s06/s07/s08 check the flag and
@@ -300,12 +314,13 @@ object Bench {
     try { gateIndex(streamSpark, sfDir); refProfile(streamSpark, sfDir)
       semGateStatics(streamSpark, sfDir)
       embProfile(streamSpark, sfDir)
+      dsirProf(streamSpark, sfDir)
       graft.etl.Tables.exportedEmbsParts(streamSpark, sfDir)
       streamStaticWarm = true
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream-static warm-up failed " +
-          s"(s05/s06/s07/s08 will record -1): ${e.getMessage}")
+          s"(s05/s06/s07/s08/s09 will record -1): ${e.getMessage}")
     }
     def requireStreamStaticWarm(): Unit =
       if (!streamStaticWarm) throw new IllegalStateException(
@@ -429,6 +444,25 @@ object Bench {
               graft.etl.Tables.exportedEmbsParts(s, d)),
             cents, embProfile(s, d)),
           "complete")
+      }),
+      // DSIR ingest gate: paced documents scored per microbatch against
+      // the frozen (untimed) bucket profile via foreachBatch — one
+      // broadcast join + one doc-keyed aggregate per batch, stateless
+      // across batches, the s05 discipline on the data-selection model
+      "s09_dsir_gate" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val prof = dsirProf(s, d)
+        runStreamQuery("s09_dsir_gate", () =>
+          Streams.docsStreamPaced(s,
+              graft.etl.Tables.exportedDocsParts(s, d))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.ops.TextOps.dsirScore(b, prof)
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
       }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =

@@ -1122,6 +1122,26 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR scoring against a FROZEN profile built from different
+    * corpora than the scored frame (raw model: even-id docs; target
+    * model: English odd-id docs) — the build-once/score-forever seam
+    * the streaming gate runs on. Scoring the full corpus exercises
+    * the unseen-bucket path (grams the profile corpora never saw take
+    * the pure smoothing ratio). The oracle rebuilds both count
+    * tables from their sub-corpora and replays every term. */
+  val t67DsirScoreFrozen: Q = (s, d) => {
+    val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+      col("text"))
+    val prof = TextOps.dsirProfile(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("lang") === "en" && col("doc_id") % 2 === 1),
+      n = 2, buckets = 512)
+    TextOps.dsirScore(docs, prof, n = 2, buckets = 512)
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_grams"),
+        col("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1189,6 +1209,7 @@ object DataQueries {
     "t64_chunk_documents" -> t64ChunkDocuments,
     "t65_bq_topk" -> t65BqTopK,
     "t66_dsir_weights" -> t66DsirWeights,
+    "t67_dsir_frozen" -> t67DsirScoreFrozen,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

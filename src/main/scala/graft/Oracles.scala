@@ -2214,8 +2214,42 @@ object Oracles {
         |tc AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en'
         |  GROUP BY 1),
         |rc AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
-        |tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt,
-        |    (SELECT sum(cr) FROM rc) AS nr),
+        |tot AS (SELECT coalesce((SELECT sum(ct) FROM tc), 0) AS nt,
+        |    coalesce((SELECT sum(cr) FROM rc), 0) AS nr),
+        |s AS (SELECT doc_id, cast(ln(
+        |      ((coalesce(tc.ct, 0) + 1)::double * (tot.nr + 512)::double)
+        |      / ((coalesce(rc.cr, 0) + 1)::double
+        |         * (tot.nt + 512)::double)) as decimal(27,12)) AS lw
+        |  FROM bk LEFT JOIN tc USING (b) LEFT JOIN rc USING (b)
+        |  CROSS JOIN tot),
+        |a AS (SELECT doc_id, count(*) AS n_grams,
+        |    round(cast(sum(lw) as double), 6) AS w FROM s GROUP BY 1)
+        |SELECT cast(d.doc_id as bigint) AS doc_id,
+        | cast(coalesce(a.n_grams, 0) as bigint) AS n_grams,
+        | a.w AS log_weight
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR against a frozen profile: both count tables rebuilt from
+    // their sub-corpora (raw model = even ids, target model = English
+    // odd ids), the full corpus scored — unseen buckets take the pure
+    // smoothing ratio; every term replayed as in t66
+    "t67_dsir_frozen" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |bk AS (SELECT doc_id, lang,
+        |    ('0x'||substr(md5('dsir'||ngram),1,8))::bigint % 512 AS b
+        |  FROM g),
+        |tc AS (SELECT b, count(*) AS ct FROM bk
+        |  WHERE lang = 'en' AND doc_id % 2 = 1 GROUP BY 1),
+        |rc AS (SELECT b, count(*) AS cr FROM bk
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT coalesce((SELECT sum(ct) FROM tc), 0) AS nt,
+        |    coalesce((SELECT sum(cr) FROM rc), 0) AS nr),
         |s AS (SELECT doc_id, cast(ln(
         |      ((coalesce(tc.ct, 0) + 1)::double * (tot.nr + 512)::double)
         |      / ((coalesce(rc.cr, 0) + 1)::double

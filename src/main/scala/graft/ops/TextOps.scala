@@ -1233,34 +1233,67 @@ object TextOps {
   def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
                   buckets: Int = 4096, salt: String = "dsir",
                   idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    dsirScore(raw, dsirProfile(raw, target, n, buckets, salt, textCol),
+      n, buckets, salt, idCol, textCol)
+
+  private def dsirBucketRows(df: DataFrame, n: Int, buckets: Int,
+                             salt: String, textCol: String,
+                             keep: Seq[String]): DataFrame =
+    ngramRows(df, n, textCol, keep)
+      .withColumn("__b",
+        pmod(md5U32(concat(lit(salt), col("ngram"))), lit(buckets)))
+
+  /** Frozen DSIR profile — the build-once half of [[dsirWeights]], the
+    * index discipline ([[graft.ops.Dedup.nearDupIndex]] /
+    * `semanticIndex`) applied to the data-selection model: every one
+    * of the `buckets` feature buckets with its target count, raw
+    * count and both corpus totals attached — a self-contained
+    * `buckets`-row frame (every possible bucket present, so scoring
+    * NEVER misses a join key even on documents whose grams the
+    * profile corpora never saw). Build once, materialize, then score
+    * any frame — batches or stream microbatches — with [[dsirScore]]
+    * under the same (n, buckets, salt). */
+  def dsirProfile(raw: DataFrame, target: DataFrame, n: Int = 2,
+                  buckets: Int = 4096, salt: String = "dsir",
                   textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucketRows(df: DataFrame, keep: Seq[String]): DataFrame =
-      ngramRows(df, n, textCol, keep)
-        .withColumn("__b",
-          pmod(md5U32(concat(lit(salt), col("ngram"))), lit(buckets)))
-    val tc = bucketRows(target, Nil)
+    val tc = dsirBucketRows(target, n, buckets, salt, textCol, Nil)
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val rc = bucketRows(raw, Nil)
+    val rc = dsirBucketRows(raw, n, buckets, salt, textCol, Nil)
       .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val dist = tc.join(rc, Seq("__b"), "full_outer")
+    val dist = raw.sparkSession.range(buckets).select(col("id").as("__b"))
+      .join(tc, Seq("__b"), "left").join(rc, Seq("__b"), "left")
       .select(col("__b"), coalesce(col("__ct"), lit(0L)).as("__ct"),
         coalesce(col("__cr"), lit(0L)).as("__cr"))
-    val totals = dist.agg(sum(col("__ct")).as("__nt"),
-      sum(col("__cr")).as("__nr"))
-    val perDoc = bucketRows(raw, Seq(idCol))
-      .join(broadcast(dist), Seq("__b"), "left")
-      .crossJoin(broadcast(totals))
+    dist.crossJoin(broadcast(dist.agg(sum(col("__ct")).as("__nt"),
+      sum(col("__cr")).as("__nr"))))
+  }
+
+  /** Score any frame against a frozen [[dsirProfile]] — the
+    * probe-forever half: per document, the sum over its gram
+    * occurrences of the add-one-smoothed log likelihood ratio (see
+    * [[dsirWeights]] for the arithmetic contract; (n, buckets, salt)
+    * MUST match the profile's or the buckets silently disagree).
+    * Stateless per input frame, so the streaming runner applies it
+    * per-microbatch against the frozen profile unchanged (s09). */
+  def dsirScore(docs: DataFrame, profile: DataFrame, n: Int = 2,
+                buckets: Int = 4096, salt: String = "dsir",
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val perDoc = dsirBucketRows(docs, n, buckets, salt, textCol,
+        Seq(idCol))
+      .join(broadcast(profile), Seq("__b"))
       .withColumn("__lw", log(
-        ((coalesce(col("__ct"), lit(0L)) + 1).cast("double") *
+        ((col("__ct") + 1).cast("double") *
           (col("__nr") + buckets).cast("double")) /
-        ((coalesce(col("__cr"), lit(0L)) + 1).cast("double") *
+        ((col("__cr") + 1).cast("double") *
           (col("__nt") + buckets).cast("double")))
         .cast("decimal(27,12)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("__lw")).cast("double"), 6).as("__w"))
-    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         col("__w").as("log_weight"))

@@ -559,4 +559,33 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming DSIR ingest gate — the s05/s07 build-once/probe-forever
+    * discipline applied to the data-selection model: incoming documents
+    * are scored per microbatch against a FROZEN
+    * [[graft.ops.TextOps.dsirProfile]] (built once from the raw/target
+    * model corpora and materialized), each row emerging with its
+    * (n_grams, log_weight) — a deployment thresholds on log_weight to
+    * keep target-like documents at ingest. Per batch: one broadcast
+    * profile join + one doc-keyed aggregate ([[graft.ops.TextOps
+    * .dsirScore]]), stateless across batches, so the paced stream's
+    * union equals the batch scorer over the same files
+    * (StreamingSpec-pinned; benched as s09). (n, buckets, salt) MUST
+    * match the profile build or the buckets silently disagree. */
+  def runDsirGateOnce(spark: SparkSession, dir: String,
+                      profile: DataFrame, sink: DataFrame => Unit,
+                      filesPerTrigger: Int = 1, n: Int = 2,
+                      buckets: Int = 4096,
+                      salt: String = "dsir"): Unit = {
+    val q = docsStreamPaced(spark, dir, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.TextOps.dsirScore(batch, profile, n, buckets,
+          salt))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -280,4 +280,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
+
+  test("t65: bq search broadcasts ONLY the query table — the corpus " +
+      "flows shuffled through both stages, the rerank is an equi join") {
+    // with auto-broadcast off the single BroadcastExchange left is the
+    // hinted query-side table (codes + floats); the Hamming stage scans
+    // the corpus codes against it (BNLJ over the broadcast — the
+    // bruteForceTopK discipline) and the rerank re-joins corpus floats
+    // through a shuffled equi join, never a broadcast of the corpus
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t65_bq_topk")
+      assert("BroadcastExchange".r.findAllIn(p).size === 1, p.take(2500))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t66: DSIR scoring broadcasts the bucket-count tables and the " +
+      "totals scalar; gram rows are never broadcast") {
+    // with auto-broadcast off, the only broadcasts are the explicit
+    // hints: the buckets-row dist table (hash join onto the gram rows)
+    // and the 1-row totals (the lone nested-loop); everything
+    // corpus-sized meets in shuffled joins/aggregates
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t66_dsir_weights")
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2500))
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        p.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -538,4 +538,43 @@ class StreamingSpec extends SparkSpec {
     // and [10:05,10:15) -> window [10:00,10:10) holds both
     assert(out.exists(r => r.getLong(2) == 2))
   }
+
+  test("runDsirGateOnce: paced foreachBatch scorer == batch dsirScore " +
+      "against the frozen profile; target-language docs outscore") {
+    import graft.ops.TextOps
+    // the s09 bench shape: paced documents scored per microbatch
+    // against the FROZEN bucket profile (raw model = the corpus,
+    // target model = its English slice)
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val docs = graft.etl.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val prof = TextOps.dsirProfile(docs,
+      docs.filter(col("lang") === "en"), n = 2, buckets = 512)
+      .localCheckpoint()
+    type Scored = (Long, Long, Option[Double])
+    def rows(b: org.apache.spark.sql.DataFrame): Seq[Scored] =
+      b.select(col("doc_id"), col("n_grams"), col("log_weight"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Scored]]
+    Streams.runDsirGateOnce(spark, parts, prof,
+      b => got += rows(b), buckets = 512)
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.toSeq.flatten.sortBy(_._1)
+    val batch = rows(TextOps.dsirScore(docs, prof, buckets = 512))
+      .sortBy(_._1)
+    assert(paced == batch,
+      "paced per-microbatch scorer must equal the batch scorer")
+    // the profile's target is the corpus's own English slice, so
+    // English docs must outscore the rest in aggregate
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (en, other) = paced.filter(_._3.isDefined)
+      .partition(p => langOf(p._1) == "en")
+    def avg(xs: Seq[Scored]): Double = xs.map(_._3.get).sum / xs.size
+    assert(en.nonEmpty && other.nonEmpty)
+    assert(avg(en) > avg(other),
+      f"en ${avg(en)}%.3f must outscore non-en ${avg(other)}%.3f")
+  }
 }
