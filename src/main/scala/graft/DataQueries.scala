@@ -1142,6 +1142,21 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** kNN label propagation over the embeddings fixture's label column:
+    * the 8-query slate classified by the majority label of their 5
+    * exact-cosine nearest neighbors, winner by (votes desc, label asc).
+    * The oracle replays the ranking, the label join, every vote count
+    * and the tiebreak. */
+  val t68KnnPredict: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      col("label"))
+    Similarity.knnPredict(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("predicted_label").cast("long").as("predicted_label"),
+        col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1210,6 +1225,7 @@ object DataQueries {
     "t65_bq_topk" -> t65BqTopK,
     "t66_dsir_weights" -> t66DsirWeights,
     "t67_dsir_frozen" -> t67DsirScoreFrozen,
+    "t68_knn_predict" -> t68KnnPredict,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

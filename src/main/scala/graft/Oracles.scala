@@ -2230,6 +2230,33 @@ object Oracles {
         |FROM d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // kNN label propagation: the exact cosine ranking (t06's contract),
+    // the label join, every per-label vote count and the
+    // (votes desc, label asc) winner tiebreak all replayed — a single
+    // neighbor ranked differently flips a vote and breaks the hash
+    "t68_knn_predict" ->
+      """WITH q AS (SELECT vec_id AS query_id, cast(embedding as double[])
+        |    AS qv FROM embeddings WHERE vec_id < 8),
+        |cand AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, cast(e.embedding as double[]))
+        |      AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS rank
+        |  FROM cand),
+        |v AS (SELECT query_id, e2.label AS lbl, count(*) AS votes
+        |  FROM r JOIN embeddings e2 ON r.neighbor_id = e2.vec_id
+        |  WHERE rank <= 5 GROUP BY 1, 2),
+        |w AS (SELECT query_id, lbl, votes, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY votes DESC, lbl) AS rn
+        |  FROM v)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(lbl as bigint) AS predicted_label,
+        | cast(votes as bigint) AS votes
+        |FROM w WHERE rn = 1
+        |ORDER BY query_id""".stripMargin,
+
     // DSIR against a frozen profile: both count tables rebuilt from
     // their sub-corpora (raw model = even ids, target model = English
     // odd ids), the full corpus scored — unseen buckets take the pure

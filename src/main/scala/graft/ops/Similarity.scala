@@ -834,6 +834,44 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** kNN label propagation — classify each query vector by the
+    * majority label of its k nearest corpus vectors: the
+    * semi-supervised labeling step a curation pipeline uses to spread
+    * a small hand-labeled seed set (quality tiers, domains, topics)
+    * over an unlabeled corpus. Vote contract: one vote per neighbor,
+    * winner by (votes desc, label asc) — fully deterministic, so the
+    * t68 oracle replays ranking, votes and the tiebreak exactly.
+    * `bits = 0` ranks with the exact [[bruteForceTopK]] (the oracle
+    * path); `bits > 0` routes through the bucketed [[knnJoin]] — the
+    * 100 TB path, same cost/recall trade as every knn consumer, and
+    * the label join + vote aggregate are unchanged.
+    *
+    * Scale shape: neighbors join labels on one id-keyed equi join
+    * (labels are (id, label) — narrow), then the vote aggregate and
+    * the winner rank both partition by query — batch-sized windows,
+    * never corpus-wide. */
+  def knnPredict(corpus: DataFrame, queries: DataFrame, k: Int,
+                 bits: Int = 0, idCol: String = "vec_id",
+                 vecCol: String = "embedding",
+                 labelCol: String = "label",
+                 selfJoin: Boolean = true): DataFrame = {
+    val nn =
+      if (bits <= 0)
+        bruteForceTopK(corpus, queries, k, idCol, vecCol, selfJoin)
+      else knnJoin(queries, corpus, k, bits, probe1 = true,
+        probe2 = false, idCol, vecCol, selfJoin)
+    nn.join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__lbl")), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("__lbl"))))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"),
+        col("__lbl").as(s"predicted_$labelCol"), col("votes"))
+  }
+
   /** Binary (sign-bit) quantization encode — 1 bit per dimension,
     * 64 dimensions packed per long: word `w`'s bit `i` is set iff
     * `x[64w+i] > 0`. A 32x memory cut vs float32 (the most aggressive

@@ -769,4 +769,52 @@ class SimilaritySpec extends SparkSpec {
     info(f"bq recall@5 (shortlist=20) vs exact: $r%.3f")
     assert(r >= 0.25, f"bq shortlist recall collapsed: $r%.3f")
   }
+
+  test("knnPredict: hand-built majority and tiebreak; clustered-corpus " +
+      "label recovery — exact path perfect, bucketed path floored") {
+    import spark.implicits._
+    // query at 0°, corpus at ±5°/10°/20°: k=3 neighbors carry labels
+    // (7, 7, 3) → majority 7 with 2 votes
+    val corpus = Seq(
+      (1L, Array(0.9962f, 0.0872f), 7),
+      (2L, Array(0.9962f, -0.0872f), 7),
+      (3L, Array(0.9848f, 0.1736f), 3),
+      (4L, Array(0.9397f, 0.3420f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val query = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val p3 = Similarity.knnPredict(corpus, query, k = 3).collect().head
+    assert((p3.getLong(0), p3.getInt(1), p3.getLong(2)) === ((100L, 7, 2L)))
+    // a 1-1 vote at k=2 must fall to the smallest label
+    val corpus2 = corpus.withColumn("label",
+      when(col("vec_id") === 2L, 3).otherwise(col("label")))
+    val p2 = Similarity.knnPredict(corpus2, query, k = 2).collect().head
+    assert((p2.getInt(1), p2.getLong(2)) === ((3, 1L)))
+    // the axis-offset clustered regime with label = planted cluster id:
+    // every vector's 5 nearest sit in its own ~9-member cluster, so the
+    // exact path must recover every label; the bucketed path pays the
+    // usual LSH recall toll and its accuracy is measured and floored
+    val clustered = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label", (col("vec_id") % 53).cast("int"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), (x, i) =>
+          when(i === col("label"), x + lit(40.0f)).otherwise(x))
+          .as("embedding"))
+      .localCheckpoint()
+    val n = clustered.count().toDouble
+    def accuracy(bits: Int): Double =
+      Similarity.knnPredict(clustered, clustered, k = 5, bits = bits)
+        .join(clustered.select(col("vec_id").as("query_id"),
+          col("label")), Seq("query_id"))
+        .filter(col("predicted_label") === col("label"))
+        .count() / n
+    val aExact = accuracy(0)
+    val aBucketed = accuracy(8)
+    info(f"clustered label recovery: exact $aExact%.3f, " +
+      f"bucketed bits=8 $aBucketed%.3f")
+    assert(aExact === 1.0, f"exact path must recover every label: $aExact")
+    assert(aBucketed >= 0.9,  // measured 1.0 — clusters are
+      // LSH-separable by construction; a broken probe set collapses this
+      f"bucketed label recovery collapsed: $aBucketed%.3f")
+  }
 }
