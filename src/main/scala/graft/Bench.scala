@@ -463,6 +463,26 @@ object Bench {
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
+      }),
+      // composed ingest screen: quality + PII + near-dup flag + DSIR
+      // score in ONE foreachBatch pass against both frozen statics —
+      // the production shape (one stream instead of three); per batch
+      // the union of the component costs, stateless across batches
+      "s10_ingest_screen" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val idx = gateIndex(s, d)
+        val prof = dsirProf(s, d)
+        runStreamQuery("s10_ingest_screen", () =>
+          Streams.docsStreamPaced(s,
+              graft.etl.Tables.exportedDocsParts(s, d))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              Streams.ingestScreen(b, idx, prof)
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
       }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =

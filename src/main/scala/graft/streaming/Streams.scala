@@ -572,6 +572,58 @@ object Streams {
     * union equals the batch scorer over the same files
     * (StreamingSpec-pinned; benched as s09). (n, buckets, salt) MUST
     * match the profile build or the buckets silently disagree. */
+  /** Composed per-document ingest screen — every doc-modality gate in
+    * ONE pass over an incoming frame: per document its quality score
+    * and PII count (pure projections), its near-dup flag against the
+    * frozen band index ([[graft.ops.Dedup.nearDupFlag]]) and its DSIR
+    * log-weight against the frozen bucket profile
+    * ([[graft.ops.TextOps.dsirScore]]) — the columns an ingest policy
+    * thresholds on, in one frame, so a deployment runs ONE stream
+    * instead of three. Stateless per input frame (both statics are
+    * build-once), so paced == batch by construction
+    * (StreamingSpec-pinned); each component's arithmetic is separately
+    * oracle-gated (t46 family, t01/t37, t66/t67).
+    *
+    * Scale shape: the union of the components' shapes — two per-row
+    * projections, one band-keyed join against the index, one broadcast
+    * profile join + doc-keyed aggregate; the flag/score frames re-join
+    * the input on its id, nothing corpus-sized broadcasts. */
+  def ingestScreen(docs: DataFrame, bandIndex: DataFrame,
+                   dsirProfile: DataFrame,
+                   bands: Int = 8, rowsPerBand: Int = 4,
+                   shingleSize: Int = 3, n: Int = 2,
+                   buckets: Int = 4096,
+                   salt: String = "dsir"): DataFrame =
+    graft.ops.Dedup.nearDupFlag(docs, bandIndex,
+        bands = bands, rowsPerBand = rowsPerBand,
+        shingleSize = shingleSize)
+      .join(graft.ops.TextOps.dsirScore(
+          docs.select(col("doc_id"), col("text")), dsirProfile,
+          n, buckets, salt),
+        Seq("doc_id"))
+      .withColumn("quality",
+        graft.ops.TextOps.qualityScore(col("text")))
+      .withColumn("pii", graft.ops.TextOps.piiCount(col("text")))
+
+  /** Streaming form of [[ingestScreen]] — the s10 bench shape: paced
+    * documents screened per microbatch against BOTH frozen statics via
+    * foreachBatch, each batch emerging with all gate columns at once.
+    * Stateless across batches; paced == batch (StreamingSpec). */
+  def runIngestScreenOnce(spark: SparkSession, dir: String,
+                          bandIndex: DataFrame, dsirProfile: DataFrame,
+                          sink: DataFrame => Unit,
+                          filesPerTrigger: Int = 1): Unit = {
+    val q = docsStreamPaced(spark, dir, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(ingestScreen(batch, bandIndex, dsirProfile))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runDsirGateOnce(spark: SparkSession, dir: String,
                       profile: DataFrame, sink: DataFrame => Unit,
                       filesPerTrigger: Int = 1, n: Int = 2,

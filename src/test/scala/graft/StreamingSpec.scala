@@ -577,4 +577,48 @@ class StreamingSpec extends SparkSpec {
     assert(avg(en) > avg(other),
       f"en ${avg(en)}%.3f must outscore non-en ${avg(other)}%.3f")
   }
+
+  test("runIngestScreenOnce: paced composed screen == batch, and every " +
+      "gate column agrees with its standalone component") {
+    import graft.ops.{Dedup, TextOps}
+    // the s10 bench shape: one foreachBatch pass producing quality,
+    // PII, the near-dup flag and the DSIR weight together against the
+    // two frozen statics
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val docs = graft.etl.Tables.documents(spark, d)
+    val idx = Dedup.nearDupIndex(
+      docs.select(col("doc_id"), col("text"))).localCheckpoint()
+    val prof = TextOps.dsirProfile(docs,
+      docs.filter(col("lang") === "en")).localCheckpoint()
+    type Screened = (Long, Long, Long, Option[Double], Double, Long)
+    def rows(b: org.apache.spark.sql.DataFrame): Seq[Screened] =
+      b.select(col("doc_id"), col("is_near_dup"), col("n_grams"),
+          col("log_weight"), col("quality"), col("pii").cast("long"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getDouble(4), r.getLong(5)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Screened]]
+    Streams.runIngestScreenOnce(spark, parts, idx, prof,
+      b => got += rows(b))
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.toSeq.flatten.sortBy(_._1)
+    val batch = rows(Streams.ingestScreen(docs, idx, prof)).sortBy(_._1)
+    assert(paced == batch,
+      "paced composed screen must equal the batch composition")
+    // composition adds nothing: each column equals its standalone op
+    val nd = Dedup.nearDupFlag(docs.select(col("doc_id"), col("text")),
+        idx)
+      .select(col("doc_id"), col("is_near_dup")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ds = TextOps.dsirScore(docs.select(col("doc_id"), col("text")),
+        prof)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    paced.foreach { case (id, flag, ng, w, _, _) =>
+      assert(flag === nd(id), s"doc $id near-dup flag diverged")
+      assert((ng, w) === ds(id), s"doc $id DSIR columns diverged")
+    }
+  }
 }
