@@ -12,8 +12,11 @@ import graft.ops.{Dedup, TextOps}
   *   1. C4 line-rule cleaning + page screens  ([[TextOps.c4LineFilter]])
   *   2. PII scrub                             ([[TextOps.scrubPii]])
   *   3. exact dedup                           ([[Dedup.exactDedup]])
+  *   3b. (incremental) exact-dup gate vs the persisted corpus state
   *   4. near-dup removal: LSH candidates → Jaccard verify → connected
   *      components → keep-longest survivor    ([[Dedup.retainBest]])
+  *   4b. (incremental) near-dup gate vs the persisted band index
+  *                                            ([[Dedup.nearDupFlag]])
   *   5. corpus-wide line dedup                ([[TextOps.lineDedupScalable]])
   *   6. eval-set decontamination              ([[Dedup.decontaminate]])
   *   7. per-source quality pruning            ([[TextOps.keepTopFraction]])
@@ -49,8 +52,11 @@ object Curation {
 
   /** report: (stage_no, stage, n_docs, n_tokens); mix: the landed
     * shard-shuffled layout read back; audit: [[TextOps.auditTrainingMix]]
-    * over it (all ok on success). */
-  case class Result(report: DataFrame, mix: DataFrame, audit: DataFrame)
+    * over it (all ok on success); kept: the post-selection survivors
+    * (doc_id, text, source) BEFORE epoch replication — the frame whose
+    * fingerprints/bands feed the next incremental run's state. */
+  case class Result(report: DataFrame, mix: DataFrame, audit: DataFrame,
+                    kept: DataFrame)
 
   def run(docs: DataFrame, evalSet: DataFrame, outPath: String,
           minWords: Int = 5, jaccard: Double = 0.5,
@@ -61,7 +67,9 @@ object Curation {
           salt: String = "curate",
           dsirTarget: Option[DataFrame] = None,
           dsirNum: Int = 1, dsirDen: Int = 2,
-          dsirBuckets: Int = 4096): Result = {
+          dsirBuckets: Int = 4096,
+          histFingerprints: Option[DataFrame] = None,
+          histBandIndex: Option[DataFrame] = None): Result = {
     val spark = docs.sparkSession
     var ledger = Vector.empty[(String, Long, Long)]
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -91,8 +99,22 @@ object Curation {
           col("source")))
 
     // 3: digest-keyed exact dedup (lowest id survives)
-    val exact = stage("exact_dedup")(
+    val exactLocal = stage("exact_dedup")(
       Dedup.exactDedup(scrubbed).drop("fingerprint"))
+
+    // 3b (incremental runs only): docs whose cleaned text the corpus
+    // has ALREADY kept in a previous run die here — one anti-join
+    // against the persisted fingerprint set (the exact-dup gate
+    // across history)
+    val exact = histFingerprints match {
+      case None => exactLocal
+      case Some(h) => stage("exact_vs_history")(
+        exactLocal
+          .withColumn("fingerprint",
+            TextOps.docFingerprint(col("text")))
+          .join(h, Seq("fingerprint"), "left_anti")
+          .drop("fingerprint"))
+    }
 
     // 4: near-dup removal — candidates only within LSH bands, verified
     // pairs closed under transitivity, keep-the-longest per cluster
@@ -100,7 +122,7 @@ object Curation {
       Dedup.minHashLshCandidates(exact, bands = 8, rowsPerBand = 4,
         shingleSize = 3),
       exact, threshold = jaccard)
-    val nearDeduped = stage("near_dedup")(
+    val nearLocal = stage("near_dedup")(
       Dedup.retainBest(exact,
           verified.select(col("id_a"), col("id_b")),
           exact.select(col("doc_id"),
@@ -108,6 +130,18 @@ object Curation {
         .filter(col("is_kept") === 1)
         .select(col("doc_id"))
         .join(exact, Seq("doc_id")))
+
+    // 4b (incremental runs only): docs sharing a MinHash band with any
+    // previously-kept doc die here — the t46 ingest-gate discipline
+    // against the persisted band index (same band parameters as the
+    // index build)
+    val nearDeduped = histBandIndex match {
+      case None => nearLocal
+      case Some(hb) => stage("neardup_vs_history")(
+        Dedup.nearDupFlag(nearLocal, hb)
+          .filter(col("is_near_dup") === 0)
+          .drop("is_near_dup"))
+    }
 
     // 5: corpus-frequency line removal; fully-boilerplate docs die
     val lineDeduped = stage("line_dedup")(
@@ -181,6 +215,69 @@ object Curation {
     val report = spark.createDataFrame(
       ledger.zipWithIndex.map { case ((n, d, t), i) => (i.toLong, n, d, t) })
       .toDF("stage_no", "stage", "n_docs", "n_tokens")
-    Result(report, mix, TextOps.auditTrainingMix(spark, outPath))
+    Result(report, mix, TextOps.auditTrainingMix(spark, outPath), selected)
+  }
+
+  /** Incremental curation — [[run]] composed across runs: curate a NEW
+    * batch of documents (a month, a crawl snapshot) against the
+    * PERSISTED state of everything kept before. State under `stateDir`
+    * (atomically swapped via [[graft.etl.Publish.publishAll]], so a
+    * mid-update crash never leaves a half-written gate):
+    *   - `fingerprints`: (fingerprint) — every kept doc's digest, the
+    *     exact-dup gate across history (stage 3b);
+    *   - `band_index`: (band, band_hash) — the MinHash band index of
+    *     every kept doc, the near-dup gate across history (stage 4b,
+    *     the t46 ingest discipline).
+    * A missing `stateDir` is an empty state (first run ≡ [[run]] plus
+    * two no-op history stages). On success the state becomes
+    * old ∪ this run's kept survivors, so runs compose: curating months
+    * 1..k then k+1 incrementally gates k+1 against every doc kept in
+    * 1..k. Batch-scoped stages (line dedup, quality prune, allocation)
+    * stay batch-scoped by design — their state would be corpus-sized;
+    * the doc-identity gates are exactly the ones history must see.
+    *
+    * Scale posture: both state frames are compact (one digest / a few
+    * band rows per kept doc — no text), grow append-only, and meet the
+    * batch in the same anti-join / band-keyed join shapes the
+    * streaming gates run per microbatch. */
+  def runIncremental(newDocs: DataFrame, evalSet: DataFrame,
+                     outPath: String, stateDir: String,
+                     minWords: Int = 5, jaccard: Double = 0.5,
+                     keepNum: Int = 3, keepDen: Int = 4,
+                     budgetTokens: Long = 100000L,
+                     temperature: Double = 2.0,
+                     maxEpochs: Double = 4.0, capacity: Int = 512,
+                     buckets: Int = 8, shards: Int = 8,
+                     salt: String = "curate",
+                     dsirTarget: Option[DataFrame] = None,
+                     dsirNum: Int = 1, dsirDen: Int = 2,
+                     dsirBuckets: Int = 4096): Result = {
+    val spark = newDocs.sparkSession
+    val empty = newDocs.limit(0)
+    def loadOr(name: String, emptyFrame: => DataFrame): DataFrame = {
+      val p = java.nio.file.Paths.get(stateDir, name)
+      if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
+      else emptyFrame
+    }
+    val histFps = loadOr("fingerprints",
+      empty.select(TextOps.docFingerprint(col("text")).as("fingerprint")))
+    val histBands = loadOr("band_index", Dedup.nearDupIndex(empty))
+    val r = run(newDocs, evalSet, outPath, minWords, jaccard,
+      keepNum, keepDen, budgetTokens, temperature, maxEpochs, capacity,
+      buckets, shards, salt, dsirTarget, dsirNum, dsirDen, dsirBuckets,
+      histFingerprints = Some(histFps), histBandIndex = Some(histBands))
+    // state := old ∪ kept survivors — staged fully before the swap, so
+    // the lazy reads of the old state complete during staging
+    val newFps = histFps.unionByName(r.kept.select(
+        TextOps.docFingerprint(col("text")).as("fingerprint")))
+      .distinct()
+    val newBands = histBands.unionByName(Dedup.nearDupIndex(r.kept))
+      .distinct()
+    graft.etl.Publish.publishAll(stateDir,
+      Map("fingerprints" -> newFps, "band_index" -> newBands)) match {
+      case scala.util.Failure(e) => throw e
+      case scala.util.Success(_) => ()
+    }
+    r
   }
 }

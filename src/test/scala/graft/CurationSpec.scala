@@ -154,4 +154,57 @@ class CurationSpec extends SparkSpec {
     assert(landed.exists(_ <= 20L), "in-distribution docs must survive")
     assert(r.audit.filter(!col("ok")).count() === 0L)
   }
+
+  test("incremental curation: month 2 is gated against month 1's " +
+      "persisted state; state grows; runs compose") {
+    import graft.pipelines.Curation
+    val state = java.nio.file.Files.createTempDirectory("curstate")
+      .toString
+    val out1 = java.nio.file.Files.createTempDirectory("curinc1").toString
+    // month 1: the standard corpus; empty state -> behaves like run()
+    // with two no-op history stages
+    val r1 = Curation.runIncremental(corpus, evalSet, out1, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4)
+    val by1 = r1.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by1("exact_vs_history") === by1("exact_dedup"),
+      "empty history must kill nothing")
+    assert(by1("neardup_vs_history") === by1("near_dedup"))
+    assert(r1.audit.filter(!col("ok")).count() === 0L)
+    val fp1 = spark.read.parquet(s"$state/fingerprints").count()
+    val bd1 = spark.read.parquet(s"$state/band_index").count()
+    assert(fp1 === r1.kept.count(), "one digest per kept doc")
+    assert(bd1 > 0L)
+    // month 2: one fresh doc, one EXACT copy of a month-1 survivor
+    // (doc 1 — its lines are unique, so its kept text equals its
+    // cleaned input text), one near-dup of it (single mid-word swap,
+    // the 102/103 construction). The copies pass every local stage and
+    // die at exactly the history gates.
+    val m2 = Seq(
+      (200L, body(200), "web"),
+      (201L, body(1), "web"),
+      (202L, body(1).replace(" holds ", " keeps "), "web"))
+      .toDF("doc_id", "text", "source")
+    val out2 = java.nio.file.Files.createTempDirectory("curinc2").toString
+    val r2 = Curation.runIncremental(m2, evalSet, out2, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4)
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2("exact_dedup") === 3L, s"no in-batch dups: $by2")
+    assert(by2("exact_vs_history") === 2L,
+      s"the cross-month exact copy must die at the history gate: $by2")
+    assert(by2("neardup_vs_history") === 1L,
+      s"the cross-month near-dup must die at the band gate: $by2")
+    val landed2 = r2.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed2 === Set(200L),
+      s"only the fresh doc survives month 2: $landed2")
+    assert(r2.audit.filter(!col("ok")).count() === 0L)
+    // state grew by exactly the month-2 survivor
+    assert(spark.read.parquet(s"$state/fingerprints").count() === fp1 + 1)
+    assert(spark.read.parquet(s"$state/band_index").count() > bd1)
+  }
 }
