@@ -1157,6 +1157,25 @@ object DataQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Graph-ANN beam search over the exact degree-4 neighbor graph
+    * (corpus capped at the first 2000 vectors so the all-pairs graph
+    * build stays oracle-cheap at any sf — x69 carries the bucketed
+    * 16k regime): entry set every 50th node, beam 4, TWO expansion
+    * rounds, top-4. The oracle unrolls both rounds — graph edges,
+    * entry scoring, each round's expand/rescore/re-rank and the final
+    * contract replayed join-for-join. */
+  val t69GraphSearch: Q = (s, d) => {
+    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 2000)
+    val graph = Similarity.knnGraphExact(emb, degree = 4)
+    Similarity.graphSearch(emb, graph, emb.filter(col("vec_id") < 8),
+        k = 4, beam = 4, rounds = 2, entryEvery = 50)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1226,6 +1245,7 @@ object DataQueries {
     "t66_dsir_weights" -> t66DsirWeights,
     "t67_dsir_frozen" -> t67DsirScoreFrozen,
     "t68_knn_predict" -> t68KnnPredict,
+    "t69_graph_search" -> t69GraphSearch,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1386,6 +1406,18 @@ object DataQueries {
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.sqTopK(st.big, queries, k = 8)
+    }),
+    // t69's graph search at the 16k regime: the graph builds through
+    // the bucketed knnJoin (the x29 shape — never all-pairs), then two
+    // beam rounds whose per-round cost is beam*degree*|Q| rows,
+    // independent of corpus size (the whole point of the graph layer)
+    "x69_graph_search_scale" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      val graph = Similarity.knnGraph(st.big, degree = 8, bits = 8)
+      Similarity.graphSearch(st.big, graph, queries, k = 8, beam = 8,
+        rounds = 2, entryEvery = 125)
     }),
     // t65's binary search at the same 16k regime and query slate: the
     // quantization ladder's most aggressive point (32x cut) — stage 1

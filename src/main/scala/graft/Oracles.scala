@@ -2230,6 +2230,57 @@ object Oracles {
         |FROM d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // graph-ANN beam search, both rounds unrolled: the degree-4 exact
+    // graph, the every-50th entry scoring, round 1's expand/rescore/
+    // re-rank, round 2's, and the final top-4 — one edge ranked
+    // differently anywhere reroutes the walk and breaks the hash
+    "t69_graph_search" ->
+      """WITH v AS (SELECT vec_id, cast(embedding as double[]) AS ev
+        |  FROM embeddings WHERE vec_id < 2000),
+        |gall AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rnk
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |g AS (SELECT node_id, nbr_id FROM gall WHERE rnk <= 4),
+        |q AS (SELECT vec_id AS query_id, ev AS qv FROM v
+        |  WHERE vec_id < 8),
+        |s0 AS (SELECT query_id, n.vec_id AS nid,
+        |    list_cosine_similarity(qv, n.ev) AS cos
+        |  FROM q JOIN v n ON n.vec_id % 50 = 0
+        |    AND n.vec_id <> q.query_id),
+        |f0 AS (SELECT query_id, nid, cos FROM (SELECT s0.*,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nid) AS rn FROM s0) WHERE rn <= 4),
+        |x1 AS (SELECT DISTINCT query_id, g.nbr_id AS nid
+        |  FROM f0 JOIN g ON g.node_id = f0.nid),
+        |s1 AS (SELECT query_id, nid,
+        |    list_cosine_similarity(qv, n.ev) AS cos
+        |  FROM x1 JOIN v n ON n.vec_id = x1.nid JOIN q USING (query_id)
+        |  WHERE nid <> query_id),
+        |c1 AS (SELECT query_id, nid, cos FROM s1
+        |  UNION SELECT query_id, nid, cos FROM f0),
+        |f1 AS (SELECT query_id, nid, cos FROM (SELECT c1.*,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nid) AS rn FROM c1) WHERE rn <= 4),
+        |x2 AS (SELECT DISTINCT query_id, g.nbr_id AS nid
+        |  FROM f1 JOIN g ON g.node_id = f1.nid),
+        |s2 AS (SELECT query_id, nid,
+        |    list_cosine_similarity(qv, n.ev) AS cos
+        |  FROM x2 JOIN v n ON n.vec_id = x2.nid JOIN q USING (query_id)
+        |  WHERE nid <> query_id),
+        |c2 AS (SELECT query_id, nid, cos FROM s2
+        |  UNION SELECT query_id, nid, cos FROM f1),
+        |f2 AS (SELECT query_id, nid, cos FROM (SELECT c2.*,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, nid) AS rn FROM c2) WHERE rn <= 4)
+        |SELECT cast(query_id as bigint) AS query_id,
+        | cast(rn as bigint) AS rank, cast(nid as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM (SELECT f2.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, nid) AS rn FROM f2)
+        |WHERE rn <= 4
+        |ORDER BY query_id, rank""".stripMargin,
+
     // kNN label propagation: the exact cosine ranking (t06's contract),
     // the label join, every per-label vote count and the
     // (votes desc, label asc) winner tiebreak all replayed — a single

@@ -27,7 +27,9 @@ object Verify {
     "t03_minhash_lsh", "t04_jaccard_pairs", "t05_simhash",
     "t14_neardup_clusters",
     // the census-steered knn-joins run 2+ candidate joins each
-    "t30_knn_adaptive", "t32_knn_budget")
+    "t30_knn_adaptive", "t32_knn_budget",
+    // graph build (all-pairs on the capped corpus) + 2 beam rounds
+    "t69_graph_search")
   private def costClass(name: String): Int =
     if (expensive(name)) 2
     else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0

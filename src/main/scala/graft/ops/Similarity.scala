@@ -834,6 +834,87 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Bounded-degree k-NN neighbor graph — the navigable-graph layer a
+    * graph-ANN search walks ([[graphSearch]]): one (node_id, nbr_id)
+    * edge per node per rank, `degree` edges per node. The exact build
+    * ranks by [[bruteForceTopK]] (the t69 oracle path — fully
+    * replayable); [[knnGraph]] routes the same contract through the
+    * bucketed [[knnJoin]], the 100 TB construction (never all-pairs). */
+  def knnGraphExact(corpus: DataFrame, degree: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(corpus, corpus, degree, idCol, vecCol)
+      .select(col("query_id").as("node_id"), col("neighbor_id").as("nbr_id"))
+
+  /** Bucketed-construction twin of [[knnGraphExact]] (the scale path:
+    * the x29 knnJoin shape builds the edges). */
+  def knnGraph(corpus: DataFrame, degree: Int, bits: Int = 8,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame =
+    knnJoin(corpus, corpus, degree, bits, idCol = idCol, vecCol = vecCol)
+      .select(col("query_id").as("node_id"), col("neighbor_id").as("nbr_id"))
+
+  /** Graph-ANN beam search — the NSW/HNSW idea in its deterministic
+    * bounded-round Spark form: per query, start from the fixed entry
+    * set (every `entryEvery`-th node, the [[kmeansCentroids]] init
+    * discipline), keep the `beam` best nodes seen so far by
+    * (cosine desc, node asc), and for `rounds` rounds expand the
+    * frontier along the graph's edges, rescore, and re-rank frontier ∪
+    * expansions back down to `beam`. The frontier is the best-ever
+    * set, so per-query best cosine improves monotonically with rounds
+    * (spec-pinned); every rank and tiebreak is deterministic, so a
+    * fixed-round search is replayable round-for-round by an external
+    * engine (t69 oracle unrolls both rounds in SQL). Returns the
+    * final frontier's top-`k` under the standard contract.
+    *
+    * Scale shape: per round ONE edge join (frontier × degree rows),
+    * one id-keyed vector fetch join and one query-partitioned beam
+    * rank — candidates are bounded by beam·degree·|Q| per round,
+    * independent of corpus size; the graph builds once
+    * ([[knnGraph]]) and amortizes over every search. The frontier is
+    * localCheckpointed per round (beam·|Q| rows) so plans don't nest
+    * across rounds. */
+  def graphSearch(corpus: DataFrame, graph: DataFrame,
+                  queries: DataFrame, k: Int, beam: Int = 8,
+                  rounds: Int = 2, entryEvery: Int = 50,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding",
+                  selfJoin: Boolean = true): DataFrame = {
+    require(beam >= k, s"beam $beam must cover k $k")
+    val cv = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    def score(pairs: DataFrame): DataFrame =
+      pairs.join(cv, Seq("__nid")).join(q, Seq("query_id"))
+        .filter(if (selfJoin) col("query_id") =!= col("__nid")
+                else lit(true))
+        .select(col("query_id"), col("__nid"),
+          cosine(col("__qv"), col("__nv")).as("__cos"))
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("__cos").desc, col("__nid"))))
+        .filter(col("__rn") <= beam).drop("__rn")
+    val entries = q.select(col("query_id"))
+      .crossJoin(corpus.filter(col(idCol) % entryEvery === 0)
+        .select(col(idCol).as("__nid")))
+    var frontier = topBeam(score(entries)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expanded = frontier
+        .join(graph.select(col("node_id").as("__nid"), col("nbr_id")),
+          Seq("__nid"))
+        .select(col("query_id"), col("nbr_id").as("__nid")).distinct()
+      frontier = topBeam(score(expanded).unionByName(frontier).distinct())
+        .localCheckpoint()
+    }
+    frontier.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__cos").desc, col("__nid"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__nid").as("neighbor_id"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
   /** kNN label propagation — classify each query vector by the
     * majority label of its k nearest corpus vectors: the
     * semi-supervised labeling step a curation pipeline uses to spread

@@ -770,6 +770,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.25, f"bq shortlist recall collapsed: $r%.3f")
   }
 
+  test("graphSearch: best-seen cosine is monotone in rounds; recall " +
+      "measured and floored on the exact and bucketed graphs") {
+    val gExact = Similarity.knnGraphExact(emb, degree = 8)
+      .localCheckpoint()
+    // the frontier is the best-ever beam, so each query's top cosine
+    // can only improve as rounds grow
+    def best(rounds: Int): Map[Long, Double] =
+      Similarity.graphSearch(emb, gExact, emb, k = 1, beam = 8,
+          rounds = rounds, entryEvery = 25)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val b0 = best(0); val b1 = best(1); val b2 = best(2)
+    assert(b0.forall { case (id, c) => c <= b1(id) + 1e-9 },
+      "round 1 must not lose the entry frontier's best")
+    assert(b1.forall { case (id, c) => c <= b2(id) + 1e-9 },
+      "round 2 must not lose round 1's best")
+    // recall at the working configuration, exact graph then the
+    // bucketed-construction graph (pays the knnJoin edge recall toll)
+    val rExact = recallOf(Similarity.graphSearch(emb, gExact, emb, 5,
+      beam = 16, rounds = 3, entryEvery = 25), 5)
+    val gBucket = Similarity.knnGraph(emb, degree = 8, bits = 8)
+      .localCheckpoint()
+    val rBucket = recallOf(Similarity.graphSearch(emb, gBucket, emb, 5,
+      beam = 16, rounds = 3, entryEvery = 25), 5)
+    info(f"graphSearch recall@5 (beam=16, rounds=3): exact graph " +
+      f"$rExact%.3f, bucketed graph $rBucket%.3f")
+    // measured 0.706/0.580 — the best recall of any family member on
+    // this worst-case near-random fixture (lsh probe1 0.497, ivf
+    // 0.661); floors ~10 pts under
+    assert(rExact >= 0.6, f"exact-graph recall collapsed: $rExact%.3f")
+    assert(rBucket >= 0.45, f"bucketed-graph recall collapsed: $rBucket%.3f")
+  }
+
   test("knnPredict: hand-built majority and tiebreak; clustered-corpus " +
       "label recovery — exact path perfect, bucketed path floored") {
     import spark.implicits._
