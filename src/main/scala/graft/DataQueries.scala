@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.{Tables => T}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Stats, Temporal, TextOps}
 
 /** Training-data pipeline operators over the `documents` / `embeddings` /
   * `events` fixtures: text analysis, dedup (exact / MinHash-LSH / SimHash /
@@ -1176,6 +1176,63 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Backward as-of join over the event log: each purchase enriched
+    * with the latest same-user view at or before it (ties on view ts
+    * broken by highest view id), unmatched purchases kept with nulls —
+    * the price-as-of-trade / last-profile-before-event shape. The plan
+    * contains NO join operator: one tagged union, one hash exchange on
+    * user_id, one running-window carry (TemporalSpec pins that shape).
+    * The oracle replays it as the classic range-join + top-1 — two
+    * independent formulations, one result. */
+  val t70AsofJoin: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    Temporal.asofJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+        payload = Seq("view_id", "view_ts", "view_value"), tie = "view_id")
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** KMV bottom-k distinct sketch: approximate distinct users per
+    * event type through [[graft.functions.KMinValues]] (k = 64; the
+    * fixture's 150 true distincts per type keep every group on the
+    * estimator branch at sf0.01). kth_min and the estimate are exact
+    * functions of the md5-derived hash set, so DuckDB replays the
+    * sketch by sorting the same hashes — an approximate operator with
+    * an exact oracle. */
+  val t71KmvDistinct: Q = (s, d) =>
+    Stats.kmvDistinctBy(T.events(s, d), Seq("event_type"),
+        col("user_id").cast("string"), k = 64)
+      .orderBy(col("event_type"))
+
+  /** Forward as-of with tolerance: each error event joined to the NEXT
+    * same-user click within 30 minutes (earliest wins; ties broken by
+    * lowest click id) — the alert-to-reaction shape, exercising the
+    * forward direction and the tolerance void in the oracle, not just
+    * the spec. */
+  val t72AsofForward: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Temporal.asofJoin(errors, clicks, Seq("user_id"), "ts", "click_ts",
+        payload = Seq("click_id", "click_ts"), tie = "click_id",
+        tolerance = Some("30 minutes"), forward = true)
+      .select(col("error_id"), col("user_id"),
+        unix_micros(col("ts")).as("error_us"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .orderBy(col("error_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1246,6 +1303,9 @@ object DataQueries {
     "t67_dsir_frozen" -> t67DsirScoreFrozen,
     "t68_knn_predict" -> t68KnnPredict,
     "t69_graph_search" -> t69GraphSearch,
+    "t70_asof_join" -> t70AsofJoin,
+    "t71_kmv_distinct" -> t71KmvDistinct,
+    "t72_asof_forward" -> t72AsofForward,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1407,16 +1467,21 @@ object DataQueries {
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.sqTopK(st.big, queries, k = 8)
     }),
-    // t69's graph search at the 16k regime: the graph builds through
-    // the bucketed knnJoin (the x29 shape — never all-pairs), then two
-    // beam rounds whose per-round cost is beam*degree*|Q| rows,
-    // independent of corpus size (the whole point of the graph layer)
-    "x69_graph_search_scale" -> ((s, d) => {
+    // t69's graph layer at the 16k regime, BUILD only: the edge list
+    // through the bucketed knnJoin (the x29 shape — never all-pairs).
+    // Build and search timed separately (the x40/x45 train/search
+    // discipline): a deployment builds the graph once and amortizes it
+    // over every search, so neither cost should mask the other
+    "x69_graph_build" -> ((s, d) =>
+      Similarity.knnGraph(pqStatics(s, d).big, degree = 8, bits = 8)),
+    // t69's beam SEARCH against the frozen warm-up-built graph: two
+    // rounds whose per-round cost is beam*degree*|Q| rows, independent
+    // of corpus size (the whole point of the graph layer)
+    "x69_graph_search" -> ((s, d) => {
       val st = pqStatics(s, d)
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
-      val graph = Similarity.knnGraph(st.big, degree = 8, bits = 8)
-      Similarity.graphSearch(st.big, graph, queries, k = 8, beam = 8,
+      Similarity.graphSearch(st.big, st.graph, queries, k = 8, beam = 8,
         rounds = 2, entryEvery = 125)
     }),
     // t65's binary search at the same 16k regime and query slate: the
@@ -1429,6 +1494,31 @@ object DataQueries {
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.bqTopK(st.big, queries, k = 8, shortlist = 64)
     }),
+    // t70's as-of join at 10x the event log (~100k rows at sf0.1, keys
+    // spread 10x): still ONE hash exchange + one per-key sort — the
+    // operator's whole point is that cost tracks |L|+|R|, never the
+    // match count, so the 10x plan is byte-identical in shape to t70's
+    "x70_asof_scale" -> ((s, d) => {
+      val ev = scaledEvents(s, d, copies = 10)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      graft.ops.Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+        "view_ts", payload = Seq("view_id", "view_value"),
+        tie = "view_id")
+    }),
+    // t71's KMV sketch pointed at its real regime: the unbounded-domain
+    // distinct (corpus bigram vocabulary) where an exact distinct would
+    // shuffle every value — the sketch exchanges 256 longs per
+    // partition instead
+    "x71_kmv_ngrams" -> ((s, d) =>
+      Stats.kmvDistinctBy(
+        TextOps.ngramRows(T.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism), 2),
+        Seq(), col("ngram"), k = 256)),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions
     // regardless of vocabulary (t36's exact count stays the oracle path;
@@ -1455,7 +1545,8 @@ object DataQueries {
     * long before any search runs, so per-pass cold staging does not
     * apply to the index side. */
   private case class PqStatics(big: DataFrame, cents: DataFrame,
-                               cb: DataFrame, cbr: DataFrame)
+                               cb: DataFrame, cbr: DataFrame,
+                               graph: DataFrame)
   private val pqStaticsMemo =
     scala.collection.concurrent.TrieMap.empty[String, PqStatics]
   private def pqStatics(s: SparkSession, d: String): PqStatics =
@@ -1469,10 +1560,25 @@ object DataQueries {
         Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
           .localCheckpoint(),
         Similarity.ivfPqResidualCodebooks(big, cents, m = 4, every = 200)
-          .localCheckpoint())
+          .localCheckpoint(),
+        Similarity.knnGraph(big, degree = 8, bits = 8).localCheckpoint())
     })
   private[graft] def warmPqStatics(s: SparkSession, d: String): Unit = {
     pqStatics(s, d); ()
+  }
+
+  /** The sf event log replicated `copies`x with distinct event AND user
+    * ids (keys multiply, per-key row counts stay fixture-sized) — the
+    * scale harness for the as-of join twin. */
+  private[graft] def scaledEvents(s: SparkSession, d: String,
+                                  copies: Int): DataFrame = {
+    val ev = T.events(s, d)
+    (0 until copies).map(i => ev.select(
+        (col("event_id") * copies + i).as("event_id"), col("ts"),
+        (col("user_id") * copies + i).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      .reduce(_ unionByName _)
+      .localCheckpoint()
   }
 
   /** The sf embedding frame replicated `copies`x with distinct ids —

@@ -2281,6 +2281,79 @@ object Oracles {
         |WHERE rn <= 4
         |ORDER BY query_id, rank""".stripMargin,
 
+    // backward as-of join: the oracle deliberately uses the OTHER
+    // formulation — range left-join + per-left top-1 (nearest prior
+    // view, ties by highest view_id) — so a match proves the union+
+    // running-window carry implements exactly the textbook semantics
+    "t70_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, ts AS vts, value
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.pts, v.view_id, v.vts,
+        |    v.value, row_number() OVER (PARTITION BY p.purchase_id
+        |      ORDER BY v.vts DESC NULLS LAST, v.view_id DESC NULLS LAST)
+        |      AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.pts)
+        |SELECT cast(purchase_id as bigint) AS purchase_id,
+        | cast(user_id as bigint) AS user_id,
+        | cast(epoch_us(pts) as bigint) AS purchase_us,
+        | cast(view_id as bigint) AS view_id,
+        | cast(epoch_us(vts) as bigint) AS view_us,
+        | round(value, 4) AS view_value
+        |FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+
+    // KMV distinct sketch: the estimate is an exact function of the
+    // md5-derived hash set, so the oracle sorts the same 60-bit hashes,
+    // reads the 64th smallest, and replays (k-1)*2^60/kth term-for-term
+    // (below-fill groups take the exact sketch size)
+    "t71_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(cast(user_id as varchar)),1,15))::bigint
+        |      AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, h, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |c AS (SELECT event_type, count(*) AS n_rows FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |k AS (SELECT event_type,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth,
+        |    least(max(nd), 64) AS n_kmv, max(nd) AS nd
+        |  FROM r WHERE rn <= 64 GROUP BY event_type)
+        |SELECT k.event_type, c.n_rows,
+        | cast(n_kmv as bigint) AS n_kmv,
+        | cast(kth as bigint) AS kth_min,
+        | round(CASE WHEN nd < 64 THEN nd::double
+        |   ELSE 63.0 * 1152921504606846976.0 / kth::double END, 4)
+        |   AS est_distinct
+        |FROM k JOIN c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // forward as-of with tolerance: nearest NEXT click within 30 min
+    // (ties by lowest click_id), unmatched errors kept — again the
+    // range-join formulation against the union+window implementation
+    "t72_asof_forward" ->
+      """WITH e AS (SELECT event_id AS error_id, user_id, ts AS ets
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT e.error_id, e.user_id, e.ets, c.click_id, c.cts,
+        |    row_number() OVER (PARTITION BY e.error_id
+        |      ORDER BY c.cts ASC NULLS LAST, c.click_id ASC NULLS LAST)
+        |      AS rn
+        |  FROM e LEFT JOIN c ON e.user_id = c.user_id AND c.cts >= e.ets
+        |    AND c.cts <= e.ets + INTERVAL '30 minutes')
+        |SELECT cast(error_id as bigint) AS error_id,
+        | cast(user_id as bigint) AS user_id,
+        | cast(epoch_us(ets) as bigint) AS error_us,
+        | cast(click_id as bigint) AS click_id,
+        | cast(epoch_us(cts) as bigint) AS click_us
+        |FROM j WHERE rn = 1
+        |ORDER BY error_id""".stripMargin,
+
     // kNN label propagation: the exact cosine ranking (t06's contract),
     // the label join, every per-label vote count and the
     // (votes desc, label asc) winner tiebreak all replayed — a single

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Data-profiling aggregates — the distributed form of the reference's
@@ -90,5 +90,48 @@ object Stats {
           .cast("long")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** 60-bit value hash in [0, 2^60): the first 15 hex chars of md5,
+    * parsed as an integer. ONE shared expression for every consumer of
+    * the KMV sketch (and any replaying oracle: DuckDB's
+    * `('0x'||substr(md5(v),1,15))::bigint` is identical) — the
+    * [[graft.functions.BloomBits]] discipline: sketch build and oracle
+    * replay provably hash the same way. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Per-group approximate distinct count of `valueCol` via the
+    * [[graft.functions.KMinValues]] bottom-k sketch: rows hash through
+    * [[hash60]], each group keeps its k smallest distinct hashes, and
+    * the estimate is `(k-1) * 2^60 / kth_min` — exact (= the sketch
+    * size) whenever a group has fewer than k distinct values. Standard
+    * error ~ 1/sqrt(k-2). Returns per group: `n_rows` (raw), `n_kmv`
+    * (sketch fill), `kth_min` (null below fill), `est_distinct`
+    * (rounded to 4 — deterministic and engine-replayable end to end).
+    *
+    * This is the mergeable, bounded-state form of
+    * `count(distinct ...)`: the exact aggregate shuffles every distinct
+    * value; this exchanges at most k longs per (group, partition) —
+    * the 100 TB shape for unbounded domains. Null values are ignored
+    * (matching count(distinct)). */
+  def kmvDistinctBy(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                    k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    val twoTo60 = 1152921504606846976.0 // 2^60, exact in double
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ hash60(valueCol).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("__h")).as("__kmv"), count(lit(1)).as("n_rows"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n_rows"),
+        size(col("__kmv")).cast("long").as("n_kmv"),
+        when(size(col("__kmv")) >= k, element_at(col("__kmv"), k))
+          .as("kth_min"),
+        round(when(size(col("__kmv")) < k,
+            size(col("__kmv")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * twoTo60 /
+            element_at(col("__kmv"), k).cast("double")), 4)
+          .as("est_distinct")): _*)
   }
 }

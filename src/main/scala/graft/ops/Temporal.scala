@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-ordered joins — the as-of join family (each left row picks ONE
+  * right row by temporal proximity on the same key) that event-log
+  * enrichment needs constantly: price-as-of-trade, last-profile-before-
+  * event, next-heartbeat-after-alert. SQL engines bolt this on as a
+  * special operator (DuckDB ASOF JOIN, kdb aj); Spark has no built-in,
+  * and the naive formulation (range join + per-left top-1) explodes into
+  * |L|x|matches| intermediate rows.
+  *
+  * This implementation is NOT a join at all in the physical plan: both
+  * sides union into one tagged frame, ONE hash exchange on the key, and
+  * a running `last(payload, ignoreNulls)` over the per-key time sort
+  * carries the nearest right payload onto every left row. Cost is one
+  * shuffle + one sort of |L|+|R| rows total — no candidate explosion,
+  * no range-bucket tuning, and a key's cost is bounded by its own row
+  * count (skewed keys behave exactly like a skewed groupBy, which AQE
+  * already handles). At 100 TB this is the shape you want: the same
+  * single exchange a `groupBy(key)` would pay, independent of how many
+  * right rows fall inside any window.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the single nearest `right` row on
+    * the same `keys` with `right(rightTs) <= left(leftTs)` (backward,
+    * the default) or `>=` (forward), equality always allowed. Ties on
+    * the right timestamp are broken by `tie` (highest wins backward,
+    * lowest wins forward — "latest/earliest write wins"); `tie` must be
+    * unique per (key, rightTs) for a deterministic result. Left-outer:
+    * unmatched left rows survive with null payload. `tolerance` (an
+    * INTERVAL literal body, e.g. "1 hour") voids matches farther than
+    * that from the left timestamp.
+    *
+    * Returns all `left` columns plus `payload` columns from the matched
+    * right row (null when unmatched / out of tolerance). `rightTs` and
+    * `tie` may themselves be listed in `payload` to surface match
+    * provenance. Payload columns must not collide with left columns —
+    * alias on the way in.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String],
+               tie: String, tolerance: Option[String] = None,
+               forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val bad = payload.toSet.intersect(left.columns.toSet)
+    require(bad.isEmpty, s"payload collides with left columns: $bad")
+
+    val pay = struct(col(rightTs).as("__rts") +:
+      payload.map(c => col(c).as(c)): _*)
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__ts"), col(tie).as("__tie"),
+      pay.as("__pay"), lit(0).as("__is_left")): _*)
+    val payType = r.schema("__pay").dataType
+    val tieType = r.schema("__tie").dataType
+    val l = left.select(left.columns.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(null).cast(tieType).as("__tie"),
+      lit(null).cast(payType).as("__pay"), lit(1).as("__is_left")): _*)
+
+    // Traversal order per key: right rows first at equal timestamps (so
+    // an equal-ts right row IS visible to the left row), and among
+    // right rows at one timestamp the winner sorts LAST so the running
+    // `last` carries it. Backward walks time ascending (latest prior
+    // right wins); forward walks time descending (earliest subsequent
+    // right wins), with the tie direction mirrored.
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__is_left"), col("__tie").desc)
+      else Seq(col("__ts").asc, col("__is_left"), col("__tie").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = l.unionByName(r.select(l.columns.map(c =>
+        if (r.columns.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*))
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val inTol = tolerance.fold(lit(true)) { t =>
+      if (forward) col("__m.__rts") <= col("__ts") + expr(s"INTERVAL $t")
+      else col("__m.__rts") >= col("__ts") - expr(s"INTERVAL $t")
+    }
+    val kept = matched.withColumn("__k",
+      when(col("__m").isNotNull && inTol, col("__m")))
+    kept.select(left.columns.map(col) ++
+      payload.map(c => col(s"__k.$c").as(c)): _*)
+  }
+}

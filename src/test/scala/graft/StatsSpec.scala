@@ -66,4 +66,49 @@ class StatsSpec extends SparkSpec {
     assert(out.take(9).forall(_.getLong(1) == 10L))
     assert(out(9).getLong(1) == 11L)
   }
+
+  test("kmvDistinctBy: exact below fill — sketch IS the distinct set") {
+    val df = Seq("a" -> "x", "a" -> "y", "a" -> "x", "a" -> "z",
+      "b" -> "x").toDF("g", "v")
+    val out = Stats.kmvDistinctBy(df, Seq("g"), col("v"), k = 8)
+      .orderBy("g").collect()
+    assert(out.length == 2)
+    val a = out(0)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 3L) // n_rows, n_kmv
+    assert(a.isNullAt(3), "kth_min must be null below fill")
+    assert(a.getDouble(4) == 3.0, "below fill the estimate is exact")
+    assert(out(1).getDouble(4) == 1.0)
+  }
+
+  test("kmvDistinctBy: estimator lands near truth and nulls are ignored") {
+    // 500 distinct values + nulls, one group, k = 64 — estimator branch
+    val df = (0 until 1500).map(i =>
+      if (i % 3 == 2) ("g", null: String) else ("g", s"val_${i / 3}"))
+      .toDF("g", "v")
+    val r = Stats.kmvDistinctBy(df, Seq("g"), col("v"), k = 64).collect()(0)
+    assert(r.getLong(1) == 1000L, "null rows must not count")
+    assert(r.getLong(2) == 64L)
+    val est = r.getDouble(4)
+    // deterministic (md5-derived): exactly 484.9693 on this value set
+    // (-3.0%); the theoretical se at k=64 is ~12.7%, floor at 3 se
+    assert(math.abs(est - 500.0) / 500.0 < 0.38,
+      f"estimate $est%.1f too far from 500")
+    assert(math.abs(est - 484.9693) < 1e-6,
+      "md5-derived estimate must be bit-deterministic")
+  }
+
+  test("kmvDistinctBy: partitioning-independent (mergeable set algebra) " +
+      "and runs as an ObjectHashAggregate") {
+    val ev = graft.etl.Tables.events(spark, "/root/testdata/sf0.001")
+    def run(parts: Int) =
+      Stats.kmvDistinctBy(ev.repartition(parts), Seq("event_type"),
+          col("user_id").cast("string"), k = 8)
+        .orderBy("event_type").collect().toSeq
+    assert(run(1) == run(7),
+      "k-min of a set must not depend on the reduce/merge tree")
+    val plan = Stats.kmvDistinctBy(ev, Seq("event_type"),
+        col("user_id").cast("string"), k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+  }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Temporal
+
+/** As-of join semantics (backward/forward, ties, tolerance, outer
+  * nulls), equivalence with the interval-join attribution on real
+  * events, and the no-join plan shape the operator exists for. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def leftDf = Seq(
+    ("A", "2024-01-01 00:00:10", 100L),
+    ("A", "2024-01-01 00:00:05", 101L),
+    ("A", "2024-01-01 00:00:03", 102L),
+    ("B", "2024-01-01 00:00:10", 103L),
+    ("C", "2024-01-01 00:00:10", 104L)
+  ).toDF("k", "lts", "lid")
+    .select(col("k"), to_timestamp(col("lts")).as("lts"), col("lid"))
+
+  private def rightDf = Seq(
+    ("A", "2024-01-01 00:00:05", 1L, 10.0),
+    ("A", "2024-01-01 00:00:05", 2L, 20.0),
+    ("A", "2024-01-01 00:00:07", 3L, 30.0),
+    ("B", "2024-01-01 00:00:30", 4L, 40.0)
+  ).toDF("k", "rts", "rid", "v")
+    .select(col("k"), to_timestamp(col("rts")).as("rts"),
+      col("rid"), col("v"))
+
+  private def matchOf(out: Array[org.apache.spark.sql.Row]): Map[Long, Option[Long]] =
+    out.map(r => r.getAs[Long]("lid") ->
+      Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)).toMap
+
+  test("backward: latest prior wins, equal-ts visible, ties take the " +
+      "highest tie, unmatched rows survive with nulls") {
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+      payload = Seq("rid", "v"), tie = "rid").collect()
+    assert(out.length == leftDf.count())
+    val m = matchOf(out)
+    assert(m(100L).contains(3L), "lts=10: latest prior is rts=7")
+    assert(m(101L).contains(2L), "lts=5: equal-ts tie -> highest rid")
+    assert(m(102L).isEmpty, "lts=3: nothing at or before")
+    assert(m(103L).isEmpty, "B's only right row is later")
+    assert(m(104L).isEmpty, "C has no right rows at all")
+    val v100 = out.find(_.getAs[Long]("lid") == 100L).get.getAs[Double]("v")
+    assert(v100 == 30.0, "payload columns ride along with the match")
+  }
+
+  test("backward tolerance: a match farther than the interval is voided") {
+    val m = matchOf(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts",
+      "rts", payload = Seq("rid", "v"), tie = "rid",
+      tolerance = Some("2 seconds")).collect())
+    assert(m(100L).isEmpty, "10 - 7 = 3s > 2s tolerance")
+    assert(m(101L).contains(2L), "0s away stays matched")
+  }
+
+  test("forward: earliest subsequent wins, ties take the LOWEST tie, " +
+      "tolerance voids far matches") {
+    val m = matchOf(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts",
+      "rts", payload = Seq("rid", "v"), tie = "rid",
+      forward = true).collect())
+    assert(m(102L).contains(1L), "lts=3 -> earliest at rts=5, lowest rid")
+    assert(m(101L).contains(1L), "equal ts counts as subsequent")
+    assert(m(100L).isEmpty, "nothing at or after lts=10 for A")
+    assert(m(103L).contains(4L), "B matches its rts=30 row")
+    val tol = matchOf(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts",
+      "rts", payload = Seq("rid", "v"), tie = "rid", forward = true,
+      tolerance = Some("10 seconds")).collect())
+    assert(tol(103L).isEmpty, "30 - 10 = 20s > 10s tolerance")
+    assert(tol(102L).contains(1L), "2s away stays matched")
+  }
+
+  test("asofJoin with 1h tolerance reproduces the interval-join " +
+      "attribution (t21) on real events") {
+    val ev = graft.etl.Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val asof = Temporal.asofJoin(purchases, clicks, Seq("user_id"), "ts",
+        "click_ts", payload = Seq("click_id", "click_ts"),
+        tie = "click_id", tolerance = Some("1 hour"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("click_id").as("attributed_click"),
+        unix_micros(col("click_ts")).as("click_us"))
+      .collect().toSet
+    val interval = DataQueries.t21AttributionOuter(spark, d)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("attributed_click"), col("click_us"))
+      .collect().toSet
+    assert(asof == interval,
+      s"asof=${asof.size} rows, interval=${interval.size} rows; " +
+        s"diff=${(asof diff interval).take(3)} / ${(interval diff asof).take(3)}")
+  }
+
+  test("t70 plan: NO join operator — one tagged union, ONE hash " +
+      "exchange, a running window") {
+    val p = SparkEntry.queries("t70_asof_join")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(1500)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
+    assert(p.contains("Window"), p.take(1500))
+  }
+}
