@@ -54,9 +54,14 @@ object Curation {
     * shard-shuffled layout read back; audit: [[TextOps.auditTrainingMix]]
     * over it (all ok on success); kept: the post-selection survivors
     * (doc_id, text, source) BEFORE epoch replication — the frame whose
-    * fingerprints/bands feed the next incremental run's state. */
+    * fingerprints/bands feed the next incremental run's state;
+    * dsirProfileUsed: the DSIR profile stage 7b scored against (the
+    * frozen one when given, else the one built this run) — what an
+    * incremental run persists so later runs score against the SAME
+    * distribution. */
   case class Result(report: DataFrame, mix: DataFrame, audit: DataFrame,
-                    kept: DataFrame)
+                    kept: DataFrame,
+                    dsirProfileUsed: Option[DataFrame] = None)
 
   def run(docs: DataFrame, evalSet: DataFrame, outPath: String,
           minWords: Int = 5, jaccard: Double = 0.5,
@@ -69,7 +74,12 @@ object Curation {
           dsirNum: Int = 1, dsirDen: Int = 2,
           dsirBuckets: Int = 4096,
           histFingerprints: Option[DataFrame] = None,
-          histBandIndex: Option[DataFrame] = None): Result = {
+          histBandIndex: Option[DataFrame] = None,
+          dsirFrozenProfile: Option[DataFrame] = None,
+          histSemanticIndex: Option[DataFrame] = None,
+          semCentroids: Option[DataFrame] = None,
+          docEmbeddings: Option[DataFrame] = None,
+          semTau: Double = 0.95): Result = {
     val spark = docs.sparkSession
     var ledger = Vector.empty[(String, Long, Long)]
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -143,11 +153,34 @@ object Curation {
           .drop("is_near_dup"))
     }
 
+    // 4c (incremental runs only, embedding modality): docs whose
+    // embedding sits within cosine semTau of ANY previously-kept doc's
+    // embedding die here — the t57 semantic ingest gate against the
+    // persisted per-cluster index, probed with the SAME frozen
+    // centroids the index was built with. Docs without an embedding
+    // pass ungated (the t46 unshingleable-docs discipline).
+    val semDeduped = (histSemanticIndex, semCentroids, docEmbeddings) match {
+      case (Some(idx), Some(cents), Some(emb)) =>
+        stage("semdup_vs_history") {
+          val withVec = nearDeduped.join(
+            emb.select(col("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+          Dedup.semanticDupFlag(
+              withVec.filter(col("embedding").isNotNull), idx, cents,
+              semTau, idCol = "doc_id")
+            .filter(col("is_semantic_dup") === 0)
+            .drop("is_semantic_dup", "embedding")
+            .unionByName(withVec.filter(col("embedding").isNull)
+              .drop("embedding"))
+        }
+      case _ => nearDeduped
+    }
+
     // 5: corpus-frequency line removal; fully-boilerplate docs die
     val lineDeduped = stage("line_dedup")(
-      TextOps.lineDedupScalable(nearDeduped)
+      TextOps.lineDedupScalable(semDeduped)
         .filter(length(trim(col("clean_text"))) > 0)
-        .join(nearDeduped.select(col("doc_id"), col("source")),
+        .join(semDeduped.select(col("doc_id"), col("source")),
           Seq("doc_id"))
         .select(col("doc_id"), col("clean_text").as("text"),
           col("source")))
@@ -168,17 +201,25 @@ object Curation {
         .select(col("doc_id"), col("text"), col("source")))
 
     // 7b (optional): DSIR target-distribution selection — score the
-    // survivors' hashed n-grams against the target corpus
-    // ([[TextOps.dsirWeights]]) and keep the top dsirNum/dsirDen of
+    // survivors' hashed n-grams and keep the top dsirNum/dsirDen of
     // each source by log_weight (the same per-source rank cut as the
     // quality prune, so the window stays domain-sized at scale; docs
-    // with no n-gram evidence rank last and die first). Skipped —
-    // and absent from the report — when no target is given.
-    val selected = dsirTarget match {
+    // with no n-gram evidence rank last and die first). The profile
+    // scored against is the FROZEN one when given (incremental runs:
+    // score every batch against the same distribution, the t67
+    // discipline); else it is built here from (pruned, target) —
+    // exactly what dsirWeights composes, so the batch path is
+    // unchanged. Skipped — and absent from the report — when neither
+    // is given.
+    val profileUsed: Option[DataFrame] = dsirFrozenProfile.orElse(
+      dsirTarget.map(tgt =>
+        TextOps.dsirProfile(pruned, tgt, n = 2, buckets = dsirBuckets)
+          .localCheckpoint()))
+    val selected = profileUsed match {
       case None => pruned
-      case Some(tgt) => stage("dsir_select")(
+      case Some(p) => stage("dsir_select")(
         TextOps.keepTopFraction(
-            TextOps.dsirWeights(pruned, tgt, n = 2, buckets = dsirBuckets)
+            TextOps.dsirScore(pruned, p, n = 2, buckets = dsirBuckets)
               .join(pruned, Seq("doc_id")),
             col("source"), col("log_weight"), col("doc_id"),
             dsirNum, dsirDen)
@@ -215,7 +256,8 @@ object Curation {
     val report = spark.createDataFrame(
       ledger.zipWithIndex.map { case ((n, d, t), i) => (i.toLong, n, d, t) })
       .toDF("stage_no", "stage", "n_docs", "n_tokens")
-    Result(report, mix, TextOps.auditTrainingMix(spark, outPath), selected)
+    Result(report, mix, TextOps.auditTrainingMix(spark, outPath), selected,
+      profileUsed)
   }
 
   /** Incremental curation — [[run]] composed across runs: curate a NEW
@@ -239,7 +281,26 @@ object Curation {
     * Scale posture: both state frames are compact (one digest / a few
     * band rows per kept doc — no text), grow append-only, and meet the
     * batch in the same anti-join / band-keyed join shapes the
-    * streaming gates run per microbatch. */
+    * streaming gates run per microbatch.
+    *
+    * Optional state dimensions (each active only when its inputs are
+    * given, and each FROZEN at first use — the build-once/score-forever
+    * t57/t67 discipline):
+    *   - `sem_centroids` + `semantic_index` (needs `docEmbeddings`, a
+    *     (doc_id, embedding) side frame, and `semCentroids` on first
+    *     run): the coarse quantizer is persisted on first use and
+    *     REUSED on every later run — a gate probing different lists
+    *     than the index's silently loses recall, so a later
+    *     `semCentroids` argument is ignored in favor of the stored
+    *     frame. The index grows by the kept survivors' (centroid_id,
+    *     embedding) rows; stage 4c screens each batch against it.
+    *   - `dsir_profile` (needs `dsirTarget` on first run): the full
+    *     bucket profile from the FIRST run's (pruned, target) pair is
+    *     persisted and every later batch scores against it — the same
+    *     document gets the same log_weight no matter which batch it
+    *     arrives in (a per-run profile would silently re-rank). A
+    *     later `dsirTarget` argument is ignored once a profile is
+    *     stored. */
   def runIncremental(newDocs: DataFrame, evalSet: DataFrame,
                      outPath: String, stateDir: String,
                      minWords: Int = 5, jaccard: Double = 0.5,
@@ -251,21 +312,41 @@ object Curation {
                      salt: String = "curate",
                      dsirTarget: Option[DataFrame] = None,
                      dsirNum: Int = 1, dsirDen: Int = 2,
-                     dsirBuckets: Int = 4096): Result = {
+                     dsirBuckets: Int = 4096,
+                     docEmbeddings: Option[DataFrame] = None,
+                     semCentroids: Option[DataFrame] = None,
+                     semTau: Double = 0.95): Result = {
     val spark = newDocs.sparkSession
     val empty = newDocs.limit(0)
-    def loadOr(name: String, emptyFrame: => DataFrame): DataFrame = {
+    def load(name: String): Option[DataFrame] = {
       val p = java.nio.file.Paths.get(stateDir, name)
-      if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
-      else emptyFrame
+      if (java.nio.file.Files.exists(p))
+        Some(spark.read.parquet(p.toString))
+      else None
     }
+    def loadOr(name: String, emptyFrame: => DataFrame): DataFrame =
+      load(name).getOrElse(emptyFrame)
     val histFps = loadOr("fingerprints",
       empty.select(TextOps.docFingerprint(col("text")).as("fingerprint")))
     val histBands = loadOr("band_index", Dedup.nearDupIndex(empty))
+    // the frozen quantizer: stored beats passed (see scaladoc)
+    val cents = load("sem_centroids").orElse(semCentroids)
+    val semActive = cents.nonEmpty && docEmbeddings.nonEmpty
+    val histSem: Option[DataFrame] =
+      if (!semActive) None
+      else Some(loadOr("semantic_index",
+        Dedup.semanticIndex(
+            docEmbeddings.get.limit(0), cents.get, idCol = "doc_id")
+          .select(col("centroid_id"), col("embedding"))))
+    val frozenProfile = load("dsir_profile")
     val r = run(newDocs, evalSet, outPath, minWords, jaccard,
       keepNum, keepDen, budgetTokens, temperature, maxEpochs, capacity,
       buckets, shards, salt, dsirTarget, dsirNum, dsirDen, dsirBuckets,
-      histFingerprints = Some(histFps), histBandIndex = Some(histBands))
+      histFingerprints = Some(histFps), histBandIndex = Some(histBands),
+      dsirFrozenProfile = frozenProfile, histSemanticIndex = histSem,
+      semCentroids = if (semActive) cents else None,
+      docEmbeddings = if (semActive) docEmbeddings else None,
+      semTau = semTau)
     // state := old ∪ kept survivors — staged fully before the swap, so
     // the lazy reads of the old state complete during staging
     val newFps = histFps.unionByName(r.kept.select(
@@ -273,8 +354,24 @@ object Curation {
       .distinct()
     val newBands = histBands.unionByName(Dedup.nearDupIndex(r.kept))
       .distinct()
+    val semState: Map[String, DataFrame] =
+      if (!semActive) Map.empty
+      else Map(
+        "sem_centroids" -> cents.get,
+        "semantic_index" -> histSem.get.unionByName(
+            Dedup.semanticIndex(
+                r.kept.select(col("doc_id"))
+                  .join(docEmbeddings.get
+                    .select(col("doc_id"), col("embedding")),
+                    Seq("doc_id")),
+                cents.get, idCol = "doc_id")
+              .select(col("centroid_id"), col("embedding")))
+          .distinct())
+    val dsirState: Map[String, DataFrame] =
+      r.dsirProfileUsed.map("dsir_profile" -> _).toMap
     graft.etl.Publish.publishAll(stateDir,
-      Map("fingerprints" -> newFps, "band_index" -> newBands)) match {
+      Map("fingerprints" -> newFps, "band_index" -> newBands) ++
+        semState ++ dsirState) match {
       case scala.util.Failure(e) => throw e
       case scala.util.Success(_) => ()
     }

@@ -32,6 +32,26 @@ class CurationSpec extends SparkSpec {
   private val boiler =
     "This shared promotional footer sentence appears in many documents."
 
+  // a second, disjoint word bank for the DSIR target corpus: target
+  // texts must share NO shingles with the curated (bank-1) corpus —
+  // every 8-word-run base mod 29 is occupied by some month-1 doc, so
+  // any bank-1 text risks a deterministic MinHash band collision with
+  // the history index — while their bigrams carry the profile's
+  // target mass
+  private val bank2 = Vector("arroyo", "bramble", "cobalt", "drizzle",
+    "estuary", "flint", "gingko", "heather", "inlet", "jasper", "krill",
+    "lagoon", "mesa", "nimbus", "orchid", "pumice", "quill", "ripple",
+    "sorrel", "tundra", "umbra", "verdant", "wisteria", "xylem", "yucca",
+    "zenith", "bayou", "cinder", "dew")
+  private def run2(i: Long, off: Int): String =
+    (0 until 8).map(j => bank2(((i * 7 + off * 11 + j * 3) % 29).toInt))
+      .mkString(" ")
+  private def body2(i: Long): String =
+    s"${run2(i, 0)} marker${i}a holds ${i * 3} and ${i * 7} ends " +
+      "cleanly today.\n" +
+      s"${run2(i, 1)} marker${i}b keeps ${i * 5} with ${i * 11} also " +
+      "ends properly."
+
   private def corpus = {
     val good = (1L to 20L).map(i =>
       (i, body(i), if (i % 2 == 0) "web" else "books"))
@@ -206,5 +226,109 @@ class CurationSpec extends SparkSpec {
     // state grew by exactly the month-2 survivor
     assert(spark.read.parquet(s"$state/fingerprints").count() === fp1 + 1)
     assert(spark.read.parquet(s"$state/band_index").count() > bd1)
+  }
+
+  test("incremental curation: semantic index and DSIR profile are " +
+      "state dimensions, both FROZEN at first use") {
+    val state = java.nio.file.Files.createTempDirectory("cursem").toString
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // embeddings ride a (doc_id, embedding) side frame; docs without a
+    // row pass the semantic gate ungated
+    val e5 = Array(1f, 0f, 0f, 0f)
+    val emb = Seq(
+      5L -> e5,
+      210L -> Array(0.99f, 0.141f, 0f, 0f), // cos ~0.99 with doc 5
+      211L -> Array(0f, 1f, 0f, 0f),        // orthogonal to doc 5
+      220L -> Array(0.98f, 0.199f, 0f, 0f)  // cos ~0.98 with doc 5
+    ).toDF("doc_id", "embedding")
+    val cents = Seq(0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f)).toDF("centroid_id", "cvec")
+    // the target is a DISTINCT, never-curated corpus in the second
+    // word bank: DSIR scores target-likeness RELATIVE to raw, so
+    // month-2 docs reusing target texts score ~ln(2) per gram while
+    // docs outside both distributions sit at the smoothing floor — a
+    // target equal to the curated corpus would make every
+    // in-distribution doc look like raw too and rank on noise
+    val target = (50L to 69L).map(i => (i, body2(i))).toDF("doc_id", "text")
+
+    // month 1: builds both state dimensions; empty index kills nothing
+    val r1 = Curation.runIncremental(corpus, evalSet, tmp("sem1"), state,
+      keepNum = 1, keepDen = 1, capacity = 64, buckets = 4, shards = 4,
+      dsirTarget = Some(target), dsirNum = 1, dsirDen = 1,
+      docEmbeddings = Some(emb), semCentroids = Some(cents))
+    val by1 = r1.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by1.contains("semdup_vs_history") && by1.contains("dsir_select"))
+    assert(by1("semdup_vs_history") === by1("near_dedup"),
+      "an empty semantic index must kill nothing")
+    for (dim <- Seq("sem_centroids", "semantic_index", "dsir_profile"))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state, dim)), s"$dim must persist")
+    // only docs WITH embeddings enter the index: doc 5's vector, in
+    // centroid 0's list
+    val idx1 = spark.read.parquet(s"$state/semantic_index").collect()
+    assert(idx1.length === 1 && idx1(0).getLong(0) === 0L)
+
+    // month 2 (all texts in bank 2 — no shingle overlap with month-1
+    // history, so the band gate provably passes them): 210 = fresh
+    // text, embedding a semantic twin of kept doc 5 -> dies at 4c;
+    // 211/212 carry TARGET texts (bodies2 50/51 — never curated, and
+    // their bigrams are the profile's target mass), 211 with an
+    // orthogonal embedding -> survives 4c, 212 with no embedding ->
+    // passes 4c ungated; 213 gibberish (outside both distributions) ->
+    // dies at dsir_select even though NO target is passed (the frozen
+    // profile gates it)
+    val m2 = Seq(
+      (210L, body2(60), "web"), (211L, body2(50), "web"),
+      (212L, body2(51), "web"),
+      (213L, "quopl vrint slabe droqk minty phrex grolt brinth varnel " +
+        "crusk.\nzamber crolux vintle pharn deblik rostun welkin " +
+        "darnel frosk plim.", "web"))
+      .toDF("doc_id", "text", "source")
+    val r2 = Curation.runIncremental(m2, evalSet, tmp("sem2"), state,
+      keepNum = 1, keepDen = 1, capacity = 64, buckets = 4, shards = 4,
+      dsirNum = 2, dsirDen = 3,
+      docEmbeddings = Some(emb), semCentroids = Some(cents))
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2("neardup_vs_history") === 4L, s"texts are all fresh: $by2")
+    assert(by2("semdup_vs_history") === 3L,
+      s"the semantic twin must die at 4c: $by2")
+    assert(by2("dsir_select") === 2L,
+      s"the frozen profile must kill the gibberish doc: $by2")
+    val landed2 = r2.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed2 === Set(211L, 212L), landed2.toString)
+
+    // month 3: DIFFERENT centroids passed — the STORED quantizer must
+    // win (an index probed with foreign centroids would miss): 220's
+    // embedding is again doc 5's twin and must still die at 4c
+    val badCents = Seq(9L -> Array(0f, 0f, 1f, 0f))
+      .toDF("centroid_id", "cvec")
+    // bank-2 texts whose run bases (21,3 / 23,5 mod 29) collide with
+    // neither month-2 survivor (2,13 / 9,20) — no shared runs, so the
+    // band gate passes both
+    val m3 = Seq((220L, body2(61), "web"), (221L, body2(53), "web"))
+      .toDF("doc_id", "text", "source")
+    val r3 = Curation.runIncremental(m3, evalSet, tmp("sem3"), state,
+      keepNum = 1, keepDen = 1, capacity = 64, buckets = 4, shards = 4,
+      dsirNum = 1, dsirDen = 1,
+      docEmbeddings = Some(emb), semCentroids = Some(badCents))
+    val by3 = r3.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by3("semdup_vs_history") === 1L,
+      s"the frozen quantizer must still route the twin to doc 5: $by3")
+    val landed3 = r3.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed3 === Set(221L), landed3.toString)
+    // the stored centroid frame is untouched by the foreign argument
+    assert(spark.read.parquet(s"$state/sem_centroids")
+      .orderBy("centroid_id").collect().map(_.getLong(0)).toSeq
+      === Seq(0L, 1L))
+    // the index grew by month 2's + month 3's embedded survivors (211)
+    assert(spark.read.parquet(s"$state/semantic_index").count() === 2L)
   }
 }
