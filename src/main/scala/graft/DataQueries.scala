@@ -1233,6 +1233,35 @@ object DataQueries {
       .orderBy(col("error_id"))
   }
 
+  /** Priority sampling: a 5-per-source token-weighted sample of the
+    * corpus — long docs win proportionally more often, short docs
+    * still can. The md5-derived u and the division-only priority make
+    * the SAMPLE itself (not just its size) engine-replayable. */
+  val t73PrioritySample: Q = (s, d) =>
+    TextOps.prioritySample(
+        T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens")),
+        col("source"), col("n_tokens"), col("doc_id"), k = 5)
+      .select(col("source"), col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("priority"), 4).as("priority"))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Nucleus (top-p) selection: per source, keep the highest-quality
+    * docs until half the source's token mass is covered — every row
+    * flagged, integer-exact boundary. */
+  val t74TopPMass: Q = (s, d) =>
+    TextOps.topPByMass(
+        T.documents(s, d).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        col("source"), col("quality"), col("n_tokens"), col("doc_id"),
+        num = 1, den = 2)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"),
+        col("is_kept"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1306,6 +1335,8 @@ object DataQueries {
     "t70_asof_join" -> t70AsofJoin,
     "t71_kmv_distinct" -> t71KmvDistinct,
     "t72_asof_forward" -> t72AsofForward,
+    "t73_priority_sample" -> t73PrioritySample,
+    "t74_topp_mass" -> t74TopPMass,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2354,6 +2354,62 @@ object Oracles {
         |FROM j WHERE rn = 1
         |ORDER BY error_id""".stripMargin,
 
+    // priority sampling: u from the same salted md5, priority = w/u in
+    // pure IEEE division (no pow/ln), so the oracle reproduces the
+    // exact sample membership AND the per-row priorities
+    "t73_priority_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT *, cast(n_tokens as double) /
+        |    (((('0x'||substr(md5('psamp'||cast(doc_id as varchar)),
+        |        1,15))::bigint) + 1) / 1152921504606846976.0) AS pri
+        |  FROM w),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY pri DESC, doc_id) AS rn FROM p)
+        |SELECT source, doc_id, cast(n_tokens as bigint) AS n_tokens,
+        | round(pri, 4) AS priority
+        |FROM r WHERE rn <= 5
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // nucleus selection: the t01 quality expression, the per-source
+    // (quality desc, doc_id) sort, and the integer-exact preceding-mass
+    // boundary all replayed
+    "t74_topp_mass" ->
+      """WITH tok AS (SELECT doc_id, source, text,
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),'\s+')) END
+        |    AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT doc_id, source, n_tokens,
+        |  round(least(1.0, greatest(0.0,
+        |   (CASE WHEN length(text)=0 THEN 0.0
+        |     ELSE cast(length(regexp_replace(text,'[^A-Za-z ]','','g'))
+        |       as double)/length(text) END)*0.5
+        |   + (CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |       THEN 1.0 ELSE 0.5 END)*0.3
+        |   + (1.0 - least(1.0, (CASE WHEN length(text)=0 THEN 0.0
+        |     ELSE cast(length(regexp_replace(text,'[^.,;:!?]','','g'))
+        |       as double)/length(text) END)*10))*0.1
+        |   + (CASE WHEN (CASE WHEN n_tokens=0 THEN 0.0
+        |     ELSE cast(length(text) as double)/n_tokens END)
+        |       BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END))),4) AS quality
+        |  FROM tok),
+        |r AS (SELECT *,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumprev,
+        |    sum(n_tokens) OVER (PARTITION BY source) AS total
+        |  FROM q)
+        |SELECT doc_id, source, cast(n_tokens as bigint) AS n_tokens,
+        | quality,
+        | cast(CASE WHEN cumprev * 2 < total * 1 THEN 1 ELSE 0 END
+        |   as bigint) AS is_kept
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // kNN label propagation: the exact cosine ranking (t06's contract),
     // the label join, every per-label vote count and the
     // (votes desc, label asc) winner tiebreak all replayed — a single

@@ -136,6 +136,61 @@ object TextOps {
     df.filter(md5U32(concat(lit(salt), key.cast("string"))) <
       (rate * lit(4294967296.0)).cast("long"))
 
+  /** Priority sampling (Duffield, Lund & Thorup, "Priority sampling
+    * for estimation of arbitrary subset sums", JACM 2007): a
+    * weight-proportional k-sample per group with deterministic
+    * md5-derived randomness — each row draws u in (0, 1] from a salted
+    * hash of its id, its priority is weight/u, and the k highest
+    * priorities per group win (inclusion probability ≈ min(1, w/τ)
+    * with τ the (k+1)-th priority — heavier rows win proportionally
+    * more often, every row has a chance). The whole rank key is one
+    * long→double cast, one exact power-of-two scaling and one IEEE
+    * division — deliberately NO pow/ln (the A-Res u^(1/w) key), whose
+    * cross-engine libm drift could flip a rank: an external engine
+    * replays the IDENTICAL sample (the t73 oracle does).
+    *
+    * Scale: one shuffle on the group key; the rank plans as a
+    * WindowGroupLimit (map-side partial top-k), so only ~k rows per
+    * group per partition cross the exchange. */
+  def prioritySample(df: DataFrame, group: Column, weight: Column,
+                     id: Column, k: Int,
+                     salt: String = "psamp"): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    val u = (graft.ops.Stats.hash60(concat(lit(salt), id.cast("string")))
+      + 1).cast("double") / lit(1152921504606846976.0) // 2^60
+    df.withColumn("priority", weight.cast("double") / u)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(group).orderBy(col("priority").desc, id)))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Nucleus (top-p) selection by mass: rank each group's rows by
+    * (score desc, id) and keep the minimal prefix covering at least
+    * num/den of the group's total `weight` — top-p sampling's idea
+    * applied to curation ("keep the best documents until half the
+    * token mass is covered"), the mass-aware cousin of
+    * [[keepTopFraction]] (which cuts by row count). A row is kept iff
+    * its PRECEDING cumulative mass is under the cut, so the
+    * boundary-crossing row is kept and coverage ≥ p. With integer
+    * weights every comparison is exact long arithmetic — no double
+    * accumulation anywhere, any engine replays it bit-for-bit.
+    * Returns every row + `is_kept` 0/1. One shuffle on the group key;
+    * both windows share one sort. */
+  def topPByMass(df: DataFrame, group: Column, score: Column,
+                 weight: Column, id: Column, num: Int,
+                 den: Int): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den,
+      s"mass fraction $num/$den must sit in [0, 1]")
+    val w = Window.partitionBy(group).orderBy(score.desc, id)
+    val cumPrev = coalesce(sum(weight.cast("long")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(weight.cast("long")).over(
+      Window.partitionBy(group).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    df.withColumn("is_kept",
+      (cumPrev * den < total * num).cast("long"))
+  }
+
   /** Deterministic EXACT-proportion stratified split (train/val/test):
     * within each stratum, rows are permuted by a salted md5 of their id
     * (a deterministic uniform shuffle) and cut at the floor of the

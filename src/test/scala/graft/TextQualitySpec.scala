@@ -632,4 +632,68 @@ class TextQualitySpec extends SparkSpec {
       .toMap
     assert(w === w2)
   }
+
+  test("prioritySample: exactly min(k, group) rows, deterministic, and " +
+      "heavy rows win far more often than light ones") {
+    import spark.implicits._
+    // 60 groups, each one heavy row (w=500) among 20 light (w=1):
+    // weight-proportional sampling must pick the heavy row in most
+    // groups, a uniform sample only ~1/21 of the time
+    val df = (0 until 60).flatMap(g =>
+      (0 until 21).map(i =>
+        (g.toLong, g * 100L + i, if (i == 0) 500L else 1L)))
+      .toDF("grp", "doc_id", "w")
+    val s1 = TextOps.prioritySample(df, col("grp"), col("w"),
+      col("doc_id"), k = 1)
+    assert(s1.count() === 60L, "exactly one winner per group")
+    val heavyWins = s1.filter(col("w") === 500L).count()
+    // deterministic (md5-derived): measured below; a uniform sampler
+    // would land near 60/21 ~ 3
+    assert(heavyWins >= 40L,
+      s"heavy row must dominate: won $heavyWins/60")
+    // k >= group size degenerates to the whole group, and the sample
+    // is a bit-stable subset of the input
+    val all = TextOps.prioritySample(df.filter(col("grp") === 0),
+      col("grp"), col("w"), col("doc_id"), k = 30)
+    assert(all.count() === 21L)
+    val s2 = TextOps.prioritySample(df, col("grp"), col("w"),
+      col("doc_id"), k = 1).collect().map(_.getLong(1)).toSet
+    assert(s2 === s1.collect().map(_.getLong(1)).toSet)
+    // the rank plans as a WindowGroupLimit (map-side partial top-k)
+    val plan = TextOps.prioritySample(df, col("grp"), col("w"),
+      col("doc_id"), k = 1).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
+  test("topPByMass: boundary row kept, coverage >= p, score ties break " +
+      "by id, zero-mass group keeps nothing") {
+    import spark.implicits._
+    // scores already distinct: sorted weights are 5,3,2 of total 10 —
+    // the top row alone covers exactly half, so p=1/2 keeps ONLY it
+    val a = Seq(("a", 1L, 3.0, 5L), ("a", 2L, 2.0, 3L),
+      ("a", 3L, 1.0, 2L)).toDF("g", "id", "score", "w")
+    val ka = TextOps.topPByMass(a, col("g"), col("score"), col("w"),
+        col("id"), 1, 2)
+      .filter(col("is_kept") === 1).collect().map(_.getLong(1)).toSet
+    assert(ka === Set(1L), s"exact-boundary: only the top row: $ka")
+    // sorted weights 2,2,6: the third row CROSSES the half boundary
+    // (preceding mass 4 < 5) and must be kept -> coverage 10/10
+    val b = Seq(("b", 1L, 3.0, 2L), ("b", 2L, 2.0, 2L),
+      ("b", 3L, 1.0, 6L)).toDF("g", "id", "score", "w")
+    val kb = TextOps.topPByMass(b, col("g"), col("score"), col("w"),
+        col("id"), 1, 2)
+      .filter(col("is_kept") === 1).collect().map(_.getLong(1)).toSet
+    assert(kb === Set(1L, 2L, 3L), s"boundary-crossing row kept: $kb")
+    // equal scores: the lower id ranks first and takes the mass
+    val c = Seq(("c", 7L, 1.0, 5L), ("c", 4L, 1.0, 5L))
+      .toDF("g", "id", "score", "w")
+    val kc = TextOps.topPByMass(c, col("g"), col("score"), col("w"),
+        col("id"), 1, 2)
+      .filter(col("is_kept") === 1).collect().map(_.getLong(1)).toSet
+    assert(kc === Set(4L))
+    // zero total mass: p of nothing is nothing
+    val z = Seq(("z", 1L, 1.0, 0L)).toDF("g", "id", "score", "w")
+    assert(TextOps.topPByMass(z, col("g"), col("score"), col("w"),
+      col("id"), 1, 2).filter(col("is_kept") === 1).count() === 0L)
+  }
 }
