@@ -605,6 +605,38 @@ object Streams {
         graft.ops.TextOps.qualityScore(col("text")))
       .withColumn("pii", graft.ops.TextOps.piiCount(col("text")))
 
+  /** Stream-static as-of enrichment — [[graft.ops.Temporal.asofJoin]]
+    * applied per microbatch: each paced batch of purchase events is
+    * enriched with the most recent same-user `right` row at or before
+    * the purchase, from a FROZEN static snapshot (a profile/history
+    * table a deployment materializes ahead of the stream). Stateless
+    * across batches (the s05 discipline — nothing carried, the static
+    * side plays the index role), and per-row results depend only on
+    * (row, static), so pacing cannot change them (StreamingSpec pins
+    * paced == batch). Each batch plans the t70 shape: no join
+    * operator, one hash exchange over batch ∪ static. Benched as
+    * s11. */
+  def runAsofEnrichOnce(spark: SparkSession, dir: String,
+                        right: DataFrame, rightTs: String,
+                        payload: Seq[String], tie: String,
+                        sink: DataFrame => Unit,
+                        tolerance: Option[String] = None,
+                        filesPerTrigger: Int = 1): Unit = {
+    val q = eventsStreamPaced(spark, dir, filesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Temporal.asofJoin(batch, right, Seq("user_id"),
+          "ts", rightTs, payload, tie, tolerance))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming form of [[ingestScreen]] — the s10 bench shape: paced
     * documents screened per microbatch against BOTH frozen statics via
     * foreachBatch, each batch emerging with all gate columns at once.

@@ -621,4 +621,48 @@ class StreamingSpec extends SparkSpec {
       assert((ng, w) === ds(id), s"doc $id DSIR columns diverged")
     }
   }
+
+  test("runAsofEnrichOnce: paced stream-static as-of == batch asofJoin; " +
+      "unmatched purchases keep nulls") {
+    import graft.ops.Temporal
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d, parts = 4)
+    val ev = graft.etl.Tables.events(spark, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+      .localCheckpoint()
+    type Enriched = (Long, Option[Long])
+    def rows(b: org.apache.spark.sql.DataFrame): Seq[Enriched] =
+      b.select(col("purchase_id"), col("view_id")).collect().toSeq
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Enriched]]
+    Streams.runAsofEnrichOnce(spark, parts, views, "view_ts",
+      Seq("view_id", "view_value"), "view_id", b => got += rows(b))
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.toSeq.flatten.sortBy(_._1)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"))
+    val batch = rows(Temporal.asofJoin(purchases, views, Seq("user_id"),
+      "ts", "view_ts", Seq("view_id", "view_value"), tie = "view_id"))
+      .sortBy(_._1)
+    assert(paced == batch,
+      "per-microbatch as-of against the static must equal the batch join")
+    assert(paced.exists(_._2.nonEmpty), "some purchase must match a view")
+    // the tolerance knob threads through: a 1-second window voids
+    // almost everything, and paced still equals batch
+    val gotT = scala.collection.mutable.ArrayBuffer.empty[Seq[Enriched]]
+    Streams.runAsofEnrichOnce(spark, parts, views, "view_ts",
+      Seq("view_id", "view_value"), "view_id", b => gotT += rows(b),
+      tolerance = Some("1 second"))
+    val pacedT = gotT.toSeq.flatten.sortBy(_._1)
+    val batchT = rows(Temporal.asofJoin(purchases, views, Seq("user_id"),
+      "ts", "view_ts", Seq("view_id", "view_value"), tie = "view_id",
+      tolerance = Some("1 second"))).sortBy(_._1)
+    assert(pacedT == batchT)
+    assert(pacedT.count(_._2.nonEmpty) < paced.count(_._2.nonEmpty),
+      "the 1s tolerance must void matches the unbounded join kept")
+  }
 }
