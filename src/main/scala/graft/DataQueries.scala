@@ -1158,15 +1158,16 @@ object DataQueries {
   }
 
   /** Graph-ANN beam search over the exact degree-4 neighbor graph
-    * (corpus capped at the first 2000 vectors so the all-pairs graph
+    * (corpus capped at the first 1024 vectors so the all-pairs graph
     * build stays oracle-cheap at any sf — x69 carries the bucketed
-    * 16k regime): entry set every 50th node, beam 4, TWO expansion
-    * rounds, top-4. The oracle unrolls both rounds — graph edges,
-    * entry scoring, each round's expand/rescore/re-rank and the final
-    * contract replayed join-for-join. */
+    * 16k regime with build and search timed separately): entry set
+    * every 50th node, beam 4, TWO expansion rounds, top-4. The oracle
+    * unrolls both rounds — graph edges, entry scoring, each round's
+    * expand/rescore/re-rank and the final contract replayed
+    * join-for-join. */
   val t69GraphSearch: Q = (s, d) => {
     val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") < 2000)
+      .filter(col("vec_id") < 1024)
     val graph = Similarity.knnGraphExact(emb, degree = 4)
     Similarity.graphSearch(emb, graph, emb.filter(col("vec_id") < 8),
         k = 4, beam = 4, rounds = 2, entryEvery = 50)

@@ -2236,7 +2236,7 @@ object Oracles {
     // differently anywhere reroutes the walk and breaks the hash
     "t69_graph_search" ->
       """WITH v AS (SELECT vec_id, cast(embedding as double[]) AS ev
-        |  FROM embeddings WHERE vec_id < 2000),
+        |  FROM embeddings WHERE vec_id < 1024),
         |gall AS (SELECT a.vec_id AS node_id, b.vec_id AS nbr_id,
         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
         |      list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rnk

@@ -48,6 +48,9 @@ object Temporal {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
     val bad = payload.toSet.intersect(left.columns.toSet)
     require(bad.isEmpty, s"payload collides with left columns: $bad")
+    val reserved = Set("__ts", "__tie", "__pay", "__is_left", "__m", "__k")
+    val clash = reserved.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"left columns clash with asofJoin helpers: $clash")
 
     val pay = struct(col(rightTs).as("__rts") +:
       payload.map(c => col(c).as(c)): _*)
