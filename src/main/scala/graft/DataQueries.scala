@@ -1263,6 +1263,39 @@ object DataQueries {
         col("is_kept"))
       .orderBy(col("doc_id"))
 
+  /** KMV set algebra: cross-language vocabulary overlap estimated from
+    * the per-language bigram sketches ALONE (k = 64 longs per
+    * language) — union, Jaccard and intersection per language pair
+    * without ever joining the underlying gram rows. Exact function of
+    * the hash sets, so DuckDB replays every estimate. */
+  val t75KmvOverlap: Q = (s, d) =>
+    Stats.kmvOverlap(
+      Stats.kmvSketchBy(
+        TextOps.ngramRows(T.documents(s, d), 2, keep = Seq("lang")),
+        Seq("lang"), col("ngram"), k = 64),
+      "lang", k = 64)
+      .orderBy(col("g_a"), col("g_b"))
+
+  /** Nearest-either-direction as-of: each signup joined to the
+    * same-user click closest in time within 2 hours, equal distances
+    * resolved backward — both carries over ONE exchange, no join
+    * operator. */
+  val t76AsofNearest: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    Temporal.asofNearest(signups, clicks, Seq("user_id"), "ts",
+        "click_ts", payload = Seq("click_id", "click_ts"),
+        tie = "click_id", tolerance = Some("2 hours"))
+      .select(col("signup_id"), col("user_id"),
+        unix_micros(col("ts")).as("signup_us"), col("click_id"),
+        unix_micros(col("click_ts")).as("click_us"), col("matched_dir"))
+      .orderBy(col("signup_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1338,6 +1371,8 @@ object DataQueries {
     "t72_asof_forward" -> t72AsofForward,
     "t73_priority_sample" -> t73PrioritySample,
     "t74_topp_mass" -> t74TopPMass,
+    "t75_kmv_overlap" -> t75KmvOverlap,
+    "t76_asof_nearest" -> t76AsofNearest,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2410,6 +2410,82 @@ object Oracles {
         |   as bigint) AS is_kept
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // KMV overlap: per-language k-min sketches rebuilt from the same
+    // md5 hashes, the pairwise merged k-min, the shared count and all
+    // three estimators replayed division-for-division
+    "t75_kmv_overlap" ->
+      """WITH d AS (SELECT lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |h AS (SELECT DISTINCT lang,
+        |    ('0x'||substr(md5(ngram),1,15))::bigint AS h FROM g),
+        |r AS (SELECT lang, h, row_number() OVER (
+        |    PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT lang, h FROM r WHERE rn <= 64),
+        |langs AS (SELECT DISTINCT lang FROM sk),
+        |p AS (SELECT a.lang AS g_a, b.lang AS g_b
+        |  FROM langs a JOIN langs b ON a.lang < b.lang),
+        |md AS (SELECT DISTINCT p.g_a, p.g_b, s.h
+        |  FROM p JOIN sk s ON s.lang IN (p.g_a, p.g_b)),
+        |mr AS (SELECT g_a, g_b, h, row_number() OVER (
+        |    PARTITION BY g_a, g_b ORDER BY h) AS rn FROM md),
+        |mm AS (SELECT * FROM mr WHERE rn <= 64),
+        |ms AS (SELECT g_a, g_b, count(*) AS msize,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth
+        |  FROM mm GROUP BY 1, 2),
+        |sh AS (SELECT mm.g_a, mm.g_b, count(*) AS shared
+        |  FROM mm
+        |  JOIN sk sa ON sa.lang = mm.g_a AND sa.h = mm.h
+        |  JOIN sk sb ON sb.lang = mm.g_b AND sb.h = mm.h
+        |  GROUP BY 1, 2)
+        |SELECT ms.g_a, ms.g_b,
+        | cast(coalesce(sh.shared, 0) as bigint) AS n_shared_kmin,
+        | round(CASE WHEN msize < 64 THEN msize::double
+        |   ELSE 63.0 * 1152921504606846976.0 / kth::double END, 4)
+        |   AS est_union,
+        | round(coalesce(sh.shared, 0)::double / msize::double, 4)
+        |   AS est_jaccard,
+        | round((coalesce(sh.shared, 0)::double / msize::double) *
+        |   (CASE WHEN msize < 64 THEN msize::double
+        |    ELSE 63.0 * 1152921504606846976.0 / kth::double END), 4)
+        |   AS est_intersection
+        |FROM ms LEFT JOIN sh USING (g_a, g_b)
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // nearest-either-direction as-of: single range join over the
+    // 2-hour window, ranked by (distance, backward-first, the
+    // per-direction id rule) — the oracle's candidate ranking must
+    // reproduce the two-carry choice exactly
+    "t76_asof_nearest" ->
+      """WITH su AS (SELECT event_id AS signup_id, user_id, ts AS sts
+        |  FROM events WHERE event_type = 'signup'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (SELECT su.signup_id, su.user_id, su.sts, c.click_id,
+        |    c.cts,
+        |    abs(epoch_us(c.cts) - epoch_us(su.sts)) AS dist,
+        |    CASE WHEN c.cts <= su.sts THEN 0 ELSE 1 END AS fwd
+        |  FROM su LEFT JOIN c ON su.user_id = c.user_id
+        |    AND c.cts >= su.sts - INTERVAL '2 hours'
+        |    AND c.cts <= su.sts + INTERVAL '2 hours'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY signup_id
+        |    ORDER BY dist ASC NULLS LAST, fwd ASC NULLS LAST,
+        |      CASE WHEN fwd = 0 THEN -click_id ELSE click_id END
+        |        ASC NULLS LAST) AS rn
+        |  FROM j)
+        |SELECT cast(signup_id as bigint) AS signup_id,
+        | cast(user_id as bigint) AS user_id,
+        | cast(epoch_us(sts) as bigint) AS signup_us,
+        | cast(click_id as bigint) AS click_id,
+        | cast(epoch_us(cts) as bigint) AS click_us,
+        | CASE WHEN click_id IS NULL THEN NULL
+        |   WHEN fwd = 0 THEN 'b' ELSE 'f' END AS matched_dir
+        |FROM r WHERE rn = 1
+        |ORDER BY signup_id""".stripMargin,
+
     // kNN label propagation: the exact cosine ranking (t06's contract),
     // the label join, every per-label vote count and the
     // (votes desc, label asc) winner tiebreak all replayed — a single

@@ -134,4 +134,59 @@ object Stats {
             element_at(col("__kmv"), k).cast("double")), 4)
           .as("est_distinct")): _*)
   }
+
+  /** The raw per-group KMV sketch — (group…, `kmv` array<long> of the
+    * k smallest distinct hashes, ascending). The persistable form
+    * [[kmvOverlap]] and future merges consume: sketches are plain
+    * columns, so they store, broadcast and union like any other
+    * aggregate. */
+  def kmvSketchBy(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KMinValues(k), Encoders.scalaLong)
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ hash60(valueCol).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmv(col("__h")).as("kmv"))
+  }
+
+  /** Pairwise set-overlap estimates between every two groups, from
+    * their KMV sketches alone (Beyer et al., SIGMOD 2007): merge the
+    * two sketches to the k smallest of A∪B; the union estimate is the
+    * standard KMV estimator on the merged k-th minimum, the Jaccard
+    * estimate is |merged ∩ A ∩ B| / |merged|, and the intersection
+    * estimate is their product. When both groups sit below fill the
+    * merged sketch IS A∪B and everything is exact. Every number is an
+    * exact function of the hash sets (set ops + one IEEE division), so
+    * an external engine replays the estimates bit-for-bit — O(k)
+    * state per group makes this the 100 TB way to get an
+    * all-pairs-of-sources overlap dashboard without ever joining the
+    * underlying data.
+    *
+    * `sketches` = [[kmvSketchBy]] output; pairs are g_a < g_b. The
+    * pair frame is group-level (aggregate-sized) — the self-join is
+    * broadcast and never touches row data. */
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+                 k: Int): DataFrame = {
+    val twoTo60 = 1152921504606846976.0
+    val a = sketches.select(col(groupCol).as("g_a"), col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("g_b"), col("kmv").as("__kb"))
+    val m = slice(array_sort(array_distinct(
+      concat(col("__ka"), col("__kb")))), 1, k)
+    val shared = size(array_intersect(array_intersect(col("__m"),
+      col("__ka")), col("__kb")))
+    val unionEst = when(size(col("__m")) < k,
+        size(col("__m")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * twoTo60 /
+        element_at(col("__m"), k).cast("double"))
+    val jac = col("__shared").cast("double") /
+      size(col("__m")).cast("double")
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .withColumn("__m", m)
+      .withColumn("__shared", shared)
+      .select(col("g_a"), col("g_b"),
+        col("__shared").cast("long").as("n_shared_kmin"),
+        round(unionEst, 4).as("est_union"),
+        round(jac, 4).as("est_jaccard"),
+        round(jac * unionEst, 4).as("est_intersection"))
+  }
 }

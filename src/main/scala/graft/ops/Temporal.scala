@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,5 +88,79 @@ object Temporal {
       when(col("__m").isNotNull && inTol, col("__m")))
     kept.select(left.columns.map(col) ++
       payload.map(c => col(s"__k.$c").as(c)): _*)
+  }
+
+  /** Nearest-either-direction as-of: the single right row minimizing
+    * |rightTs − leftTs| on the same keys, equal distances resolved
+    * BACKWARD (the at-or-before row wins — "prefer what was already
+    * known"); within each direction the usual tie rule applies
+    * (backward: highest `tie`; forward: lowest). `tolerance` bounds
+    * both directions. Adds a `matched_dir` column ('b'/'f', null when
+    * unmatched) next to the payload.
+    *
+    * Same single hash exchange as [[asofJoin]] — BOTH carries run over
+    * the one tagged union (two sorts of the same partitioning, no
+    * second shuffle, still no join operator); distances compare as
+    * exact long micros. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  tie: String,
+                  tolerance: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "asofNearest needs at least one key column")
+    val bad = payload.toSet.intersect(left.columns.toSet)
+    require(bad.isEmpty, s"payload collides with left columns: $bad")
+    require(!left.columns.contains("matched_dir"),
+      "left already has a matched_dir column")
+    val reserved = Set("__ts", "__tie", "__pay", "__is_left", "__b", "__f")
+    val clash = reserved.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"left columns clash with helpers: $clash")
+
+    val pay = struct(col(rightTs).as("__rts") +:
+      payload.map(c => col(c).as(c)): _*)
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__ts"), col(tie).as("__tie"),
+      pay.as("__pay"), lit(0).as("__is_left")): _*)
+    val payType = r.schema("__pay").dataType
+    val tieType = r.schema("__tie").dataType
+    val l = left.select(left.columns.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(null).cast(tieType).as("__tie"),
+      lit(null).cast(payType).as("__pay"), lit(1).as("__is_left")): _*)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wB = part.orderBy(col("__ts").asc, col("__is_left"),
+        col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part.orderBy(col("__ts").desc, col("__is_left"),
+        col("__tie").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u = l.unionByName(r.select(l.columns.map(c =>
+        if (r.columns.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*))
+      .withColumn("__b", last(col("__pay"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__pay"), ignoreNulls = true).over(wF))
+      .filter(col("__is_left") === 1)
+    def void(c: Column, dist: Column): Column = tolerance.fold(c) { t =>
+      when(dist <= unix_micros(col("__ts") + expr(s"INTERVAL $t")) -
+        unix_micros(col("__ts")), c)
+    }
+    val distB = unix_micros(col("__ts")) - unix_micros(col("__b.__rts"))
+    val distF = unix_micros(col("__f.__rts")) - unix_micros(col("__ts"))
+    val chosen = u
+      .withColumn("__bk", void(col("__b"), distB))
+      .withColumn("__fk", void(col("__f"), distF))
+      .withColumn("__k",
+        when(col("__bk").isNull, col("__fk"))
+          .when(col("__fk").isNull, col("__bk"))
+          .when(unix_micros(col("__ts")) -
+              unix_micros(col("__bk.__rts")) <=
+            unix_micros(col("__fk.__rts")) - unix_micros(col("__ts")),
+            col("__bk"))
+          .otherwise(col("__fk")))
+      .withColumn("matched_dir",
+        when(col("__k").isNull, lit(null).cast("string"))
+          .when(unix_micros(col("__k.__rts")) <= unix_micros(col("__ts")),
+            lit("b"))
+          .otherwise(lit("f")))
+    chosen.select(left.columns.map(col) ++
+      payload.map(c => col(s"__k.$c").as(c)) :+ col("matched_dir"): _*)
   }
 }

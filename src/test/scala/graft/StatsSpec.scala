@@ -97,6 +97,41 @@ class StatsSpec extends SparkSpec {
       "md5-derived estimate must be bit-deterministic")
   }
 
+  test("kmvOverlap: exact below fill (identical / disjoint / known " +
+      "overlap); estimator lands near truth above fill") {
+    val df = (Seq("a", "b", "c", "d").map(("g1", _)) ++
+      Seq("c", "d", "e", "f").map(("g2", _)) ++
+      Seq("x", "y").map(("g3", _)) ++
+      Seq("a", "b", "c", "d").map(("g4", _))).toDF("g", "v")
+    val out = Stats.kmvOverlap(
+        Stats.kmvSketchBy(df, Seq("g"), col("v"), k = 8), "g", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out.size === 6, "4 groups -> 6 pairs")
+    val (s12, u12, j12, i12) = out(("g1", "g2"))
+    assert(s12 === 2L && u12 === 6.0, "union {a..f}, shared {c,d}")
+    assert(math.abs(j12 - 0.3333) < 1e-9 && math.abs(i12 - 2.0) < 1e-3)
+    val (s14, u14, j14, _) = out(("g1", "g4"))
+    assert(s14 === 4L && u14 === 4.0 && j14 === 1.0, "identical sets")
+    val (s13, _, j13, i13) = out(("g1", "g3"))
+    assert(s13 === 0L && j13 === 0.0 && i13 === 0.0, "disjoint sets")
+    // above fill: |A|=1000, |B|=1000, overlap 500 -> union 1500,
+    // jaccard 1/3; k=64 sketches must land in the neighborhood
+    val big = ((0 until 1000).map(i => ("h1", s"v$i")) ++
+      (500 until 1500).map(i => ("h2", s"v$i"))).toDF("g", "v")
+    val (_, ub, jb, ib) = Stats.kmvOverlap(
+        Stats.kmvSketchBy(big, Seq("g"), col("v"), k = 64), "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap.apply(("h1", "h2"))
+    assert(math.abs(ub - 1500.0) / 1500.0 < 0.35,
+      f"union estimate $ub%.0f too far from 1500")
+    assert(math.abs(jb - 1.0 / 3.0) < 0.15,
+      f"jaccard estimate $jb%.3f too far from 0.333")
+    assert(ib > 0, "intersection estimate must be positive")
+  }
+
   test("kmvDistinctBy: partitioning-independent (mergeable set algebra) " +
       "and runs as an ObjectHashAggregate") {
     val ev = graft.etl.Tables.events(spark, "/root/testdata/sf0.001")

@@ -97,6 +97,49 @@ class TemporalSpec extends SparkSpec {
         s"diff=${(asof diff interval).take(3)} / ${(interval diff asof).take(3)}")
   }
 
+  test("asofNearest: strictly-nearer side wins, equal distance goes " +
+      "backward, per-direction tie rules hold, tolerance voids, plan " +
+      "stays join-free on one exchange") {
+    val l = Seq(("A", "2024-01-01 00:00:10", 100L),
+      ("A", "2024-01-01 00:00:05", 101L),
+      ("A", "2024-01-01 00:00:03", 102L),
+      ("B", "2024-01-01 00:00:10", 103L),
+      ("C", "2024-01-01 00:00:10", 104L)
+    ).toDF("k", "lts", "lid")
+      .select(col("k"), to_timestamp(col("lts")).as("lts"), col("lid"))
+    val r = Seq(("A", "2024-01-01 00:00:05", 1L),
+      ("A", "2024-01-01 00:00:05", 2L),
+      ("A", "2024-01-01 00:00:12", 3L),
+      ("B", "2024-01-01 00:00:30", 4L)
+    ).toDF("k", "rts", "rid")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("rid"))
+    def run(tol: Option[String]) = graft.ops.Temporal
+      .asofNearest(l, r, Seq("k"), "lts", "rts", Seq("rid"), "rid", tol)
+      .collect().map(row => row.getAs[Long]("lid") ->
+        ((Option(row.getAs[java.lang.Long]("rid")).map(_.toLong),
+          Option(row.getAs[String]("matched_dir"))))).toMap
+    val m = run(None)
+    assert(m(100L) === ((Some(3L), Some("f"))),
+      "lts=10: forward 12 (d2) beats backward 5 (d5)")
+    assert(m(101L) === ((Some(2L), Some("b"))),
+      "lts=5: both directions at d0 -> backward wins with its " +
+        "highest-id tie rule")
+    assert(m(102L) === ((Some(1L), Some("f"))),
+      "lts=3: forward ties at rts=5 take the LOWEST id")
+    assert(m(103L) === ((Some(4L), Some("f"))))
+    assert(m(104L) === ((None, None)), "no candidates -> nulls")
+    val t = run(Some("10 seconds"))
+    assert(t(103L) === ((None, None)), "20s away voided by 10s tolerance")
+    assert(t(100L) === ((Some(3L), Some("f"))), "2s away survives")
+    val plan = graft.ops.Temporal
+      .asofNearest(l, r, Seq("k"), "lts", "rts", Seq("rid"), "rid")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1200))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"both carries must share ONE exchange, " +
+      s"got $hashEx:\n${plan.take(1200)}")
+  }
+
   test("t70 plan: NO join operator — one tagged union, ONE hash " +
       "exchange, a running window") {
     val p = SparkEntry.queries("t70_asof_join")(spark, d)
