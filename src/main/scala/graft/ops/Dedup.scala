@@ -820,6 +820,36 @@ object Dedup {
                     cvecCol: String = "cvec"): DataFrame =
     Similarity.ivfAssign(corpus, centroids, idCol, vecCol, cidCol, cvecCol)
 
+  /** Compact a [[semanticIndex]]: the index's OWN semantic dedup —
+    * within each stored cluster, vectors at cosine >= `tauC` of each
+    * other collapse to one survivor per connected component (lowest id,
+    * [[retainBest]]'s rule). An append-only ingest index otherwise
+    * grows without bound while its marginal vectors add nothing: a
+    * probe within tau of a DROPPED vector is (on the planted fixtures,
+    * CurationSpec-pinned) still caught by the surviving near-identical
+    * one; in general the gate radius loosens by at most the compaction
+    * radius, so run with tauC >= the gate's tau. The band index needs
+    * no analogue — it is already a distinct (band, hash) set bounded by
+    * the band-hash space.
+    *
+    * Scale shape: reuses the STORED cluster assignment (no re-assign
+    * pass), candidates only within clusters (never all-pairs), then
+    * the O(diameter) component propagation — the t44/t49 machinery
+    * pointed at the state itself. */
+  def compactSemanticIndex(index: DataFrame, tauC: Double,
+                           idCol: String = "doc_id",
+                           vecCol: String = "embedding",
+                           cidCol: String = "centroid_id"): DataFrame = {
+    val pairs = semanticDupPairsFromAssigned(index, tauC, idCol, vecCol,
+      cidCol)
+    index.join(
+      retainBest(index.select(col(idCol)),
+          pairs.select(col("id_a"), col("id_b")),
+          index.select(col(idCol), lit(0L).as("score")), idCol)
+        .filter(col("is_kept") === 1).select(col(idCol)),
+      Seq(idCol))
+  }
+
   /** Semantic near-dup ingest gate — [[semanticDedup]]'s screen applied
     * at ingest, the embedding-modality twin of [[nearDupFlag]]: each
     * incoming vector is assigned to its nearest centroid (the exact

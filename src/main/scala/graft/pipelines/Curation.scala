@@ -292,8 +292,13 @@ object Curation {
     *     REUSED on every later run — a gate probing different lists
     *     than the index's silently loses recall, so a later
     *     `semCentroids` argument is ignored in favor of the stored
-    *     frame. The index grows by the kept survivors' (centroid_id,
-    *     embedding) rows; stage 4c screens each batch against it.
+    *     frame. The index grows by the kept survivors' (doc_id,
+    *     centroid_id, embedding) rows; stage 4c screens each batch
+    *     against it. With `semCompactTau` set, the grown index is
+    *     compacted before the swap ([[Dedup.compactSemanticIndex]]:
+    *     in-index near-twins collapse to their lowest-id survivor), so
+    *     state tracks semantic diversity instead of document count —
+    *     use a compaction tau >= the gate's `semTau`.
     *   - `dsir_profile` (needs `dsirTarget` on first run): the full
     *     bucket profile from the FIRST run's (pruned, target) pair is
     *     persisted and every later batch scores against it — the same
@@ -315,7 +320,8 @@ object Curation {
                      dsirBuckets: Int = 4096,
                      docEmbeddings: Option[DataFrame] = None,
                      semCentroids: Option[DataFrame] = None,
-                     semTau: Double = 0.95): Result = {
+                     semTau: Double = 0.95,
+                     semCompactTau: Option[Double] = None): Result = {
     val spark = newDocs.sparkSession
     val empty = newDocs.limit(0)
     def load(name: String): Option[DataFrame] = {
@@ -337,7 +343,7 @@ object Curation {
       else Some(loadOr("semantic_index",
         Dedup.semanticIndex(
             docEmbeddings.get.limit(0), cents.get, idCol = "doc_id")
-          .select(col("centroid_id"), col("embedding"))))
+          .select(col("doc_id"), col("centroid_id"), col("embedding"))))
     val frozenProfile = load("dsir_profile")
     val r = run(newDocs, evalSet, outPath, minWords, jaccard,
       keepNum, keepDen, budgetTokens, temperature, maxEpochs, capacity,
@@ -356,17 +362,25 @@ object Curation {
       .distinct()
     val semState: Map[String, DataFrame] =
       if (!semActive) Map.empty
-      else Map(
-        "sem_centroids" -> cents.get,
-        "semantic_index" -> histSem.get.unionByName(
+      else {
+        val grown = histSem.get.unionByName(
             Dedup.semanticIndex(
                 r.kept.select(col("doc_id"))
                   .join(docEmbeddings.get
                     .select(col("doc_id"), col("embedding")),
                     Seq("doc_id")),
                 cents.get, idCol = "doc_id")
-              .select(col("centroid_id"), col("embedding")))
-          .distinct())
+              .select(col("doc_id"), col("centroid_id"),
+                col("embedding")))
+          .distinct()
+        // optional compaction (ROADMAP: bounded state for years-long
+        // deployments): the index's own semantic dedup — in-index
+        // near-twins collapse to one survivor, so state growth tracks
+        // semantic DIVERSITY, not document count
+        val next = semCompactTau.fold(grown)(tc =>
+          Dedup.compactSemanticIndex(grown, tc))
+        Map("sem_centroids" -> cents.get, "semantic_index" -> next)
+      }
     val dsirState: Map[String, DataFrame] =
       r.dsirProfileUsed.map("dsir_profile" -> _).toMap
     graft.etl.Publish.publishAll(stateDir,

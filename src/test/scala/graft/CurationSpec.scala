@@ -268,7 +268,9 @@ class CurationSpec extends SparkSpec {
     // only docs WITH embeddings enter the index: doc 5's vector, in
     // centroid 0's list
     val idx1 = spark.read.parquet(s"$state/semantic_index").collect()
-    assert(idx1.length === 1 && idx1(0).getLong(0) === 0L)
+    assert(idx1.length === 1 &&
+      idx1(0).getAs[Long]("doc_id") === 5L &&
+      idx1(0).getAs[Long]("centroid_id") === 0L)
 
     // month 2 (all texts in bank 2 — no shingle overlap with month-1
     // history, so the band gate provably passes them): 210 = fresh
@@ -330,5 +332,50 @@ class CurationSpec extends SparkSpec {
       === Seq(0L, 1L))
     // the index grew by month 2's + month 3's embedded survivors (211)
     assert(spark.read.parquet(s"$state/semantic_index").count() === 2L)
+  }
+
+  test("incremental curation: semantic state compaction collapses " +
+      "in-index twins; a twin of the DROPPED vector still dies at 4c") {
+    val state = java.nio.file.Files.createTempDirectory("curcmp").toString
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // docs 5 and 6 carry near-identical embeddings (cos ~0.995): with
+    // compaction on, only the lowest id survives in the state; doc 7
+    // is orthogonal and must NOT be compacted away
+    val emb = Seq(
+      5L -> Array(1f, 0f, 0f, 0f),
+      6L -> Array(0.995f, 0.0999f, 0f, 0f),
+      7L -> Array(0f, 1f, 0f, 0f),
+      230L -> Array(0.995f, 0.0999f, 0f, 0f), // twin of DROPPED doc 6
+      231L -> Array(0f, 0.99f, 0.141f, 0f)    // twin of kept doc 7
+    ).toDF("doc_id", "embedding")
+    val cents = Seq(0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(0f, 1f, 0f, 0f)).toDF("centroid_id", "cvec")
+    val r1 = Curation.runIncremental(corpus, evalSet, tmp("cmp1"), state,
+      keepNum = 1, keepDen = 1, capacity = 64, buckets = 4, shards = 4,
+      docEmbeddings = Some(emb), semCentroids = Some(cents),
+      semCompactTau = Some(0.95))
+    assert(r1.audit.filter(!col("ok")).count() === 0L)
+    val idx = spark.read.parquet(s"$state/semantic_index")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(idx === Set(5L, 7L),
+      s"compaction must drop 6 (twin of 5) and keep orthogonal 7: $idx")
+    // month 2: twins of a dropped and of a kept index vector both die
+    // at the gate — compaction did not loosen it on this fixture —
+    // and a distant doc passes
+    val m2 = Seq((230L, body2(60), "web"), (231L, body2(50), "web"),
+      (232L, body2(51), "web")).toDF("doc_id", "text", "source")
+    val r2 = Curation.runIncremental(m2, evalSet, tmp("cmp2"), state,
+      keepNum = 1, keepDen = 1, capacity = 64, buckets = 4, shards = 4,
+      docEmbeddings = Some(emb), semCentroids = Some(cents),
+      semCompactTau = Some(0.95))
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2("semdup_vs_history") === 1L,
+      s"both planted twins must die at 4c: $by2")
+    val landed2 = r2.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed2 === Set(232L), landed2.toString)
   }
 }
