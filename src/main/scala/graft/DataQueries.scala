@@ -1577,6 +1577,20 @@ object DataQueries {
         "view_ts", payload = Seq("view_id", "view_value"),
         tie = "view_id")
     }),
+    // t76's nearest-either as-of at 10x keys — same one-exchange
+    // two-carry plan, cost |L|+|R| regardless of window populations
+    "x76_asof_nearest_scale" -> ((s, d) => {
+      val ev = scaledEvents(s, d, copies = 10)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      graft.ops.Temporal.asofNearest(signups, clicks, Seq("user_id"),
+        "ts", "click_ts", payload = Seq("click_id"), tie = "click_id",
+        tolerance = Some("2 hours"))
+    }),
     // t71's KMV sketch pointed at its real regime: the unbounded-domain
     // distinct (corpus bigram vocabulary) where an exact distinct would
     // shuffle every value — the sketch exchanges 256 longs per
