@@ -802,6 +802,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rBucket >= 0.45, f"bucketed-graph recall collapsed: $rBucket%.3f")
   }
 
+  test("graphSearch: entry density vs rounds at ~equal candidate " +
+      "budget — the hierarchical-entry-layer question, measured") {
+    // ROADMAP #6 asks whether a coarse upper graph layer (HNSW proper)
+    // would beat the flat every-Nth entry set. Proxy measurement: hold
+    // the scored-candidate budget roughly fixed (entries + rounds *
+    // beam * degree) and trade entry density against walk depth. If
+    // recall saturates across the trade-off, entry SELECTION is not
+    // the bottleneck on this corpus and a second graph layer has no
+    // headroom to buy.
+    val g = Similarity.knnGraphExact(emb, degree = 8).localCheckpoint()
+    def r(entryEvery: Int, rounds: Int): Double =
+      recallOf(Similarity.graphSearch(emb, g, emb, 5, beam = 16,
+        rounds = rounds, entryEvery = entryEvery), 5)
+    val sparse = r(50, 4)  // ~10 entries + 4 walk rounds
+    val flat   = r(25, 3)  // ~20 entries + 3 rounds (the t69 config)
+    val dense  = r(10, 2)  // ~50 entries + 2 rounds
+    info(f"recall@5 at ~equal budget: sparse-entries/4r $sparse%.3f, " +
+      f"flat/3r $flat%.3f, dense-entries/2r $dense%.3f")
+    // measured 0.726 / 0.706 / 0.681: MORE walk beats MORE entries on
+    // the worst-case fixture — entry selection is already saturated,
+    // so a hierarchical entry layer has nothing to buy here (ROADMAP
+    // #6 closed by measurement); floors pin the shape
+    assert(sparse >= flat - 0.02 && flat >= dense - 0.02,
+      "walk depth must not lose to entry density at equal budget")
+    assert(Seq(sparse, flat, dense).max -
+      Seq(sparse, flat, dense).min < 0.1,
+      "recall should saturate across the entry/depth trade-off")
+  }
+
   test("knnPredict: hand-built majority and tiebreak; clustered-corpus " +
       "label recovery — exact path perfect, bucketed path floored") {
     import spark.implicits._
