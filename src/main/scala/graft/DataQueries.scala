@@ -1296,6 +1296,17 @@ object DataQueries {
       .orderBy(col("signup_id"))
   }
 
+  /** Sparse lexical similarity: top-3 nearest documents by tf-idf
+    * cosine through the inverted-index join, df cap at 1/10 of the
+    * corpus (the fixture's vocabulary is 29 stop-words + the planted
+    * "dup" marker at 5% df — exactly the regime the prune exists for:
+    * shared stop-terms contribute nothing, the rare term everything,
+    * at any sf). */
+  val t77SparseCosine: Q = (s, d) =>
+    TextOps.sparseCosineTopK(T.documents(s, d), k = 3, maxDfNum = 1,
+        maxDfDen = 10)
+      .orderBy(col("query_id"), col("rank"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1373,6 +1384,7 @@ object DataQueries {
     "t74_topp_mass" -> t74TopPMass,
     "t75_kmv_overlap" -> t75KmvOverlap,
     "t76_asof_nearest" -> t76AsofNearest,
+    "t77_sparse_cosine" -> t77SparseCosine,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

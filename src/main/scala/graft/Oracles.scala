@@ -2455,6 +2455,43 @@ object Oracles {
         |FROM ms LEFT JOIN sh USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
 
+    // sparse tf-idf cosine: tokenization, tf/df, the same ln(N/df)
+    // weights as t25, decimal-accumulated norms and pair dots, the
+    // df-pruned postings join and the per-query ranking all replayed
+    "t77_sparse_cosine" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |w AS (SELECT t.doc_id, t.term, dfreq.df,
+        |    t.tf * ln(nd::double / df) AS w
+        |  FROM t JOIN dfreq USING (term) CROSS JOIN n),
+        |nrm AS (SELECT doc_id,
+        |    sqrt(cast(sum(cast(w * w AS decimal(27,12))) as double))
+        |      AS nrm
+        |  FROM w GROUP BY 1),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    cast(sum(cast(a.w * b.w AS decimal(27,12))) as double)
+        |      AS dot
+        |  FROM w a JOIN w b ON a.term = b.term
+        |    AND a.doc_id <> b.doc_id
+        |  CROSS JOIN n
+        |  WHERE a.df * 10 <= nd * 1 AND b.df * 10 <= nd * 1
+        |  GROUP BY 1, 2),
+        |c AS (SELECT ida, idb, dot / (na.nrm * nb.nrm) AS cos
+        |  FROM p JOIN nrm na ON na.doc_id = ida
+        |    JOIN nrm nb ON nb.doc_id = idb),
+        |r AS (SELECT ida, idb, cos, row_number() OVER (
+        |    PARTITION BY ida ORDER BY cos DESC, idb) AS rank FROM c)
+        |SELECT cast(ida as bigint) AS query_id,
+        | cast(rank as bigint) AS rank,
+        | cast(idb as bigint) AS neighbor_id,
+        | round(cos, 4) AS cosine
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
     // nearest-either-direction as-of: single range join over the
     // 2-hour window, ranked by (distance, backward-first, the
     // per-direction id rule) — the oracle's candidate ranking must

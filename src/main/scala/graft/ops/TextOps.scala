@@ -1255,6 +1255,82 @@ object TextOps {
       .select(col(idCol), col("term_rank"), col("term"), col("score"))
   }
 
+  /** Sparse lexical similarity search via an inverted-index join —
+    * all-pairs cosine over unit-normalized TF-IDF vectors, the
+    * term-space twin of the embedding ANN family (the APSS shape,
+    * e.g. Lin, "Brute force and indexed approaches to pairwise
+    * document similarity with MapReduce", SIGIR 2009): candidates are
+    * generated ONLY through shared-term postings, so two documents
+    * meet iff they share a term, and the per-term pair fan-out is
+    * bounded by the df cap squared — the cap is the standard stop-term
+    * prune (a term in more than `maxDfNum/maxDfDen` of the corpus
+    * carries ~no signal and quadratic cost), expressed as a FRACTION
+    * of the corpus in integer arithmetic (`df * den <= N * num`) so it
+    * scales with the data and replays exactly. Pruned terms still
+    * count in the NORMS, so their
+    * exclusion from the dot is the documented approximation, not a
+    * silent renormalization; with a cap >= the max df the result is
+    * the exact tf-idf cosine (spec-pinned). Weights use t25's
+    * `tf * ln(N/df)`; dots and norms accumulate as decimal(27,12)
+    * (order-independent, the t66 discipline), so the oracle replays
+    * every product. Returns the t06 contract: (query_id, rank,
+    * neighbor_id, cosine round 4), ranked on the unrounded cosine
+    * with neighbor-id ties.
+    *
+    * Scale shape: token explode → (doc, term) tf → term-keyed df join
+    * → ONE postings self-join on term (each list <= N*num/den rows) →
+    * pair-keyed aggregate → per-query top-k (WindowGroupLimit). No
+    * all-pairs stage anywhere; the quadratic knob is explicit and
+    * per-term. */
+  def sparseCosineTopK(docs: DataFrame, k: Int, maxDfNum: Int,
+                       maxDfDen: Int, minLen: Int = 3,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(k > 0 && maxDfDen > 0 && maxDfNum > 0 &&
+      maxDfNum <= maxDfDen, "need k > 0 and a df cap fraction in (0,1]")
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val tf = docs.select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= minLen)
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+    // weight rows feed the norms AND both sides of the postings join —
+    // materialize once
+    val w = tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+        "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("__id"), col("__df"), col("__n"),
+        (col("__tf") * log(col("__n").cast("double") / col("__df")))
+          .as("__w"))
+      .localCheckpoint()
+    val nrm = w.groupBy(col("__id"))
+      .agg(sqrt(sum((col("__w") * col("__w")).cast("decimal(27,12)"))
+        .cast("double")).as("__nrm"))
+    val postings = w.filter(
+      col("__df") * maxDfDen <= col("__n") * maxDfNum)
+    val dots = postings
+      .select(col("term"), col("__id").as("__ida"), col("__w").as("__wa"))
+      .join(postings.select(col("term"), col("__id").as("__idb"),
+        col("__w").as("__wb")), Seq("term"))
+      .filter(col("__ida") =!= col("__idb"))
+      .groupBy(col("__ida"), col("__idb"))
+      .agg(sum((col("__wa") * col("__wb")).cast("decimal(27,12)"))
+        .cast("double").as("__dot"))
+    val cosRaw = col("__dot") / (col("__na") * col("__nb"))
+    dots
+      .join(nrm.select(col("__id").as("__ida"), col("__nrm").as("__na")),
+        Seq("__ida"))
+      .join(nrm.select(col("__id").as("__idb"), col("__nrm").as("__nb")),
+        Seq("__idb"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__ida"))
+          .orderBy(cosRaw.desc, col("__idb"))))
+      .filter(col("rank") <= k)
+      .select(col("__ida").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("__idb").as("neighbor_id"),
+        round(cosRaw, 4).as("cosine"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every `raw` document by how much more probable its word

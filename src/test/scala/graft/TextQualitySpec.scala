@@ -665,6 +665,44 @@ class TextQualitySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
 
+  test("sparseCosineTopK: hand-computed tf-idf cosines, df-pruning " +
+      "drops stop-term-only pairs but keeps norms, symmetric, " +
+      "termless docs pairless") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana damson"),
+      (3L, "apple evergreen fig"), (4L, "zebra yak xylophone"))
+      .toDF("doc_id", "text")
+    def m(num: Int, den: Int, k: Int = 3) =
+      TextOps.sparseCosineTopK(docs, k = k, maxDfNum = num,
+          maxDfDen = den)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+          r.getDouble(3)).toMap
+    // expected from the same formula: w = tf * ln(4/df)
+    val wApple = math.log(4.0 / 3); val wBanana = math.log(2.0)
+    val wUniq = math.log(4.0)
+    val n12 = math.sqrt(wApple * wApple + wBanana * wBanana +
+      wUniq * wUniq)
+    val n3 = math.sqrt(wApple * wApple + 2 * wUniq * wUniq)
+    val full = m(1, 1) // cap = N: nothing pruned, exact tf-idf cosine
+    assert(math.abs(full((1L, 2L)) -
+      (wApple * wApple + wBanana * wBanana) / (n12 * n12)) < 1e-3)
+    assert(math.abs(full((1L, 3L)) -
+      wApple * wApple / (n12 * n3)) < 1e-3)
+    assert(full((1L, 2L)) > full((1L, 3L)),
+      "two shared terms must beat one")
+    assert(full.keys.count(_._1 == 4L) === 0, "disjoint doc has no pairs")
+    assert(full((2L, 1L)) === full((1L, 2L)), "cosine is symmetric")
+    // prune apple (df 3 > 4*1/2): the 1-3 pair vanishes (apple was its
+    // only link); 1-2 survives via banana with apple still in the NORM
+    val pruned = m(1, 2)
+    assert(!pruned.contains((1L, 3L)),
+      "a pair linked only by a pruned term must disappear")
+    assert(math.abs(pruned((1L, 2L)) -
+      wBanana * wBanana / (n12 * n12)) < 1e-3,
+      "pruned terms leave the dot but stay in the norms")
+  }
+
   test("topPByMass: boundary row kept, coverage >= p, score ties break " +
       "by id, zero-mass group keeps nothing") {
     import spark.implicits._
