@@ -29,7 +29,9 @@ object Verify {
     // the census-steered knn-joins run 2+ candidate joins each
     "t30_knn_adaptive", "t32_knn_budget",
     // graph build (all-pairs on the capped corpus) + 2 beam rounds
-    "t69_graph_search")
+    "t69_graph_search",
+    // corpus-wide gram/posting machinery (sketch build; postings join)
+    "t75_kmv_overlap", "t77_sparse_cosine")
   private def costClass(name: String): Int =
     if (expensive(name)) 2
     else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0
