@@ -1307,6 +1307,38 @@ object DataQueries {
         maxDfDen = 10)
       .orderBy(col("query_id"), col("rank"))
 
+  /** BM25 retrieval: every 50th document queries the full corpus
+    * (self included — on a near-dup-planted fixture the self hit
+    * ranking first is the sanity signal), k1/b at the classic
+    * 1.2/0.75, exact (no df cap): the fixture's stop-term-heavy
+    * vocabulary is precisely the regime the idf saturation exists
+    * for, and exact keeps every term oracle-replayable. */
+  val t78Bm25: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0), docs,
+        k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid dense+sparse retrieval: the fixture's embeddings and
+    * documents share an id space, so every 50th id queries BOTH
+    * modalities — brute cosine over the vectors (self excluded, the
+    * t06 contract) and BM25 over the text (self included — it ranking
+    * first is the lexical sanity signal) — and the two top-10 lists
+    * fuse by reciprocal rank (k0=60). Incomparable score scales never
+    * meet: only ranks do. */
+  val t79HybridRrf: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val docs = T.documents(s, d)
+    val dense = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 50 === 0), k = 10)
+    val sparse = TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0),
+        docs, k = 10)
+      .withColumnRenamed("doc_id", "neighbor_id")
+    Similarity.rrfFuse(Seq(dense, sparse), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1385,6 +1417,8 @@ object DataQueries {
     "t75_kmv_overlap" -> t75KmvOverlap,
     "t76_asof_nearest" -> t76AsofNearest,
     "t77_sparse_cosine" -> t77SparseCosine,
+    "t78_bm25" -> t78Bm25,
+    "t79_hybrid_rrf" -> t79HybridRrf,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -2458,6 +2458,99 @@ object Oracles {
     // sparse tf-idf cosine: tokenization, tf/df, the same ln(N/df)
     // weights as t25, decimal-accumulated norms and pair dots, the
     // df-pruned postings join and the per-query ranking all replayed
+    // hybrid dense+sparse RRF: the full brute-cosine ranking, the full
+    // BM25 ranking (both at k=10) and the 1/(60+rank) fusion replayed —
+    // a single rank flipped in either modality moves a fused score and
+    // breaks the hash
+    "t79_hybrid_rrf" ->
+      """WITH qv AS (SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |cv AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |ds AS (SELECT qid, nid, list_cosine_similarity(
+        |    cast(qe AS double[]), cast(ce AS double[])) AS cos
+        |  FROM qv JOIN cv ON qid <> nid),
+        |dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY cos DESC, nid) AS rnk FROM ds),
+        |dense AS (SELECT qid, nid, rnk FROM dr WHERE rnk <= 10),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |lt AS (SELECT sum(tf) AS lt FROM t),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |p AS (SELECT t.term, t.doc_id AS did,
+        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+        |      (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |        (cast(dl.dl * nd AS double) / lt))) AS s
+        |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        |    CROSS JOIN n CROSS JOIN lt),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok
+        |  WHERE doc_id % 50 = 0 AND length(term) >= 3),
+        |sc AS (SELECT q.qid, p.did,
+        |    cast(sum(cast(s AS decimal(27,12))) AS double) AS score
+        |  FROM q JOIN p ON q.term = p.term GROUP BY 1, 2),
+        |sr AS (SELECT qid, did, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, did) AS rnk
+        |  FROM sc),
+        |sparse AS (SELECT qid, did AS nid, rnk FROM sr WHERE rnk <= 10),
+        |u AS (SELECT qid, nid, rnk FROM dense
+        |  UNION ALL SELECT qid, nid, rnk FROM sparse),
+        |f AS (SELECT qid, nid,
+        |    cast(sum(cast(1.0 / cast(60 + rnk AS double)
+        |      AS decimal(27,12))) AS double) AS score,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT qid, nid, score, n_lists, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, nid) AS rank
+        |  FROM f)
+        |SELECT cast(qid AS bigint) AS query_id,
+        | cast(rank AS bigint) AS rank,
+        | cast(nid AS bigint) AS neighbor_id,
+        | cast(n_lists AS bigint) AS n_lists,
+        | round(score, 6) AS rrf_score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // BM25 retrieval: tokenization, tf/df/dl, the corpus token total,
+    // the Lucene idf, the saturation/length-normalization term (same
+    // literal arithmetic shapes — both engines fold identical IEEE
+    // constants), the decimal-accumulated per-pair sum and the
+    // (score desc, doc) ranking all replayed; a single term weight
+    // off anywhere breaks the hash
+    "t78_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |lt AS (SELECT sum(tf) AS lt FROM t),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |p AS (SELECT t.term, t.doc_id AS did,
+        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+        |      (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |        (cast(dl.dl * nd AS double) / lt))) AS s
+        |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        |    CROSS JOIN n CROSS JOIN lt),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok
+        |  WHERE doc_id % 50 = 0 AND length(term) >= 3),
+        |sc AS (SELECT q.qid, p.did,
+        |    cast(sum(cast(s AS decimal(27,12))) AS double) AS score
+        |  FROM q JOIN p ON q.term = p.term GROUP BY 1, 2),
+        |r AS (SELECT qid, did, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |  FROM sc)
+        |SELECT cast(qid AS bigint) AS query_id,
+        | cast(rank AS bigint) AS rank,
+        | cast(did AS bigint) AS doc_id,
+        | round(score, 4) AS score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "t77_sparse_cosine" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
         |    lower(trim(text)), '\s+')) AS term FROM documents),

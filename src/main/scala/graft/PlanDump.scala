@@ -30,6 +30,8 @@ object PlanDump {
       .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+@[0-9a-f]+",
         "\\$\\$Lambda@x")
       .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("\\.scala:\\d+", ".scala:x")
+      .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
       .replaceAll("(?m)^(\\s*Location:).*$", "$1 <path>")
       .replaceAll("file:/[^\\s,\\]\\)]+", "<path>")
       .replaceAll("/(?:tmp|root)/[^\\s,\\]\\)]+", "<path>")

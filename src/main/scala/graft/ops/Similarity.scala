@@ -60,6 +60,53 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009
+    * — the hybrid-retrieval standard, e.g. Elasticsearch/OpenSearch
+    * hybrid search): combine any number of per-query rankings into
+    * one list by `score(q, d) = sum over lists of 1/(k0 + rank)`.
+    * Scores are deliberately IGNORED — only the integer ranks fuse,
+    * so a dense cosine list and a sparse BM25 list (incomparable
+    * score scales) combine without calibration, and the arithmetic
+    * is one IEEE division of integers per term, accumulated as
+    * decimal(27,12) (order-independent) — any engine replays the
+    * fused ranking exactly (t79). `k0` (classic 60) damps the head:
+    * smaller trusts top ranks more. Each input needs
+    * (`queryCol`, `rankCol`, `idCol`); rows past a list's own k
+    * simply contribute nothing. Output: (query_id, rank, neighbor_id,
+    * n_lists, rrf_score round 6), ranked on the unrounded score with
+    * neighbor-id ties; n_lists = how many input lists carried the
+    * pair (consensus provenance).
+    *
+    * Scale shape: a union of rank-frame projections (each list is
+    * already top-k-sized, k·|Q| rows — nothing corpus-sized) → ONE
+    * (query, doc)-keyed aggregate → per-query top-k
+    * (WindowGroupLimit). The expensive work lives in the input
+    * retrievers; fusion itself is rank-frame-sized. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+              queryCol: String = "query_id",
+              idCol: String = "neighbor_id",
+              rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty && k > 0 && k0 >= 0,
+      "need >= 1 ranking, k > 0, k0 >= 0")
+    val u = rankings.map(_.select(col(queryCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        col(rankCol).cast("long").as("__r")))
+      .reduce(_.unionAll(_))
+    u.withColumn("__t",
+        lit(1.0) / (lit(k0.toLong) + col("__r")).cast("double"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__t").cast("decimal(27,12)")).cast("double")
+          .as("__score"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("n_lists"),
+        round(col("__score"), 6).as("rrf_score"))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 sign sketch): `bits`
     * pseudo-random hyperplanes derived deterministically from xxhash64 of
     * (dimension index, plane index); bucket = sign-bit vector as int.

@@ -1331,6 +1331,84 @@ object TextOps {
         round(cosRaw, 4).as("cosine"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones Okapi weighting, the
+    * Lucene `ln(1 + (N-df+0.5)/(df+0.5))` idf variant so every term
+    * contributes >= 0): each query document's distinct terms are
+    * matched against the corpus postings and each (query, doc) pair
+    * scores
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl*N/Ltot))`,
+    * where dl is the doc's token count and N/Ltot replace the usual
+    * dl/avgdl division with one integer product over the corpus token
+    * total (fewer double ops, exact integers). This is the lexical
+    * retrieval face of the curation kit — decontamination by
+    * retrieval, quality-classifier seed mining, eval-set neighbor
+    * audits — next to [[sparseCosineTopK]]'s all-pairs cosine.
+    *
+    * Determinism: each per-term score is ONE double expression of
+    * integer counts (tf, df, dl, N, Ltot) and the k1/b literals —
+    * both engines fold the identical IEEE constants — accumulated as
+    * decimal(27,12) (order-independent, the t66 discipline), ranked
+    * unrounded with doc-id ties; the t78 oracle replays every term.
+    * Query terms count ONCE each (distinct — the Lucene practical
+    * rule, documented rather than Robertson's (k3+1)qtf saturation).
+    * An optional fractional df cap (`maxDfNum/maxDfDen`, t77's
+    * integer form) drops stop-term postings from the join; at the
+    * default 1/1 the result is the exact BM25 ranking.
+    *
+    * Scale shape: corpus explode → (doc, term) tf (ONE corpus-sized
+    * shuffle) → vocabulary-sized df + doc-sized dl joins → postings
+    * join on term with fan-out |query terms| x df (capped) →
+    * (query, doc)-keyed aggregate → per-query top-k
+    * (WindowGroupLimit). N and Ltot are 1-row broadcasts; no
+    * all-pairs stage. */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfNum: Int = 1, maxDfDen: Int = 1, minLen: Int = 3,
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(k > 0 && maxDfDen > 0 && maxDfNum > 0 &&
+      maxDfNum <= maxDfDen && k1 >= 0 && b >= 0 && b <= 1,
+      "need k > 0, a df cap fraction in (0,1], k1 >= 0, b in [0,1]")
+    def toks(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) >= minLen)
+    // tf feeds the token total, dl, df AND the postings — materialize
+    // the one corpus-sized shuffle once (the t77 discipline)
+    val tf = toks(corpus).groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val nDocs = corpus.agg(count(lit(1)).as("__n"))
+    val ltot = tf.agg(sum(col("__tf")).as("__lt"))
+    val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfn = (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) +
+        lit(b) * ((col("__dl") * col("__n")).cast("double") /
+          col("__lt"))))
+    val postings = tf.join(dl, "__id").join(dfreq, "term")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(ltot))
+      .filter(col("__df") * maxDfDen <= col("__n") * maxDfNum)
+      .select(col("term"), col("__id").as("__did"),
+        (idf * tfn).as("__s"))
+    val qterms = toks(queries)
+      .select(col("__id").as("__qid"), col("term")).distinct()
+    qterms.join(postings, "term")
+      .groupBy(col("__qid"), col("__did"))
+      .agg(sum(col("__s").cast("decimal(27,12)")).cast("double")
+        .as("__score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("__qid"))
+          .orderBy(col("__score").desc, col("__did"))))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("__did").as("doc_id"),
+        round(col("__score"), 4).as("score"))
+  }
+
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every `raw` document by how much more probable its word

@@ -878,4 +878,35 @@ class SimilaritySpec extends SparkSpec {
       // LSH-separable by construction; a broken probe set collapses this
       f"bucketed label recovery collapsed: $aBucketed%.3f")
   }
+
+  test("rrfFuse: hand-computed fusion, consensus beats a single better " +
+      "rank, n_lists provenance, score ties break by id, single-list " +
+      "fusion preserves the ranking, k caps") {
+    import spark.implicits._
+    val a = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq((1L, 1L, 20L), (1L, 2L, 40L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val f = Similarity.rrfFuse(Seq(a, b), k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // doc 20 (ranks 2+1) = 1/62 + 1/61 = 0.032522 beats doc 10's
+    // single rank 1 = 1/61; then 40 (1/62), then 30 (1/63)
+    assert(f.map(_._2).toSeq === Seq(20L, 10L, 40L, 30L), f.toSeq)
+    assert(f.head._3 === 2L && f.tail.forall(_._3 == 1L),
+      "n_lists: only the consensus doc came from both lists")
+    assert(math.abs(f.head._4 - 0.032522) < 1e-6)
+    assert(math.abs(f(1)._4 - 0.016393) < 1e-6)
+    // equal scores (rank 1 in exactly one list each): lower id first
+    val ta = Seq((1L, 1L, 7L)).toDF("query_id", "rank", "neighbor_id")
+    val tb = Seq((1L, 1L, 3L)).toDF("query_id", "rank", "neighbor_id")
+    assert(Similarity.rrfFuse(Seq(ta, tb), k = 2).collect()
+      .map(_.getLong(2)).toSeq === Seq(3L, 7L))
+    // one list in = the same ranking out (RRF is rank-monotone)
+    val solo = Similarity.rrfFuse(Seq(a), k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(solo.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // k caps the fused list
+    assert(Similarity.rrfFuse(Seq(a, b), k = 2).count() === 2L)
+  }
 }

@@ -703,6 +703,53 @@ class TextQualitySpec extends SparkSpec {
       "pruned terms leave the dot but stay in the norms")
   }
 
+  test("bm25TopK: hand-computed scores, tf saturation below idf*(k1+1), " +
+      "b=0 kills length normalization, query terms count once, df cap " +
+      "prunes postings, unmatched query rowless") {
+    import spark.implicits._
+    // N=3, Ltot=9: df(apple)=df(banana)=2, the cherry family df=1
+    val corpus = Seq(
+      (1L, "apple banana"), (2L, "apple apple apple banana"),
+      (3L, "cherry damson evergreen")).toDF("doc_id", "text")
+    def run(qs: Seq[(Long, String)], k1: Double = 1.2,
+            b: Double = 0.75, num: Int = 1, den: Int = 1) =
+      TextOps.bm25TopK(qs.toDF("doc_id", "text"), corpus, k = 3,
+          k1 = k1, b = b, maxDfNum = num, maxDfDen = den)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) ->
+          r.getDouble(3)).toMap
+    val idfA = math.log(1.0 + 1.5 / 2.5)
+    def tfn(tf: Long, dl: Long, k1: Double = 1.2, b: Double = 0.75) =
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl * 3.0 / 9.0)))
+    val one = run(Seq((10L, "apple")))
+    assert(math.abs(one((10L, 1L)) - idfA * tfn(1, 2)) < 1e-3)
+    assert(math.abs(one((10L, 2L)) - idfA * tfn(3, 4)) < 1e-3)
+    assert(one((10L, 2L)) > one((10L, 1L)),
+      "tf 3 in a 4-token doc must beat tf 1 in a 2-token doc")
+    assert(!one.contains((10L, 3L)), "no shared term, no row")
+    // saturation: every contribution sits below idf * (k1 + 1)
+    assert(one.values.forall(_ < idfA * 2.2))
+    // a repeated query term scores once (the distinct rule)
+    assert(run(Seq((10L, "apple apple apple"))) === one)
+    // b = 0: doc length leaves the formula entirely
+    val nob = run(Seq((10L, "apple")), b = 0.0)
+    assert(math.abs(nob((10L, 1L)) - idfA * (2.2 / 2.2)) < 1e-3)
+    assert(math.abs(nob((10L, 2L)) - idfA * (3 * 2.2 / 4.2)) < 1e-3)
+    // df cap 1/3 keeps only df=1 terms: apple postings vanish, the
+    // cherry family still answers
+    val capped = run(Seq((10L, "apple"), (11L, "cherry zebra")),
+      num = 1, den = 3)
+    assert(capped.keys.count(_._1 == 10L) === 0,
+      "capped stop term must yield no candidates")
+    assert(capped.keys.toSet === Set((11L, 3L)))
+    // a query with no corpus terms returns nothing
+    assert(run(Seq((12L, "zebra"))).isEmpty)
+    // top-k plans as a WindowGroupLimit (map-side partial top-k)
+    val plan = TextOps.bm25TopK(Seq((10L, "apple")).toDF("doc_id",
+        "text"), corpus, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
   test("topPByMass: boundary row kept, coverage >= p, score ties break " +
       "by id, zero-mass group keeps nothing") {
     import spark.implicits._
