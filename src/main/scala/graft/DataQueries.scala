@@ -1339,6 +1339,36 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Margin-based bitext mining over a deterministic two-"language"
+    * split of the embedding fixture (even ids vs odd ids — disjoint
+    * frames, so selfJoin=false): brute-force k=4 neighbor lists in
+    * both directions feed the ratio-margin scorer; every candidate
+    * pair comes back with its margin, both ranks and the mutual-best
+    * mining flag. */
+  val t80MarginMine: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.marginMine(
+        Similarity.bruteForceTopK(tgt, src, k = 4, selfJoin = false),
+        Similarity.bruteForceTopK(src, tgt, k = 4, selfJoin = false))
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
+  /** Retrieval eval in-engine: every 50th embedding queries the
+    * corpus through the LSH path (bits=4, Hamming-1 probes) and is
+    * scored per-query — recall@5, MRR@5, nDCG@5 — against the exact
+    * brute-force top-5. Sparse-bucket queries that come back short
+    * (or empty) are exactly what the metrics exist to expose. */
+  val t81RankingMetrics: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.rankingMetrics(
+        Similarity.lshTopK(emb, q, k = 5, bits = 4),
+        Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1419,6 +1449,8 @@ object DataQueries {
     "t77_sparse_cosine" -> t77SparseCosine,
     "t78_bm25" -> t78Bm25,
     "t79_hybrid_rrf" -> t79HybridRrf,
+    "t80_margin_mine" -> t80MarginMine,
+    "t81_ranking_metrics" -> t81RankingMetrics,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

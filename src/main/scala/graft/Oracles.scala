@@ -2458,6 +2458,113 @@ object Oracles {
     // sparse tf-idf cosine: tokenization, tf/df, the same ln(N/df)
     // weights as t25, decimal-accumulated norms and pair dots, the
     // df-pruned postings join and the per-query ranking all replayed
+    // retrieval eval metrics: the LSH system ranking (RHP buckets +
+    // Hamming-1 probes), the exact truth ranking, the hits join, DCG /
+    // ideal-DCG term sums and all three per-query metrics replayed
+    "t81_ranking_metrics" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 4)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS b0
+        |  FROM b WHERE vec_id % 50 = 0),
+        |probes AS (SELECT query_id, qv, unnest([b0, xor(b0, 1),
+        |  xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket FROM q),
+        |ss AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv AS double[]),
+        |      cast(c.embedding AS double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |sr0 AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS sr FROM ss),
+        |sys AS (SELECT query_id, neighbor_id, sr FROM sr0
+        |  WHERE sr <= 5),
+        |tc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv AS double[]),
+        |      cast(c.embedding AS double[])) AS cos
+        |  FROM q JOIN b c ON query_id <> c.vec_id),
+        |tr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS rnk FROM tc),
+        |tru AS (SELECT query_id, neighbor_id FROM tr WHERE rnk <= 5),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM tru
+        |  GROUP BY 1),
+        |h AS (SELECT sys.query_id, count(*) AS hits, min(sr) AS minr,
+        |    sum(cast(ln(2.0) / ln(cast(sr + 1 AS double))
+        |      AS decimal(27,12))) AS dcg
+        |  FROM sys JOIN tru USING (query_id, neighbor_id)
+        |  GROUP BY 1),
+        |iseq AS (SELECT query_id, unnest(range(1,
+        |    least(n_rel, 5) + 1)) AS i FROM nrel),
+        |id AS (SELECT query_id, sum(cast(ln(2.0) /
+        |    ln(cast(i + 1 AS double)) AS decimal(27,12))) AS idcg
+        |  FROM iseq GROUP BY 1)
+        |SELECT cast(nrel.query_id AS bigint) AS query_id,
+        | cast(n_rel AS bigint) AS n_rel,
+        | cast(coalesce(hits, 0) AS bigint) AS hits,
+        | round(cast(coalesce(hits, 0) AS double) /
+        |   cast(n_rel AS double), 6) AS recall,
+        | round(coalesce(1.0 / cast(minr AS double), 0.0), 6) AS mrr,
+        | round(coalesce(cast(dcg AS double), 0.0) /
+        |   cast(idcg AS double), 6) AS ndcg
+        |FROM nrel LEFT JOIN h ON nrel.query_id = h.query_id
+        | JOIN id ON nrel.query_id = id.query_id
+        |ORDER BY query_id""".stripMargin,
+
+    // margin-based bitext mining: both direction's full cosine
+    // rankings at k=4, the round-4 retriever contract, neighborhood
+    // half-means, every ratio margin, both rank windows and the
+    // mutual-best flag replayed — one flipped neighbor anywhere moves
+    // a margin or a rank and breaks the hash
+    "t80_margin_mine" ->
+      """WITH src AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 1),
+        |fc AS (SELECT s.vec_id AS qid, t.vec_id AS nid,
+        |    list_cosine_similarity(cast(s.embedding AS double[]),
+        |      cast(t.embedding AS double[])) AS cos
+        |  FROM src s CROSS JOIN tgt t),
+        |fr AS (SELECT qid, nid, round(cos, 4) AS cos4,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rnk FROM fc),
+        |fwd AS (SELECT qid, nid, cos4 FROM fr WHERE rnk <= 4),
+        |bc AS (SELECT t.vec_id AS qid, s.vec_id AS nid,
+        |    list_cosine_similarity(cast(t.embedding AS double[]),
+        |      cast(s.embedding AS double[])) AS cos
+        |  FROM tgt t CROSS JOIN src s),
+        |br AS (SELECT qid, nid, round(cos, 4) AS cos4,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, nid) AS rnk FROM bc),
+        |bwd AS (SELECT qid, nid, cos4 FROM br WHERE rnk <= 4),
+        |hs AS (SELECT qid AS src_id,
+        |    cast(sum(cast(cos4 AS decimal(27,12))) AS double) /
+        |      (2.0 * cast(count(*) AS double)) AS hsrc
+        |  FROM fwd GROUP BY 1),
+        |ht AS (SELECT qid AS tgt_id,
+        |    cast(sum(cast(cos4 AS decimal(27,12))) AS double) /
+        |      (2.0 * cast(count(*) AS double)) AS htgt
+        |  FROM bwd GROUP BY 1),
+        |pairs AS (SELECT src_id, tgt_id, max(cos4) AS cos FROM (
+        |    SELECT qid AS src_id, nid AS tgt_id, cos4 FROM fwd
+        |    UNION ALL SELECT nid AS src_id, qid AS tgt_id, cos4
+        |      FROM bwd) GROUP BY 1, 2),
+        |m AS (SELECT src_id, tgt_id,
+        |    cos / (hsrc + htgt) AS mg
+        |  FROM pairs JOIN hs USING (src_id) JOIN ht USING (tgt_id)),
+        |r AS (SELECT src_id, tgt_id, mg,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY mg DESC, tgt_id) AS src_rank,
+        |    row_number() OVER (PARTITION BY tgt_id
+        |      ORDER BY mg DESC, src_id) AS tgt_rank
+        |  FROM m)
+        |SELECT cast(src_id AS bigint) AS src_id,
+        | cast(tgt_id AS bigint) AS tgt_id,
+        | round(mg, 6) AS margin,
+        | cast(src_rank AS bigint) AS src_rank,
+        | cast(tgt_rank AS bigint) AS tgt_rank,
+        | cast(src_rank = 1 AND tgt_rank = 1 AS bigint) AS is_mutual
+        |FROM r ORDER BY src_id, tgt_id""".stripMargin,
+
     // hybrid dense+sparse RRF: the full brute-cosine ranking, the full
     // BM25 ranking (both at k=10) and the 1/(60+rank) fusion replayed —
     // a single rank flipped in either modality moves a fused score and

@@ -107,6 +107,114 @@ object Similarity {
         round(col("__score"), 6).as("rrf_score"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+    * CCMatrix / NLLB parallel-corpus mining rule): score every
+    * cross-side candidate pair by the RATIO margin
+    * `margin(x, y) = cos(x, y) / (avg_kNN(x)/2 + avg_kNN(y)/2)`
+    * — how much closer x and y are than each one's k-neighborhood —
+    * and flag the pairs where x and y are each other's rank-1 by
+    * margin (mutual best, the mining criterion). Takes the two
+    * neighbor frames in the (query_id, rank, neighbor_id, cosine)
+    * retriever contract — `fwd` = src queries over the tgt corpus,
+    * `bwd` = the reverse — so ANY retriever supplies candidates
+    * (bruteForceTopK here; knnJoin / lshTopK / ivfTopK / graphSearch
+    * at scale) and the mining itself, like [[rrfFuse]], never sees
+    * anything corpus-sized. Candidates = the union of both lists;
+    * margins use the retriever's reported round-4 cosines (documented
+    * — at that granularity the ratio is unchanged for mining) with
+    * neighborhood sums decimal(27,12)-accumulated and divided by the
+    * ACTUAL list size (= k whenever the corpus has k rows), so the
+    * t80 oracle replays every margin. Output: (src_id, tgt_id,
+    * margin round 6, src_rank, tgt_rank, is_mutual), ranks on the
+    * unrounded margin with partner-id ties.
+    *
+    * Scale shape: two rank-frame-sized aggregates (per-side
+    * neighborhood means), one pair-keyed dedup aggregate, two
+    * windows (per-src and per-tgt rank — two exchanges, both
+    * rank-frame-sized). */
+  def marginMine(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    def avgOf(nn: DataFrame, side: String) = nn
+      .groupBy(col("query_id").as(s"${side}_id"))
+      .agg((sum(col("cosine").cast("decimal(27,12)")).cast("double") /
+        (lit(2.0) * count(lit(1)).cast("double"))).as(s"__h$side"))
+    val pairs = fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cosine"))
+      .unionAll(bwd.select(col("neighbor_id").as("src_id"),
+        col("query_id").as("tgt_id"), col("cosine")))
+      .groupBy(col("src_id"), col("tgt_id"))
+      .agg(max(col("cosine")).as("__cos"))
+    val m = pairs
+      .join(avgOf(fwd, "src"), "src_id")
+      .join(avgOf(bwd, "tgt"), "tgt_id")
+      .withColumn("__m", col("__cos") / (col("__hsrc") + col("__htgt")))
+    m.withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("src_id"))
+          .orderBy(col("__m").desc, col("tgt_id"))).cast("long"))
+      .withColumn("tgt_rank", row_number().over(
+        Window.partitionBy(col("tgt_id"))
+          .orderBy(col("__m").desc, col("src_id"))).cast("long"))
+      .select(col("src_id"), col("tgt_id"),
+        round(col("__m"), 6).as("margin"),
+        col("src_rank"), col("tgt_rank"),
+        (col("src_rank") === 1L && col("tgt_rank") === 1L)
+          .cast("long").as("is_mutual"))
+  }
+
+  /** Per-query retrieval-quality metrics — recall@k, MRR@k and binary
+    * nDCG@k of a `system` ranking against a `truth` ranking (both in
+    * the (query_id, rank, neighbor_id) retriever contract; truth's
+    * top-k is the binary relevant set). This is the eval harness the
+    * retriever family reports itself through: every approximate path
+    * (LSH / IVF / PQ / graph / sparse) can be scored per-query
+    * against [[bruteForceTopK]] in-engine instead of driver-side.
+    * Metrics: recall = |hits| / |truth top-k|; MRR = 1/rank of the
+    * first relevant system row (0 when none); nDCG uses the binary
+    * DCG `sum 1/log2(rank+1)` written as `ln(2)/ln(rank+1)` — one ln
+    * per term, the engine-portable form — with DCG and the ideal DCG
+    * (first min(n_rel, k) positions) both decimal(27,12)-accumulated,
+    * so the t81 oracle replays every term. Queries absent from
+    * `system` (an empty LSH bucket — the case eval exists to catch)
+    * score 0 on all three; queries absent from `truth` are undefined
+    * and excluded.
+    *
+    * Scale shape: rank-frame-sized throughout ([[rrfFuse]]'s
+    * discipline): one hits join, three query-keyed aggregates, a
+    * per-query sequence explode of <= k rows for the ideal DCG. */
+  def rankingMetrics(system: DataFrame, truth: DataFrame, k: Int,
+                     queryCol: String = "query_id",
+                     idCol: String = "neighbor_id",
+                     rankCol: String = "rank"): DataFrame = {
+    require(k > 0, "need k > 0")
+    val sys = system.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"),
+        col(idCol).as("neighbor_id"), col(rankCol).cast("long").as("__sr"))
+    val tru = truth.filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"), col(idCol).as("neighbor_id"))
+    val nrel = tru.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    def lnTerm(rank: Column) =
+      log(lit(2.0)) / log((rank + lit(1L)).cast("double"))
+    val hagg = sys.join(tru, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__hits"), min(col("__sr")).as("__minr"),
+        sum(lnTerm(col("__sr")).cast("decimal(27,12)")).as("__dcg"))
+    val idcg = nrel
+      .select(col("query_id"), explode(sequence(lit(1L),
+        least(col("n_rel"), lit(k.toLong)))).as("__i"))
+      .groupBy(col("query_id"))
+      .agg(sum(lnTerm(col("__i")).cast("decimal(27,12)")).as("__idcg"))
+    nrel.join(hagg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        round(coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 6).as("recall"),
+        round(coalesce(lit(1.0) / col("__minr").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("__dcg").cast("double"), lit(0.0)) /
+          col("__idcg").cast("double"), 6).as("ndcg"))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 sign sketch): `bits`
     * pseudo-random hyperplanes derived deterministically from xxhash64 of
     * (dimension index, plane index); bucket = sign-bit vector as int.

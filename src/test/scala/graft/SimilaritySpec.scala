@@ -909,4 +909,73 @@ class SimilaritySpec extends SparkSpec {
     // k caps the fused list
     assert(Similarity.rrfFuse(Seq(a, b), k = 2).count() === 2L)
   }
+
+  test("marginMine: hand-computed ratio margins on a 2x2 system, " +
+      "mutual-best pairs flagged, planted cross-side twin mined") {
+    import spark.implicits._
+    // unit 2-D vectors with exactly-representable cosines:
+    // cos(x1,y1)=1, cos(x1,y2)=.6, cos(x2,y1)=0, cos(x2,y2)=.8
+    val src = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1f, 0f)), (3L, Seq(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(
+        Similarity.bruteForceTopK(tgt, src, k = 2, selfJoin = false),
+        Similarity.bruteForceTopK(src, tgt, k = 2, selfJoin = false))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(5))).toMap
+    // half-means: x1 (1+.6)/4=.4, x2 (0+.8)/4=.2, y1 .25, y3 .35
+    assert(math.abs(mined((0L, 1L))._1 - 1.0 / 0.65) < 1e-5)
+    assert(math.abs(mined((0L, 3L))._1 - 0.6 / 0.75) < 1e-5)
+    assert(math.abs(mined((2L, 3L))._1 - 0.8 / 0.55) < 1e-5)
+    assert(mined((2L, 1L))._1 === 0.0)
+    // mutual-best: exactly the true alignment (0-1, 2-3)
+    assert(mined.filter(_._2._2 == 1L).keySet ===
+      Set((0L, 1L), (2L, 3L)))
+    // planted twin across sides on the fixture corpus: the twin pair
+    // must be mined mutual-best with that src's top margin
+    val half = emb.filter(col("vec_id") < 40)
+    val s2 = half.filter(col("vec_id") % 2 === 0)
+    val t2 = half.filter(col("vec_id") % 2 === 1)
+      .unionAll(half.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 1001L).as("vec_id"), col("embedding")))
+    val m2 = Similarity.marginMine(
+      Similarity.bruteForceTopK(t2, s2, k = 3, selfJoin = false),
+      Similarity.bruteForceTopK(s2, t2, k = 3, selfJoin = false))
+    val twin = m2.filter(col("src_id") === 0L &&
+      col("tgt_id") === 1001L).collect()
+    assert(twin.length === 1 && twin.head.getLong(5) === 1L,
+      "identical cross-side twin must be mined mutual-best")
+  }
+
+  test("rankingMetrics: hand-computed recall/MRR/nDCG, empty-system " +
+      "query scores zero, system-only query excluded, perfect system " +
+      "scores one") {
+    import spark.implicits._
+    val truth = Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L),
+      (2L, 1L, 100L), (2L, 2L, 200L))
+      .toDF("query_id", "rank", "neighbor_id")
+    // q1 system: hit at rank 1 (200) and rank 3 (100), miss at 2;
+    // q2 retrieved nothing; q3 has no truth -> excluded
+    val sys = Seq((1L, 1L, 200L), (1L, 2L, 999L), (1L, 3L, 100L),
+      (3L, 1L, 100L)).toDF("query_id", "rank", "neighbor_id")
+    val m = Similarity.rankingMetrics(sys, truth, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m.keySet === Set(1L, 2L), "system-only q3 must be excluded")
+    val (n1, h1, rec1, mrr1, ndcg1) = m(1L)
+    assert(n1 === 3L && h1 === 2L)
+    assert(math.abs(rec1 - 2.0 / 3) < 1e-6)
+    assert(mrr1 === 1.0, "first system row relevant -> MRR 1")
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5;
+    // idcg = 1 + ln2/ln3 + 0.5 = 2.1309298 -> ndcg 0.703918
+    assert(math.abs(ndcg1 - 0.703918) < 1e-6)
+    assert(m(2L) === ((2L, 0L, 0.0, 0.0, 0.0)),
+      "query the system never answered scores zero across the board")
+    // a perfect system (system == truth) scores 1/1/1 everywhere
+    val perfect = Similarity.rankingMetrics(truth, truth, k = 3)
+      .collect()
+    assert(perfect.forall(r => r.getDouble(3) === 1.0 &&
+      r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0), "perfect run")
+  }
 }
