@@ -1312,11 +1312,17 @@ object DataQueries {
     * ranking first is the sanity signal), k1/b at the classic
     * 1.2/0.75, exact (no df cap): the fixture's stop-term-heavy
     * vocabulary is precisely the regime the idf saturation exists
-    * for, and exact keeps every term oracle-replayable. */
+    * for, and exact keeps every term oracle-replayable. Queries are
+    * additionally capped at doc_id < 1250 (a no-op at sf0.01, 25 of
+    * 100 at sf0.1): with NO df prune every query's postings fan-out
+    * is ~the full corpus on this stop-term-dense fixture, and the
+    * exact decimal pair-accumulator pays BigDecimal boxing on every
+    * row — the uncapped full-width regime is benched by x78 on the
+    * production double-sum path instead (the t03/x03 family split). */
   val t78Bm25: Q = (s, d) => {
     val docs = T.documents(s, d)
-    TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0), docs,
-        k = 5)
+    TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0 &&
+        col("doc_id") < 1250), docs, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1331,9 +1337,10 @@ object DataQueries {
     val emb = T.embeddings(s, d)
     val docs = T.documents(s, d)
     val dense = Similarity.bruteForceTopK(emb,
-      emb.filter(col("vec_id") % 50 === 0), k = 10)
-    val sparse = TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0),
-        docs, k = 10)
+      emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1250),
+      k = 10)
+    val sparse = TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0 &&
+        col("doc_id") < 1250), docs, k = 10)
       .withColumnRenamed("doc_id", "neighbor_id")
     Similarity.rrfFuse(Seq(dense, sparse), k = 5)
       .orderBy(col("query_id"), col("rank"))
@@ -1461,6 +1468,14 @@ object DataQueries {
     * Kernel parity between the two families is spec-guarded
     * (TextDedupSpec / SketchExprSpec). */
   val benchOnly: Map[String, Q] = Map(
+    // t78's BM25 at the UNCAPPED query width (100 queries at sf0.1,
+    // ~8.4M postings-join rows) on the production double-sum
+    // accumulator — the regime the gated entry's doc_id cap avoids
+    "x78_bm25_scale" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0), docs,
+        k = 5, exactSums = false)
+    }),
     // t03's pipeline on the xxhash64 MinHash kernel + banded self-join
     "x03_minhash_lsh_scale" -> ((s, d) => {
       val docs = withPlantedDups(T.documents(s, d))

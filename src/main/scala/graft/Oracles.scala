@@ -2571,7 +2571,7 @@ object Oracles {
     // breaks the hash
     "t79_hybrid_rrf" ->
       """WITH qv AS (SELECT vec_id AS qid, embedding AS qe
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1250),
         |cv AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
         |ds AS (SELECT qid, nid, list_cosine_similarity(
         |    cast(qe AS double[]), cast(ce AS double[])) AS cos
@@ -2595,7 +2595,8 @@ object Oracles {
         |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
         |    CROSS JOIN n CROSS JOIN lt),
         |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok
-        |  WHERE doc_id % 50 = 0 AND length(term) >= 3),
+        |  WHERE doc_id % 50 = 0 AND doc_id < 1250
+        |    AND length(term) >= 3),
         |sc AS (SELECT q.qid, p.did,
         |    cast(sum(cast(s AS decimal(27,12))) AS double) AS score
         |  FROM q JOIN p ON q.term = p.term GROUP BY 1, 2),
@@ -2644,7 +2645,8 @@ object Oracles {
         |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
         |    CROSS JOIN n CROSS JOIN lt),
         |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok
-        |  WHERE doc_id % 50 = 0 AND length(term) >= 3),
+        |  WHERE doc_id % 50 = 0 AND doc_id < 1250
+        |    AND length(term) >= 3),
         |sc AS (SELECT q.qid, p.did,
         |    cast(sum(cast(s AS decimal(27,12))) AS double) AS score
         |  FROM q JOIN p ON q.term = p.term GROUP BY 1, 2),

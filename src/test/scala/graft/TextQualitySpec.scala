@@ -748,6 +748,18 @@ class TextQualitySpec extends SparkSpec {
         "text"), corpus, k = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    // the production double-sum path (exactSums=false, the x78
+    // accumulator) returns the identical ranking on the fixture
+    val fixture = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val qs = fixture.filter(col("doc_id") % 50 === 0)
+    def ranking(exact: Boolean) =
+      TextOps.bm25TopK(qs, fixture, k = 5, exactSums = exact)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(ranking(exact = true) === ranking(exact = false),
+      "fast accumulator must not move any fixture rank")
   }
 
   test("topPByMass: boundary row kept, coverage >= p, score ties break " +
