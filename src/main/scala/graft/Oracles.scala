@@ -2455,9 +2455,6 @@ object Oracles {
         |FROM ms LEFT JOIN sh USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
 
-    // sparse tf-idf cosine: tokenization, tf/df, the same ln(N/df)
-    // weights as t25, decimal-accumulated norms and pair dots, the
-    // df-pruned postings join and the per-query ranking all replayed
     // retrieval eval metrics: the LSH system ranking (RHP buckets +
     // Hamming-1 probes), the exact truth ranking, the hits join, DCG /
     // ideal-DCG term sums and all three per-query metrics replayed
@@ -2588,9 +2585,11 @@ object Oracles {
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
         |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
         |p AS (SELECT t.term, t.doc_id AS did,
-        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
-        |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |    ln(1.0::double + (nd - df + 0.5::double) /
+        |        (df + 0.5::double)) *
+        |      (tf * (1.2::double + 1.0::double)) /
+        |      (tf + 1.2::double * ((1.0::double - 0.75::double) +
+        |        0.75::double *
         |        (cast(dl.dl * nd AS double) / lt))) AS s
         |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
         |    CROSS JOIN n CROSS JOIN lt),
@@ -2638,9 +2637,11 @@ object Oracles {
         |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
         |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
         |p AS (SELECT t.term, t.doc_id AS did,
-        |    ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
-        |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 *
+        |    ln(1.0::double + (nd - df + 0.5::double) /
+        |        (df + 0.5::double)) *
+        |      (tf * (1.2::double + 1.0::double)) /
+        |      (tf + 1.2::double * ((1.0::double - 0.75::double) +
+        |        0.75::double *
         |        (cast(dl.dl * nd AS double) / lt))) AS s
         |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
         |    CROSS JOIN n CROSS JOIN lt),
@@ -2660,6 +2661,9 @@ object Oracles {
         |FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // sparse tf-idf cosine: tokenization, tf/df, the same ln(N/df)
+    // weights as t25, decimal-accumulated norms and pair dots, the
+    // df-pruned postings join and the per-query ranking all replayed
     "t77_sparse_cosine" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(
         |    lower(trim(text)), '\s+')) AS term FROM documents),

@@ -31,7 +31,11 @@ object Verify {
     // graph build (all-pairs on the capped corpus) + 2 beam rounds
     "t69_graph_search",
     // corpus-wide gram/posting machinery (sketch build; postings join)
-    "t75_kmv_overlap", "t77_sparse_cosine")
+    "t75_kmv_overlap", "t77_sparse_cosine",
+    // same postings machinery (t79 also runs the dense brute pass);
+    // full evens-x-odds cross cosines; LSH + brute double retrieval
+    "t78_bm25", "t79_hybrid_rrf", "t80_margin_mine",
+    "t81_ranking_metrics")
   private def costClass(name: String): Int =
     if (expensive(name)) 2
     else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0

@@ -119,8 +119,14 @@ object Similarity {
     * `bwd` = the reverse — so ANY retriever supplies candidates
     * (bruteForceTopK here; knnJoin / lshTopK / ivfTopK / graphSearch
     * at scale) and the mining itself, like [[rrfFuse]], never sees
-    * anything corpus-sized. Candidates = the union of both lists;
-    * margins use the retriever's reported round-4 cosines (documented
+    * anything corpus-sized. Candidates = the union of both lists,
+    * RESTRICTED to pairs where both endpoints have a neighborhood in
+    * their own direction's frame — a margin is undefined without both
+    * k-NN means, so a pair proposed by bwd for a src id that fwd
+    * never queried (e.g. fwd built from a sampled query subset) is
+    * dropped, not scored (spec-pinned); mine with matching query
+    * coverage on both sides to score every candidate. Margins use
+    * the retriever's reported round-4 cosines (documented
     * — at that granularity the ratio is unchanged for mining) with
     * neighborhood sums decimal(27,12)-accumulated and divided by the
     * ACTUAL list size (= k whenever the corpus has k rows), so the

@@ -1255,6 +1255,24 @@ object TextOps {
       .select(col(idCol), col("term_rank"), col("term"), col("score"))
   }
 
+  /** Lowercased whitespace tokens of >= `minLen` chars as
+    * (__id, term) rows — the shared tokenizer of the postings family
+    * ([[sparseCosineTopK]], [[bm25TopK]]). Its shape is mirrored
+    * verbatim by the t77/t78/t79 oracle `tok` CTEs; a change here
+    * must change those together. */
+  private def termRows(df: DataFrame, minLen: Int, idCol: String,
+                       textCol: String): DataFrame = df
+    .select(col(idCol).as("__id"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    .filter(length(col("term")) >= minLen)
+
+  /** (__id, term, __tf) occurrence counts over [[termRows]] — the
+    * oracle `t` CTE. */
+  private def termFreq(df: DataFrame, minLen: Int, idCol: String,
+                       textCol: String): DataFrame =
+    termRows(df, minLen, idCol, textCol)
+      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+
   /** Sparse lexical similarity search via an inverted-index join —
     * all-pairs cosine over unit-normalized TF-IDF vectors, the
     * term-space twin of the embedding ANN family (the APSS shape,
@@ -1289,10 +1307,7 @@ object TextOps {
     require(k > 0 && maxDfDen > 0 && maxDfNum > 0 &&
       maxDfNum <= maxDfDen, "need k > 0 and a df cap fraction in (0,1]")
     val nDocs = docs.agg(count(lit(1)).as("__n"))
-    val tf = docs.select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(length(col("term")) >= minLen)
-      .groupBy(col("__id"), col("term")).agg(count(lit(1)).as("__tf"))
+    val tf = termFreq(docs, minLen, idCol, textCol)
     // weight rows feed the norms AND both sides of the postings join —
     // materialize once
     val w = tf.join(tf.groupBy(col("term")).agg(count(lit(1)).as("__df")),
@@ -1378,15 +1393,9 @@ object TextOps {
     require(k > 0 && maxDfDen > 0 && maxDfNum > 0 &&
       maxDfNum <= maxDfDen && k1 >= 0 && b >= 0 && b <= 1,
       "need k > 0, a df cap fraction in (0,1], k1 >= 0, b in [0,1]")
-    def toks(df: DataFrame) = df
-      .select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(length(col("term")) >= minLen)
     // tf feeds the token total, dl, df AND the postings — materialize
     // the one corpus-sized shuffle once (the t77 discipline)
-    val tf = toks(corpus).groupBy(col("__id"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-      .localCheckpoint()
+    val tf = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
     val nDocs = corpus.agg(count(lit(1)).as("__n"))
     val ltot = tf.agg(sum(col("__tf")).as("__lt"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
@@ -1402,7 +1411,7 @@ object TextOps {
       .filter(col("__df") * maxDfDen <= col("__n") * maxDfNum)
       .select(col("term"), col("__id").as("__did"),
         (idf * tfn).as("__s"))
-    val qterms = toks(queries)
+    val qterms = termRows(queries, minLen, idCol, textCol)
       .select(col("__id").as("__qid"), col("term")).distinct()
     val pairSum =
       if (exactSums) sum(col("__s").cast("decimal(27,12)")).cast("double")

@@ -946,6 +946,17 @@ class SimilaritySpec extends SparkSpec {
       col("tgt_id") === 1001L).collect()
     assert(twin.length === 1 && twin.head.getLong(5) === 1L,
       "identical cross-side twin must be mined mutual-best")
+    // contract: a pair proposed by one direction for an id the other
+    // direction never queried has no neighborhood mean and is DROPPED,
+    // not scored — here fwd only queried src 0, so bwd's pairs for
+    // src 2 vanish and only src 0's candidates survive
+    val sampledFwd = Similarity.bruteForceTopK(tgt,
+      src.filter(col("vec_id") === 0L), k = 2, selfJoin = false)
+    val dropped = Similarity.marginMine(sampledFwd,
+      Similarity.bruteForceTopK(src, tgt, k = 2, selfJoin = false))
+    assert(dropped.select("src_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(0L),
+      "pairs without both neighborhood means must drop")
   }
 
   test("rankingMetrics: hand-computed recall/MRR/nDCG, empty-system " +
