@@ -1376,6 +1376,20 @@ object DataQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Ranking agreement without a truth set: how closely the LSH
+    * retriever's top-5 tracks the exact brute-force top-5, per query,
+    * as prefix RBO at p=9/10 — t81's cousin with the truth replaced
+    * by a second system. Sparse-bucket queries with no overlap score
+    * an explicit 0. */
+  val t82Rbo: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    Similarity.rboSimilarity(
+        Similarity.lshTopK(emb, q, k = 5, bits = 4),
+        Similarity.bruteForceTopK(emb, q, k = 5), k = 5)
+      .orderBy(col("query_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1458,6 +1472,7 @@ object DataQueries {
     "t79_hybrid_rrf" -> t79HybridRrf,
     "t80_margin_mine" -> t80MarginMine,
     "t81_ranking_metrics" -> t81RankingMetrics,
+    "t82_rbo" -> t82Rbo,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

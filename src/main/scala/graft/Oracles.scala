@@ -2455,6 +2455,57 @@ object Oracles {
         |FROM ms LEFT JOIN sh USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
 
+    // rank-biased overlap: the weight table's iterated-multiplication
+    // powers (recursive CTE — the same left fold as the engine, no
+    // libm pow), both rankings, the per-item max-rank lookup and the
+    // decimal sums all replayed
+    "t82_rbo" ->
+      s"""WITH RECURSIVE pw(d, pwv) AS (
+        |  SELECT 1, 1.0::double
+        |  UNION ALL
+        |  SELECT d + 1, pwv * (9::double / 10::double) FROM pw
+        |  WHERE d < 5),
+        |terms AS (SELECT d, (1.0::double - (9::double / 10::double)) *
+        |    pwv / cast(d AS double) AS term FROM pw),
+        |wt AS (SELECT m, sum(cast(term AS decimal(27,12))) AS w
+        |  FROM (SELECT unnest(range(1, 6)) AS m) JOIN terms
+        |    ON d >= m GROUP BY m),
+        |b AS (SELECT vec_id, embedding,
+        |  ${rhpBucketSql("embedding", 4)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS b0
+        |  FROM b WHERE vec_id % 50 = 0),
+        |probes AS (SELECT query_id, qv, unnest([b0, xor(b0, 1),
+        |  xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket FROM q),
+        |ss AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv AS double[]),
+        |      cast(c.embedding AS double[])) AS cos
+        |  FROM probes JOIN b c USING (bucket)
+        |  WHERE query_id <> c.vec_id),
+        |sr0 AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS ra FROM ss),
+        |sa AS (SELECT query_id, neighbor_id, ra FROM sr0
+        |  WHERE ra <= 5),
+        |tc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(cast(qv AS double[]),
+        |      cast(c.embedding AS double[])) AS cos
+        |  FROM q JOIN b c ON query_id <> c.vec_id),
+        |tr AS (SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |      AS rb FROM tc),
+        |sb AS (SELECT query_id, neighbor_id, rb FROM tr WHERE rb <= 5),
+        |mt AS (SELECT sa.query_id, count(*) AS n, sum(w) AS rbo
+        |  FROM sa JOIN sb USING (query_id, neighbor_id)
+        |  JOIN wt ON wt.m = greatest(ra, rb)
+        |  GROUP BY 1),
+        |uni AS (SELECT DISTINCT query_id FROM (
+        |  SELECT query_id FROM sa UNION ALL SELECT query_id FROM sb))
+        |SELECT cast(uni.query_id AS bigint) AS query_id,
+        | cast(coalesce(n, 0) AS bigint) AS overlap_k,
+        | round(coalesce(cast(rbo AS double), 0.0), 6) AS rbo
+        |FROM uni LEFT JOIN mt ON uni.query_id = mt.query_id
+        |ORDER BY query_id""".stripMargin,
+
     // retrieval eval metrics: the LSH system ranking (RHP buckets +
     // Hamming-1 probes), the exact truth ranking, the hits join, DCG /
     // ideal-DCG term sums and all three per-query metrics replayed

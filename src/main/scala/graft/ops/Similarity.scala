@@ -221,6 +221,74 @@ object Similarity {
           col("__idcg").cast("double"), 6).as("ndcg"))
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel, TOIS
+    * 2010 — prefix-evaluated / minimal form, no extrapolation):
+    * compare two rankings per query WITHOUT a truth set,
+    * `RBO@k = sum over d=1..k of (1-p) * p^(d-1) * |A_d ∩ B_d| / d`,
+    * top-weighted by the persistence `p = pNum/pDen` (classic 9/10).
+    * The depth sum is regrouped per ITEM: a matched item with
+    * `m = max(rank_a, rank_b)` is inside every prefix intersection
+    * from depth m on, so it contributes the closed weight
+    * `W(m) = sum over d=m..k of (1-p)*p^(d-1)/d` — RBO collapses to
+    * ONE (query, item) join + a k-row broadcast weight lookup + a
+    * per-query sum. Complements [[rankingMetrics]]: that scores a
+    * system against a truth; this measures how much two systems
+    * agree (exact-vs-LSH drift, two quantizers, pre/post re-rank).
+    *
+    * Determinism: p^(d-1) is an ITERATED double multiplication
+    * (a left fold — deliberately not libm `pow`, the t73 lesson,
+    * whose rounding may differ per engine); each depth term is one
+    * double expression; W(m) and the per-query sums accumulate as
+    * decimal(27,12) (order-independent), so the t82 oracle replays
+    * the weight table with a recursive CTE and every sum. Output:
+    * (query_id, overlap_k, rbo round 6) for every query in EITHER
+    * ranking — disjoint prefixes score 0, identical prefixes
+    * `1 - p^k` (the mass past depth k is unobserved; divide by
+    * `1 - p^k` for a [0,1]-normalized agreement if needed).
+    *
+    * Scale shape: rank-frame-sized ([[rrfFuse]]'s discipline) — the
+    * weight table is k rows, the join is prefix-sized. */
+  def rboSimilarity(a: DataFrame, b: DataFrame, k: Int,
+                    pNum: Int = 9, pDen: Int = 10,
+                    queryCol: String = "query_id",
+                    idCol: String = "neighbor_id",
+                    rankCol: String = "rank"): DataFrame = {
+    require(k > 0 && pNum > 0 && pNum < pDen,
+      "need k > 0 and a persistence fraction in (0,1)")
+    val spark = a.sparkSession
+    val p = lit(pNum.toDouble / pDen.toDouble)
+    // p^(d-1) as a left fold over d-1 copies of p (array_repeat, NOT
+    // sequence(1, d-1): Spark's sequence turns descending for d=1
+    // instead of empty)
+    val terms = spark.range(1, k + 1L).toDF("__d")
+      .withColumn("__pw", aggregate(
+        array_repeat(p, (col("__d") - lit(1L)).cast("int")), lit(1.0),
+        (acc, v) => acc * v))
+      .withColumn("__term",
+        (lit(1.0) - p) * col("__pw") / col("__d").cast("double"))
+    val w = spark.range(1, k + 1L).toDF("__m")
+      .join(terms, col("__d") >= col("__m"))
+      .groupBy(col("__m"))
+      .agg(sum(col("__term").cast("decimal(27,12)")).as("__w"))
+    def side(df: DataFrame, rc: String) = df
+      .filter(col(rankCol) <= k)
+      .select(col(queryCol).as("query_id"),
+        col(idCol).as("neighbor_id"), col(rankCol).cast("long").as(rc))
+    val sa = side(a, "__ra"); val sb = side(b, "__rb")
+    val matched = sa.join(sb, Seq("query_id", "neighbor_id"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+      .join(broadcast(w), Seq("__m"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__rbo"))
+    sa.select(col("query_id")).unionAll(sb.select(col("query_id")))
+      .distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("__n"), lit(0L)).as("overlap_k"),
+        round(coalesce(col("__rbo").cast("double"), lit(0.0)), 6)
+          .as("rbo"))
+  }
+
   /** Random-hyperplane LSH bucket id (Charikar '02 sign sketch): `bits`
     * pseudo-random hyperplanes derived deterministically from xxhash64 of
     * (dimension index, plane index); bucket = sign-bit vector as int.

@@ -989,4 +989,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perfect.forall(r => r.getDouble(3) === 1.0 &&
       r.getDouble(4) === 1.0 && r.getDouble(5) === 1.0), "perfect run")
   }
+
+  test("rboSimilarity: identical prefixes score 1-p^k, reversal and " +
+      "single-overlap hand values, disjoint zero, one-sided query " +
+      "present with zero") {
+    import spark.implicits._
+    // k=3, p=9/10: per-depth terms 0.1, 0.045, 0.027 ->
+    // W(1)=.172, W(2)=.072, W(3)=.027
+    def rf(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "rank", "neighbor_id")
+    def run(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+      Similarity.rboSimilarity(a, b, k = 3).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val abc = rf((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+    val same = run(abc, abc)(1L)
+    assert(same._1 === 3L && math.abs(same._2 - 0.271) < 1e-6,
+      s"identical prefixes must score 1 - 0.9^3: $same")
+    // reversed: m = 3, 2, 3 -> .027 + .072 + .027
+    val rev = run(abc, rf((1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 10L)))(1L)
+    assert(math.abs(rev._2 - 0.126) < 1e-6, s"reversal: $rev")
+    // only the rank-1 item shared -> W(1) = .172
+    val one = run(abc, rf((1L, 1L, 10L), (1L, 2L, 77L), (1L, 3L, 88L)))(1L)
+    assert(one._1 === 1L && math.abs(one._2 - 0.172) < 1e-6)
+    // disjoint prefixes: explicit zero row
+    assert(run(abc, rf((1L, 1L, 77L), (1L, 2L, 88L), (1L, 3L, 99L)))(1L)
+      === ((0L, 0.0)))
+    // a query present in only one ranking still reports (0, 0.0)
+    val uni = run(abc, rf((2L, 1L, 10L)))
+    assert(uni(2L) === ((0L, 0.0)) && uni(1L) === ((0L, 0.0)))
+  }
 }
