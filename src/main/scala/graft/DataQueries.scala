@@ -1390,6 +1390,33 @@ object DataQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Per-row grace-window as-of: each purchase carries ITS OWN
+    * staleness budget (user tier -> 15 min / 1 h / 2 h), and the
+    * latest prior view is kept only inside that row's budget — the
+    * t70 operator with `toleranceCol` instead of one global interval.
+    * Backward distance grows monotonically, so the oracle's
+    * filter-then-top-1 range join is exactly void-after-pick. */
+  val t83AsofGraced: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"))
+      .withColumn("grace_s",
+        when(col("user_id") % 3 === 0, 900L)
+          .when(col("user_id") % 3 === 1, 3600L)
+          .otherwise(7200L))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+        "view_ts", payload = Seq("view_id", "view_ts"),
+        tie = "view_id", toleranceCol = Some("grace_s"))
+      .select(col("purchase_id"), col("user_id"), col("grace_s"),
+        unix_micros(col("ts")).as("purchase_us"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1473,6 +1500,7 @@ object DataQueries {
     "t80_margin_mine" -> t80MarginMine,
     "t81_ranking_metrics" -> t81RankingMetrics,
     "t82_rbo" -> t82Rbo,
+    "t83_asof_graced" -> t83AsofGraced,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

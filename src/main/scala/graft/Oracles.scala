@@ -2285,6 +2285,35 @@ object Oracles {
     // formulation — range left-join + per-left top-1 (nearest prior
     // view, ties by highest view_id) — so a match proves the union+
     // running-window carry implements exactly the textbook semantics
+    // per-row grace as-of: the tier CASE, the range join bounded by
+    // each row's own grace (filter-then-top-1 == void-after-pick for
+    // the backward carry: distance is monotone looking back) and the
+    // (vts desc, view_id desc) pick replayed
+    "t83_asof_graced" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts,
+        |    CASE WHEN user_id % 3 = 0 THEN 900
+        |      WHEN user_id % 3 = 1 THEN 3600 ELSE 7200 END AS grace_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, ts AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.grace_s, p.pts,
+        |    v.view_id, v.vts, row_number() OVER (
+        |      PARTITION BY p.purchase_id
+        |      ORDER BY v.vts DESC NULLS LAST, v.view_id DESC NULLS LAST)
+        |      AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |    AND v.vts <= p.pts
+        |    AND epoch_us(p.pts) - epoch_us(v.vts) <=
+        |      cast(grace_s AS bigint) * 1000000)
+        |SELECT cast(purchase_id as bigint) AS purchase_id,
+        | cast(user_id as bigint) AS user_id,
+        | cast(grace_s as bigint) AS grace_s,
+        | cast(epoch_us(pts) as bigint) AS purchase_us,
+        | cast(view_id as bigint) AS view_id,
+        | cast(epoch_us(vts) as bigint) AS view_us
+        |FROM j WHERE rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+
     "t70_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
         |  FROM events WHERE event_type = 'purchase'),

@@ -33,7 +33,14 @@ object Temporal {
     * unique per (key, rightTs) for a deterministic result. Left-outer:
     * unmatched left rows survive with null payload. `tolerance` (an
     * INTERVAL literal body, e.g. "1 hour") voids matches farther than
-    * that from the left timestamp.
+    * that from the left timestamp. `toleranceCol` is the PER-ROW
+    * form (mutually exclusive with `tolerance`): a LEFT column
+    * holding that row's grace in whole seconds — each entity brings
+    * its own staleness budget (per-sensor heartbeat windows,
+    * per-tier SLA lookbacks). A null grace voids the match (no
+    * budget defined = no enrichment — the SQL-comparison semantics,
+    * deliberately kept); a negative grace voids everything except
+    * exact-timestamp matches it also excludes (dist >= 0 > grace).
     *
     * Returns all `left` columns plus `payload` columns from the matched
     * right row (null when unmatched / out of tolerance). `rightTs` and
@@ -44,8 +51,13 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, payload: Seq[String],
                tie: String, tolerance: Option[String] = None,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               toleranceCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(tolerance.isEmpty || toleranceCol.isEmpty,
+      "tolerance and toleranceCol are mutually exclusive")
+    toleranceCol.foreach(tc => require(left.columns.contains(tc),
+      s"toleranceCol $tc must be a left column"))
     val bad = payload.toSet.intersect(left.columns.toSet)
     require(bad.isEmpty, s"payload collides with left columns: $bad")
     val reserved = Set("__ts", "__tie", "__pay", "__is_left", "__m", "__k")
@@ -80,9 +92,16 @@ object Temporal {
         else lit(null).cast(left.schema(c).dataType).as(c)): _*))
       .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
-    val inTol = tolerance.fold(lit(true)) { t =>
-      if (forward) col("__m.__rts") <= col("__ts") + expr(s"INTERVAL $t")
-      else col("__m.__rts") >= col("__ts") - expr(s"INTERVAL $t")
+    val dist =
+      if (forward) unix_micros(col("__m.__rts")) - unix_micros(col("__ts"))
+      else unix_micros(col("__ts")) - unix_micros(col("__m.__rts"))
+    val inTol = (tolerance, toleranceCol) match {
+      case (Some(t), _) =>
+        if (forward) col("__m.__rts") <= col("__ts") + expr(s"INTERVAL $t")
+        else col("__m.__rts") >= col("__ts") - expr(s"INTERVAL $t")
+      case (_, Some(tc)) =>
+        dist <= col(tc).cast("long") * lit(1000000L)
+      case _ => lit(true)
     }
     val kept = matched.withColumn("__k",
       when(col("__m").isNotNull && inTol, col("__m")))

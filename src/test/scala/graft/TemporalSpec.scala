@@ -56,6 +56,39 @@ class TemporalSpec extends SparkSpec {
     assert(m(101L).contains(2L), "0s away stays matched")
   }
 
+  test("per-row toleranceCol: each left row's own grace decides, null " +
+      "grace voids, negative grace voids, constant column == constant " +
+      "interval, mutually exclusive with tolerance") {
+    // lid 100 sits 3s from its match (rts=7), lid 101 0s from rts=5:
+    // give 100 a 2s budget (voids) and 101 a 10s budget (keeps)
+    def graced(g: org.apache.spark.sql.Column) =
+      Temporal.asofJoin(leftDf.withColumn("grace_s", g), rightDf,
+        Seq("k"), "lts", "rts", payload = Seq("rid", "v"),
+        tie = "rid", toleranceCol = Some("grace_s"))
+    val perRow = matchOf(graced(when(col("lid") === 100L, 2L)
+      .otherwise(10L)).collect())
+    assert(perRow(100L).isEmpty, "3s away, 2s budget: voided")
+    assert(perRow(101L).contains(2L), "0s away, 10s budget: kept")
+    // null grace = no budget defined = no enrichment
+    val nullG = matchOf(graced(when(col("lid") === 101L,
+      lit(null).cast("long")).otherwise(10L)).collect())
+    assert(nullG(101L).isEmpty, "null grace voids")
+    assert(nullG(100L).contains(3L), "others keep their budget")
+    // negative grace voids even the 0-distance match
+    assert(matchOf(graced(lit(-1L)).collect())(101L).isEmpty)
+    // a constant column reproduces the constant interval exactly
+    val asCol = matchOf(graced(lit(2L)).collect())
+    val asInterval = matchOf(Temporal.asofJoin(leftDf, rightDf,
+      Seq("k"), "lts", "rts", payload = Seq("rid", "v"), tie = "rid",
+      tolerance = Some("2 seconds")).collect())
+    assert(asCol === asInterval)
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(leftDf.withColumn("grace_s", lit(1L)), rightDf,
+        Seq("k"), "lts", "rts", payload = Seq("rid", "v"), tie = "rid",
+        tolerance = Some("1 hour"), toleranceCol = Some("grace_s"))
+    }
+  }
+
   test("forward: earliest subsequent wins, ties take the LOWEST tie, " +
       "tolerance voids far matches") {
     val m = matchOf(Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts",
