@@ -2281,10 +2281,6 @@ object Oracles {
         |WHERE rn <= 4
         |ORDER BY query_id, rank""".stripMargin,
 
-    // backward as-of join: the oracle deliberately uses the OTHER
-    // formulation — range left-join + per-left top-1 (nearest prior
-    // view, ties by highest view_id) — so a match proves the union+
-    // running-window carry implements exactly the textbook semantics
     // per-row grace as-of: the tier CASE, the range join bounded by
     // each row's own grace (filter-then-top-1 == void-after-pick for
     // the backward carry: distance is monotone looking back) and the
@@ -2314,6 +2310,10 @@ object Oracles {
         |FROM j WHERE rn = 1
         |ORDER BY purchase_id""".stripMargin,
 
+    // backward as-of join: the oracle deliberately uses the OTHER
+    // formulation — range left-join + per-left top-1 (nearest prior
+    // view, ties by highest view_id) — so a match proves the union+
+    // running-window carry implements exactly the textbook semantics
     "t70_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
         |  FROM events WHERE event_type = 'purchase'),

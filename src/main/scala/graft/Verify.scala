@@ -35,7 +35,7 @@ object Verify {
     // same postings machinery (t79 also runs the dense brute pass);
     // full evens-x-odds cross cosines; LSH + brute double retrieval
     "t78_bm25", "t79_hybrid_rrf", "t80_margin_mine",
-    "t81_ranking_metrics")
+    "t81_ranking_metrics", "t82_rbo")
   private def costClass(name: String): Int =
     if (expensive(name)) 2
     else if (name.matches("q(0[1-9]|[12][0-9]|3[0-3])_.*")) 0

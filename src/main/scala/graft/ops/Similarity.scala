@@ -274,17 +274,20 @@ object Similarity {
       .filter(col(rankCol) <= k)
       .select(col(queryCol).as("query_id"),
         col(idCol).as("neighbor_id"), col(rankCol).cast("long").as(rc))
+    // ONE full-outer pass: each input DAG (the two retrievals — the
+    // expensive part) executes exactly once; a one-sided row keeps the
+    // query in the universe with a null weight (greatest() would
+    // IGNORE the null rank, so the both-present guard is explicit)
     val sa = side(a, "__ra"); val sb = side(b, "__rb")
-    val matched = sa.join(sb, Seq("query_id", "neighbor_id"))
-      .withColumn("__m", greatest(col("__ra"), col("__rb")))
-      .join(broadcast(w), Seq("__m"))
+    sa.join(sb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("__m",
+        when(col("__ra").isNotNull && col("__rb").isNotNull,
+          greatest(col("__ra"), col("__rb"))))
+      .join(broadcast(w), Seq("__m"), "left")
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__rbo"))
-    sa.select(col("query_id")).unionAll(sb.select(col("query_id")))
-      .distinct()
-      .join(matched, Seq("query_id"), "left")
-      .select(col("query_id"),
-        coalesce(col("__n"), lit(0L)).as("overlap_k"),
+      .agg(count(col("__w")).as("overlap_k"),
+        sum(col("__w")).as("__rbo"))
+      .select(col("query_id"), col("overlap_k"),
         round(coalesce(col("__rbo").cast("double"), lit(0.0)), 6)
           .as("rbo"))
   }

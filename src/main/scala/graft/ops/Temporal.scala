@@ -100,7 +100,14 @@ object Temporal {
         if (forward) col("__m.__rts") <= col("__ts") + expr(s"INTERVAL $t")
         else col("__m.__rts") >= col("__ts") - expr(s"INTERVAL $t")
       case (_, Some(tc)) =>
-        dist <= col(tc).cast("long") * lit(1000000L)
+        // clamp before the µs scaling: a huge grace (an "unbounded"
+        // sentinel) must saturate, not wrap negative under non-ANSI
+        // multiply and void everything; null grace stays null (void)
+        val graceUs = when(
+          col(tc).cast("long") >= lit(Long.MaxValue / 1000000L),
+          lit(Long.MaxValue)).otherwise(
+          col(tc).cast("long") * lit(1000000L))
+        dist <= graceUs
       case _ => lit(true)
     }
     val kept = matched.withColumn("__k",

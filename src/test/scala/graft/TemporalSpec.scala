@@ -76,6 +76,11 @@ class TemporalSpec extends SparkSpec {
     assert(nullG(100L).contains(3L), "others keep their budget")
     // negative grace voids even the 0-distance match
     assert(matchOf(graced(lit(-1L)).collect())(101L).isEmpty)
+    // a huge grace (an "unbounded" sentinel) saturates instead of
+    // wrapping negative under the µs scaling
+    val unbounded = matchOf(graced(lit(Long.MaxValue)).collect())
+    assert(unbounded(100L).contains(3L) && unbounded(101L).contains(2L),
+      "Long.MaxValue grace must keep every in-order match")
     // a constant column reproduces the constant interval exactly
     val asCol = matchOf(graced(lit(2L)).collect())
     val asInterval = matchOf(Temporal.asofJoin(leftDf, rightDf,
