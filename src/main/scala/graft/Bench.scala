@@ -319,6 +319,17 @@ object Bench {
             col("ts").as("view_ts"), col("value").as("view_value"))
           .localCheckpoint())
     }
+    // s12's frozen benchmark BM25 index: every 50th doc as the
+    // held-out "benchmark" corpus (fan-out per incoming doc = sum of
+    // matched bench dfs — the benchmark size IS the cost knob),
+    // built and materialized untimed like the other stream statics
+    val bm25IndexMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def bm25Idx(s: SparkSession, d: String): DataFrame = synchronized {
+      bm25IndexMemo.getOrElseUpdate(d, graft.ops.TextOps.bm25Index(
+        graft.etl.Tables.documents(s, d)
+          .filter(col("doc_id") % 50 === 0)).localCheckpoint())
+    }
     // warm-up failure must FAIL the dependent benches, not silently move
     // the index/profile build inside the timed region (getOrElseUpdate
     // would rebuild on first use): s05/s06/s07/s08 check the flag and
@@ -516,6 +527,26 @@ object Bench {
               graft.ops.Temporal.asofJoin(b, views, Seq("user_id"),
                   "ts", "view_ts", Seq("view_id", "view_value"),
                   tie = "view_id")
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }),
+      // lexical-decontamination gate: paced documents BM25-scored per
+      // microbatch against the frozen benchmark index (built once,
+      // untimed) via foreachBatch — stateless, the s05 discipline on
+      // scored retrieval; production double-sum accumulator (the
+      // bench measures the gate, the t84 oracle owns the arithmetic)
+      "s12_bm25_gate" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val idx = bm25Idx(s, d)
+        runStreamQuery("s12_bm25_gate", () =>
+          Streams.docsStreamPaced(s, graft.etl.Tables.exportedDocsParts(s, d))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.ops.TextOps.bm25ScreenFlag(b, idx, tau = 9.0,
+                  exactSums = false)
                 .write.format("noop").mode("overwrite").save()
               ()
             }

@@ -1417,6 +1417,26 @@ object DataQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Decontamination-by-retrieval: every 5th document (capped at
+    * doc_id < 2500 — the t78 fan-out discipline, a no-op at sf0.01)
+    * screened against a frozen BM25 index of the every-10th-doc
+    * "benchmark" subset; a top score >= 9.0 flags. The threshold sits
+    * above the fixture's stop-term-similarity mass (p90 of tops
+    * ~8.8 at sf0.01) so only verbatim/near-twin hits flag — measured:
+    * 5 of 100, the 3 benchmark self-hits plus their 2 planted
+    * near-dups. Benchmark members screen against themselves and flag
+    * via their own self hit: the gate is deliberately
+    * membership-blind. */
+  val t84Bm25Gate: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.bm25ScreenFlag(
+        docs.filter(col("doc_id") % 5 === 0 && col("doc_id") < 2500),
+        TextOps.bm25Index(docs.filter(col("doc_id") % 10 === 0)),
+        tau = 9.0)
+      .select(col("doc_id"), col("bm25_top"), col("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1501,6 +1521,7 @@ object DataQueries {
     "t81_ranking_metrics" -> t81RankingMetrics,
     "t82_rbo" -> t82Rbo,
     "t83_asof_graced" -> t83AsofGraced,
+    "t84_bm25_gate" -> t84Bm25Gate,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

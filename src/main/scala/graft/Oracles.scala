@@ -2484,6 +2484,46 @@ object Oracles {
         |FROM ms LEFT JOIN sh USING (g_a, g_b)
         |ORDER BY g_a, g_b""".stripMargin,
 
+    // decontamination-by-retrieval gate: the benchmark-subset index
+    // arithmetic (all stats over the every-10th-doc corpus), each
+    // incoming doc's pair sums, the max and the >= 9.0 flag replayed;
+    // no-shared-term docs surface with a null top and flag 0
+    "t84_bm25_gate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS term FROM bench),
+        |t AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) >= 3 GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS nd FROM bench),
+        |lt AS (SELECT sum(tf) AS lt FROM t),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM t GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |p AS (SELECT t.term, t.doc_id AS did,
+        |    ln(1.0::double + (nd - df + 0.5::double) /
+        |        (df + 0.5::double)) *
+        |      (tf * (1.2::double + 1.0::double)) /
+        |      (tf + 1.2::double * ((1.0::double - 0.75::double) +
+        |        0.75::double *
+        |        (cast(dl.dl * nd AS double) / lt))) AS s
+        |  FROM t JOIN dl USING (doc_id) JOIN dfreq USING (term)
+        |    CROSS JOIN n CROSS JOIN lt),
+        |inc AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id < 2500),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(
+        |      lower(trim(text)), '\s+')) AS term FROM inc)
+        |  WHERE length(term) >= 3),
+        |sc AS (SELECT q.qid, p.did,
+        |    cast(sum(cast(s AS decimal(27,12))) AS double) AS score
+        |  FROM q JOIN p ON q.term = p.term GROUP BY 1, 2),
+        |tp AS (SELECT qid, max(score) AS top FROM sc GROUP BY 1)
+        |SELECT cast(inc.doc_id AS bigint) AS doc_id,
+        | round(top, 4) AS bm25_top,
+        | cast(coalesce(top >= 9.0, false) AS bigint) AS is_contaminated
+        |FROM inc LEFT JOIN tp ON inc.doc_id = tp.qid
+        |ORDER BY doc_id""".stripMargin,
+
     // rank-biased overlap: the weight table's iterated-multiplication
     // powers (recursive CTE — the same left fold as the engine, no
     // libm pow), both rankings, the per-item max-rank lookup and the

@@ -1389,10 +1389,28 @@ object TextOps {
                maxDfNum: Int = 1, maxDfDen: Int = 1, minLen: Int = 3,
                idCol: String = "doc_id",
                textCol: String = "text",
-               exactSums: Boolean = true): DataFrame = {
-    require(k > 0 && maxDfDen > 0 && maxDfNum > 0 &&
+               exactSums: Boolean = true): DataFrame =
+    bm25TopKIndexed(queries,
+      bm25Index(corpus, k1, b, maxDfNum, maxDfDen, minLen, idCol,
+        textCol), k, minLen, idCol, textCol, exactSums)
+
+  /** The frozen half of [[bm25TopK]] — every corpus-side quantity of
+    * the BM25 score (tf, df, dl, N, Ltot, the k1/b saturation) baked
+    * into one (term, doc_id, s) postings frame: s is corpus doc
+    * `doc_id`'s FULL per-term contribution, so scoring any query is
+    * just distinct-terms → postings join → per-pair sum. Build once
+    * over a benchmark/reference corpus and probe forever — the
+    * [[graft.ops.Dedup.nearDupIndex]] index discipline applied to
+    * lexical retrieval (the s12 streaming gate screens every
+    * microbatch against it). localCheckpoint'd: the corpus tokenize
+    * runs once at build, never per probe. */
+  def bm25Index(corpus: DataFrame, k1: Double = 1.2, b: Double = 0.75,
+                maxDfNum: Int = 1, maxDfDen: Int = 1, minLen: Int = 3,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(maxDfDen > 0 && maxDfNum > 0 &&
       maxDfNum <= maxDfDen && k1 >= 0 && b >= 0 && b <= 1,
-      "need k > 0, a df cap fraction in (0,1], k1 >= 0, b in [0,1]")
+      "need a df cap fraction in (0,1], k1 >= 0, b in [0,1]")
     // tf feeds the token total, dl, df AND the postings — materialize
     // the one corpus-sized shuffle once (the t77 discipline)
     val tf = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
@@ -1406,19 +1424,38 @@ object TextOps {
       (col("__tf") + lit(k1) * (lit(1.0 - b) +
         lit(b) * ((col("__dl") * col("__n")).cast("double") /
           col("__lt"))))
-    val postings = tf.join(dl, "__id").join(dfreq, "term")
+    tf.join(dl, "__id").join(dfreq, "term")
       .crossJoin(broadcast(nDocs)).crossJoin(broadcast(ltot))
       .filter(col("__df") * maxDfDen <= col("__n") * maxDfNum)
-      .select(col("term"), col("__id").as("__did"),
-        (idf * tfn).as("__s"))
-    val qterms = termRows(queries, minLen, idCol, textCol)
-      .select(col("__id").as("__qid"), col("term")).distinct()
+      .select(col("term"), col("__id").as("doc_id"),
+        (idf * tfn).as("s"))
+  }
+
+  /** (query, corpus-doc) BM25 sums of `queries` against a
+    * [[bm25Index]]: (__qid, __did, __score). */
+  private def bm25Scores(queries: DataFrame, index: DataFrame,
+                         minLen: Int, idCol: String, textCol: String,
+                         exactSums: Boolean): DataFrame = {
     val pairSum =
       if (exactSums) sum(col("__s").cast("decimal(27,12)")).cast("double")
       else sum(col("__s"))
-    qterms.join(postings, "term")
+    termRows(queries, minLen, idCol, textCol)
+      .select(col("__id").as("__qid"), col("term")).distinct()
+      .join(index.select(col("term"), col("doc_id").as("__did"),
+        col("s").as("__s")), "term")
       .groupBy(col("__qid"), col("__did"))
       .agg(pairSum.as("__score"))
+  }
+
+  /** [[bm25TopK]] against a prebuilt [[bm25Index]] — the probe half;
+    * `minLen` must match the index build or query terms silently miss
+    * postings. */
+  def bm25TopKIndexed(queries: DataFrame, index: DataFrame, k: Int,
+                      minLen: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      exactSums: Boolean = true): DataFrame = {
+    require(k > 0, "need k > 0")
+    bm25Scores(queries, index, minLen, idCol, textCol, exactSums)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("__qid"))
           .orderBy(col("__score").desc, col("__did"))))
@@ -1427,6 +1464,38 @@ object TextOps {
         col("rank").cast("long").as("rank"),
         col("__did").as("doc_id"),
         round(col("__score"), 4).as("score"))
+  }
+
+  /** Decontamination-by-retrieval screen: every incoming document's
+    * TOP BM25 score against the frozen benchmark [[bm25Index]],
+    * flagged `is_contaminated` when it reaches `tau` — the
+    * eval-set-leak gate (an incoming doc that retrieves too strongly
+    * against a held-out benchmark is a paraphrase/copy suspect; cf.
+    * the n-gram-overlap decontamination t27/t61, which this
+    * complements with scored lexical retrieval). Returns every input
+    * row + (bm25_top round 4, is_contaminated); docs sharing no
+    * term with the benchmark carry a null top and pass with 0. The
+    * t84 oracle replays the index arithmetic, the max and the flag;
+    * the streaming twin ([[graft.streaming.Streams.runBm25GateOnce]],
+    * s12) screens each paced microbatch stateless against the same
+    * frozen index, so paced == batch by construction.
+    *
+    * Scale shape: batch-sized qterms join the benchmark-sized index
+    * (fan-out sum-of-matched-dfs, the [[bm25TopK]] knob applies at
+    * index build), one (doc, bench-doc) aggregate, one max per doc,
+    * one id-keyed join back. */
+  def bm25ScreenFlag(docs: DataFrame, index: DataFrame, tau: Double,
+                     minLen: Int = 3, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     exactSums: Boolean = true): DataFrame = {
+    val top = bm25Scores(docs, index, minLen, idCol, textCol, exactSums)
+      .groupBy(col("__qid").as(idCol))
+      .agg(max(col("__score")).as("__top"))
+    docs.join(top, Seq(idCol), "left")
+      .withColumn("bm25_top", round(col("__top"), 4))
+      .withColumn("is_contaminated",
+        coalesce(col("__top") >= lit(tau), lit(false)).cast("long"))
+      .drop("__top")
   }
 
   /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,

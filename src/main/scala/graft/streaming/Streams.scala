@@ -560,6 +560,38 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming lexical-decontamination gate — the s05/s07
+    * build-once/probe-forever discipline applied to BM25 retrieval:
+    * incoming documents are scored per microbatch against a FROZEN
+    * benchmark [[graft.ops.TextOps.bm25Index]] (built once from the
+    * held-out eval/benchmark corpus and materialized), each row
+    * emerging with (bm25_top, is_contaminated) — a deployment drops
+    * or quarantines flagged rows at ingest instead of discovering
+    * eval leakage after training. Per batch: one term-keyed join of
+    * the batch's distinct terms against the postings + one
+    * (doc, bench-doc) aggregate + one max
+    * ([[graft.ops.TextOps.bm25ScreenFlag]]), stateless across
+    * batches, so the paced stream's union equals the batch screen
+    * over the same files (StreamingSpec-pinned; benched as s12).
+    * `minLen` must match the index build. The flag arithmetic is
+    * oracle-gated as t84. */
+  def runBm25GateOnce(spark: SparkSession, dir: String,
+                      index: DataFrame, sink: DataFrame => Unit,
+                      tau: Double, filesPerTrigger: Int = 1,
+                      minLen: Int = 3,
+                      exactSums: Boolean = true): Unit = {
+    val q = docsStreamPaced(spark, dir, filesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.TextOps.bm25ScreenFlag(batch, index, tau,
+          minLen = minLen, exactSums = exactSums))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming DSIR ingest gate — the s05/s07 build-once/probe-forever
     * discipline applied to the data-selection model: incoming documents
     * are scored per microbatch against a FROZEN

@@ -96,6 +96,54 @@ class StreamingSpec extends SparkSpec {
       "src_bad" -> false))
   }
 
+  test("bm25Gate: paced foreachBatch stream == batch screen; verbatim " +
+      "benchmark copy flags, benchmark-disjoint doc passes with null top") {
+    import graft.ops.TextOps
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val docs = graft.etl.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val idx = TextOps.bm25Index(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint()
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Option[Double], Long)]]
+    Streams.runBm25GateOnce(spark, parts, idx,
+      b => got += b.select(col("doc_id"), col("bm25_top"),
+          col("is_contaminated"))
+        .collect().toSeq.map(r => (r.getLong(0),
+          Option(r.getAs[java.lang.Double](1)).map(_.toDouble),
+          r.getLong(2))),
+      tau = 9.0)
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.flatten.sortBy(_._1)
+    val batch = TextOps
+      .bm25ScreenFlag(graft.etl.Tables.documents(spark, d), idx,
+        tau = 9.0)
+      .select(col("doc_id"), col("bm25_top"), col("is_contaminated"))
+      .collect().toSeq.map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Double](1)).map(_.toDouble),
+        r.getLong(2))).sortBy(_._1)
+    assert(paced == batch,
+      "paced per-microbatch screen must equal the batch screen")
+    // planted semantics on a disjoint incoming frame (tau below the
+    // copy's own retrieval score, so the flag is fixture-robust): a
+    // verbatim copy of a benchmark doc flags; a doc sharing no term
+    // with the benchmark carries a null top and passes
+    import spark.implicits._
+    val benchText = docs.filter(col("doc_id") % 10 === 0)
+      .orderBy(col("doc_id")).limit(1).collect().head.getString(1)
+    val fresh = "zyx wvu tsr qpo nml kji hgf edc"
+    val incoming = Seq((900001L, benchText), (900002L, fresh))
+      .toDF("doc_id", "text")
+    val flags = TextOps.bm25ScreenFlag(incoming, idx, tau = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[java.lang.Double]("bm25_top")), r.getLong(3)))
+      .toMap
+    assert(flags(900001L)._2 === 1L, "verbatim benchmark copy must flag")
+    assert(flags(900002L) === ((None, 0L)),
+      "benchmark-disjoint doc must pass with a null top")
+  }
+
   test("nearDupGate: paced foreachBatch stream == batch gate; twins flag, " +
       "unshingleable docs pass with 0") {
     import graft.ops.Dedup
