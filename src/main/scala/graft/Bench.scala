@@ -340,12 +340,13 @@ object Bench {
       embProfile(streamSpark, sfDir)
       dsirProf(streamSpark, sfDir)
       viewsStatic(streamSpark, sfDir)
+      bm25Idx(streamSpark, sfDir)
       graft.etl.Tables.exportedEmbsParts(streamSpark, sfDir)
       streamStaticWarm = true
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream-static warm-up failed " +
-          s"(s05/s06/s07/s08/s09 will record -1): ${e.getMessage}")
+          s"(s05/s06/s07/s08/s09/s12 will record -1): ${e.getMessage}")
     }
     def requireStreamStaticWarm(): Unit =
       if (!streamStaticWarm) throw new IllegalStateException(

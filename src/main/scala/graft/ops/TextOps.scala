@@ -1389,10 +1389,14 @@ object TextOps {
                maxDfNum: Int = 1, maxDfDen: Int = 1, minLen: Int = 3,
                idCol: String = "doc_id",
                textCol: String = "text",
-               exactSums: Boolean = true): DataFrame =
+               exactSums: Boolean = true): DataFrame = {
+    // validate BEFORE bm25Index eagerly tokenizes + checkpoints the
+    // corpus — a doomed k must not cost a corpus-sized job
+    require(k > 0, "need k > 0")
     bm25TopKIndexed(queries,
       bm25Index(corpus, k1, b, maxDfNum, maxDfDen, minLen, idCol,
         textCol), k, minLen, idCol, textCol, exactSums)
+  }
 
   /** The frozen half of [[bm25TopK]] — every corpus-side quantity of
     * the BM25 score (tf, df, dl, N, Ltot, the k1/b saturation) baked
