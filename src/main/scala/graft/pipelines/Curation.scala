@@ -19,6 +19,8 @@ import graft.ops.{Dedup, TextOps}
   *                                            ([[Dedup.nearDupFlag]])
   *   5. corpus-wide line dedup                ([[TextOps.lineDedupScalable]])
   *   6. eval-set decontamination              ([[Dedup.decontaminate]])
+  *   6b. (optional) decontamination by retrieval: BM25 screen against
+  *      a frozen eval-set index                ([[TextOps.bm25ScreenFlag]])
   *   7. per-source quality pruning            ([[TextOps.keepTopFraction]])
   *   7b. (optional) DSIR target-distribution selection
   *                                            ([[TextOps.dsirWeights]])
@@ -79,7 +81,9 @@ object Curation {
           histSemanticIndex: Option[DataFrame] = None,
           semCentroids: Option[DataFrame] = None,
           docEmbeddings: Option[DataFrame] = None,
-          semTau: Double = 0.95): Result = {
+          semTau: Double = 0.95,
+          bm25EvalIndex: Option[DataFrame] = None,
+          bm25Tau: Option[Double] = None): Result = {
     val spark = docs.sparkSession
     var ledger = Vector.empty[(String, Long, Long)]
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -192,9 +196,23 @@ object Curation {
         .select(col("doc_id"))
         .join(lineDeduped, Seq("doc_id")))
 
+    // 6b (optional): decontamination by RETRIEVAL — docs whose top
+    // BM25 score against the frozen eval-set index reaches bm25Tau
+    // die here, the t84 gate inside the pipeline. Catches the
+    // paraphrase regime stage 6's exact/5-gram overlap cannot (heavy
+    // shared rare vocabulary without a single intact 5-gram); docs
+    // sharing no term with the eval set pass with a null top.
+    val retrievalClean = (bm25EvalIndex, bm25Tau) match {
+      case (Some(idx), Some(tau)) => stage("retrieval_decon")(
+        TextOps.bm25ScreenFlag(decontaminated, idx, tau)
+          .filter(col("is_contaminated") === 0)
+          .drop("bm25_top", "is_contaminated"))
+      case _ => decontaminated
+    }
+
     // 7: keep the top keepNum/keepDen of every source by quality
     val pruned = stage("quality_prune")(
-      TextOps.keepTopFraction(decontaminated, col("source"),
+      TextOps.keepTopFraction(retrievalClean, col("source"),
           TextOps.qualityScore(col("text")), col("doc_id"),
           keepNum, keepDen)
         .filter(col("is_kept") === 1)
@@ -305,7 +323,15 @@ object Curation {
     *     document gets the same log_weight no matter which batch it
     *     arrives in (a per-run profile would silently re-rank). A
     *     later `dsirTarget` argument is ignored once a profile is
-    *     stored. */
+    *     stored.
+    *   - `bm25_index` (needs `bm25Tau`): the eval set's BM25 index
+    *     ([[TextOps.bm25Index]]) is built from the FIRST gated run's
+    *     `evalSet` and persisted; every later batch screens against
+    *     the SAME index (stage 6b, the t84 gate), so a document's
+    *     retrieval score — and its fate — never depends on which
+    *     batch it arrived in. A later run's `evalSet` reshapes
+    *     stage 6's overlap gate (batch-scoped by design) but not the
+    *     frozen retrieval index. */
   def runIncremental(newDocs: DataFrame, evalSet: DataFrame,
                      outPath: String, stateDir: String,
                      minWords: Int = 5, jaccard: Double = 0.5,
@@ -321,7 +347,8 @@ object Curation {
                      docEmbeddings: Option[DataFrame] = None,
                      semCentroids: Option[DataFrame] = None,
                      semTau: Double = 0.95,
-                     semCompactTau: Option[Double] = None): Result = {
+                     semCompactTau: Option[Double] = None,
+                     bm25Tau: Option[Double] = None): Result = {
     val spark = newDocs.sparkSession
     val empty = newDocs.limit(0)
     def load(name: String): Option[DataFrame] = {
@@ -345,6 +372,11 @@ object Curation {
             docEmbeddings.get.limit(0), cents.get, idCol = "doc_id")
           .select(col("doc_id"), col("centroid_id"), col("embedding"))))
     val frozenProfile = load("dsir_profile")
+    // the frozen retrieval index: stored beats rebuilt (see scaladoc)
+    val bm25Idx: Option[DataFrame] =
+      if (bm25Tau.isEmpty) None
+      else Some(load("bm25_index").getOrElse(
+        TextOps.bm25Index(evalSet).localCheckpoint()))
     val r = run(newDocs, evalSet, outPath, minWords, jaccard,
       keepNum, keepDen, budgetTokens, temperature, maxEpochs, capacity,
       buckets, shards, salt, dsirTarget, dsirNum, dsirDen, dsirBuckets,
@@ -352,7 +384,8 @@ object Curation {
       dsirFrozenProfile = frozenProfile, histSemanticIndex = histSem,
       semCentroids = if (semActive) cents else None,
       docEmbeddings = if (semActive) docEmbeddings else None,
-      semTau = semTau)
+      semTau = semTau,
+      bm25EvalIndex = bm25Idx, bm25Tau = bm25Tau)
     // state := old ∪ kept survivors — staged fully before the swap, so
     // the lazy reads of the old state complete during staging
     val newFps = histFps.unionByName(r.kept.select(
@@ -383,9 +416,11 @@ object Curation {
       }
     val dsirState: Map[String, DataFrame] =
       r.dsirProfileUsed.map("dsir_profile" -> _).toMap
+    val bm25State: Map[String, DataFrame] =
+      bm25Idx.map("bm25_index" -> _).toMap
     graft.etl.Publish.publishAll(stateDir,
       Map("fingerprints" -> newFps, "band_index" -> newBands) ++
-        semState ++ dsirState) match {
+        semState ++ dsirState ++ bm25State) match {
       case scala.util.Failure(e) => throw e
       case scala.util.Success(_) => ()
     }

@@ -378,4 +378,83 @@ class CurationSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(landed2 === Set(232L), landed2.toString)
   }
+
+  test("retrieval decontamination (6b): an eval paraphrase with no " +
+      "intact 5-gram survives the overlap gate and dies at the " +
+      "retrieval gate; without the gate it lands; the frozen index " +
+      "gates later incremental batches against the ORIGINAL eval set") {
+    import graft.pipelines.Curation
+    // every content word of evalDoc, reordered so no 5 consecutive
+    // normalized words match — the overlap gate (stage 6) is blind to
+    // it, the retrieval gate is not (eval index: N=1, every term df=1,
+    // tfn=1 at dl=Ltot -> top ~ 14 shared terms x ln(4/3) ~ 4 >> 2)
+    val para =
+      "Benchmark prompt and distinctive tail sentence held very nicely " +
+        "today fine.\n" +
+      "Word own lives for exact here matching with ten items properly."
+    val docs = corpus.unionByName(
+      Seq((120L, para, "web")).toDF("doc_id", "text", "source"))
+    val idx = graft.ops.TextOps.bm25Index(evalSet).localCheckpoint()
+    val out = java.nio.file.Files.createTempDirectory("curbm").toString
+    val r = Curation.run(docs, evalSet, out,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4,
+      bm25EvalIndex = Some(idx), bm25Tau = Some(2.0))
+    val by = r.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by("decontaminate") === by("line_dedup") - 1,
+      s"only the verbatim eval copy dies at the overlap gate: $by")
+    assert(by("retrieval_decon") === by("decontaminate") - 1,
+      s"exactly the paraphrase dies at the retrieval gate: $by")
+    val landed = r.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(!landed(120L) && landed(1L))
+    // without the gate the same paraphrase sails through to the mix
+    // and the report carries no retrieval stage
+    val out0 = java.nio.file.Files.createTempDirectory("curbm0").toString
+    val r0 = Curation.run(docs, evalSet, out0,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4)
+    assert(!r0.report.collect().map(_.getString(1))
+      .contains("retrieval_decon"))
+    assert(r0.mix.select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet.contains(120L))
+    // incremental: run 1 freezes the eval index into state; run 2
+    // arrives with a DIFFERENT eval set, yet a fresh paraphrase of the
+    // ORIGINAL eval doc still dies at 6b — the stored index gates, not
+    // the batch's evalSet (which only reshapes the stage-6 overlap)
+    val state = java.nio.file.Files.createTempDirectory("curbmst")
+      .toString
+    val inc1 = java.nio.file.Files.createTempDirectory("curbm1").toString
+    Curation.runIncremental(corpus, evalSet, inc1, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4, bm25Tau = Some(2.0))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(state, "bm25_index")))
+    val para2 =
+      "Exact matching word tail for that benchmark sentence held here " +
+        "today.\n" +
+      "Distinctive own prompt lives with very ten fine items properly."
+    val m2 = Seq((300L, body2(3), "web"), (301L, para2, "web"))
+      .toDF("doc_id", "text", "source")
+    val evalSet2 = Seq((9002L,
+      "A completely unrelated second benchmark suite text sits in " +
+        "this run."))
+      .toDF("doc_id", "text")
+    val inc2 = java.nio.file.Files.createTempDirectory("curbm2").toString
+    val r2 = Curation.runIncremental(m2, evalSet2, inc2, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4, bm25Tau = Some(2.0))
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2("decontaminate") === 2L,
+      s"nothing overlaps the run-2 eval set: $by2")
+    assert(by2("retrieval_decon") === 1L,
+      s"the original-eval paraphrase must die at the frozen index: $by2")
+    val landed2 = r2.mix
+      .select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed2 === Set(300L), landed2.toString)
+  }
 }
