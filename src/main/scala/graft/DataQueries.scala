@@ -1437,6 +1437,44 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HyperLogLog distinct counts per event type: users (~150 true
+    * distincts per type → the linear-counting branch) and event ids
+    * (~2000 per type → the raw harmonic-estimator branch), both from
+    * one p=9 sketch pass each. The exported `*_s` harmonic sums and
+    * `*_v` zero-register counts are EXACT integers the DuckDB oracle
+    * rebuilds from the same md5-derived hashes, so an approximate
+    * operator again gets an exact cross-engine check — and both
+    * estimator branches are pinned by the same query. */
+  val t85HllDistinct: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val users = Stats.hllDistinctBy(ev, Seq("event_type"),
+        col("user_id").cast("string"), p = 9)
+      .select(col("event_type"), col("n_rows"),
+        col("hll_v").as("users_v"), col("hll_s").as("users_s"),
+        col("est_distinct").as("est_users"))
+    val ids = Stats.hllDistinctBy(ev, Seq("event_type"),
+        col("event_id").cast("string"), p = 9)
+      .select(col("event_type"),
+        col("hll_v").as("events_v"), col("hll_s").as("events_s"),
+        col("est_distinct").as("est_events"))
+    users.join(broadcast(ids), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Morton z-values over (partkey, suppkey) buckets — the clustering
+    * key behind [[graft.ops.Layout.writeZOrdered]]'s multi-dimensional
+    * file-skipping layout. Pure bit arithmetic, replayed shift-for-
+    * shift by the oracle; the layout pay-off itself (per-file min-max
+    * tightness on BOTH dimensions at once) is pinned in ScaleSpec. */
+  val t86ZValue: Q = (s, d) =>
+    T.lineitem(s, d).filter(col("l_orderkey") < 600)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256L)).as("x"),
+        pmod(col("l_suppkey"), lit(256L)).as("y"))
+      .withColumn("zvalue",
+        graft.ops.Layout.zValue(Seq(col("x"), col("y")), 8))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1522,6 +1560,8 @@ object DataQueries {
     "t82_rbo" -> t82Rbo,
     "t83_asof_graced" -> t83AsofGraced,
     "t84_bm25_gate" -> t84Bm25Gate,
+    "t85_hll_distinct" -> t85HllDistinct,
+    "t86_zvalue" -> t86ZValue,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

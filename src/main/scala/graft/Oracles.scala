@@ -3404,6 +3404,72 @@ object Oracles {
         |FROM train t LEFT JOIN tx ON t.doc_id = tx.doc_id
         |LEFT JOIN tg ON t.doc_id = tg.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // HyperLogLog distinct sketch: registers are exact integer functions
+    // of the md5-derived 60-bit hashes (top 9 bits route, rank = 52 -
+    // bitlength of the 51-bit suffix), so the oracle rebuilds every
+    // register max, the scaled harmonic sum S = sum(2^(52-M_j)) and the
+    // zero count V as exact bigints and replays both estimator branches
+    // (raw harmonic on event_id ~2000/group; linear counting on user_id
+    // ~150/group) term-for-term
+    "t85_hll_distinct" ->
+      """WITH reg AS (
+        |  SELECT event_type, fam, h // 2251799813685248 AS j,
+        |    max(CASE WHEN h % 2251799813685248 = 0 THEN 52
+        |      ELSE 52 - length(ltrim(bin(h % 2251799813685248),'0')) END)
+        |      AS mr
+        |  FROM (
+        |    SELECT DISTINCT event_type, 'u' AS fam,
+        |      ('0x'||substr(md5(cast(user_id as varchar)),1,15))::bigint
+        |        AS h
+        |    FROM events WHERE user_id IS NOT NULL
+        |    UNION ALL
+        |    SELECT DISTINCT event_type, 'e' AS fam,
+        |      ('0x'||substr(md5(cast(event_id as varchar)),1,15))::bigint
+        |        AS h
+        |    FROM events WHERE event_id IS NOT NULL)
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT event_type, fam,
+        |    cast(512 - count(*) as bigint) AS v,
+        |    cast((512 - count(*)) * (1::bigint << 52)
+        |      + sum((1::bigint << (52 - mr))) as bigint) AS s
+        |  FROM reg GROUP BY 1, 2),
+        |est AS (SELECT event_type, fam, v, s,
+        |    round(CASE WHEN 0.7213/(1+1.079/512)*512*512*pow(2.0,52)/s
+        |        <= 1280.0 AND v > 0
+        |      THEN 512*ln(512.0/v)
+        |      ELSE 0.7213/(1+1.079/512)*512*512*pow(2.0,52)/s END, 4)
+        |      AS e
+        |  FROM agg),
+        |n AS (SELECT event_type, count(*) AS n_rows FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT n.event_type, n.n_rows,
+        | u.v AS users_v, u.s AS users_s, u.e AS est_users,
+        | ev.v AS events_v, ev.s AS events_s, ev.e AS est_events
+        |FROM n
+        |JOIN est u ON u.event_type = n.event_type AND u.fam = 'u'
+        |JOIN est ev ON ev.event_type = n.event_type AND ev.fam = 'e'
+        |ORDER BY n.event_type""".stripMargin,
+
+    // Morton z-value: bit i of x lands at 2i, of y at 2i+1 — the oracle
+    // replays the interleave shift-for-shift with integer bit ops
+    "t86_zvalue" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber,
+        |    cast(l_partkey % 256 as bigint) AS x,
+        |    cast(l_suppkey % 256 as bigint) AS y
+        |  FROM lineitem WHERE l_orderkey < 600)
+        |SELECT cast(l_orderkey as bigint) AS l_orderkey, l_linenumber,
+        | x, y,
+        | cast((((x >> 0) & 1) << 0)|(((x >> 1) & 1) << 2)
+        |  |(((x >> 2) & 1) << 4)|(((x >> 3) & 1) << 6)
+        |  |(((x >> 4) & 1) << 8)|(((x >> 5) & 1) << 10)
+        |  |(((x >> 6) & 1) << 12)|(((x >> 7) & 1) << 14)
+        |  |(((y >> 0) & 1) << 1)|(((y >> 1) & 1) << 3)
+        |  |(((y >> 2) & 1) << 5)|(((y >> 3) & 1) << 7)
+        |  |(((y >> 4) & 1) << 9)|(((y >> 5) & 1) << 11)
+        |  |(((y >> 6) & 1) << 13)|(((y >> 7) & 1) << 15) as bigint)
+        |  AS zvalue
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -287,4 +287,49 @@ class ScaleSpec extends SparkSpec {
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("202502"), plan)
   }
+
+  test("zValue interleave round-trips and orders locally; writeZOrdered " +
+      "gives file-skipping on BOTH dimensions where a linear sort gives " +
+      "one") {
+    import graft.ops.Layout
+    // interleave correctness in plain Scala terms: z(x, y) with 2 cols ->
+    // bit i of x at 2i, bit i of y at 2i+1
+    def zRef(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pts = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L), (170L, 85L))
+    val got = pts.toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == zRef(x, y), s"($x,$y)") }
+
+    // layout proof: 64k uniform points, 16 files; a 1/8-of-domain range
+    // predicate on EITHER dimension must touch at most half the z-ordered
+    // files, while the linear-by-x layout cannot prune y at all
+    val n = 65536
+    val df = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(256L)).as("x"),
+      pmod(col("id") * 40503L + 7L, lit(256L)).as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val lDir = java.nio.file.Files.createTempDirectory("graft_l").toString
+    val zRead = Layout.writeZOrdered(df, zDir, Seq("x", "y"), 8, 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(lDir)
+    val lRead = spark.read.parquet(lDir)
+    def touched(stats: Array[org.apache.spark.sql.Row], cIdx: Int,
+                lo: Long, hi: Long): Int =
+      stats.count(r => r.getLong(cIdx) <= hi && r.getLong(cIdx + 1) >= lo)
+    // fileStats: __f, n_rows, min_x, max_x, min_y, max_y
+    val zs = Layout.fileStats(zRead, Seq("x", "y")).collect()
+    val ls = Layout.fileStats(lRead, Seq("x", "y")).collect()
+    assert(zs.length == 16 && ls.length == 16,
+      s"expected 16 files, got z=${zs.length} linear=${ls.length}")
+    val (zx, zy) = (touched(zs, 2, 96, 127), touched(zs, 4, 96, 127))
+    val (lx, ly) = (touched(ls, 2, 96, 127), touched(ls, 4, 96, 127))
+    info(s"files touched for 1/8-range: zorder x=$zx y=$zy; linear x=$lx y=$ly")
+    assert(lx <= 4, s"linear layout must prune its own sort column: $lx")
+    assert(ly == 16, "linear layout cannot prune the unsorted dimension")
+    assert(zx <= 8 && zy <= 8,
+      s"z-order must prune both dimensions to <= half the files: x=$zx y=$zy")
+  }
 }

@@ -146,4 +146,69 @@ class StatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
   }
+
+  test("hllDistinctBy: registers mergeable (partitioning-independent), " +
+      "both estimator branches land near truth") {
+    // 2000 distinct values -> raw harmonic branch at p=9 (threshold 1280)
+    val big = (1L to 5000L).map(i => ("g", (i % 2000).toString)).toDF("g", "v")
+    val r = Stats.hllDistinctBy(big, Seq("g"), col("v"), p = 9).collect()(0)
+    val est = r.getDouble(r.fieldIndex("est_distinct"))
+    assert(math.abs(est - 2000.0) / 2000.0 < 0.15,
+      f"raw-branch estimate $est%.1f too far from 2000")
+    // 100 distinct -> linear-counting branch; ~3x tighter at low card
+    val small = (1L to 400L).map(i => ("g", (i % 100).toString)).toDF("g", "v")
+    val r2 = Stats.hllDistinctBy(small, Seq("g"), col("v"), p = 9).collect()(0)
+    val est2 = r2.getDouble(r2.fieldIndex("est_distinct"))
+    assert(math.abs(est2 - 100.0) / 100.0 < 0.10,
+      f"LC-branch estimate $est2%.1f too far from 100")
+    // registers must not depend on the reduce/merge tree
+    def regs(parts: Int) =
+      Stats.hllSketchBy(big.repartition(parts), Seq("g"), col("v"), p = 9)
+        .collect()(0).getSeq[Int](1)
+    assert(regs(1) == regs(13),
+      "register maxima must be order- and partitioning-free")
+  }
+
+  test("hllDistinctBy: nulls ignored, S/V are exact integers replayable " +
+      "from the hash set, re-merged shard sketches equal one-pass") {
+    val df = Seq(("g", "a"), ("g", "b"), ("g", "b"), ("g", null))
+      .toDF("g", "v")
+    val r = Stats.hllDistinctBy(df, Seq("g"), col("v"), p = 9).collect()(0)
+    assert(r.getLong(r.fieldIndex("n_rows")) == 3L) // null dropped
+    // brute-force replay of V and S from the two md5 hashes
+    val hashes = Seq("a", "b").map { v =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(v).take(15), 16)
+    }
+    val regs = scala.collection.mutable.Map[Int, Int]()
+    hashes.foreach { h =>
+      val j = (h >>> 51).toInt
+      val w = h & ((1L << 51) - 1)
+      val bl = if (w == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(w)
+      val rk = 51 + 1 - bl
+      regs(j) = math.max(regs.getOrElse(j, 0), rk)
+    }
+    val expectedV = 512L - regs.size
+    val expectedS = expectedV * (1L << 52) +
+      regs.values.map(rk => 1L << (52 - rk)).sum
+    assert(r.getLong(r.fieldIndex("hll_v")) == expectedV)
+    assert(r.getLong(r.fieldIndex("hll_s")) == expectedS)
+    // shard-sketch remerge: elementwise max of per-shard registers
+    // equals the one-pass registers (the months-later remerge story)
+    val ev = graft.etl.Tables.events(spark, "/root/testdata/sf0.001")
+    val onePass = Stats.hllSketchBy(ev, Seq("event_type"),
+        col("user_id").cast("string"), p = 9)
+      .orderBy("event_type").collect().map(_.getSeq[Int](1))
+    // remerge in Scala (the stored-sketch consumer's operation)
+    val perShard = Stats.hllSketchBy(
+        ev.withColumn("shard", pmod(col("event_id"), lit(4))),
+        Seq("event_type", "shard"), col("user_id").cast("string"), p = 9)
+      .collect().groupBy(_.getString(0))
+    val remerged = perShard.toSeq.sortBy(_._1).map { case (_, rows) =>
+      rows.map(_.getSeq[Int](2)).reduce((a, b) =>
+        a.zip(b).map { case (x, y) => math.max(x, y) })
+    }
+    assert(remerged.zip(onePass.toSeq).forall { case (a, b) => a == b },
+      "remerged per-shard registers must equal the one-pass sketch")
+  }
 }
