@@ -1475,6 +1475,22 @@ object DataQueries {
         graft.ops.Layout.zValue(Seq(col("x"), col("y")), 8))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Johnson–Lindenstrauss sign projection 64 → 16 dims: the
+    * dimensionality cut applied before ANN indexing at scale. The ±1
+    * signs derive from md5(seed:i:j), so the oracle rebuilds the same
+    * matrix and replays every projected coordinate through DuckDB's
+    * sequential list_dot_product (the t06 float-fold discipline); the
+    * distance-preservation and recall story is pinned in
+    * SimilaritySpec/ScaleSpec, with x87 benching the projected-search
+    * path at the 16k regime. */
+  val t87RandomProjection: Q = (s, d) =>
+    Similarity.randomProject(
+        T.embeddings(s, d).filter(col("vec_id") < 100), 64, 16)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").as("j"),
+        round(col("col"), 4).as("proj_value"))
+      .orderBy(col("vec_id"), col("j"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1562,6 +1578,7 @@ object DataQueries {
     "t84_bm25_gate" -> t84Bm25Gate,
     "t85_hll_distinct" -> t85HllDistinct,
     "t86_zvalue" -> t86ZValue,
+    "t87_random_projection" -> t87RandomProjection,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1579,6 +1596,16 @@ object DataQueries {
       val docs = T.documents(s, d)
       TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0), docs,
         k = 5, exactSums = false)
+    }),
+    // t87's JL cut at the 16k regime: project the corpus 64->16 once,
+    // then exact top-8 in projected space — times what the 4x
+    // bytes-moved reduction costs and buys before any ANN indexing
+    // (recall floor for this exact shape pinned in ScaleSpec)
+    "x87_jl_search" -> ((s, d) => {
+      val proj = Similarity.randomProject(pqStatics(s, d).big, 64, 16)
+        .select(col("vec_id"), col("proj").as("embedding"))
+      Similarity.bruteForceTopK(proj,
+        proj.filter(col("vec_id") < 64 && col("vec_id") % 8 === 0), k = 8)
     }),
     // t03's pipeline on the xxhash64 MinHash kernel + banded self-join
     "x03_minhash_lsh_scale" -> ((s, d) => {

@@ -3470,6 +3470,21 @@ object Oracles {
         |  |(((y >> 6) & 1) << 13)|(((y >> 7) & 1) << 15) as bigint)
         |  AS zvalue
         |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // JL sign projection: the ±1 matrix rebuilds from md5(seed:i:j) and
+    // list_dot_product's sequential loop reproduces the Spark fold's
+    // double accumulation order exactly (the t06 discipline)
+    "t87_random_projection" ->
+      """WITH sj AS (SELECT j,
+        |    [CASE WHEN ('0x'||substr(md5('jl:'||cast(i as varchar)||':'
+        |        ||cast(j as varchar)),1,15))::bigint % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END for i in range(64)] AS sgns
+        |  FROM (SELECT unnest(range(16)) AS j)),
+        |q AS (SELECT vec_id, cast(embedding as double[]) AS e
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT cast(q.vec_id as bigint) AS vec_id, cast(sj.j as int) AS j,
+        | round(list_dot_product(q.e, sj.sgns)/sqrt(16.0), 4) AS proj_value
+        |FROM q CROSS JOIN sj ORDER BY vec_id, j""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -1018,6 +1018,41 @@ object Similarity {
     cents
   }
 
+  /** Deterministic Johnson–Lindenstrauss sign random projection:
+    * `proj_j = (Σ_i x_i · s_ij) / sqrt(outDim)` with `s_ij = ±1` drawn
+    * from md5(seed:i:j) (Achlioptas 2003's database-friendly ±1 family).
+    * The sign matrix is a SMALL inDim×outDim literal baked into the
+    * plan — no side table, no shuffle, pure projection over the corpus;
+    * at 100 TB this is the cheap dimensionality cut (e.g. 768 → 64)
+    * applied before ANN indexing so every downstream bucket/codebook
+    * pass moves 12x fewer bytes. Distances are preserved to (1±ε) with
+    * outDim = O(log n / ε²); identical vectors project identically, so
+    * dedup/replica structure survives exactly. The hash-derived signs
+    * make the projection reproducible months later from the seed alone
+    * (no persisted matrix), and an external engine replays it: the
+    * sequential fold here matches DuckDB's `list_dot_product` loop
+    * term-for-term (the t06 discipline). */
+  def randomProject(vecs: DataFrame, inDim: Int, outDim: Int,
+                    seed: String = "jl", vecCol: String = "embedding",
+                    projCol: String = "proj"): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dims must be positive")
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils
+            .md5Hex(s"$seed:$i:$j").take(15), 16)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    val proj = array(signs.map { sj =>
+      aggregate(zip_with(col(vecCol), typedLit(sj),
+          (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) / lit(scale)
+    }: _*)
+    vecs.withColumn(projCol, proj)
+  }
+
   /** Scalar (int8) quantization encode — the FAISS SQ8 idea in its
     * per-vector symmetric form: `code_i = round(127 · x_i / maxabs(x))`
     * (int values in [-127, 127]) plus the `scale = maxabs/127` that

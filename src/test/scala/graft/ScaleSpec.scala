@@ -274,6 +274,16 @@ class ScaleSpec extends SparkSpec {
       shortlist = 64))
     info(f"16k-frame bq recall@$k (shortlist=64): $rBq%.3f")
     assert(rBq >= 0.875, f"bqTopK lost replica slots: $rBq%.3f")
+    // the x87 JL shape: identical replicas project identically, so the
+    // 16-dim projected search ties them at cosine 1 and the same
+    // 7-replica structural floor applies after a 4x dimensionality cut
+    val projBig = Similarity.randomProject(big, 64, 16)
+      .select(col("vec_id"), col("proj").as("embedding"))
+      .localCheckpoint()
+    val projQ = projBig.join(queries.select("vec_id"), "vec_id")
+    val rJl = recallOf(Similarity.bruteForceTopK(projBig, projQ, k))
+    info(f"16k-frame JL-projected (64->16) recall@$k: $rJl%.3f")
+    assert(rJl >= 0.875, f"randomProject lost replica slots: $rJl%.3f")
   }
 
   test("writeFactByMonth enables partition pruning on the month") {

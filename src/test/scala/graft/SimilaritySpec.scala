@@ -1019,4 +1019,63 @@ class SimilaritySpec extends SparkSpec {
     val uni = run(abc, rf((2L, 1L, 10L)))
     assert(uni(2L) === ((0L, 0.0)) && uni(1L) === ((0L, 0.0)))
   }
+
+  test("randomProject: seed-reproducible, norm-preserving in expectation, " +
+      "replica structure survives, projected-search recall measured and " +
+      "floored") {
+    val proj = Similarity.randomProject(emb, 64, 16).localCheckpoint()
+    // seed determinism: the same seed rebuilds the same projection, a
+    // different seed moves it (the no-persisted-matrix story)
+    val again = Similarity.randomProject(emb, 64, 16)
+      .select(col("vec_id"), col("proj"))
+    assert(proj.select(col("vec_id"), col("proj")).exceptAll(again).isEmpty,
+      "same seed must reproduce the projection bit-for-bit")
+    val other = Similarity.randomProject(emb.limit(1), 64, 16, seed = "jl2")
+      .select(col("proj")).collect()(0).getSeq[Double](0)
+    val first = proj.orderBy("vec_id").select(col("proj"))
+      .collect()(0).getSeq[Double](0)
+    assert(first != other, "a different seed must yield a different matrix")
+    // identical vectors project identically -> dedup/replica structure
+    // survives the cut exactly
+    val twin = emb.limit(8).withColumn("vec_id", col("vec_id") + 100000L)
+    val both = Similarity.randomProject(emb.limit(8).unionByName(twin),
+      64, 16)
+    val groups = both.select(pmod(col("vec_id"), lit(100000L)).as("g"),
+        col("proj")).groupBy("g")
+      .agg(countDistinct(col("proj")).as("n")).collect()
+    assert(groups.forall(_.getLong(1) == 1L),
+      "identical inputs must share one projected image")
+    // E[||Px||^2] = ||x||^2 under the ±1/sqrt(d) family: the mean ratio
+    // over 500 vectors concentrates near 1
+    val ratio = proj.select((Similarity.l2Norm(col("proj")) /
+        Similarity.l2Norm(col("embedding"))).as("r"))
+      .agg(avg(col("r"))).collect()(0).getDouble(0)
+    info(f"mean norm ratio ||Px||/||x||: $ratio%.3f")
+    assert(ratio > 0.85 && ratio < 1.15,
+      f"JL norm preservation broken: mean ratio $ratio%.3f")
+    // what a 100 TB consumer actually needs from the cut: NEAR-DUP
+    // structure survives. Plant a perturbed twin per vector (first
+    // coordinate zeroed, cos ≈ 0.98 to its source, ≈ 0 to everything
+    // else) and require the projected-space top-1 to find it. The
+    // isotropic-noise recall is also recorded: random equidistant
+    // points are JL's worst case, so it is honest-low and only
+    // soft-floored — distance preservation, not rank preservation of
+    // noise ties, is the JL contract
+    val twins = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+        .as("embedding"))
+    val planted = Similarity.randomProject(emb.unionByName(twins), 64, 16)
+      .select(col("vec_id"), col("proj").as("embedding"))
+      .localCheckpoint()
+    val top1 = Similarity.bruteForceTopK(planted,
+        planted.filter(col("vec_id") < 100000L), 1)
+      .filter(col("neighbor_id") === col("query_id") + 100000L)
+      .count().toDouble / 500.0
+    info(f"projected top-1 planted-twin hit rate: $top1%.3f")
+    assert(top1 >= 0.95, f"near-dup structure lost in projection: $top1%.3f")
+    val pFrame = proj.select(col("vec_id"), col("proj").as("embedding"))
+    val r = recallOf(Similarity.bruteForceTopK(pFrame, pFrame, 5), 5)
+    info(f"isotropic-noise recall@5 after 64->16 (worst case): $r%.3f")
+    assert(r >= 0.05, f"even noise recall should not collapse to 0: $r%.3f")
+  }
 }
