@@ -1491,6 +1491,23 @@ object DataQueries {
         round(col("col"), 4).as("proj_value"))
       .orderBy(col("vec_id"), col("j"))
 
+  /** Funnel analysis over the event log: per user the first
+    * signup → view-after-signup → purchase-after-view →
+    * error-after-purchase chain, each stage strictly after the
+    * previous. One hash exchange total (TemporalSpec pins the plan);
+    * the oracle replays the chain as four correlated min-joins. */
+  val t88Funnel: Q = (s, d) =>
+    Temporal.funnel(T.events(s, d), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase", "error"))
+      .filter(col("stage0_ts").isNotNull)
+      .select(col("user_id"),
+        unix_micros(col("stage0_ts")).as("signup_us"),
+        unix_micros(col("stage1_ts")).as("view_us"),
+        unix_micros(col("stage2_ts")).as("purchase_us"),
+        unix_micros(col("stage3_ts")).as("error_us"),
+        col("stages_reached"))
+      .orderBy(col("user_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1579,6 +1596,7 @@ object DataQueries {
     "t85_hll_distinct" -> t85HllDistinct,
     "t86_zvalue" -> t86ZValue,
     "t87_random_projection" -> t87RandomProjection,
+    "t88_funnel" -> t88Funnel,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3485,6 +3485,34 @@ object Oracles {
         |SELECT cast(q.vec_id as bigint) AS vec_id, cast(sj.j as int) AS j,
         | round(list_dot_product(q.e, sj.sgns)/sqrt(16.0), 4) AS proj_value
         |FROM q CROSS JOIN sj ORDER BY vec_id, j""".stripMargin,
+
+    // funnel: stage k = the earliest stage-k event STRICTLY after the
+    // user's stage k-1 time — replayed as a chain of correlated
+    // min-joins (the range-join formulation against the one-exchange
+    // running-window implementation, the t70 discipline)
+    "t88_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+        |  WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |  WHERE e.event_type = 'error' GROUP BY 1)
+        |SELECT cast(s0.user_id as bigint) AS user_id,
+        | cast(epoch_us(t0) as bigint) AS signup_us,
+        | cast(epoch_us(t1) as bigint) AS view_us,
+        | cast(epoch_us(t2) as bigint) AS purchase_us,
+        | cast(epoch_us(t3) as bigint) AS error_us,
+        | cast(1 + (t1 IS NOT NULL)::int + (t2 IS NOT NULL)::int
+        |   + (t3 IS NOT NULL)::int as int) AS stages_reached
+        |FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+        |LEFT JOIN s2 ON s0.user_id = s2.user_id
+        |LEFT JOIN s3 ON s0.user_id = s3.user_id
+        |ORDER BY user_id""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -189,4 +189,47 @@ object Temporal {
     chosen.select(left.columns.map(col) ++
       payload.map(c => col(s"__k.$c").as(c)) :+ col("matched_dir"): _*)
   }
+
+  /** Ordered-sequence (funnel) analysis: per key, the timestamp at
+    * which each stage of `stages` first completes, where stage k must
+    * happen STRICTLY after stage k-1 ("signup, then a view after the
+    * signup, then a purchase after that view"). Returns one row per
+    * key: `stage<k>_ts` per stage (null once the chain breaks — a
+    * non-null stage k implies all earlier stages are non-null) plus
+    * `stages_reached`.
+    *
+    * Shape: ONE hash exchange on the key. Stage k's candidates are
+    * found with a running `min(stage k-1 time so far)` window over the
+    * per-key time sort — all k windows share the one partitioning and
+    * sort, and the final per-key aggregate reuses it too, so cost is a
+    * single shuffle + sort of the event log regardless of stage count,
+    * the same bill as one `groupBy(key)`. Same-timestamp events never
+    * count as "after" (strict comparison), which also makes the result
+    * independent of sort-tie order — no tiebreak column needed.
+    * Repeated stage names ("purchase, then another purchase") work:
+    * the strict inequality walks forward through equal types. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val reserved = events.columns.filter(_.startsWith("__"))
+    require(reserved.isEmpty, s"event columns clash with helpers: ${reserved.toSeq}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+    for (k <- stages.indices) {
+      val cand =
+        if (k == 0) when(col(typeCol) === stages(0), col(tsCol))
+        else when(col(typeCol) === stages(k) &&
+          col(s"__run_${k - 1}") < col(tsCol), col(tsCol))
+      df = df.withColumn(s"__cand_$k", cand)
+        .withColumn(s"__run_$k", min(col(s"__cand_$k")).over(w))
+    }
+    val aggs = stages.indices.map(k =>
+      min(col(s"__cand_$k")).as(s"stage${k}_ts"))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("stages_reached",
+        stages.indices.map(k =>
+          when(col(s"stage${k}_ts").isNotNull, 1).otherwise(0))
+          .reduce(_ + _))
+  }
 }

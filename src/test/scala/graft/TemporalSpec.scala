@@ -187,4 +187,48 @@ class TemporalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
     assert(p.contains("Window"), p.take(1500))
   }
+
+  test("funnel: strict ordering per stage, chain breaks stay broken, " +
+      "same-ts never counts as after, repeated stages walk forward, " +
+      "ONE exchange for any stage count") {
+    import graft.ops.Temporal
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1: clean A(1) -> B(3) -> C(5)
+      (1L, ts(1), "A"), (1L, ts(3), "B"), (1L, ts(5), "C"),
+      // u2: B before A must NOT count; B after A missing -> chain breaks
+      // at stage 1 even though a C exists later
+      (2L, ts(1), "B"), (2L, ts(2), "A"), (2L, ts(6), "C"),
+      // u3: B at the SAME ts as A is not "after"; the later B at 7 is
+      (3L, ts(4), "A"), (3L, ts(4), "B"), (3L, ts(7), "B"), (3L, ts(9), "C"),
+      // u4: no A at all -> no stages
+      (4L, ts(2), "B"), (4L, ts(3), "C")
+    ).toDF("uid", "t", "typ")
+    val out = Temporal.funnel(ev, "uid", "t", "typ", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) -> (
+        Option(r.getTimestamp(1)).map(_.getTime / 1000),
+        Option(r.getTimestamp(2)).map(_.getTime / 1000),
+        Option(r.getTimestamp(3)).map(_.getTime / 1000),
+        r.getInt(4))).toMap
+    assert(out(1L) === ((Some(1L), Some(3L), Some(5L), 3)))
+    assert(out(2L) === ((Some(2L), None, None, 1)),
+      "a stage-2 event before stage 1 must not complete the chain")
+    assert(out(3L) === ((Some(4L), Some(7L), Some(9L), 3)),
+      "same-ts is not after; the next strict B must be picked")
+    assert(out(4L) === ((None, None, None, 0)))
+    // repeated stages: A then another A strictly later
+    val rep = Temporal.funnel(ev, "uid", "t", "typ", Seq("B", "B"))
+      .collect().map(r => r.getLong(0) -> (
+        Option(r.getTimestamp(1)).map(_.getTime / 1000),
+        Option(r.getTimestamp(2)).map(_.getTime / 1000))).toMap
+    assert(rep(3L) === ((Some(4L), Some(7L))),
+      "a repeated stage must advance past the first occurrence")
+    assert(rep(1L) === ((Some(3L), None)))
+    // one hash exchange regardless of stage count: all windows and the
+    // final aggregate share the key partitioning
+    val p = Temporal.funnel(ev, "uid", "t", "typ", Seq("A", "B", "C"))
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
+  }
 }
