@@ -553,7 +553,15 @@ object Bench {
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
-      }))
+      }),
+      // streaming cardinality monitor: the HLL sketch as a complete-mode
+      // running aggregate over the paced 8-part event export — bounded
+      // state (512 ints per event type) however many users stream past
+      "s13_cardinality_monitor" -> ((s, d) =>
+        runStream("s13_cardinality_monitor",
+          Streams.cardinalityMonitor(Streams.eventsStreamPaced(s,
+            graft.etl.Tables.exportedEventsParts(s, d))),
+          "complete")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

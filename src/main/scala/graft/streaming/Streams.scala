@@ -114,6 +114,27 @@ object Streams {
       .option("maxFilesPerTrigger", filesPerTrigger)
       .parquet(dir)
 
+  /** Streaming cardinality monitor — the HyperLogLog sketch run as a
+    * per-key running aggregate: per event type, row count and the
+    * approximate distinct-user estimate ([[graft.ops.Stats.hllDistinctBy]],
+    * p = 9 → 512 ints of state per key FOREVER, no matter how many users
+    * stream past — the bounded-state form of streaming count-distinct,
+    * which an exact distinct aggregation cannot provide). `alarm` fires
+    * when distinct users sink under `minDistinct` (a stuck producer
+    * replaying one user) or when rows-per-distinct-user exceeds
+    * `maxRepeatFactor` (a bot flood / replay storm). Write-once: complete
+    * mode on a stream (s13), plain aggregate on a batch frame — the paced
+    * stream's final frame must equal the batch answer
+    * (StreamingSpec-pinned). */
+  def cardinalityMonitor(events: DataFrame, minDistinct: Double = 5.0,
+                         maxRepeatFactor: Double = 500.0): DataFrame =
+    graft.ops.Stats.hllDistinctBy(events, Seq("event_type"),
+        col("user_id").cast("string"), p = 9)
+      .select(col("event_type"), col("n_rows"), col("est_distinct"),
+        (col("est_distinct") < minDistinct ||
+          col("n_rows").cast("double") / col("est_distinct") >
+            maxRepeatFactor).as("alarm"))
+
   /** Streaming ingest quality gate: per-source document counts, the
     * decimal-exact mean quality score, total PII matches, and an `alarm`
     * flag when mean quality sinks under `minQuality` or PII incidence

@@ -96,6 +96,42 @@ class StreamingSpec extends SparkSpec {
       "src_bad" -> false))
   }
 
+  test("cardinalityMonitor: paced stream == batch (HLL registers merge " +
+      "across microbatches); alarm fires on replay storms and stuck " +
+      "producers") {
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d)
+    val q = Streams.cardinalityMonitor(
+        Streams.eventsStreamPaced(spark, parts, 1))
+      .writeStream.format("memory").queryName("spec_card")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_card").orderBy("event_type")
+      .collect().toSeq
+    val batch = Streams
+      .cardinalityMonitor(graft.etl.Tables.events(spark, d))
+      .orderBy("event_type").collect().toSeq
+    assert(paced == batch,
+      "HLL state must merge across microbatches to the one-pass sketch")
+    // alarm semantics: a replay storm (1000 rows, 2 users) trips the
+    // repeat factor; a healthy mix does not
+    val storm = (1L to 1000L).map(i =>
+        (i, new java.sql.Timestamp(i * 1000), i % 2 + 1, "click",
+          1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val healthy = (1L to 200L).map(i =>
+        (i + 5000L, new java.sql.Timestamp(i * 1000), i, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flags = Streams.cardinalityMonitor(storm.unionByName(healthy),
+        minDistinct = 5.0, maxRepeatFactor = 100.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(flags === Map("click" -> true, "view" -> false))
+  }
+
   test("bm25Gate: paced foreachBatch stream == batch screen; verbatim " +
       "benchmark copy flags, benchmark-disjoint doc passes with null top") {
     import graft.ops.TextOps
