@@ -1508,6 +1508,18 @@ object DataQueries {
         col("stages_reached"))
       .orderBy(col("user_id"))
 
+  /** Sampled quantiles per event type: the bounded-state percentile
+    * path — a deterministic bottom-128-by-hash row sample per group,
+    * exact interpolation on the sample. The oracle rebuilds the exact
+    * same sample from the same md5 hashes and replays quantile_cont
+    * on it — an approximate operator with an exact cross-engine
+    * check (the t71/t85 discipline applied to quantiles). */
+  val t89SampleQuantiles: Q = (s, d) =>
+    Stats.sampleQuantilesBy(T.events(s, d), Seq("event_type"),
+        col("value"), col("event_id").cast("string"),
+        ps = Seq(0.25, 0.5, 0.9), k = 128)
+      .orderBy(col("event_type"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1597,6 +1609,7 @@ object DataQueries {
     "t86_zvalue" -> t86ZValue,
     "t87_random_projection" -> t87RandomProjection,
     "t88_funnel" -> t88Funnel,
+    "t89_sample_quantiles" -> t89SampleQuantiles,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3513,6 +3513,32 @@ object Oracles {
         |LEFT JOIN s2 ON s0.user_id = s2.user_id
         |LEFT JOIN s3 ON s0.user_id = s3.user_id
         |ORDER BY user_id""".stripMargin,
+
+    // sampled quantiles: the bottom-128-by-md5-hash sample is exactly
+    // reproducible (same hashes, min-value tiebreak on collisions), and
+    // DuckDB's quantile_cont interpolates identically to Spark's
+    // percentile (the t36 contract) — so an approximate percentile
+    // checks exactly
+    "t89_sample_quantiles" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x'||substr(md5(cast(event_id as varchar)),1,15))::bigint
+        |      AS h,
+        |    min(value) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, h, v, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY h) AS rn FROM h),
+        |c AS (SELECT event_type, count(*) AS n_rows FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL GROUP BY 1),
+        |q AS (SELECT event_type, count(*) AS n_sample,
+        |    quantile_cont(v, [0.25, 0.5, 0.9]) AS qs
+        |  FROM r WHERE rn <= 128 GROUP BY 1)
+        |SELECT q.event_type, c.n_rows,
+        | cast(n_sample as bigint) AS n_sample,
+        | round(qs[1], 4) AS p_25, round(qs[2], 4) AS p_50,
+        | round(qs[3], 4) AS p_90
+        |FROM q JOIN c USING (event_type)
+        |ORDER BY event_type""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -205,6 +205,49 @@ object Stats {
         round(est, 4).as("est_distinct")): _*)
   }
 
+  /** Per-group approximate percentiles from a deterministic bottom-k-
+    * by-hash row sample ([[graft.functions.KMinPairs]]): rows whose
+    * `keyCol` md5-hash lands among the group's k smallest carry their
+    * `valueCol` into the sample; exact `percentile` interpolation then
+    * runs on the sample only. `keyCol` must be unique per row (it IS
+    * the sampling randomness — and the reproducibility: the same rows
+    * are sampled forever, under any partitioning, and an oracle replays
+    * the exact sample by sorting the same hashes).
+    *
+    * The 100 TB shape for quantiles over unbounded groups: the exact
+    * aggregate shuffles every value; this map-side-combines each
+    * partition to ≤ k pairs, exchanges those, and pays one
+    * aggregate-sized second pass for the interpolation. Groups with at
+    * most k rows are EXACT (the sample is the group — the property the
+    * spec pins). Standard error of a p-quantile ≈
+    * sqrt(p(1-p)/k) in rank space. Returns per group: `p_<nn>` columns,
+    * `n_rows` (raw) and `n_sample`. */
+  def sampleQuantilesBy(df: DataFrame, groupCols: Seq[String],
+                        valueCol: Column, keyCol: Column, ps: Seq[Double],
+                        k: Int = 256): DataFrame = {
+    val kmp = udaf(new graft.functions.KMinPairs(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val sampled = df.filter(valueCol.isNotNull && keyCol.isNotNull)
+      .select(groupCols.map(col) ++ Seq(hash60(keyCol).as("__h"),
+        valueCol.cast("double").as("__v")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmp(col("__h"), col("__v")).as("__sample"),
+        count(lit(1)).as("n_rows"))
+    // interpolation runs over exploded sample values — aggregate-sized
+    // input (≤ k rows per group), and Spark's percentile matches
+    // DuckDB's quantile_cont bit-for-bit (the percentilesBy contract)
+    sampled
+      .select(groupCols.map(col) ++ Seq(col("n_rows"),
+        size(col("__sample")).cast("long").as("n_sample"),
+        explode(col("__sample")).as("__sv")): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("n_rows"), col("n_sample")): _*)
+      .agg(expr(s"percentile(__sv, array(${ps.mkString(",")}))").as("__ps"))
+      .select(groupCols.map(col) ++ Seq(col("n_rows"), col("n_sample")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(col("__ps").getItem(i), 4).as(s"p_${(p * 100).round}")
+        }: _*)
+  }
+
   /** Pairwise set-overlap estimates between every two groups, from
     * their KMV sketches alone (Beyer et al., SIGMOD 2007): merge the
     * two sketches to the k smallest of A∪B; the union estimate is the

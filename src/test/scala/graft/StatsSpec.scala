@@ -211,4 +211,33 @@ class StatsSpec extends SparkSpec {
     assert(remerged.zip(onePass.toSeq).forall { case (a, b) => a == b },
       "remerged per-shard registers must equal the one-pass sketch")
   }
+
+  test("sampleQuantilesBy: exact at or below the sample size, " +
+      "partitioning-independent, estimator lands near truth above it") {
+    // group of 5 <= k=8: the sample IS the group -> exact interpolation
+    val tiny = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+      ("a", 4L, 40.0), ("a", 5L, 50.0)).toDF("g", "id", "v")
+    val t = Stats.sampleQuantilesBy(tiny, Seq("g"), col("v"),
+      col("id").cast("string"), Seq(0.5, 0.9), k = 8).collect()(0)
+    assert(t.getLong(1) == 5L && t.getLong(2) == 5L)
+    assert(t.getDouble(3) == 30.0)            // exact median
+    assert(math.abs(t.getDouble(4) - 46.0) < 1e-9) // exact p90 interp
+    // 20000 uniform rows, k=256: the p50 estimate concentrates near
+    // the true median (rank-space se ~ sqrt(.25/256) ~ 3.1%)
+    val big = (1L to 20000L).map(i => ("g", i, (i % 1000).toDouble))
+      .toDF("g", "id", "v")
+    val b = Stats.sampleQuantilesBy(big, Seq("g"), col("v"),
+      col("id").cast("string"), Seq(0.5), k = 256).collect()(0)
+    val p50 = b.getDouble(3)
+    info(f"sampled p50 on uniform[0,1000): $p50%.1f (truth ~499.5)")
+    assert(math.abs(p50 - 499.5) < 100.0,
+      f"sampled median too far from truth: $p50%.1f")
+    // the sample (and so the estimate) must not depend on partitioning
+    def run(parts: Int) =
+      Stats.sampleQuantilesBy(big.repartition(parts), Seq("g"), col("v"),
+        col("id").cast("string"), Seq(0.25, 0.5, 0.9), k = 256)
+        .collect().toSeq
+    assert(run(1) == run(13),
+      "bottom-k-by-hash sample must be partitioning-free")
+  }
 }
