@@ -1117,6 +1117,13 @@ object CoreQueries {
     T.egressRoundTrip(s, q51ClientTerritorySpend(s, d), "json", "territory")
       .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
 
+  /** O2 symmetric egress — ORC: same round-trip discipline on the other
+    * Spark-native columnar lake format (typed nulls and doubles survive
+    * natively; the hash check proves it against the q51 oracle). */
+  val q55OrcEgress: Q = (s, d) =>
+    T.egressRoundTrip(s, q51ClientTerritorySpend(s, d), "orc", "territory")
+      .orderBy(col("ClientCode"), col("SalesTerritory"), col("PersonaName"))
+
   /** O2 write-direction at fact layout — the write twin of q50: orders
     * (with a derived yyyyMMdd DateKey) written month-partitioned through
     * [[graft.etl.Scale.writeFactByMonth]] — the 100 TB fact layout — then
@@ -1196,6 +1203,7 @@ object CoreQueries {
     "q51_client_territory_spend" -> q51ClientTerritorySpend,
     "q52_csv_egress" -> q52CsvEgress,
     "q53_json_egress" -> q53JsonEgress,
+    "q55_orc_egress" -> q55OrcEgress,
     "q54_partitioned_egress" -> q54PartitionedEgress,
   )
 }

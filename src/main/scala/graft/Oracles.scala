@@ -3550,6 +3550,9 @@ object Oracles {
     base ++ Map(
       "q52_csv_egress" -> base("q51_client_territory_spend"),
       "q53_json_egress" -> base("q51_client_territory_spend"),
+      // q55 writes the same snapshot as ORC and reads it back — the
+      // typed-columnar round trip must hash equal to q51's own oracle
+      "q55_orc_egress" -> base("q51_client_territory_spend"),
       // q54 writes orders month-partitioned and re-aggregates the q50
       // window from the partition tree — same oracle as the read twin
       "q54_partitioned_egress" -> base("q50_partitioned_source"))

@@ -23,6 +23,7 @@ object Verify {
     // them behind the cheap singles so a dying sweep still maximizes
     // comparable rows
     "q52_csv_egress", "q53_json_egress", "q54_partitioned_egress",
+    "q55_orc_egress",
     "q36_new_fingerprints", "q37_billing_group_scd",
     "t03_minhash_lsh", "t04_jaccard_pairs", "t05_simhash",
     "t14_neardup_clusters",

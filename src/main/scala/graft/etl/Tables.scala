@@ -57,6 +57,14 @@ object Tables {
   def jsonLines(s: SparkSession, path: String, ddl: String): DataFrame =
     s.read.schema(StructType.fromDDL(ddl)).json(path)
 
+  /** ORC reader (schema-explicit like [[csv]]/[[jsonLines]] so a schema
+    * drift fails loudly instead of silently widening). ORC is the other
+    * columnar lake format Spark ships natively — typed, splittable,
+    * footer-statistics-bearing like parquet, so it round-trips floats,
+    * nulls, timestamps and embedded newlines exactly. */
+  def orc(s: SparkSession, path: String, ddl: String): DataFrame =
+    s.read.schema(StructType.fromDDL(ddl)).orc(path)
+
   /** O1's last unexercised modality — a JDBC source behind the same
     * facade. The reference reaches remote tables through linked-server
     * four-part names (S3:11, S4:62), modeled elsewhere in this file as
@@ -109,6 +117,7 @@ object Tables {
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
       case "json" => w.json(path)
+      case "orc"  => w.orc(path)
       case other  => throw new IllegalArgumentException(s"format: $other")
     }
     path
@@ -173,6 +182,7 @@ object Tables {
     fmt match {
       case "csv"  => csv(s, path, ddl)
       case "json" => jsonLines(s, path, ddl)
+      case "orc"  => orc(s, path, ddl)
       case other  => throw new IllegalArgumentException(s"format: $other")
     }
   }

@@ -73,6 +73,19 @@ class EgressSpec extends SparkSpec {
         "the splittability note on Tables.csv if Spark's default changed")
   }
 
+  test("ORC egress round-trips everything the text formats cannot: " +
+      "nulls, empties, newlines, typed doubles") {
+    val rows = Seq(
+      Row(1L, "plain", 1.5),
+      Row(2L, "comma, and \"quotes\"", null),
+      Row(3L, "line1\nline2", 2.25),
+      Row(4L, "", 3.0),
+      Row(5L, null, 0.0625))
+    val back = Tables.egressRoundTrip(spark, frame(rows), "orc", "spec")
+    assert(collect(back) == collect(frame(rows)),
+      "typed columnar ORC must round-trip exactly — no text-format edges")
+  }
+
   // ---- property sweep: generated adversarial strings -------------------
   // Same discipline as PropertySpec: ScalaCheck generators applied with
   // pinned seeds (no scalatestplus bridge in the offline dep set), so
