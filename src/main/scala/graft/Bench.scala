@@ -561,6 +561,14 @@ object Bench {
         runStream("s13_cardinality_monitor",
           Streams.cardinalityMonitor(Streams.eventsStreamPaced(s,
             graft.etl.Tables.exportedEventsParts(s, d))),
+          "complete")),
+      // length-drift gate: sampled token-count quantiles per source as
+      // ONE stateful aggregation (expression-interpolated — streaming
+      // forbids a second agg), <= k pairs of state per source forever
+      "s14_length_gate" -> ((s, d) =>
+        runStream("s14_length_gate",
+          Streams.lengthDriftGate(Streams.docsStreamPaced(s,
+            graft.etl.Tables.exportedDocsParts(s, d))),
           "complete")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =

@@ -248,6 +248,27 @@ object Stats {
         }: _*)
   }
 
+  /** Linear-interpolation p-quantile of an array<double> column —
+    * `percentile`/`quantile_cont` semantics (pos = p·(n−1), linear
+    * between the straddling order statistics) as a PURE EXPRESSION, so
+    * it composes where a second aggregate cannot: on top of a single
+    * streaming aggregation (Structured Streaming forbids chained
+    * aggregates — the [[sampleQuantilesBy]] two-agg form is
+    * batch-only), or over any stored sample array. Null for empty
+    * arrays. StatsSpec pins equality with the `percentile` aggregate
+    * on shared samples. */
+  def quantileOfArray(sample: Column, p: Double): Column = {
+    val sorted = array_sort(sample)
+    val n = size(sorted)
+    val pos = lit(p) * (n - lit(1)).cast("double")
+    val lo = floor(pos).cast("int")
+    val vLo = element_at(sorted, lo + 1)
+    val vHi = element_at(sorted, least(lo + lit(2), n))
+    when(n === 0, lit(null).cast("double"))
+      .when(n === 1, element_at(sorted, 1))
+      .otherwise(vLo + (pos - lo.cast("double")) * (vHi - vLo))
+  }
+
   /** Pairwise set-overlap estimates between every two groups, from
     * their KMV sketches alone (Beyer et al., SIGMOD 2007): merge the
     * two sketches to the k smallest of A∪B; the union estimate is the

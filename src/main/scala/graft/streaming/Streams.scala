@@ -135,6 +135,40 @@ object Streams {
           col("n_rows").cast("double") / col("est_distinct") >
             maxRepeatFactor).as("alarm"))
 
+  /** Streaming length-drift gate — sampled token-count quantiles per
+    * source at ingest: a [[graft.functions.KMinPairs]] bottom-k-by-hash
+    * sample (ONE stateful aggregation: quantiles then interpolate as a
+    * pure expression via [[graft.ops.Stats.quantileOfArray]], because
+    * Structured Streaming forbids a second aggregate) with an `alarm`
+    * when the median token count sinks under `minP50` — the truncated-
+    * scrape / boilerplate-flood signal a mean-based monitor misses.
+    * State per source is ≤ k (hash, count) pairs forever; the sample is
+    * hash-deterministic, so paced == batch EXACTLY under any microbatch
+    * split (order-free set algebra — StreamingSpec-pinned). Write-once:
+    * complete mode on a stream (s14), plain aggregate on a batch
+    * frame. */
+  def lengthDriftGate(docs: DataFrame, minP50: Double = 5.0,
+                      k: Int = 128): DataFrame = {
+    import graft.ops.{Stats, TextOps}
+    val kmp = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KMinPairs(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    docs
+      .select(col("source"),
+        Stats.hash60(col("doc_id").cast("string")).as("__h"),
+        TextOps.tokenCount(col("text")).cast("double").as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        kmp(col("__h"), col("__t")).as("__sample"))
+      .select(col("source"), col("n_docs"),
+        size(col("__sample")).cast("long").as("n_sample"),
+        round(Stats.quantileOfArray(col("__sample"), 0.5), 4).as("p50_tokens"),
+        round(Stats.quantileOfArray(col("__sample"), 0.9), 4).as("p90_tokens"))
+      .withColumn("alarm", col("p50_tokens") < minP50)
+  }
+
   /** Streaming ingest quality gate: per-source document counts, the
     * decimal-exact mean quality score, total PII matches, and an `alarm`
     * flag when mean quality sinks under `minQuality` or PII incidence

@@ -240,4 +240,27 @@ class StatsSpec extends SparkSpec {
     assert(run(1) == run(13),
       "bottom-k-by-hash sample must be partitioning-free")
   }
+
+  test("quantileOfArray: matches the percentile aggregate on shared " +
+      "samples (the formula the streaming gate interpolates with)") {
+    val samples = Seq(
+      Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+      Seq(3.0), Seq(1.0, 2.0), Seq(7.0, 7.0, 7.0),
+      (1 to 97).map(_.toDouble * 1.5).toSeq)
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sample")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val viaExpr = df.select(col("id"),
+          Stats.quantileOfArray(col("sample"), p).as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val viaAgg = df.select(col("id"), explode(col("sample")).as("v"))
+        .groupBy("id").agg(expr(s"percentile(v, $p)").as("q"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(viaExpr == viaAgg, s"p=$p: $viaExpr vs $viaAgg")
+    }
+    // empty array -> null, not a crash
+    val e = Seq((0L, Seq.empty[Double])).toDF("id", "sample")
+      .select(Stats.quantileOfArray(col("sample"), 0.5)).collect()(0)
+    assert(e.isNullAt(0))
+  }
 }

@@ -132,6 +132,35 @@ class StreamingSpec extends SparkSpec {
     assert(flags === Map("click" -> true, "view" -> false))
   }
 
+  test("lengthDriftGate: paced stream == batch (hash sample is order-" +
+      "free); alarm fires on a truncated-scrape source") {
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedDocsParts(spark, d, parts = 4)
+    val q = Streams.lengthDriftGate(Streams.docsStreamPaced(spark, parts, 1))
+      .writeStream.format("memory").queryName("spec_len")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val paced = spark.table("spec_len").orderBy("source").collect().toSeq
+    val batch = Streams
+      .lengthDriftGate(graft.etl.Tables.documents(spark, d))
+      .orderBy("source").collect().toSeq
+    assert(paced == batch,
+      "bottom-k sample state must merge across microbatches exactly")
+    // planted truncation: src_trunc ships 3-token stubs, src_ok real text
+    val good = "the quick brown fox jumps over the lazy dog tonight"
+    val planted = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, good, "en", "src_ok", 1L)
+      else (i, "a b c", "en", "src_trunc", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val flags = Streams.lengthDriftGate(planted, minP50 = 5.0)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(flags === Map("src_ok" -> false, "src_trunc" -> true))
+  }
+
   test("bm25Gate: paced foreachBatch stream == batch screen; verbatim " +
       "benchmark copy flags, benchmark-disjoint doc passes with null top") {
     import graft.ops.TextOps
