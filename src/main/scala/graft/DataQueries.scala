@@ -1520,6 +1520,87 @@ object DataQueries {
         ps = Seq(0.25, 0.5, 0.9), k = 128)
       .orderBy(col("event_type"))
 
+  /** CUBE aggregate: all four grouping combinations of
+    * (returnflag, linestatus) in one pass — Spark plans cube as a
+    * single expanded aggregate (one exchange), not four scans.
+    * grouping_id disambiguates aggregation nulls from data nulls;
+    * Spark and DuckDB share the LSB-first bit convention (verified,
+    * not assumed). */
+  val t90CubeAgg: Q = (s, d) =>
+    T.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("gid"), col("n"), round(col("sum_qty"), 4).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** The analytic-window surface beyond rank: row_number / ntile /
+    * percent_rank / cume_dist / lag / lead / first_value over one
+    * (partition, order) — ONE exchange and one sort serve all seven
+    * (they share the window frame). Deterministic under the
+    * (ts, event_id) total order. */
+  val t91WindowSurface: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T.events(s, d).filter(col("user_id") <= 3)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("tile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(lag(col("value"), 1).over(w), 4).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 4).as("next_value"),
+        round(first(col("value")).over(w), 4).as("first_value"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** PIVOT: per-user spend matrix, event types to columns — Spark's
+    * pivot with an EXPLICIT value list compiles to one conditional
+    * aggregate (one exchange, no second pass to discover keys — the
+    * form that scales; an implicit pivot pays a distinct-scan first).
+    * Decimal-accumulated sums so the matrix replays exactly. */
+  val t92Pivot: Q = (s, d) =>
+    T.events(s, d).filter(col("user_id") <= 30)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup",
+        "view"))
+      .agg(sum(col("value").cast("decimal(18,4)")))
+      .select(col("user_id") +: Seq("click", "error", "purchase",
+        "signup", "view").map(c =>
+          round(col(c).cast("double"), 4).as(c)): _*)
+      .orderBy(col("user_id"))
+
+  /** Calendar gap-fill + forward fill: daily per-type revenue joined
+    * onto the dense date grid (sequence/explode — no driver-side
+    * calendar), missing days carry the last observed value via a
+    * running last(ignoreNulls). The time-series densification every
+    * monitoring export needs; grid and dimension frames are
+    * aggregate-sized, the fill shares the grid's partitioning. */
+  val t93GapFill: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = T.events(s, d).filter(col("user_id") <= 3)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double")
+        .as("rev"))
+    val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select(col("event_type")).distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("rev"), 4).as("rev"),
+        round(last(col("rev"), ignoreNulls = true).over(w), 4)
+          .as("rev_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1610,6 +1691,10 @@ object DataQueries {
     "t87_random_projection" -> t87RandomProjection,
     "t88_funnel" -> t88Funnel,
     "t89_sample_quantiles" -> t89SampleQuantiles,
+    "t90_cube_agg" -> t90CubeAgg,
+    "t91_window_surface" -> t91WindowSurface,
+    "t92_pivot" -> t92Pivot,
+    "t93_gap_fill" -> t93GapFill,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3539,6 +3539,69 @@ object Oracles {
         | round(qs[3], 4) AS p_90
         |FROM q JOIN c USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // CUBE: all four grouping combinations; GROUPING() shares the
+    // LSB-first bit convention with Spark's grouping_id (verified)
+    "t90_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(GROUPING(l_returnflag, l_linestatus) as bigint) AS gid,
+        | count(*) AS n,
+        | round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 4)
+        |   AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    // the analytic-window surface over one shared (partition, order)
+    "t91_window_surface" ->
+      """SELECT event_type, cast(event_id as bigint) AS event_id,
+        | cast(epoch_us(ts) as bigint) AS ts_us,
+        | cast(row_number() OVER w as int) AS rn,
+        | cast(ntile(4) OVER w as int) AS tile,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | round(lag(value, 1) OVER w, 4) AS prev_value,
+        | round(lead(value, 1) OVER w, 4) AS next_value,
+        | round(first_value(value) OVER w, 4) AS first_value
+        |FROM events WHERE user_id <= 3
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |ORDER BY event_type, rn""".stripMargin,
+
+    // PIVOT = the conditional aggregate it compiles to
+    "t92_pivot" ->
+      """SELECT cast(user_id as bigint) AS user_id,
+        | round(cast(sum(CASE WHEN event_type = 'click'
+        |   THEN cast(value as decimal(18,4)) END) as double), 4) AS click,
+        | round(cast(sum(CASE WHEN event_type = 'error'
+        |   THEN cast(value as decimal(18,4)) END) as double), 4) AS error,
+        | round(cast(sum(CASE WHEN event_type = 'purchase'
+        |   THEN cast(value as decimal(18,4)) END) as double), 4)
+        |   AS purchase,
+        | round(cast(sum(CASE WHEN event_type = 'signup'
+        |   THEN cast(value as decimal(18,4)) END) as double), 4) AS signup,
+        | round(cast(sum(CASE WHEN event_type = 'view'
+        |   THEN cast(value as decimal(18,4)) END) as double), 4) AS view
+        |FROM events WHERE user_id <= 30
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // calendar gap-fill + forward fill: dense date grid x types, daily
+    // sums left-joined on, missing days carry last_value IGNORE NULLS
+    "t93_gap_fill" ->
+      """WITH daily AS (SELECT event_type, ts::date AS day,
+        |    cast(sum(cast(value as decimal(18,4))) as double) AS rev
+        |  FROM events WHERE user_id <= 3 GROUP BY 1, 2),
+        |cal AS (SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+        |    INTERVAL 1 DAY))::date AS day),
+        |grid AS (SELECT t.event_type, cal.day
+        |  FROM cal CROSS JOIN (SELECT DISTINCT event_type FROM daily) t)
+        |SELECT g.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+        | round(d.rev, 4) AS rev,
+        | round(last_value(d.rev IGNORE NULLS) OVER (
+        |   PARTITION BY g.event_type ORDER BY g.day), 4) AS rev_filled
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.day = d.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
   )
 
   val all: Map[String, String] = {
