@@ -1524,8 +1524,8 @@ object DataQueries {
     * (returnflag, linestatus) in one pass — Spark plans cube as a
     * single expanded aggregate (one exchange), not four scans.
     * grouping_id disambiguates aggregation nulls from data nulls;
-    * Spark and DuckDB share the LSB-first bit convention (verified,
-    * not assumed). */
+    * Spark and DuckDB both put the FIRST cube column in the most
+    * significant bit (verified empirically, not assumed). */
   val t90CubeAgg: Q = (s, d) =>
     T.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))

@@ -3541,7 +3541,8 @@ object Oracles {
         |ORDER BY event_type""".stripMargin,
 
     // CUBE: all four grouping combinations; GROUPING() shares the
-    // LSB-first bit convention with Spark's grouping_id (verified)
+    // first-column-in-the-MSB bit convention with Spark's
+    // grouping_id (verified empirically, both engines)
     "t90_cube_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(GROUPING(l_returnflag, l_linestatus) as bigint) AS gid,

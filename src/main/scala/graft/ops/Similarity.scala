@@ -1050,7 +1050,15 @@ object Similarity {
           (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v) / lit(scale)
     }: _*)
-    vecs.withColumn(projCol, proj)
+    // fail fast on a dimension mismatch: zip_with would null-pad a
+    // shorter vector and the fold would silently project every row to
+    // all-nulls (review finding) — garbage neighbors downstream instead
+    // of an error
+    val guarded = when(size(col(vecCol)) === inDim, proj)
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected $inDim-dim vectors, got "),
+        size(col(vecCol)).cast("string"))))
+    vecs.withColumn(projCol, guarded)
   }
 
   /** Scalar (int8) quantization encode — the FAISS SQ8 idea in its

@@ -1077,5 +1077,13 @@ class SimilaritySpec extends SparkSpec {
     val r = recallOf(Similarity.bruteForceTopK(pFrame, pFrame, 5), 5)
     info(f"isotropic-noise recall@5 after 64->16 (worst case): $r%.3f")
     assert(r >= 0.05, f"even noise recall should not collapse to 0: $r%.3f")
+    // a dimension mismatch must fail fast, not silently project to
+    // all-nulls (zip_with null-pads the shorter array)
+    import spark.implicits._
+    val short = Seq((1L, Seq.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.randomProject(short, 64, 16).collect()
+    }
+    assert(ex.getMessage.contains("randomProject"), ex.getMessage)
   }
 }

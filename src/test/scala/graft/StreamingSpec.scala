@@ -130,6 +130,17 @@ class StreamingSpec extends SparkSpec {
         minDistinct = 5.0, maxRepeatFactor = 100.0)
       .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
     assert(flags === Map("click" -> true, "view" -> false))
+    // a broken producer emitting NULL user_ids must not hide from the
+    // monitor: nulls fold to one sentinel identity, so the rows count
+    // and est_distinct collapses toward 1 -> alarm
+    val nullStorm = (1L to 500L).map(i =>
+        (i + 9000L, new java.sql.Timestamp(i * 1000),
+          null.asInstanceOf[java.lang.Long], "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val nf = Streams.cardinalityMonitor(nullStorm, minDistinct = 5.0,
+        maxRepeatFactor = 100.0).collect()(0)
+    assert(nf.getLong(1) == 500L, "null-user rows must count in n_rows")
+    assert(nf.getBoolean(3), "an all-null-user producer must alarm")
   }
 
   test("lengthDriftGate: paced stream == batch (hash sample is order-" +
@@ -159,6 +170,17 @@ class StreamingSpec extends SparkSpec {
     val flags = Streams.lengthDriftGate(planted, minP50 = 5.0)
       .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
     assert(flags === Map("src_ok" -> false, "src_trunc" -> true))
+    // malformed rows must not kill the robustness gate: null text
+    // counts as ZERO tokens (dragging the median down is the point),
+    // and a null doc_id still samples under the sentinel key
+    val broken = (1L to 20L).map { i =>
+      val id: java.lang.Long = if (i == 7) null else java.lang.Long.valueOf(i)
+      val text = if (i <= 11) null else good // a majority-null source
+      (id, text, "en", "src_broken", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Streams.lengthDriftGate(broken, minP50 = 5.0).collect()(0)
+    assert(b.getLong(1) == 20L, "all rows must count")
+    assert(b.getBoolean(5), "a half-null-text source must alarm on p50")
   }
 
   test("bm25Gate: paced foreachBatch stream == batch screen; verbatim " +
