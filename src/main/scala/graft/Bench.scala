@@ -569,7 +569,16 @@ object Bench {
         runStream("s14_length_gate",
           Streams.lengthDriftGate(Streams.docsStreamPaced(s,
             graft.etl.Tables.exportedDocsParts(s, d))),
-          "complete")))
+          "complete")),
+      // streaming funnel: out-of-order-tolerant custom state — events
+      // buffer until the watermark passes them, then fold into the
+      // chain; the flush sentinel part fires the tail timeout
+      "s15_funnel" -> ((s, d) =>
+        runStream("s15_funnel",
+          Streams.funnelWithState(Streams.eventsStreamPaced(s,
+              graft.etl.Tables.exportedEventsPartsFlush(s, d)),
+            Seq("signup", "view", "purchase")).toDF(),
+          "update")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

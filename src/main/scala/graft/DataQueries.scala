@@ -1601,6 +1601,50 @@ object DataQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** UNPIVOT — the inverse of t92: the spend matrix melts back to
+    * (user, type, spend) rows via `stack` (a pure projection + filter,
+    * no shuffle), and the round trip must hash-equal the DIRECT
+    * two-key aggregate — pivot∘unpivot = groupBy, proven by the
+    * oracle being exactly that aggregate. */
+  val t94Unpivot: Q = (s, d) =>
+    t92Pivot(s, d)
+      .select(col("user_id"), expr(
+        "stack(5, 'click', click, 'error', error, 'purchase', purchase," +
+          " 'signup', signup, 'view', view) as (event_type, spend)"))
+      .filter(col("spend").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** Blocked edit-distance fuzzy join — entity resolution without the
+    * all-pairs cartesian: candidates meet only inside a (3-char
+    * prefix) block, then exact levenshtein <= 2 keeps real near-names.
+    * The fixture plants a 1-edit twin per part name (4th char
+    * dropped, prefix preserved), which blocking must retain. At 100 TB
+    * the block key is the join key: pair volume is Σ block² instead
+    * of n², and a skewed block behaves like any skewed join key (AQE
+    * territory) — the same discipline as the LSH band join, with edit
+    * distance in place of Jaccard. */
+  val t95EditDistanceJoin: Q = (s, d) => {
+    // dist >= 1: exact-duplicate pairs are t02's job (TPC-H names
+    // repeat heavily — dist-0 pairs would bury the near-match signal)
+    val parts = T.part(s, d).filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
+    val planted = parts.select((col("id") + 100000L).as("id"),
+      concat(substring(col("name"), 1, 3), substring(col("name"), 5,
+        1000000)).as("name"))
+    val all = parts.unionByName(planted)
+      .withColumn("blk", substring(col("name"), 1, 3))
+    val a = all.select(col("blk"), col("id").as("id_a"),
+      col("name").as("name_a"))
+    val b = all.select(col("blk"), col("id").as("id_b"),
+      col("name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("name_a"), col("name_b")).between(1, 2))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1695,6 +1739,8 @@ object DataQueries {
     "t91_window_surface" -> t91WindowSurface,
     "t92_pivot" -> t92Pivot,
     "t93_gap_fill" -> t93GapFill,
+    "t94_unpivot" -> t94Unpivot,
+    "t95_edit_distance_join" -> t95EditDistanceJoin,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

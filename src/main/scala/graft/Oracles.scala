@@ -3603,6 +3603,30 @@ object Oracles {
         |FROM grid g LEFT JOIN daily d
         |  ON g.event_type = d.event_type AND g.day = d.day
         |ORDER BY g.event_type, g.day""".stripMargin,
+
+    // pivot round trip: unpivot(pivot(x)) must equal the direct
+    // two-key aggregate — so the oracle IS that aggregate
+    "t94_unpivot" ->
+      """SELECT cast(user_id as bigint) AS user_id, event_type,
+        | round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+        |   AS spend
+        |FROM events WHERE user_id <= 30
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // blocked fuzzy join: same 3-char-prefix blocks, same levenshtein
+    // (classic unit-cost edit distance in both engines)
+    "t95_edit_distance_join" ->
+      """WITH base AS (SELECT p_partkey AS id, lower(p_name) AS name
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |pl AS (SELECT id + 100000 AS id,
+        |    substr(name, 1, 3) || substr(name, 5) AS name FROM base),
+        |a AS (SELECT *, substr(name, 1, 3) AS blk
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))
+        |SELECT cast(x.id as bigint) AS id_a, cast(y.id as bigint) AS id_b,
+        | cast(levenshtein(x.name, y.name) as int) AS edit_dist
+        |FROM a x JOIN a y ON x.blk = y.blk AND x.id < y.id
+        |  AND levenshtein(x.name, y.name) BETWEEN 1 AND 2
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   val all: Map[String, String] = {

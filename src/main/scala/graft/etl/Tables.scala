@@ -282,6 +282,50 @@ object Tables {
     })
   }
 
+  /** [[exportedEventsParts]] plus a far-future SENTINEL part (one
+    * `user_id = -1` event at max(ts) + 90 days) whose file mtime is
+    * bumped past the real parts, so the file source (which orders by
+    * modification time) delivers it LAST: the sentinel advances the
+    * watermark beyond every real event, firing the EventTimeTimeout
+    * flush that stateful-buffer consumers (the streaming funnel s15)
+    * need to fold their tails. Written once per fixture version. */
+  def exportedEventsPartsFlush(s: SparkSession, d: String,
+                               parts: Int = 8): String = {
+    val key = (d, "events", s"flush$parts", fixtureMtime(d, "events"))
+    exportMemo.getOrElseUpdate(key, {
+      exportMemo.keys
+        .filter(k => k._1 == d && k._2 == "events" &&
+          k._3 == s"flush$parts" && k != key)
+        .foreach(exportMemo.remove)
+      val path = s"$cacheRoot/events_flush${parts}_${key._4.toHexString}_" +
+        Integer.toHexString(d.hashCode)
+      materialize(path) { tmp =>
+        val ev = events(s, d)
+        ev.repartition(parts).write.mode("overwrite").parquet(tmp)
+        val dir = new java.io.File(tmp)
+        val firstWave = dir.listFiles().map(_.getName).toSet
+        val maxTs = ev.agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("ts"))).collect()(0)
+          .getTimestamp(0)
+        val sentinelTs = java.sql.Timestamp.from(
+          maxTs.toInstant.plus(java.time.Duration.ofDays(90)))
+        s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(
+              -1L, sentinelTs, -1L, "flush", 0.0, "{}")),
+            ev.schema)
+          .coalesce(1).write.mode("append").parquet(tmp)
+        // pin the delivery order: real parts 2 min in the past, the
+        // sentinel wave at now
+        val now = System.currentTimeMillis()
+        dir.listFiles().foreach { f =>
+          f.setLastModified(
+            if (firstWave(f.getName)) now - 120000L else now)
+          ()
+        }
+      }
+    })
+  }
+
   /** Re-materialize the documents fixture as `parts` equal parquet files
     * — the multi-file layout the streaming ingest quality gate (s04)
     * paces through one file per microbatch, the document-corpus twin of

@@ -473,6 +473,71 @@ class StreamingSpec extends SparkSpec {
       Seq((7L, 2L), (7L, 1L), (8L, 1L))) // two sessions for 7, one for 8
   }
 
+  test("funnelWithState: out-of-order arrival ACROSS microbatches still " +
+      "equals the batch funnel (buffer-until-watermark); naive monotone " +
+      "state would lose the early stages") {
+    val dir = Files.createTempDirectory("graft_funnel").toString
+    // batch 1 delivers user 7's LATER stages first (B, C) and user 8's
+    // complete in-order chain; batch 2 delivers user 7's EARLIER A —
+    // the out-of-order case that breaks a fold-as-you-go funnel — plus
+    // the far-future sentinel that flushes via EventTimeTimeout
+    val batch1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "B", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "C", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"), 8L, "A", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 09:30:00"), 8L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch2 = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "A", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "A", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch1.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    Thread.sleep(50)
+    val before = new java.io.File(s"$dir/ev").listFiles().map(_.getName).toSet
+    batch2.coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    // pin file delivery order by mtime (the file source's order)
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$dir/ev").listFiles().foreach { f =>
+      f.setLastModified(if (before(f.getName)) now - 120000L else now)
+    }
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ev")
+    val q = Streams.funnelWithState(stream, Seq("A", "B", "C"),
+        watermark = "2 days")
+      .writeStream.format("memory").queryName("spec_funnel")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last emission per user = final chain
+    val streamed = spark.table("spec_funnel")
+      .filter(col("user_id") =!= 99L)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("stages_reached").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("stage_us"), col("stages_reached"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toSeq, r.getInt(2)))).toMap
+    val batchFunnel = graft.ops.Temporal.funnel(
+        batch1.unionByName(batch2).filter(col("user_id") =!= 99L),
+        "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .select(col("user_id"),
+        coalesce(unix_micros(col("stage0_ts")), lit(-1L)).as("s0"),
+        coalesce(unix_micros(col("stage1_ts")), lit(-1L)).as("s1"),
+        coalesce(unix_micros(col("stage2_ts")), lit(-1L)).as("s2"),
+        col("stages_reached"))
+      .collect().map(r => r.getLong(0) ->
+        ((Seq(r.getLong(1), r.getLong(2), r.getLong(3)), r.getInt(4))))
+      .toMap
+    assert(streamed == batchFunnel,
+      s"streamed $streamed != batch $batchFunnel")
+    // and the chain is genuinely complete for user 7: the early A that
+    // arrived LAST still anchors the B/C that arrived FIRST
+    assert(streamed(7L)._2 == 3,
+      "out-of-order A must re-anchor the buffered B and C")
+  }
+
   test("dedupEvents suppresses replayed event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     // event 2 replayed (same id, same payload), id 3 unique
