@@ -1645,6 +1645,44 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Semi-structured JSON extraction: the `props` JSON column parsed
+    * in-plan (get_json_object — codegen'd path traversal, no UDF) and
+    * aggregated by the extracted key. from_json(schema) agreement with
+    * the path form is spec-pinned (OpsSpec); the oracle replays via
+    * DuckDB's json_extract. */
+  val t96JsonExtract: Q = (s, d) => {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    T.events(s, d)
+      .select(col("value"), k.as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4)
+          .as("spend"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy(col("k_bucket"))
+  }
+
+  /** Cohort retention: users grouped by first-signup week, counted
+    * distinct in each subsequent activity week — the retention matrix
+    * every growth dashboard is built on. Two aggregates + one join,
+    * all keyed on user_id (co-partitioned); week boundaries via
+    * date_trunc('week') (Monday start in both engines). */
+  val t97CohortRetention: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cw"))
+    val act = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("aw")).distinct()
+    cohort.join(act, Seq("user_id"))
+      .filter(col("aw") >= col("cw"))
+      .groupBy(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(to_date(col("aw")), to_date(col("cw"))) / 7)
+          .cast("int").as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1741,6 +1779,8 @@ object DataQueries {
     "t93_gap_fill" -> t93GapFill,
     "t94_unpivot" -> t94Unpivot,
     "t95_edit_distance_join" -> t95EditDistanceJoin,
+    "t96_json_extract" -> t96JsonExtract,
+    "t97_cohort_retention" -> t97CohortRetention,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

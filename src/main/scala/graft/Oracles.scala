@@ -3627,6 +3627,31 @@ object Oracles {
         |FROM a x JOIN a y ON x.blk = y.blk AND x.id < y.id
         |  AND levenshtein(x.name, y.name) BETWEEN 1 AND 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // JSON extraction: DuckDB's json_extract replays the same path
+    "t96_json_extract" ->
+      """SELECT cast(json_extract(props, '$.k')::int % 10 as int)
+        |   AS k_bucket,
+        | count(*) AS n,
+        | round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+        |   AS spend,
+        | cast(min(json_extract(props, '$.k')::int) as int) AS k_min,
+        | cast(max(json_extract(props, '$.k')::int) as int) AS k_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cohort retention: first-signup week x weeks-since activity —
+    // date_trunc('week') is Monday-start in both engines
+    "t97_cohort_retention" ->
+      """WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        |  FROM events)
+        |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+        | cast(date_diff('day', c.cw::date, a.aw::date) // 7 as int)
+        |   AS weeks_since,
+        | count(distinct c.user_id) AS n_users
+        |FROM c JOIN a ON c.user_id = a.user_id AND a.aw >= c.cw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   val all: Map[String, String] = {

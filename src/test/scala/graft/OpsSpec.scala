@@ -84,4 +84,23 @@ class OpsSpec extends SparkSpec {
     val b = df.repartition(7).agg(Ops.exactSum(col("v"))).first().getDouble(0)
     assert(a == b)
   }
+
+  test("JSON surface: from_json(schema) agrees with get_json_object " +
+      "path extraction (t96's in-plan parse), malformed JSON -> null") {
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType}
+    val ev = graft.etl.Tables.events(spark, "/root/testdata/sf0.001")
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val mismatches = ev.select(
+        get_json_object(col("props"), "$.k").cast("int").as("a"),
+        from_json(col("props"), schema).getField("k").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mismatches == 0L,
+      "the path and schema parsers must extract identically")
+    // malformed / missing-key inputs parse to null, not an error
+    val bad = Seq("{broken", """{"other": 1}""", null)
+      .toDF("props")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 }
