@@ -1683,6 +1683,36 @@ object DataQueries {
       .orderBy(col("cohort_week"), col("weeks_since"))
   }
 
+  /** Co-purchase edges: parts sharing an order (bounded to the first
+    * 600 orders), u < v distinct — the graph fixture for t98/t99. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = T.lineitem(s, d).filter(col("l_orderkey") < 600)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val a = li.select(col("ok"), col("pk").as("u"))
+    val b = li.select(col("ok"), col("pk").as("v"))
+    a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** Triangle participation per node on the co-purchase graph —
+    * degree-ordered orientation bounds the wedge join (the power-law
+    * survival trick); the oracle replays orientation and the
+    * three-way join. */
+  val t98Triangles: Q = (s, d) =>
+    graft.ops.Graph.triangleCounts(coPurchaseEdges(s, d))
+      .orderBy(col("node"))
+
+  /** Quantized PageRank, 3 iterations on the co-purchase graph:
+    * contributions floor-quantized onto the 1e-9 grid and summed as
+    * exact longs, so every iteration replays bit-for-bit cross-engine
+    * (the exact-integer-accumulation discipline applied to an
+    * iterative algorithm — floor because quantized inputs make
+    * rounding TIES common, and tie-breaking is where engines
+    * diverge). */
+  val t99PageRank: Q = (s, d) =>
+    graft.ops.Graph.pageRank(coPurchaseEdges(s, d), iters = 3)
+      .orderBy(col("node"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1781,6 +1811,8 @@ object DataQueries {
     "t95_edit_distance_join" -> t95EditDistanceJoin,
     "t96_json_extract" -> t96JsonExtract,
     "t97_cohort_retention" -> t97CohortRetention,
+    "t98_triangles" -> t98Triangles,
+    "t99_pagerank" -> t99PageRank,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3652,6 +3652,76 @@ object Oracles {
         | count(distinct c.user_id) AS n_users
         |FROM c JOIN a ON c.user_id = a.user_id AND a.aw >= c.cw
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // degree-ordered triangle counting on the co-purchase graph: the
+    // oracle replays the orientation and the three-way path join
+    "t98_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey < 600 AND b.l_orderkey < 600),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+        |ori AS (SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |      THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |      THEN e.v ELSE e.u END AS t
+        |  FROM e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u),
+        |tri AS (SELECT p1.s AS a, p1.t AS b, p2.t AS c
+        |  FROM ori p1 JOIN ori p2 ON p1.t = p2.s
+        |  JOIN ori p3 ON p3.s = p1.s AND p3.t = p2.t)
+        |SELECT cast(node as bigint) AS node, count(*) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantized PageRank, 3 unrolled iterations: contributions
+    // TRUNCATION-quantized onto the 1e-9 grid and summed as exact
+    // bigints — trunc, not round (quantized inputs land on rounding
+    // midpoints constantly and engines' tie-breaking diverges) and
+    // trunc, not floor (Spark's floor(double) is BigDecimal/toString-
+    // based and can round UP across an integer boundary; binary
+    // truncation is identical in both engines)
+    "t99_pagerank" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  WHERE a.l_orderkey < 600 AND b.l_orderkey < 600),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u, count(*) AS deg FROM und GROUP BY 1),
+        |pr0 AS (SELECT u AS node, cast(1.0 as double) AS pr FROM deg),
+        |it1 AS (SELECT d.u AS node,
+        |    cast(cast(trunc((0.15::double + 0.85::double *
+        |      (cast(coalesce(s.si, 0) as double) / 1e9)) * 1e9)
+        |      as bigint) as double) / 1e9 AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT und.v AS node,
+        |      sum(cast(trunc(p.pr / dg.deg * 1e9) as bigint)) AS si
+        |    FROM und JOIN pr0 p ON und.u = p.node
+        |    JOIN deg dg ON und.u = dg.u
+        |    GROUP BY 1) s ON d.u = s.node),
+        |it2 AS (SELECT d.u AS node,
+        |    cast(cast(trunc((0.15::double + 0.85::double *
+        |      (cast(coalesce(s.si, 0) as double) / 1e9)) * 1e9)
+        |      as bigint) as double) / 1e9 AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT und.v AS node,
+        |      sum(cast(trunc(p.pr / dg.deg * 1e9) as bigint)) AS si
+        |    FROM und JOIN it1 p ON und.u = p.node
+        |    JOIN deg dg ON und.u = dg.u
+        |    GROUP BY 1) s ON d.u = s.node),
+        |it3 AS (SELECT d.u AS node,
+        |    cast(cast(trunc((0.15::double + 0.85::double *
+        |      (cast(coalesce(s.si, 0) as double) / 1e9)) * 1e9)
+        |      as bigint) as double) / 1e9 AS pr
+        |  FROM deg d LEFT JOIN (
+        |    SELECT und.v AS node,
+        |      sum(cast(trunc(p.pr / dg.deg * 1e9) as bigint)) AS si
+        |    FROM und JOIN it2 p ON und.u = p.node
+        |    JOIN deg dg ON und.u = dg.u
+        |    GROUP BY 1) s ON d.u = s.node)
+        |SELECT cast(node as bigint) AS node, pr FROM it3
+        |ORDER BY node""".stripMargin,
   )
 
   val all: Map[String, String] = {

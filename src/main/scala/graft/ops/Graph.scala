@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over a plain (u, v) edge frame — the
+  * relational formulations that scale on a shuffle engine (no graph
+  * runtime needed): degree-ordered triangle counting and quantized
+  * PageRank. Complements the similarity-graph machinery
+  * ([[Similarity.knnGraph]], [[Dedup]]'s connected components) with the
+  * two classic whole-graph statistics.
+  *
+  * Edge contract: `u < v`, distinct — one row per undirected edge.
+  */
+object Graph {
+
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+
+  /** Per-node triangle participation via DEGREE-ORDERED orientation
+    * (Schank & Wagner 2005): direct every edge from its lower-degree
+    * endpoint (ties by id), so each node's out-degree is O(sqrt(m)) and
+    * the path-join below is bounded by Σ outdeg² — the trick that makes
+    * triangle counting survive power-law graphs where a naive
+    * wedge-join explodes on hub nodes. Three joins, all on edge keys;
+    * each triangle is found exactly once and credited to its three
+    * corners. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = undirected(edges).groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("d"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("s"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("t"))
+    val p1 = ori.select(col("s").as("a"), col("t").as("b"))
+    val p2 = ori.select(col("s").as("b"), col("t").as("c"))
+    val p3 = ori.select(col("s").as("a"), col("t").as("c"))
+    p1.join(p2, "b").join(p3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Quantized PageRank, `iters` synchronous iterations: each node
+    * starts at 1.0; per iteration every node sends `pr/deg` to each
+    * neighbor and updates to `(1-d) + d·Σ inflow`. Contributions are
+    * TRUNCATION-quantized onto a 1e-9 grid and accumulated as exact
+    * LONGS, which makes the per-node sum order- and partitioning-
+    * independent and lets an external engine replay every iteration
+    * bit-for-bit. Truncation was chosen deliberately: round() ties
+    * happen CONSTANTLY on quantized inputs (a 9-dp pr divided by 2 is
+    * a midpoint by construction) and engines break ties differently,
+    * while floor() in Spark is BigDecimal/toString-based and can round
+    * UP across an integer boundary where a binary floor would not —
+    * cast-to-long truncation of the identical double sequence is the
+    * one quantizer both engines agree on exactly. Cost per iteration: one edge-side join + one
+    * node-keyed long-sum aggregate (the groupBy bill × iters); no
+    * driver-side state. */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    // decimal-exact base: (1 - 0.85) in binary doubles is one ulp OFF
+    // the double nearest to 0.15, and an external engine writing the
+    // constant as a decimal literal gets the latter — subtract in
+    // decimal, then take the nearest double, so both agree
+    val base = (BigDecimal(1) - BigDecimal(damping)).toDouble
+    val und = undirected(edges)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select(col("u").as("node"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      // quantize by CAST-to-long truncation, not floor(): Spark's floor
+      // on doubles goes through BigDecimal.valueOf (toString-based),
+      // which can round UP across an integer boundary where a binary
+      // floor would not — cast truncates the binary value, exactly what
+      // an external engine's trunc() does (values are all positive, so
+      // truncation IS floor)
+      val inflow = und
+        .join(pr.select(col("node").as("u"), col("pr")), "u")
+        .join(deg, "u")
+        .select(col("v").as("node"),
+          (col("pr") / col("deg") * lit(1e9)).cast("long").as("ci"))
+        .groupBy(col("node"))
+        .agg(sum(col("ci")).as("si"))
+      pr = deg.select(col("u").as("node"))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (((lit(base) + lit(damping) *
+              (coalesce(col("si"), lit(0L)).cast("double") / lit(1e9))) *
+              lit(1e9)).cast("long").cast("double") / lit(1e9)).as("pr"))
+    }
+    pr
+  }
+}

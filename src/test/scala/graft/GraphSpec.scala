@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Graph analytics: triangle counting (hand-counted shapes) and
+  * quantized PageRank (fixed points, hand-computed asymmetric values,
+  * partitioning independence of the decimal accumulation). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleCounts: K4 gives 3 per node, a square gives none, " +
+      "shared-edge triangles credit all corners") {
+    // K4: 4 triangles, each node in C(3,2) = 3 of them
+    val k4 = (for { u <- 1 to 4; v <- 1 to 4 if u < v } yield (u.toLong,
+      v.toLong)).toDF("u", "v")
+    val t = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // C4 (square): no triangles at all
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(Graph.triangleCounts(sq).isEmpty)
+    // two triangles sharing edge (1,2): nodes 1,2 in two each
+    val bow = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("u", "v")
+    val b = Graph.triangleCounts(bow).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("pageRank: regular graphs are fixed points at 1.0; a star matches " +
+      "the hand-unrolled quantized recursion; partitioning-independent") {
+    // triangle (2-regular): pr/2 + pr/2 = pr, so 0.15 + 0.85*1 = 1.0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val fp = Graph.pageRank(tri, iters = 4).collect()
+    assert(fp.forall(_.getDouble(1) == 1.0),
+      "a regular graph must sit at the 1.0 fixed point")
+    // star: center 0 with leaves 1..3 — replay the exact quantized
+    // recursion by hand
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    // mirror the exact engine arithmetic: contributions truncation-
+    // quantized onto the 1e-9 grid, summed as exact longs, then the
+    // damped update quantized again — base is the DECIMAL-exact
+    // 1 - 0.85 (the binary subtraction is one ulp off, and quantizers
+    // care)
+    val base = (BigDecimal(1) - BigDecimal(0.85)).toDouble
+    def q(x: Double) = math.floor(x * 1e9) / 1e9
+    var c = 1.0; var l = 1.0 // center, leaf
+    for (_ <- 1 to 3) {
+      val siC = 3L * math.floor(l / 1.0 * 1e9).toLong
+      val siL = math.floor(c / 3.0 * 1e9).toLong
+      val cNew = q(base + 0.85 * (siC.toDouble / 1e9))
+      val lNew = q(base + 0.85 * (siL.toDouble / 1e9))
+      c = cNew; l = lNew
+    }
+    val got = Graph.pageRank(star, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(0L) == c, s"center: ${got(0L)} vs hand $c")
+    assert(got(1L) == l && got(2L) == l && got(3L) == l)
+    // decimal accumulation => the same ranks under any partitioning
+    val edges = (1L to 400L).map(i => (i % 37, (i * 7) % 41 + 100))
+      .distinct.toDF("u", "v")
+    val a = Graph.pageRank(edges, iters = 2).orderBy("node")
+      .collect().toSeq
+    val b = Graph.pageRank(edges.repartition(13), iters = 2)
+      .orderBy("node").collect().toSeq
+    assert(a == b, "quantized contributions must sum order-free")
+  }
+}
