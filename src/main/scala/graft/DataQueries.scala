@@ -1713,6 +1713,46 @@ object DataQueries {
     graft.ops.Graph.pageRank(coPurchaseEdges(s, d), iters = 3)
       .orderBy(col("node"))
 
+  /** Hilbert curve positions over the same (partkey, suppkey) buckets
+    * as t86 — the tighter-locality clustering key behind
+    * [[graft.ops.Layout.writeHilbertOrdered]]. The per-bit
+    * reflect/transpose state machine is pure integer arithmetic, so
+    * the oracle replays it level-by-level as a recursive CTE; the
+    * layout pay-off (Hilbert vs Morton per-file box tightness and
+    * box-query file touches on one fixture) is measured in ScaleSpec. */
+  val t100Hilbert: Q = (s, d) =>
+    T.lineitem(s, d).filter(col("l_orderkey") < 600)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(256L)).as("x"),
+        pmod(col("l_suppkey"), lit(256L)).as("y"))
+      .withColumn("hvalue",
+        graft.ops.Layout.hilbertValue(col("x"), col("y"), 8))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Count-Min frequency estimates per event type: a 4×32 sketch of
+    * user activity (width forced well below the ~150-user domain so
+    * collisions are real), probed for users 0–39 next to their exact
+    * counts. Every counter and every min-of-4 estimate is an exact
+    * integer the DuckDB oracle rebuilds from the same md5-derived
+    * buckets — the approximate-operator-exact-check discipline (t71/
+    * t85) applied to point frequencies; the never-underestimates and
+    * merge-by-sum guarantees are StatsSpec-pinned. */
+  val t101CountMin: Q = (s, d) => {
+    val ev = T.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+    val sk = Stats.cmsSketchBy(ev, Seq("event_type"), col("uid"),
+      depth = 4, width = 32)
+    val probes = ev.filter(col("uid").cast("long") < 40)
+      .select(col("event_type"), col("uid").as("probe")).distinct()
+    val exact = ev.groupBy(col("event_type"), col("uid"))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumnRenamed("uid", "probe")
+    Stats.cmsEstimate(sk, probes, Seq("event_type"), depth = 4, width = 32)
+      .join(exact, Seq("event_type", "probe"))
+      .withColumn("overcount", col("est_count") - col("true_count"))
+      .orderBy(col("event_type"), col("probe"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1813,6 +1853,8 @@ object DataQueries {
     "t97_cohort_retention" -> t97CohortRetention,
     "t98_triangles" -> t98Triangles,
     "t99_pagerank" -> t99PageRank,
+    "t100_hilbert" -> t100Hilbert,
+    "t101_count_min" -> t101CountMin,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

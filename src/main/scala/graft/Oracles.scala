@@ -3722,6 +3722,68 @@ object Oracles {
         |    GROUP BY 1) s ON d.u = s.node)
         |SELECT cast(node as bigint) AS node, pr FROM it3
         |ORDER BY node""".stripMargin,
+
+    // Hilbert index: the oracle replays the per-bit reflect/transpose
+    // state machine as a recursive CTE (one iteration per bit level,
+    // s = 128 … 1); the quadrant digit (3·rx)^ry is spelled as a CASE
+    // so neither engine needs an xor operator
+    "t100_hilbert" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    cast(l_partkey % 256 as bigint) AS x0,
+        |    cast(l_suppkey % 256 as bigint) AS y0
+        |  FROM lineitem WHERE l_orderkey < 600),
+        |h AS (
+        |  SELECT l_orderkey, l_linenumber, x0, y0, x0 AS x, y0 AS y,
+        |    cast(0 as bigint) AS d, cast(128 as bigint) AS s
+        |  FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, x0, y0,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - y ELSE y END)
+        |         ELSE x END,
+        |    CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 255 - x ELSE x END)
+        |         ELSE y END,
+        |    d + s * s * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+        |                      WHEN rx = 0 AND ry = 1 THEN 1
+        |                      WHEN rx = 1 AND ry = 1 THEN 2 ELSE 3 END),
+        |    s // 2
+        |  FROM (SELECT *,
+        |      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+        |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+        |    FROM h WHERE s > 0) t)
+        |SELECT cast(l_orderkey as bigint) AS l_orderkey, l_linenumber,
+        |  x0 AS x, y0 AS y, d AS hvalue
+        |FROM h WHERE s = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Count-Min: every counter is an exact integer — the oracle rebuilds
+    // the 4x32 grid from the same md5-derived buckets and replays the
+    // min-of-rows estimate cell-for-cell
+    "t101_count_min" ->
+      """WITH ev AS (SELECT event_type, cast(user_id as varchar) AS uid
+        |  FROM events WHERE user_id IS NOT NULL),
+        |cells AS (SELECT event_type, r.i AS row,
+        |    ('0x'||substr(md5('cms:'||cast(r.i as varchar)||':'||uid),1,15))
+        |      ::bigint % 32 AS bucket,
+        |    count(*) AS cnt
+        |  FROM ev CROSS JOIN range(4) r(i)
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT event_type, uid AS probe FROM ev
+        |  WHERE cast(uid as bigint) < 40),
+        |est AS (SELECT p.event_type, p.probe,
+        |    min(coalesce(c.cnt, 0)) AS est_count
+        |  FROM probes p CROSS JOIN range(4) r(i)
+        |  LEFT JOIN cells c ON c.event_type = p.event_type AND c.row = r.i
+        |    AND c.bucket = ('0x'||substr(md5('cms:'||cast(r.i as varchar)
+        |      ||':'||p.probe),1,15))::bigint % 32
+        |  GROUP BY 1, 2),
+        |tru AS (SELECT event_type, uid AS probe, count(*) AS true_count
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT e.event_type, e.probe, e.est_count, t.true_count,
+        |  e.est_count - t.true_count AS overcount
+        |FROM est e JOIN tru t ON e.event_type = t.event_type
+        |  AND e.probe = t.probe
+        |ORDER BY e.event_type, e.probe""".stripMargin,
   )
 
   val all: Map[String, String] = {

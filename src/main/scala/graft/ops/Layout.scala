@@ -56,6 +56,35 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Hilbert curve position of two columns (each reduced mod 2^bits):
+    * [[graft.functions.CurveKernels.hilbertD]] as a codegen'd native
+    * expression. Same contract as [[zValue]] — non-negative ranks in,
+    * one long sort key out — but consecutive curve positions are always
+    * grid-adjacent (no Morton diagonal seams), so range-partitioned
+    * files cover tighter boxes; ScaleSpec measures the difference on
+    * the same fixture rather than asserting folklore. 2-D only: the
+    * reflect/transpose state machine is dimension-specific, and two
+    * clustered dimensions is the common lakehouse case. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "hilbertValue needs bits in [1, 31]")
+    graft.functions.HilbertIndexExpr.hilbert_d(
+      x.cast("long"), y.cast("long"), bits)
+  }
+
+  /** [[writeZOrdered]] with the Hilbert key instead of Morton: one range
+    * exchange on the curve position + an in-partition sort. */
+  def writeHilbertOrdered(df: DataFrame, path: String, xCol: String,
+                          yCol: String, bits: Int, numFiles: Int): DataFrame = {
+    val h = hilbertValue(pmod(col(xCol), lit(1L << bits)),
+      pmod(col(yCol), lit(1L << bits)), bits)
+    df.withColumn("__h", h)
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Per-file min-max stats of `cols` for a written layout — the
     * file-skipping model: a reader prunes any file whose [min, max]
     * range misses the predicate. Grouping key is the physical file

@@ -155,10 +155,18 @@ object Stats {
     * (re-aggregating stored per-shard sketches months later gives the
     * same registers as one pass over the union), and state is a flat
     * 2^p ints per group no matter the cardinality. Null values are
-    * ignored (matching count(distinct)). */
+    * ignored (matching count(distinct)).
+    *
+    * `sparse = true` swaps in [[graft.functions.HyperLogLogSparse]]:
+    * identical registers out (spec-pinned), but a partial buffer stays
+    * a ≤ m/4-entry (register, rank) list until it genuinely fills —
+    * the right default when groups are many and mostly small. */
   def hllSketchBy(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                  p: Int = 9): DataFrame = {
-    val hll = udaf(new graft.functions.HyperLogLog(p), Encoders.scalaLong)
+                  p: Int = 9, sparse: Boolean = false): DataFrame = {
+    val hll =
+      if (sparse) udaf(new graft.functions.HyperLogLogSparse(p),
+        Encoders.scalaLong)
+      else udaf(new graft.functions.HyperLogLog(p), Encoders.scalaLong)
     df.filter(valueCol.isNotNull)
       .select(groupCols.map(col) :+ hash60(valueCol).as("__h"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -267,6 +275,63 @@ object Stats {
     when(n === 0, lit(null).cast("double"))
       .when(n === 1, element_at(sorted, 1))
       .otherwise(vLo + (pos - lo.cast("double")) * (vHi - vLo))
+  }
+
+  /** Count-Min sketch build (Cormode & Muthukrishnan 2005): per group, a
+    * `depth` × `width` grid of counters where row i counts `valueCol`
+    * occurrences (or `weightCol` mass) in bucket
+    * `hash60('cms:' i ':' value) mod width`. The point-FREQUENCY
+    * companion to the set sketches ([[kmvDistinctBy]] counts distincts,
+    * MisraGries keeps top items, this answers "how often did THIS item
+    * occur" for any item, after the fact): state is at most depth·width
+    * counters per group no matter the item domain — the 100 TB shape for
+    * per-item frequency over unbounded vocabularies.
+    *
+    * Spark-first form: the grid is a plain aggregate over the exploded
+    * (row, bucket) pairs — map-side combine collapses each partition to
+    * ≤ depth·width partial rows per group before the exchange, and two
+    * sketches built on disjoint slices merge by summing matching cells
+    * (it's all sums). Counters are exact integers, so an external engine
+    * replays the sketch AND the estimates bit-for-bit. Nulls are ignored.
+    * Returns (group…, row, bucket, cnt) — only touched cells are present
+    * (untouched cells are implicitly 0; [[cmsEstimate]] coalesces). */
+  def cmsSketchBy(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                  depth: Int = 4, width: Int = 64,
+                  weightCol: Column = lit(1L)): DataFrame = {
+    require(depth >= 1 && width >= 2, "cms needs depth >= 1, width >= 2")
+    val buckets = array((0 until depth).map { i =>
+      pmod(hash60(concat_ws(":", lit("cms"), lit(i), valueCol)),
+        lit(width.toLong))
+    }: _*)
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) ++ Seq(weightCol.cast("long").as("__w"),
+        posexplode(buckets).as(Seq("row", "bucket"))): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("row"), col("bucket")): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[cmsSketchBy]] sketch: for each
+    * (group, probe item) the estimate is the MIN over the depth rows of
+    * the counter at the item's bucket (missing cell = 0). The classic
+    * guarantees, which the spec pins: never an underestimate, exact when
+    * the item's cells are collision-free, and ≤ true + e·N/width with
+    * probability 1 − (1/2)^depth-ish on any single item. The sketch is
+    * aggregate-sized so the probe join broadcasts; per probe the depth
+    * cells collapse to one min — no row data is ever re-read.
+    * `probes` must carry `groupCols` and a `probe` column. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  groupCols: Seq[String], depth: Int = 4,
+                  width: Int = 64): DataFrame = {
+    val buckets = array((0 until depth).map { i =>
+      pmod(hash60(concat_ws(":", lit("cms"), lit(i), col("probe"))),
+        lit(width.toLong))
+    }: _*)
+    probes
+      .select(groupCols.map(col) ++ Seq(col("probe"),
+        posexplode(buckets).as(Seq("row", "bucket"))): _*)
+      .join(broadcast(sketch), groupCols ++ Seq("row", "bucket"), "left")
+      .groupBy(groupCols.map(col) :+ col("probe"): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
   /** Pairwise set-overlap estimates between every two groups, from

@@ -342,4 +342,82 @@ class ScaleSpec extends SparkSpec {
     assert(zx <= 8 && zy <= 8,
       s"z-order must prune both dimensions to <= half the files: x=$zx y=$zy")
   }
+
+  test("hilbertValue matches the reference state machine, walks the grid " +
+      "in unit steps (Morton does not), and writeHilbertOrdered measures " +
+      "tighter per-file boxes than Morton on the same fixture") {
+    import graft.ops.Layout
+    // reference implementation in plain Scala (the Wikipedia xy2d loop)
+    def href(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    // bits=1 base case is the canonical ∪ shape
+    assert(Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .map { case (x, y) => href(1, x, y) } == Seq(0L, 1L, 2L, 3L))
+    // full 16x16 grid: expression == reference on every point, the curve
+    // is a bijection, and CONSECUTIVE positions are always Manhattan-1
+    // neighbors — the locality property Morton provably lacks
+    val grid = spark.range(256).select(
+      (col("id") / 16).cast("long").as("x"), (col("id") % 16).as("y"))
+    val got = grid
+      .withColumn("h", Layout.hilbertValue(col("x"), col("y"), 4))
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    got.foreach { case (x, y, h, _) => assert(h == href(4, x, y), s"($x,$y)") }
+    assert(got.map(_._3).toSet == (0L until 256L).toSet, "not a bijection")
+    def unitSteps(key: ((Long, Long, Long, Long)) => Long): Int =
+      got.sortBy(key).toSeq.sliding(2).count { case Seq(a, b) =>
+        math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1
+      case _ => false }
+    assert(unitSteps(_._3) == 255, "hilbert walk must be all unit steps")
+    val mortonUnit = unitSteps(_._4)
+    info(s"unit steps of 255: hilbert=255, morton=$mortonUnit")
+    assert(mortonUnit < 255, "morton jumps across quadrant seams")
+
+    // layout measurement: same 64k fixture as the z-order test, 16 files
+    // each; compare summed per-file bounding-box area (the footer-stats
+    // quantity a reader prunes with) and 1/8-range file touches
+    val n = 65536
+    val df = spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(256L)).as("x"),
+      pmod(col("id") * 40503L + 7L, lit(256L)).as("y"))
+    val hDir = java.nio.file.Files.createTempDirectory("graft_h").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z2").toString
+    val hRead = Layout.writeHilbertOrdered(df, hDir, "x", "y", 8, 16)
+    val zRead = Layout.writeZOrdered(df, zDir, Seq("x", "y"), 8, 16)
+    def boxArea(stats: Array[org.apache.spark.sql.Row]): Long =
+      stats.map(r => (r.getLong(3) - r.getLong(2) + 1) *
+        (r.getLong(5) - r.getLong(4) + 1)).sum
+    def touched(stats: Array[org.apache.spark.sql.Row], cIdx: Int,
+                lo: Long, hi: Long): Int =
+      stats.count(r => r.getLong(cIdx) <= hi && r.getLong(cIdx + 1) >= lo)
+    val hs = Layout.fileStats(hRead, Seq("x", "y")).collect()
+    val zs = Layout.fileStats(zRead, Seq("x", "y")).collect()
+    assert(hs.length == 16 && zs.length == 16)
+    val (hArea, zArea) = (boxArea(hs), boxArea(zs))
+    val (hx, hy) = (touched(hs, 2, 96, 127), touched(hs, 4, 96, 127))
+    info(s"summed file-box area: hilbert=$hArea morton=$zArea " +
+      s"(ratio ${hArea.toDouble / zArea})")
+    info(s"files touched for 1/8-range: hilbert x=$hx y=$hy")
+    assert(hx <= 8 && hy <= 8,
+      s"hilbert must prune both dimensions to <= half the files: x=$hx y=$hy")
+    // the measured claim (this fixture is deterministic): Hilbert's boxes
+    // are no looser than Morton's — the locality argument, measured
+    assert(hArea <= zArea,
+      s"hilbert boxes should not be looser than morton: $hArea vs $zArea")
+  }
 }

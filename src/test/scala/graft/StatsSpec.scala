@@ -263,4 +263,99 @@ class StatsSpec extends SparkSpec {
       .select(Stats.quantileOfArray(col("sample"), 0.5)).collect()(0)
     assert(e.isNullAt(0))
   }
+
+  test("HyperLogLogSparse: registers bit-identical to dense across " +
+      "cardinalities (incl. the densify boundary), buffer stays sparse " +
+      "below m/4, all merge shapes agree") {
+    import graft.functions.{HyperLogLog, HyperLogLogSparse}
+    val p = 9
+    val m = 1 << p
+    // DataFrame-level: sparse aggregation == dense aggregation exactly,
+    // at a cardinality below m/4 (stays sparse), around the densify
+    // boundary, and far above it — under multiple partitionings so the
+    // sparse/sparse, sparse/dense and dense/dense merge paths all run
+    for (card <- Seq(10, m / 4 - 1, m / 4 + 5, 3 * m)) {
+      val df = (1 to card * 3).map(i => ("g", s"v${i % card}")).toDF("g", "v")
+      for (parts <- Seq(1, 13)) {
+        val dense = Stats.hllSketchBy(df.repartition(parts), Seq("g"),
+          col("v"), p).collect()(0).getSeq[Int](1)
+        val sparse = Stats.hllSketchBy(df.repartition(parts), Seq("g"),
+          col("v"), p, sparse = true).collect()(0).getSeq[Int](1)
+        assert(sparse == dense, s"card=$card parts=$parts")
+      }
+    }
+    // unit-level: the buffer representation itself — below m/4 distinct
+    // registers the partial stays a packed list, never a dense array
+    val agg = new HyperLogLogSparse(p)
+    val ref = new HyperLogLog(p)
+    val rnd = new scala.util.Random(11)
+    var (buf, refBuf) = (agg.zero, ref.zero)
+    (1 to 60).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 60) - 1)
+      buf = agg.reduce(buf, h)
+      refBuf = ref.reduce(refBuf, h)
+    }
+    assert(buf.length <= m / 4, s"60 values must stay sparse: ${buf.length}")
+    assert(agg.finish(buf).toSeq == ref.finish(refBuf).toSeq)
+    // …and a sparse-merged-into-dense partial equals the dense result
+    var big = agg.zero
+    (1 to 2000).foreach { _ =>
+      big = agg.reduce(big, rnd.nextLong() & ((1L << 60) - 1)) }
+    assert(big.length == m, "2000 values must have densified")
+    val mergedSD = agg.merge(agg.zero ++ buf.clone(), big.clone())
+    val mergedDS = agg.merge(big.clone(), buf.clone())
+    assert(mergedSD.toSeq == mergedDS.toSeq,
+      "merge must commute across representations")
+  }
+
+  test("cmsSketchBy/cmsEstimate: never underestimates, exact when " +
+      "collision-free, weighted mass, disjoint-slice sketches merge by " +
+      "summing cells") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 3000).map(_ => ("g", s"item${rnd.nextInt(50)}"))
+    val df = rows.toDF("g", "v")
+    val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val probes = truth.keys.toSeq.map(("g", _)).toDF("g", "probe")
+
+    // tight sketch (real collisions): estimate >= truth for EVERY item
+    val tight = Stats.cmsSketchBy(df, Seq("g"), col("v"),
+      depth = 4, width = 16)
+    val estT = Stats.cmsEstimate(tight, probes, Seq("g"),
+        depth = 4, width = 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    truth.foreach { case (item, n) =>
+      assert(estT(item) >= n, s"$item: est ${estT(item)} < true $n") }
+    assert(truth.exists { case (item, n) => estT(item) > n },
+      "width 16 over 50 items must actually collide")
+
+    // wide sketch (4 x 4096 over 50 items): every estimate exact —
+    // md5-derived buckets make this deterministic, not probabilistic
+    val wide = Stats.cmsSketchBy(df, Seq("g"), col("v"),
+      depth = 4, width = 4096)
+    val estW = Stats.cmsEstimate(wide, probes, Seq("g"),
+        depth = 4, width = 4096)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estW == truth, "collision-free sketch must be exact")
+
+    // merge-by-sum: cells of two disjoint halves, summed, estimate
+    // exactly like the one-pass sketch (the re-mergeable-shards story)
+    val (h1, h2) = (rows.take(1500).toDF("g", "v"),
+      rows.drop(1500).toDF("g", "v"))
+    val merged = Stats.cmsSketchBy(h1, Seq("g"), col("v"), 4, 16)
+      .unionAll(Stats.cmsSketchBy(h2, Seq("g"), col("v"), 4, 16))
+      .groupBy("g", "row", "bucket").agg(sum("cnt").as("cnt"))
+    val estM = Stats.cmsEstimate(merged, probes, Seq("g"), 4, 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estM == estT, "summed shard sketches must equal one-pass")
+
+    // weighted: integer weights count mass, not rows
+    val wdf = Seq(("g", "a", 5L), ("g", "a", 2L), ("g", "b", 1L))
+      .toDF("g", "v", "w")
+    val wsk = Stats.cmsSketchBy(wdf, Seq("g"), col("v"),
+      depth = 4, width = 4096, weightCol = col("w"))
+    val wes = Stats.cmsEstimate(wsk,
+        Seq(("g", "a"), ("g", "b")).toDF("g", "probe"), Seq("g"), 4, 4096)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(wes == Map("a" -> 7L, "b" -> 1L))
+  }
 }
