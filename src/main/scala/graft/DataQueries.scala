@@ -1753,6 +1753,38 @@ object DataQueries {
       .orderBy(col("event_type"), col("probe"))
   }
 
+  /** Linear classifier inference over the corpus — the fastText-style
+    * quality/domain scoring pass. The "learned" weight table is
+    * md5-derived from the seed docs' vocabulary (deterministic stand-in
+    * for offline training; inference is the part that runs at 100 TB),
+    * so the oracle rebuilds the exact same model and replays every
+    * decimal tf·weight sum and 6-dp sigmoid. */
+  val t102LinearScore: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    val weights = TextOps.ngramRows(docs.filter(col("doc_id") < 20), 1)
+      .filter(col("ngram") =!= "").distinct()
+      .select(col("ngram").as("term"),
+        ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
+          .cast("decimal(18,9)") / 1000).cast("decimal(18,9)").as("weight"))
+    TextOps.linearScore(docs.filter(col("doc_id") < 300), weights,
+        bias = 0.25)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hard-negative mining over the labeled embeddings: per query the 5
+    * most-similar OTHER-label vectors, with the hardest positive, the
+    * margin and the semi-hard flag — all on 4-dp rounded cosines so
+    * rank and booleans replay cross-engine. */
+  val t103HardNegatives: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        col("neighbor_label").cast("long").as("neighbor_label"),
+        col("cosine"), col("pos_cosine"), col("margin"), col("semihard"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1855,6 +1887,8 @@ object DataQueries {
     "t99_pagerank" -> t99PageRank,
     "t100_hilbert" -> t100Hilbert,
     "t101_count_min" -> t101CountMin,
+    "t102_linear_score" -> t102LinearScore,
+    "t103_hard_negatives" -> t103HardNegatives,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

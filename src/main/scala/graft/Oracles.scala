@@ -3784,6 +3784,60 @@ object Oracles {
         |FROM est e JOIN tru t ON e.event_type = t.event_type
         |  AND e.probe = t.probe
         |ORDER BY e.event_type, e.probe""".stripMargin,
+
+    // linear classifier inference: the md5-derived weight table rebuilds
+    // term-for-term; tf*weight products are exact decimals, the sigmoid
+    // runs in double on the exact sum and rounds to 6 (exp/log parity —
+    // the t85 precedent)
+    "t102_linear_score" ->
+      """WITH toks AS (SELECT d.doc_id, t.tok AS term
+        |  FROM documents d, unnest(string_split_regex(lower(trim(d.text)),
+        |    '\s+')) AS t(tok)
+        |  WHERE t.tok <> ''),
+        |w AS (SELECT DISTINCT term,
+        |    cast(cast(('0x'||substr(md5(term),1,8))::bigint % 2001 - 1000
+        |      as decimal(18,9)) / 1000 as decimal(18,9)) AS weight
+        |  FROM toks WHERE doc_id < 20),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE doc_id < 300 GROUP BY 1, 2),
+        |sc AS (SELECT tf.doc_id, count(*) AS n_hit_terms,
+        |    sum(cast(tf.tf * w.weight as decimal(27,12))) AS raw
+        |  FROM tf JOIN w USING (term) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_hit_terms, 0) AS n_hit_terms,
+        |  round(coalesce(cast(sc.raw as double), 0) + 0.25, 6) AS score,
+        |  round(1.0 / (1.0 + exp(-(coalesce(cast(sc.raw as double), 0)
+        |    + 0.25))), 6) AS prob
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.doc_id < 300
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // hard negatives: rank, margin and the semi-hard flag all derive
+    // from 4-dp ROUNDED cosines (ties broken by neighbor id), so no
+    // unrounded last-ulp comparison can flip a row cross-engine
+    "t103_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, label AS cl
+        |  FROM embeddings),
+        |s AS (SELECT qid, nid, cl, ql,
+        |    round(list_cosine_similarity(cast(qe as double[]),
+        |      cast(ce as double[])), 4) AS cos
+        |  FROM q JOIN c ON qid <> nid),
+        |p AS (SELECT qid, max(cos) AS pos_cosine FROM s WHERE cl = ql
+        |  GROUP BY 1),
+        |r AS (SELECT qid, nid, cl, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |  FROM s WHERE cl <> ql)
+        |SELECT cast(r.qid as bigint) AS query_id,
+        |  cast(r.rnk as bigint) AS "rank",
+        |  cast(r.nid as bigint) AS neighbor_id,
+        |  cast(r.cl as bigint) AS neighbor_label,
+        |  r.cos AS cosine, p.pos_cosine,
+        |  round(p.pos_cosine - r.cos, 4) AS margin,
+        |  p.pos_cosine > r.cos AS semihard
+        |FROM r LEFT JOIN p ON r.qid = p.qid
+        |WHERE r.rnk <= 5
+        |ORDER BY query_id, "rank"""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -60,6 +60,52 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (the dense-retriever
+    * / SimCSE data-prep step, cf. Karpukhin et al. 2020 §3.2): per query
+    * vector, the k corpus vectors MOST similar yet carrying a DIFFERENT
+    * label — the negatives a contrastive loss learns most from. Next to
+    * each negative: `pos_cosine` (the query's nearest same-label
+    * neighbor, its hardest positive), `margin` = pos − neg similarity,
+    * and `semihard` (true = the negative is still farther than the
+    * positive, margin > 0 — FaceNet's semi-hard band; false = a
+    * VIOLATING negative that outranks the positive, the triplets a
+    * margin loss actually moves on). Comparisons and the margin
+    * use the 4-dp ROUNDED cosines so the flags replay cross-engine
+    * (unrounded last-ulp drift must not flip a boolean). Queries with
+    * no same-label peer get null pos/margin/semihard (no positive
+    * evidence — still minable as plain negatives).
+    *
+    * Scale shape: one pass — the (small, batched) query table
+    * broadcasts with its label, the corpus flows once, both the
+    * positive max and the negative top-k plan as map-side partial
+    * aggregates / WindowGroupLimit over the same scan. For
+    * corpus-sized query sets compose [[knnJoin]] with an oversampled k
+    * and post-filter labels instead (approximate — oversample covers
+    * same-label crowding). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__cos", round(cosine(col("__qv"), col("__cv")), 4))
+    val pos = scored.filter(col("__cl") === col("__ql"))
+      .groupBy(col("query_id")).agg(max(col("__cos")).as("pos_cosine"))
+    scored.filter(col("__cl") =!= col("__ql"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__cos").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .join(pos, Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("__cl").as("neighbor_label"), col("__cos").as("cosine"),
+        col("pos_cosine"),
+        round(col("pos_cosine") - col("__cos"), 4).as("margin"),
+        (col("pos_cosine") > col("__cos")).as("semihard"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009
     * — the hybrid-retrieval standard, e.g. Elasticsearch/OpenSearch
     * hybrid search): combine any number of per-query rankings into

@@ -745,6 +745,47 @@ object TextOps {
         round(col("__avg"), 6).as("avg_logp"))
   }
 
+  /** Linear text-classifier inference — the fastText-style quality /
+    * domain classifier scoring step of a curation pipeline (CCNet and
+    * the GPT-3/PaLM data recipes score every page against a learned
+    * linear model; training happens offline, INFERENCE is the 100 TB
+    * pass this op is): given a learned `(term, weight)` table, each
+    * document scores `bias + Σ_terms tf(term) · weight(term)` over the
+    * shared whitespace tokenizer, and `prob = σ(score)`. Terms without
+    * a weight contribute nothing (inner join); documents with no
+    * weighted term score the bare bias.
+    *
+    * Determinism: tf · weight products are exact decimals accumulated
+    * as DECIMAL(27,12) (order/partitioning-free); the sigmoid runs in
+    * double on that exact sum and rounds to 6 (exp agrees across
+    * engines to well past 6 dp — the t85 log precedent), so an oracle
+    * replays every document.
+    *
+    * Scale shape: tokenize map-side ([[ngramRows]] is codegen'd), one
+    * (doc, term) aggregate, one broadcast join against the model-sized
+    * weight table, one per-doc aggregate — no corpus-sized shuffle
+    * beyond the tf group. */
+  def linearScore(docs: DataFrame, weights: DataFrame, bias: Double = 0.0,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val tf = ngramRows(docs, 1, textCol, keep = Seq(idCol))
+      .filter(col("ngram") =!= "")
+      .groupBy(col(idCol), col("ngram").as("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val perDoc = tf
+      .join(broadcast(weights.select(col("term"),
+        col("weight").cast("decimal(18,9)").as("__w"))), Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum((col("__tf") * col("__w")).cast("decimal(27,12)")).as("__raw"))
+    val s = coalesce(col("__raw").cast("double"), lit(0.0)) + lit(bias)
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_terms"), lit(0L)).as("n_hit_terms"),
+        round(s, 6).as("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-s)), 6).as("prob"))
+  }
+
   /** UniMax-style per-source epoch allocation (Chung et al. 2023,
     * "UniMax: Fairer and More Effective Language Sampling for
     * Large-Scale Multilingual Pretraining"): each source contributes

@@ -315,4 +315,46 @@ class PlanSpec extends SparkSpec {
         p.take(2500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("t101: the CMS grid aggregates with a map-side partial and the " +
+      "estimate broadcasts only the aggregate-sized sketch") {
+    val p = plan("t101_count_min")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // grid: partial_sum under the (group,row,bucket) hash aggregate —
+    // each partition collapses to <= depth*width rows pre-exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      p.take(2500))
+    // probe side: the sketch arrives via broadcast (it is d*w*groups
+    // rows by construction), never a shuffled corpus-sized join
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("t102: classifier inference broadcasts only the model-sized " +
+      "weight table; tf rows meet it in a hash join, cartesian-free") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t102_linear_score")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      // exactly the one explicit hint: the weight table
+      assert("BroadcastExchange".r.findAllIn(p).size === 1, p.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("t103: hard-negative mining broadcasts ONLY the query table; the " +
+      "labeled corpus flows once and the top-k ranks map-side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("t103_hard_negatives")
+      // the query table broadcasts twice (negative rank + positive max
+      // run over the same scored join built from the same hint) but
+      // nothing corpus-sized does; the pos join is an equi hash join
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(p.contains("WindowGroupLimit"), p.take(2500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2500))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

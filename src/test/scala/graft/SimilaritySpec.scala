@@ -1086,4 +1086,39 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("randomProject"), ex.getMessage)
   }
+
+  test("hardNegatives: planted geometry — same-label never returned, " +
+      "violating vs semi-hard flags, margin from the hardest positive, " +
+      "null positive evidence for a unique label") {
+    import spark.implicits._
+    // 2-D geometry with hand-checkable cosines against q = (1, 0):
+    //   id 1 (label 0): cos 0.9939  — the positive
+    //   id 2 (label 1): cos 1.0000  — violating negative (beats the pos)
+    //   id 4 (label 2): cos 0.7071  — semi-hard
+    //   id 3 (label 1): cos 0.0     — semi-hard, ties id 5 broken by id
+    //   id 5 (label 5): cos 0.0     — ALSO the unique-label query
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(1f, 0.01f), 1), (3L, Seq(0f, 1f), 1),
+      (4L, Seq(1f, 1f), 2), (5L, Seq(0f, 1f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(emb,
+        emb.filter(col("vec_id").isin(0L, 5L)), k = 3)
+      .orderBy("query_id", "rank").collect()
+    val q0 = out.filter(_.getLong(0) == 0L)
+    assert(q0.map(_.getLong(2)).toSeq == Seq(2L, 4L, 3L),
+      "rank by rounded cosine desc, id tie-break")
+    assert(q0.forall(_.getInt(3) != 0), "never a same-label negative")
+    val pos = q0.head.getDouble(5)
+    assert(pos == 0.9939, s"hardest positive cosine: $pos")
+    // id 2: cos rounds to 1.0 > pos -> violating (semihard = false)
+    assert(q0(0).getDouble(4) == 1.0 && !q0(0).getBoolean(7))
+    // id 4, id 3: farther than the positive -> semi-hard, exact margins
+    assert(q0(1).getBoolean(7) && q0(1).getDouble(6) == 0.2868)
+    assert(q0(2).getBoolean(7) && q0(2).getDouble(6) == 0.9939)
+    // q5 has no same-label peer: negatives still mined, evidence null
+    val q5 = out.filter(_.getLong(0) == 5L)
+    assert(q5.nonEmpty && q5.forall(r =>
+      r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7)))
+  }
 }

@@ -793,4 +793,25 @@ class TextQualitySpec extends SparkSpec {
     assert(TextOps.topPByMass(z, col("g"), col("score"), col("w"),
       col("id"), 1, 2).filter(col("is_kept") === 1).count() === 0L)
   }
+
+  test("linearScore: hand-computed tf·weight sums, bare bias for " +
+      "no-hit/empty/null docs, sigmoid at 6 dp") {
+    import spark.implicits._
+    val weights = Seq(("alpha", BigDecimal("0.5")),
+      ("beta", BigDecimal("-0.25"))).toDF("term", "weight")
+    val docs = Seq((1L, "alpha Alpha  beta"), (2L, "gamma delta"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.linearScore(docs, weights, bias = 0.1)
+      .orderBy("doc_id").collect()
+    def sig(x: Double) = BigDecimal(1.0 / (1.0 + math.exp(-x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: lowercased tf = {alpha: 2, beta: 1} -> 0.1 + 2(0.5) - 0.25
+    assert(out(0).getLong(1) == 2L && out(0).getDouble(2) == 0.85 &&
+      out(0).getDouble(3) == sig(0.85))
+    // docs 2/3/4: no weighted term / empty / null text -> bare bias
+    for (i <- 1 to 3)
+      assert(out(i).getLong(1) == 0L && out(i).getDouble(2) == 0.1 &&
+        out(i).getDouble(3) == sig(0.1), s"doc ${i + 1}")
+  }
 }
