@@ -578,7 +578,31 @@ object Bench {
           Streams.funnelWithState(Streams.eventsStreamPaced(s,
               graft.etl.Tables.exportedEventsPartsFlush(s, d)),
             Seq("signup", "view", "purchase")).toDF(),
-          "update")))
+          "update")),
+      // item-frequency monitor: the Count-Min grid as the one stateful
+      // aggregate (<= 4x1024 cells per event type forever), each
+      // trigger's complete grid probed for a 4-item watch list in
+      // foreachBatch — the per-item replay-storm gate next to s13's
+      // per-type cardinality gate
+      "s16_frequency_monitor" -> ((s, d) => {
+        import s.implicits._
+        val watch = Seq(("click", "1"), ("click", "2"), ("view", "3"),
+          ("purchase", "4")).toDF("event_type", "probe")
+        runStreamQuery("s16_frequency_monitor", () =>
+          Streams.frequencyGrid(Streams.eventsStreamPaced(s,
+              graft.etl.Tables.exportedEventsParts(s, d)))
+            .writeStream
+            .outputMode("complete")
+            .foreachBatch { (grid: DataFrame, _: Long) =>
+              graft.ops.Stats.cmsEstimate(grid, watch, Seq("event_type"),
+                  depth = 4, width = 1024)
+                .withColumn("alarm", col("est_count") > 1000L)
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

@@ -865,4 +865,62 @@ class StreamingSpec extends SparkSpec {
     assert(pacedT.count(_._2.nonEmpty) < paced.count(_._2.nonEmpty),
       "the 1s tolerance must void matches the unbounded join kept")
   }
+
+  test("frequencyGrid: paced stream == batch (CMS cells sum across " +
+      "microbatches); the foreachBatch probe flags a planted storm item " +
+      "and never undercounts") {
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d)
+    val q = Streams.frequencyGrid(
+        Streams.eventsStreamPaced(spark, parts, 1))
+      .writeStream.format("memory").queryName("spec_freq")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.length >= 4,
+      s"expected >=4 paced microbatches, saw ${q.recentProgress.length}")
+    val key = Seq("event_type", "row", "bucket")
+    val paced = spark.table("spec_freq").orderBy(key.map(col): _*)
+      .collect().toSeq
+    val batch = Streams
+      .frequencyGrid(graft.etl.Tables.events(spark, d))
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(paced == batch,
+      "CMS cells must sum across microbatches to the one-pass grid")
+
+    // end-to-end monitor over the paced parts: a planted bot user
+    // (written as an extra part) must alarm above maxCount while a
+    // light watched user must not — and the estimate must never sit
+    // below the true count (probed through the full gate wiring)
+    val stormDir = java.nio.file.Files
+      .createTempDirectory("graft_freq").toString
+    graft.etl.Tables.events(spark, d).write.mode("overwrite")
+      .parquet(stormDir)
+    import spark.implicits._
+    (1L to 400L).map(i => (90000L + i,
+        new java.sql.Timestamp(i * 1000), 77777L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(stormDir)
+    val watch = Seq(("click", "77777"), ("click", "1")).toDF(
+      "event_type", "probe")
+    var last: Map[(String, String), (Long, Boolean)] = Map.empty
+    Streams.runFrequencyMonitorOnce(spark, stormDir, watch,
+      maxCount = 300L,
+      sink = est => last = est.collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getBoolean(3))).toMap,
+      filesPerTrigger = 2)
+    val trueCounts = spark.read.parquet(stormDir)
+      .filter(col("event_type") === "click" &&
+        col("user_id").isin(77777L, 1L))
+      .groupBy(col("user_id").cast("string").as("u"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(last(("click", "77777"))._2, "the storm item must alarm")
+    assert(!last(("click", "1"))._2, "a light watched item must not")
+    trueCounts.foreach { case (u, n) =>
+      assert(last(("click", u))._1 >= n,
+        s"CMS must never undercount: $u est ${last(("click", u))._1} < $n")
+    }
+  }
 }
