@@ -22,7 +22,8 @@ import graft.ops.{Dedup, TextOps}
   *   6b. (optional) decontamination by retrieval: BM25 screen against
   *      a frozen eval-set index                ([[TextOps.bm25ScreenFlag]])
   *   7. per-source quality pruning            ([[TextOps.keepTopFraction]])
-  *   7b. (optional) DSIR target-distribution selection
+  *   7b. (optional) learned-classifier screen ([[TextOps.linearScore]])
+  *   7c. (optional) DSIR target-distribution selection
   *                                            ([[TextOps.dsirWeights]])
   *   8. temperature epoch allocation → integer replication
   *                                            ([[TextOps.temperatureAllocation]])
@@ -57,7 +58,7 @@ object Curation {
     * over it (all ok on success); kept: the post-selection survivors
     * (doc_id, text, source) BEFORE epoch replication — the frame whose
     * fingerprints/bands feed the next incremental run's state;
-    * dsirProfileUsed: the DSIR profile stage 7b scored against (the
+    * dsirProfileUsed: the DSIR profile stage 7c scored against (the
     * frozen one when given, else the one built this run) — what an
     * incremental run persists so later runs score against the SAME
     * distribution. */
@@ -83,7 +84,10 @@ object Curation {
           docEmbeddings: Option[DataFrame] = None,
           semTau: Double = 0.95,
           bm25EvalIndex: Option[DataFrame] = None,
-          bm25Tau: Option[Double] = None): Result = {
+          bm25Tau: Option[Double] = None,
+          clsWeights: Option[DataFrame] = None,
+          clsBias: Double = 0.0,
+          clsTau: Double = 0.5): Result = {
     val spark = docs.sparkSession
     var ledger = Vector.empty[(String, Long, Long)]
     def stage(name: String)(df: DataFrame): DataFrame = {
@@ -218,27 +222,41 @@ object Curation {
         .filter(col("is_kept") === 1)
         .select(col("doc_id"), col("text"), col("source")))
 
-    // 7b (optional): DSIR target-distribution selection — score the
+    // 7b (optional): learned-classifier screen — fastText-style quality
+    // model INFERENCE (t102, [[TextOps.linearScore]]): keep docs whose
+    // sigmoid probability reaches clsTau. The heuristic prune (7) ranks
+    // within each source; this is the absolute learned threshold the
+    // CCNet/GPT-3 recipes apply on top. Skipped — and absent from the
+    // report — when no weight table is given.
+    val classified = clsWeights match {
+      case Some(w) => stage("classifier_prune")(
+        pruned.join(TextOps.linearScore(pruned, w, clsBias)
+            .filter(col("prob") >= clsTau).select("doc_id"),
+          Seq("doc_id")))
+      case None => pruned
+    }
+
+    // 7c (optional): DSIR target-distribution selection — score the
     // survivors' hashed n-grams and keep the top dsirNum/dsirDen of
     // each source by log_weight (the same per-source rank cut as the
     // quality prune, so the window stays domain-sized at scale; docs
     // with no n-gram evidence rank last and die first). The profile
     // scored against is the FROZEN one when given (incremental runs:
     // score every batch against the same distribution, the t67
-    // discipline); else it is built here from (pruned, target) —
+    // discipline); else it is built here from (classified, target) —
     // exactly what dsirWeights composes, so the batch path is
     // unchanged. Skipped — and absent from the report — when neither
     // is given.
     val profileUsed: Option[DataFrame] = dsirFrozenProfile.orElse(
       dsirTarget.map(tgt =>
-        TextOps.dsirProfile(pruned, tgt, n = 2, buckets = dsirBuckets)
+        TextOps.dsirProfile(classified, tgt, n = 2, buckets = dsirBuckets)
           .localCheckpoint()))
     val selected = profileUsed match {
-      case None => pruned
+      case None => classified
       case Some(p) => stage("dsir_select")(
         TextOps.keepTopFraction(
-            TextOps.dsirScore(pruned, p, n = 2, buckets = dsirBuckets)
-              .join(pruned, Seq("doc_id")),
+            TextOps.dsirScore(classified, p, n = 2, buckets = dsirBuckets)
+              .join(classified, Seq("doc_id")),
             col("source"), col("log_weight"), col("doc_id"),
             dsirNum, dsirDen)
           .filter(col("is_kept") === 1)
@@ -348,7 +366,10 @@ object Curation {
                      semCentroids: Option[DataFrame] = None,
                      semTau: Double = 0.95,
                      semCompactTau: Option[Double] = None,
-                     bm25Tau: Option[Double] = None): Result = {
+                     bm25Tau: Option[Double] = None,
+                     clsWeights: Option[DataFrame] = None,
+                     clsBias: Double = 0.0,
+                     clsTau: Double = 0.5): Result = {
     val spark = newDocs.sparkSession
     val empty = newDocs.limit(0)
     def load(name: String): Option[DataFrame] = {
@@ -385,7 +406,11 @@ object Curation {
       semCentroids = if (semActive) cents else None,
       docEmbeddings = if (semActive) docEmbeddings else None,
       semTau = semTau,
-      bm25EvalIndex = bm25Idx, bm25Tau = bm25Tau)
+      bm25EvalIndex = bm25Idx, bm25Tau = bm25Tau,
+      // the frozen classifier: stored beats passed (every batch must be
+      // screened by the SAME model, the dsir_profile discipline)
+      clsWeights = load("cls_weights").orElse(clsWeights),
+      clsBias = clsBias, clsTau = clsTau)
     // state := old ∪ kept survivors — staged fully before the swap, so
     // the lazy reads of the old state complete during staging
     val newFps = histFps.unionByName(r.kept.select(

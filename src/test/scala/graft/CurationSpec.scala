@@ -175,6 +175,41 @@ class CurationSpec extends SparkSpec {
     assert(r.audit.filter(!col("ok")).count() === 0L)
   }
 
+  test("optional classifier screen (7b): a learned negative weight " +
+      "kills the spam doc the heuristics pass; bias-only docs survive") {
+    // the spam doc passes every heuristic stage: C4-clean lines, words
+    // outside the bank (no shingles shared with anything), and the 1/1
+    // quality prune keeps all — only the learned model knows "spamword"
+    val spam = Seq(
+      (130L, "spamword trovak blenni squam drolt phizz spamword wrenk " +
+        "olst crum.\nspamword darvel quisk blunt ferrol gimble oxbow " +
+        "prent vask lurm.", "web"))
+      .toDF("doc_id", "text", "source")
+    val docs = corpus.unionByName(spam)
+    val weights = Seq(("spamword", BigDecimal("-5.0")))
+      .toDF("term", "weight")
+    val out = java.nio.file.Files.createTempDirectory("curate_cls").toString
+    val r = Curation.run(docs, evalSet, out,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4,
+      clsWeights = Some(weights), clsBias = 1.0, clsTau = 0.5)
+    val rep = r.report.orderBy("stage_no").collect()
+    val names = rep.map(_.getString(1)).toSeq
+    assert(names.indexOf("classifier_prune") ===
+      names.indexOf("quality_prune") + 1,
+      s"classifier_prune must follow quality_prune: $names")
+    val byStage = rep.map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(byStage("classifier_prune") ===
+      byStage("quality_prune") - 1,
+      "exactly the spam doc dies at the classifier")
+    val landed = r.mix.select((col("doc_id") / 8).cast("long").as("orig"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(!landed(130L), "the spam doc must die at the classifier")
+    assert(landed.exists(_ <= 20L),
+      "bias-only docs (sigmoid(1.0) = 0.73 >= tau) must survive")
+    assert(r.audit.filter(!col("ok")).count() === 0L)
+  }
+
   test("incremental curation: month 2 is gated against month 1's " +
       "persisted state; state grows; runs compose") {
     import graft.pipelines.Curation
