@@ -1938,6 +1938,21 @@ object DataQueries {
       graft.etl.Merge.sequenceKeysScalable(
         T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
         "seq_key", 0L)),
+    // t103's hard-negative mining at the 4k two-sided regime: the
+    // labeled frame replicated 8x (replicas are EXACT same-label twins
+    // at cosine 1.0 — maximal same-label crowding, precisely what the
+    // oversample knob exists for), mined through the bucketed knnJoin
+    // with nothing broadcast; the recall floor vs the exact path at
+    // this oversample is SimilaritySpec-pinned
+    "x103_hard_negatives_scale" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val big = (0 until 8).map(i =>
+          emb.select((col("vec_id") * 8 + i).as("vec_id"),
+            col("embedding"), col("label")))
+        .reduce(_ unionByName _).localCheckpoint()
+      Similarity.hardNegativesBucketed(big, big, k = 3, oversample = 4)
+    }),
     // t29's two-sided knn-join measured 8x past fixture scale: the sf
     // embedding frame replicated with distinct ids (replicas share a
     // bucket — a duplication-skewed corpus, sign-LSH's worst case for

@@ -76,9 +76,9 @@ object Similarity {
     * evidence — still minable as plain negatives).
     *
     * Scale shape: one pass — the (small, batched) query table
-    * broadcasts with its label, the corpus flows once, both the
-    * positive max and the negative top-k plan as map-side partial
-    * aggregates / WindowGroupLimit over the same scan. For
+    * broadcasts with its label, the corpus flows ONCE through the
+    * scoring join, and the positive max + the negative top-k are two
+    * windows sharing one query-keyed exchange. For
     * corpus-sized query sets compose [[knnJoin]] with an oversampled k
     * and post-filter labels instead (approximate — oversample covers
     * same-label crowding). */
@@ -91,19 +91,62 @@ object Similarity {
       col(vecCol).as("__cv"), col(labelCol).as("__cl"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", round(cosine(col("__qv"), col("__cv")), 4))
-    val pos = scored.filter(col("__cl") === col("__ql"))
-      .groupBy(col("query_id")).agg(max(col("__cos")).as("pos_cosine"))
-    scored.filter(col("__cl") =!= col("__ql"))
+    // the positive max is a second window over the SAME partitioning,
+    // not a groupBy + re-join: the expensive cosine join is evaluated
+    // once (the t82 double-retrieval lesson) and both windows share
+    // one exchange. max(when(...)) over no same-label rows is null —
+    // exactly the no-positive-evidence contract.
+    scored
+      .withColumn("pos_cosine",
+        max(when(col("__cl") === col("__ql"), col("__cos")))
+          .over(Window.partitionBy(col("query_id"))))
+      .filter(col("__cl") =!= col("__ql"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("__cos").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-      .join(pos, Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("__cl").as("neighbor_label"), col("__cos").as("cosine"),
         col("pos_cosine"),
         round(col("pos_cosine") - col("__cos"), 4).as("margin"),
         (col("pos_cosine") > col("__cos")).as("semihard"))
+  }
+
+  /** [[hardNegatives]] at corpus scale, approximate: a bucketed
+    * [[knnJoin]] retrieves each query's k·oversample nearest over ALL
+    * labels (nothing broadcast — both sides may be corpus-sized), then
+    * labels join on and the different-label survivors re-rank to k.
+    * Oversampling covers same-label crowding: a query whose shortlist
+    * is mostly own-label still fills its k negatives as long as the
+    * crowd runs shallower than k·(oversample−1). No positive/margin
+    * columns — the shortlist carries no same-label-complete guarantee,
+    * so those belong to the exact path (or a separate same-label
+    * retrieval). Queries are re-derivable members of `corpus` when
+    * mining all-pairs (the knnJoin two-sided contract). */
+  def hardNegativesBucketed(corpus: DataFrame, queries: DataFrame, k: Int,
+                            oversample: Int = 4, bits: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            labelCol: String = "label"): DataFrame = {
+    require(oversample >= 1, "oversample must be >= 1")
+    val cl = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"))
+    val ql = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"))
+    knnJoin(queries.select(col(idCol), col(vecCol)),
+        corpus.select(col(idCol), col(vecCol)),
+        k = k * oversample, bits = bits,
+        idCol = idCol, vecCol = vecCol)
+      .join(cl, Seq("neighbor_id"))
+      .join(ql, Seq("query_id"))
+      .filter(col("__cl") =!= col("__ql"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank").as("rank"),
+        col("neighbor_id"), col("__cl").as("neighbor_label"),
+        col("cosine"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009

@@ -348,12 +348,14 @@ class PlanSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val p = plan("t103_hard_negatives")
-      // the query table broadcasts twice (negative rank + positive max
-      // run over the same scored join built from the same hint) but
-      // nothing corpus-sized does; the pos join is an equi hash join
+      // exactly ONE broadcast — the hinted query table feeding the
+      // non-equi scoring join; the corpus flows once, and positive max
+      // + negative top-k are two windows over one shared exchange (no
+      // groupBy + re-join, no second evaluation of the cosine join)
       assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert("BroadcastExchange".r.findAllIn(p).size === 1, p.take(2500))
       assert(p.contains("WindowGroupLimit"), p.take(2500))
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         p.take(2500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }

@@ -1087,6 +1087,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("randomProject"), ex.getMessage)
   }
 
+  test("hardNegativesBucketed: different labels only, k respected, and " +
+      "the bucketed shortlist recovers the exact negatives on the " +
+      "fixture (recall pinned)") {
+    val emb = graft.etl.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val exact = Similarity.hardNegatives(emb, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.hardNegativesBucketed(emb, emb, k = 3,
+        oversample = 4, bits = 2).collect()
+    val labels = emb.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    approx.foreach { r =>
+      assert(labels(r.getLong(0)) != r.getInt(3),
+        s"query ${r.getLong(0)} got a same-label negative")
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 3)
+    }
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = approxSet.intersect(exact).size.toDouble / exact.size
+    info(f"bucketed-negative recall vs exact: $recall%.3f")
+    assert(recall >= 0.8,
+      f"bits=2/oversample=4 shortlist should recover most exact " +
+        f"negatives on the 50-vector fixture: $recall%.3f")
+  }
+
   test("hardNegatives: planted geometry — same-label never returned, " +
       "violating vs semi-hard flags, margin from the hardest positive, " +
       "null positive evidence for a unique label") {
