@@ -52,6 +52,10 @@ def main():
                     help="flag growth beyond this ratio (normalized)")
     ap.add_argument("--floor", type=float, default=0.3,
                     help="ignore absolute growth under this many seconds")
+    ap.add_argument("--raw-threshold", type=float, default=1.2,
+                    dest="raw_threshold",
+                    help="a normalized flag must ALSO regress raw beyond "
+                         "this ratio to count (else: host-artifact suspect)")
     ap.add_argument("--root", default=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
@@ -72,17 +76,32 @@ def main():
               f"normalized totals {na:.1f}s -> {nb:.1f}s "
               f"({nb / na:.2f}x)  [host_factor {hfa} -> {hfb}]")
         flagged = []
+        suspects = []
         for k in common:
             a, b = qa[k], qb[k]
             if a <= 0 or b <= 0:
                 continue  # -1 = failed/capped entry; absence is its own alarm
             an, bn = a / hfa, b / hfb
             if bn > an * args.threshold and bn - an > args.floor:
-                flagged.append((k, an, bn))
-        for k, an, bn in sorted(flagged, key=lambda t: t[1] - t[2]):
+                # a real regression shows up RAW too; when only the
+                # normalized ratio trips, the flag is the calibration
+                # denominator, not the query (r10 post-mortem: an
+                # extreme host_factor=0.592 pass inflated every
+                # normalized time ~1.4x while raw min times IMPROVED)
+                if b > a * args.raw_threshold:
+                    flagged.append((k, an, bn, a, b))
+                else:
+                    suspects.append((k, an, bn, a, b))
+        for k, an, bn, a, b in sorted(flagged, key=lambda t: t[1] - t[2]):
             print(f"  REGRESSED {k}: {an:.2f}s -> {bn:.2f}s "
-                  f"({bn / an:.2f}x normalized)")
+                  f"({bn / an:.2f}x normalized, {b / a:.2f}x raw)")
             any_flag = True
+        if suspects:
+            sa = sum(t[3] for t in suspects)
+            sb = sum(t[4] for t in suspects)
+            print(f"  host-artifact suspects (normalized ratio trips, raw "
+                  f"does not): {len(suspects)} keys, raw sums "
+                  f"{sa:.1f}s -> {sb:.1f}s ({sb / sa:.2f}x)")
         gone = sorted(set(qa) - set(qb))
         if gone:
             print(f"  dropped keys: {', '.join(gone)}")
