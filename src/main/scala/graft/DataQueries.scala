@@ -1785,6 +1785,29 @@ object DataQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Unicode script profile over the corpus — codepoint-range counts
+    * and the dominant script per document ([[TextOps.scriptProfile]]).
+    * The fixture is ASCII-only, so the oracle pins the Latin-dominant
+    * arithmetic end to end; the multi-script behavior (CJK/Cyrillic/
+    * Arabic counts, dominance ties, mojibake detection) is
+    * TextQualitySpec-pinned on planted strings. */
+  val t104ScriptProfile: Q = (s, d) =>
+    TextOps.scriptProfile(T.documents(s, d))
+      .orderBy(col("doc_id"))
+
+  /** Contrastive positive pairs mined from the verified near-dup
+    * clusters — t103's companion: the transitive closure of the t14
+    * edge set as (anchor < positive) training pairs with cluster
+    * provenance. */
+  val t105PositivePairs: Q = (s, d) =>
+    Dedup.positivePairs(
+        plantedVerifiedPairs(s, d).select(col("id_a"), col("id_b")))
+      .select(col("anchor_id").cast("long").as("anchor_id"),
+        col("positive_id").cast("long").as("positive_id"),
+        col("cluster_id").cast("long").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("anchor_id"), col("positive_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1889,6 +1912,8 @@ object DataQueries {
     "t101_count_min" -> t101CountMin,
     "t102_linear_score" -> t102LinearScore,
     "t103_hard_negatives" -> t103HardNegatives,
+    "t104_script_profile" -> t104ScriptProfile,
+    "t105_positive_pairs" -> t105PositivePairs,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

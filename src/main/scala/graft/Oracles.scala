@@ -3838,6 +3838,61 @@ object Oracles {
         |FROM r LEFT JOIN p ON r.qid = p.qid
         |WHERE r.rnk <= 5
         |ORDER BY query_id, "rank"""".stripMargin,
+
+    // script profile: one char per class match, so length-minus-replaced
+    // IS the count; explicit BMP ranges count identically in Java regex
+    // and RE2 (DuckDB needs the 'g' flag — default replaces first only)
+    "t104_script_profile" ->
+      """WITH p AS (SELECT doc_id,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[A-Za-z]', '', 'g')) as bigint) AS n_latin,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[\x{4E00}-\x{9FFF}]', '', 'g')) as bigint) AS n_cjk,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[\x{0400}-\x{04FF}]', '', 'g')) as bigint) AS n_cyrillic,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[\x{0600}-\x{06FF}]', '', 'g')) as bigint) AS n_arabic,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')) as bigint) AS n_digit,
+        |  cast(length(text) - length(regexp_replace(text,
+        |    '[\s]', '', 'g')) as bigint) AS n_space,
+        |  cast(length(text) as bigint) AS n_chars
+        |  FROM documents),
+        |g AS (SELECT *, greatest(n_latin, n_cjk, n_cyrillic, n_arabic)
+        |    AS m FROM p)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_digit,
+        |  n_space, n_chars,
+        |  n_chars - n_latin - n_cjk - n_cyrillic - n_arabic - n_digit
+        |    - n_space AS n_other,
+        |  CASE WHEN m = 0 THEN 'none'
+        |       WHEN n_latin = m THEN 'latin'
+        |       WHEN n_cjk = m THEN 'cjk'
+        |       WHEN n_cyrillic = m THEN 'cyrillic'
+        |       ELSE 'arabic' END AS dominant_script
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // positive pairs: t14's recursive connected components, self-joined
+    // within cluster (anchor < positive) with the cluster size
+    "t105_positive_pairs" ->
+      ("WITH RECURSIVE " + minhashLshCtes + """,
+        |edges AS (SELECT id_a, id_b FROM j
+        |  WHERE (CASE WHEN uu = 0 THEN 0.0 ELSE ii/uu END) >= 0.5),
+        |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION SELECT id_b, id_a FROM edges),
+        |reach AS (SELECT src AS node, dst AS r FROM sym
+        |  UNION SELECT reach.node, s.dst FROM reach
+        |    JOIN sym s ON s.src = reach.r),
+        |comp AS (SELECT node, least(node, min(r)) AS comp
+        |  FROM reach GROUP BY node),
+        |cs AS (SELECT comp, count(*) AS cluster_size FROM comp
+        |  GROUP BY 1)
+        |SELECT cast(a.node as bigint) AS anchor_id,
+        |  cast(b.node as bigint) AS positive_id,
+        |  cast(a.comp as bigint) AS cluster_id,
+        |  cast(cs.cluster_size as bigint) AS cluster_size
+        |FROM comp a JOIN comp b ON a.comp = b.comp AND a.node < b.node
+        |JOIN cs ON cs.comp = a.comp
+        |ORDER BY anchor_id, positive_id""".stripMargin),
   )
 
   val all: Map[String, String] = {

@@ -745,6 +745,48 @@ object TextOps {
         round(col("__avg"), 6).as("avg_logp"))
   }
 
+  /** Unicode script profile — the multilingual-curation companion to
+    * [[langId]]: per document, character counts for the major script
+    * blocks (Latin, CJK, Cyrillic, Arabic, digits, whitespace, other)
+    * and the dominant script. A wrong-script document inside a language
+    * shard (mojibake, scraped boilerplate, mislabeled source) is the
+    * multilingual pipeline's cheapest red flag, and codepoint-range
+    * counting is alphabet-truth where an n-gram langId can be fooled.
+    *
+    * Each count is `length(text) − length(regexp_replace(text,
+    * [range], ''))` — one char per match, so the difference IS the
+    * count; explicit BMP code-unit ranges mean Java regex and RE2
+    * count identically (the oracle replays with the 'g' flag).
+    * Dominance resolves by a FIXED script order among count-ties, so
+    * the label is deterministic cross-engine; empty/null text is
+    * 'none'. Pure codegen projection — no shuffle, no UDF. */
+  def scriptProfile(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val classes = Seq(
+      "latin" -> cnt("[A-Za-z]"),
+      "cjk" -> cnt("[\\u4E00-\\u9FFF]"),
+      "cyrillic" -> cnt("[\\u0400-\\u04FF]"),
+      "arabic" -> cnt("[\\u0600-\\u06FF]"),
+      "digit" -> cnt("[0-9]"),
+      "space" -> cnt("[\\s]"))
+    val withCounts = docs.select(
+      col(idCol) +: classes.map { case (n, c) =>
+        coalesce(c, lit(0L)).as(s"n_$n") } :+
+        coalesce(length(t), lit(0)).cast("long").as("n_chars"): _*)
+    val scriptCols = Seq("latin", "cjk", "cyrillic", "arabic")
+    val m = greatest(scriptCols.map(n => col(s"n_$n")): _*)
+    val dominant = scriptCols.foldRight(lit("none")) { (n, rest) =>
+      when(m > 0 && col(s"n_$n") === m, lit(n)).otherwise(rest)
+    }
+    withCounts
+      .withColumn("n_other", col("n_chars") - scriptCols.map(n =>
+        col(s"n_$n")).reduce(_ + _) - col("n_digit") - col("n_space"))
+      .withColumn("dominant_script", dominant)
+  }
+
   /** Linear text-classifier inference — the fastText-style quality /
     * domain classifier scoring step of a curation pipeline (CCNet and
     * the GPT-3/PaLM data recipes score every page against a learned

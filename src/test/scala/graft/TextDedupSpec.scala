@@ -464,4 +464,19 @@ class TextDedupSpec extends SparkSpec {
       "every cluster must keep exactly one survivor")
     assert(kept.count() === corpus.count(), "no doc may be dropped")
   }
+
+  test("positivePairs: transitive closure emits the unverified (A, C) " +
+      "pair, anchors stay below positives, sizes carry, disjoint " +
+      "clusters never cross") {
+    // edges 1-2, 2-3 (chain) and 7-8 (separate cluster)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.positivePairs(edges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 3L), (1L, 3L, 1L, 3L), (2L, 3L, 1L, 3L),
+      (7L, 8L, 7L, 2L)),
+      s"closure pairs with cluster provenance: $got")
+  }
 }

@@ -794,6 +794,35 @@ class TextQualitySpec extends SparkSpec {
       col("id"), 1, 2).filter(col("is_kept") === 1).count() === 0L)
   }
 
+  test("scriptProfile: planted multi-script strings count per codepoint " +
+      "class, ties resolve by fixed script order, empty/null/digit-only " +
+      "text is 'none'") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Привет мир"), // 9 cyrillic + 1 space
+      (2L, "你好世界 ok"), // 4 cjk + 2 latin + 1 space -> cjk dominant
+      (3L, "abc абв"), // 3 latin vs 3 cyrillic tie -> latin (fixed order)
+      (4L, "مرحبا"), // 5 arabic
+      (5L, ""), (6L, null.asInstanceOf[String]),
+      (7L, "123 456") // digits are counted but never dominate
+    ).toDF("doc_id", "text")
+    val out = TextOps.scriptProfile(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = {
+      val r = out(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getString(9))
+    } // (latin, cjk, cyr, ar, digit, space, chars, other, dominant)
+    assert(counts(1L) == (0L, 0L, 9L, 0L, 0L, 1L, 10L, 0L, "cyrillic"))
+    assert(counts(2L) == (2L, 4L, 0L, 0L, 0L, 1L, 7L, 0L, "cjk"))
+    assert(counts(3L) == (3L, 0L, 3L, 0L, 0L, 1L, 7L, 0L, "latin"))
+    assert(counts(4L) == (0L, 0L, 0L, 5L, 0L, 0L, 5L, 0L, "arabic"))
+    assert(counts(5L) == (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none"))
+    assert(counts(6L) == (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none"))
+    assert(counts(7L) == (0L, 0L, 0L, 0L, 6L, 1L, 7L, 0L, "none"))
+  }
+
   test("linearScore: hand-computed tf·weight sums, bare bias for " +
       "no-hit/empty/null docs, sigmoid at 6 dp") {
     import spark.implicits._
