@@ -589,19 +589,10 @@ object Bench {
         val watch = Seq(("click", "1"), ("click", "2"), ("view", "3"),
           ("purchase", "4")).toDF("event_type", "probe")
         runStreamQuery("s16_frequency_monitor", () =>
-          Streams.frequencyGrid(Streams.eventsStreamPaced(s,
-              graft.etl.Tables.exportedEventsParts(s, d)))
-            .writeStream
-            .outputMode("complete")
-            .foreachBatch { (grid: DataFrame, _: Long) =>
-              graft.ops.Stats.cmsEstimate(grid, watch, Seq("event_type"),
-                  depth = 4, width = 1024)
-                .withColumn("alarm", col("est_count") > 1000L)
-                .write.format("noop").mode("overwrite").save()
-              ()
-            }
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start())
+          Streams.startFrequencyMonitor(s,
+            graft.etl.Tables.exportedEventsParts(s, d), watch,
+            maxCount = 1000L,
+            sink = _.write.format("noop").mode("overwrite").save()))
       }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =

@@ -3844,19 +3844,19 @@ object Oracles {
     // and RE2 (DuckDB needs the 'g' flag — default replaces first only)
     "t104_script_profile" ->
       """WITH p AS (SELECT doc_id,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[A-Za-z]', '', 'g')) as bigint) AS n_latin,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[\x{4E00}-\x{9FFF}]', '', 'g')) as bigint) AS n_cjk,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[\x{0400}-\x{04FF}]', '', 'g')) as bigint) AS n_cyrillic,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[\x{0600}-\x{06FF}]', '', 'g')) as bigint) AS n_arabic,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[0-9]', '', 'g')) as bigint) AS n_digit,
-        |  cast(length(text) - length(regexp_replace(text,
-        |    '[\s]', '', 'g')) as bigint) AS n_space,
-        |  cast(length(text) as bigint) AS n_chars
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[A-Za-z]', '', 'g')), 0) as bigint) AS n_latin,
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[\x{4E00}-\x{9FFF}]', '', 'g')), 0) as bigint) AS n_cjk,
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[\x{0400}-\x{04FF}]', '', 'g')), 0) as bigint) AS n_cyrillic,
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[\x{0600}-\x{06FF}]', '', 'g')), 0) as bigint) AS n_arabic,
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[0-9]', '', 'g')), 0) as bigint) AS n_digit,
+        |  cast(coalesce(length(text) - length(regexp_replace(text,
+        |    '[ \t\n\x{0B}\f\r]', '', 'g')), 0) as bigint) AS n_space,
+        |  cast(coalesce(length(text), 0) as bigint) AS n_chars
         |  FROM documents),
         |g AS (SELECT *, greatest(n_latin, n_cjk, n_cyrillic, n_arabic)
         |    AS m FROM p)

@@ -50,28 +50,6 @@ object Dedup {
     * generations are freed by the ContextCleaner as they are dereferenced;
     * peak executor storage is a few label-frame generations (rounds are
     * O(diameter), shallow for near-dup graphs) on top of the edge set. */
-  /** Contrastive POSITIVE pairs from near-dup clusters — the data-prep
-    * companion to [[graft.ops.Similarity.hardNegatives]]: the
-    * transitive closure of verified near-dup edges, emitted as every
-    * in-cluster (anchor < positive) pair with cluster id and size.
-    * Closure pairs beat raw edges for training positives: A~B and B~C
-    * verified makes (A, C) a positive even though the verifier never
-    * scored that pair. Pair volume is Σ cluster_size² — bounded by the
-    * dedup's own cluster discipline (clusters are near-dup groups, not
-    * the corpus), and the cluster frame the self-join runs on is
-    * already aggregate-shaped. */
-  def positivePairs(pairs: DataFrame, idA: String = "id_a",
-                    idB: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, idA, idB)
-    val size = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    val a = cc.select(col("comp"), col("id").as("anchor_id"))
-    val b = cc.select(col("comp"), col("id").as("positive_id"))
-    a.join(b, Seq("comp")).filter(col("anchor_id") < col("positive_id"))
-      .join(size, Seq("comp"))
-      .select(col("anchor_id"), col("positive_id"),
-        col("comp").as("cluster_id"), col("cluster_size"))
-  }
-
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
@@ -128,6 +106,28 @@ object Dedup {
           s"($changed labels still changing) — the pair graph has a " +
           "longer path than expected; raise maxIter")
     labels
+  }
+
+  /** Contrastive POSITIVE pairs from near-dup clusters — the data-prep
+    * companion to [[graft.ops.Similarity.hardNegatives]]: the
+    * transitive closure of verified near-dup edges, emitted as every
+    * in-cluster (anchor < positive) pair with cluster id and size.
+    * Closure pairs beat raw edges for training positives: A~B and B~C
+    * verified makes (A, C) a positive even though the verifier never
+    * scored that pair. Pair volume is Σ cluster_size² — bounded by the
+    * dedup's own cluster discipline (clusters are near-dup groups, not
+    * the corpus), and the cluster frame the self-join runs on is
+    * already aggregate-shaped. */
+  def positivePairs(pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, idA, idB)
+    val size = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    val a = cc.select(col("comp"), col("id").as("anchor_id"))
+    val b = cc.select(col("comp"), col("id").as("positive_id"))
+    a.join(b, Seq("comp")).filter(col("anchor_id") < col("positive_id"))
+      .join(size, Seq("comp"))
+      .select(col("anchor_id"), col("positive_id"),
+        col("comp").as("cluster_id"), col("cluster_size"))
   }
 
   /** MinHash signature as an array<long> of `numHashes` minima over word

@@ -771,7 +771,9 @@ object TextOps {
       "cyrillic" -> cnt("[\\u0400-\\u04FF]"),
       "arabic" -> cnt("[\\u0600-\\u06FF]"),
       "digit" -> cnt("[0-9]"),
-      "space" -> cnt("[\\s]"))
+      // explicit, not \s: Java's \s includes \x0B where RE2's does
+      // not — the one class that would silently diverge cross-engine
+      "space" -> cnt("[ \\t\\n\\x0B\\f\\r]"))
     val withCounts = docs.select(
       col(idCol) +: classes.map { case (n, c) =>
         coalesce(c, lit(0L)).as(s"n_$n") } :+

@@ -393,6 +393,11 @@ object Curation {
             docEmbeddings.get.limit(0), cents.get, idCol = "doc_id")
           .select(col("doc_id"), col("centroid_id"), col("embedding"))))
     val frozenProfile = load("dsir_profile")
+    // the frozen classifier model, resolved ONCE so the same frame is
+    // both used and persisted (stored beats passed; localCheckpoint so
+    // the state swap below can't invalidate the lazy read mid-publish)
+    val clsUsed: Option[DataFrame] =
+      load("cls_weights").orElse(clsWeights).map(_.localCheckpoint())
     // the frozen retrieval index: stored beats rebuilt (see scaladoc)
     val bm25Idx: Option[DataFrame] =
       if (bm25Tau.isEmpty) None
@@ -409,7 +414,7 @@ object Curation {
       bm25EvalIndex = bm25Idx, bm25Tau = bm25Tau,
       // the frozen classifier: stored beats passed (every batch must be
       // screened by the SAME model, the dsir_profile discipline)
-      clsWeights = load("cls_weights").orElse(clsWeights),
+      clsWeights = clsUsed,
       clsBias = clsBias, clsTau = clsTau)
     // state := old ∪ kept survivors — staged fully before the swap, so
     // the lazy reads of the old state complete during staging
@@ -443,9 +448,15 @@ object Curation {
       r.dsirProfileUsed.map("dsir_profile" -> _).toMap
     val bm25State: Map[String, DataFrame] =
       bm25Idx.map("bm25_index" -> _).toMap
+    // persist the classifier model alongside the other frozen state
+    // dimensions — without this, "stored beats passed" could never
+    // fire and a month-2 run would silently screen with a DIFFERENT
+    // model (or none), the cross-batch drift this state exists to stop
+    val clsState: Map[String, DataFrame] =
+      clsUsed.map("cls_weights" -> _).toMap
     graft.etl.Publish.publishAll(stateDir,
       Map("fingerprints" -> newFps, "band_index" -> newBands) ++
-        semState ++ dsirState ++ bm25State) match {
+        semState ++ dsirState ++ bm25State ++ clsState) match {
       case scala.util.Failure(e) => throw e
       case scala.util.Success(_) => ()
     }

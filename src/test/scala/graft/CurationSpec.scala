@@ -210,6 +210,46 @@ class CurationSpec extends SparkSpec {
     assert(r.audit.filter(!col("ok")).count() === 0L)
   }
 
+  test("incremental curation: the classifier model is frozen state — " +
+      "month 2 is screened by month 1's persisted weights even when " +
+      "none (or different ones) are passed") {
+    import graft.pipelines.Curation
+    val state = java.nio.file.Files.createTempDirectory("curcls").toString
+    val out1 = java.nio.file.Files.createTempDirectory("curclso1").toString
+    val weights = Seq(("spamword", BigDecimal("-5.0")))
+      .toDF("term", "weight")
+    Curation.runIncremental(corpus, evalSet, out1, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4,
+      clsWeights = Some(weights), clsBias = 1.0, clsTau = 0.5)
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state, "cls_weights")),
+      "the model must persist as a state dimension")
+    // month 2 passes NO weights: the spam doc (unique words, passes
+    // every heuristic) must still die at the classifier via the
+    // STORED model
+    val m2 = Seq(
+      (300L, body(300), "web"),
+      (301L, "spamword trovak blenni squam drolt phizz spamword wrenk " +
+        "olst crum.\nspamword darvel quisk blunt ferrol gimble oxbow " +
+        "prent vask lurm.", "web"))
+      .toDF("doc_id", "text", "source")
+    val out2 = java.nio.file.Files.createTempDirectory("curclso2").toString
+    val r2 = Curation.runIncremental(m2, evalSet, out2, state,
+      keepNum = 1, keepDen = 1, budgetTokens = 100000L,
+      capacity = 64, buckets = 4, shards = 4,
+      clsBias = 1.0, clsTau = 0.5)
+    val by2 = r2.report.collect()
+      .map(row => row.getString(1) -> row.getLong(2)).toMap
+    assert(by2.contains("classifier_prune"),
+      s"the stored model must activate the stage: ${by2.keys}")
+    assert(by2("classifier_prune") === by2("quality_prune") - 1,
+      "exactly the month-2 spam doc dies against the frozen model")
+    val landed = r2.mix.select((col("doc_id") / 8).cast("long").as("o"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(landed(300L) && !landed(301L))
+  }
+
   test("incremental curation: month 2 is gated against month 1's " +
       "persisted state; state grows; runs compose") {
     import graft.pipelines.Curation

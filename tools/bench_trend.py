@@ -54,8 +54,10 @@ def main():
                     help="ignore absolute growth under this many seconds")
     ap.add_argument("--raw-threshold", type=float, default=1.2,
                     dest="raw_threshold",
-                    help="a normalized flag must ALSO regress raw beyond "
-                         "this ratio to count (else: host-artifact suspect)")
+                    help="when a round pair is calibration-skewed "
+                         "(normalized total inflated past this ratio over "
+                         "a flat raw total), a flag must also regress raw "
+                         "beyond this ratio to count")
     ap.add_argument("--root", default=os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
@@ -75,6 +77,21 @@ def main():
         print(f"\nr{ra:02d} -> r{rb:02d}: {len(common)} common keys, "
               f"normalized totals {na:.1f}s -> {nb:.1f}s "
               f"({nb / na:.2f}x)  [host_factor {hfa} -> {hfb}]")
+        # calibration-skew diagnosis for the PAIR (r10 post-mortem: an
+        # extreme host_factor=0.592 pass inflated every normalized time
+        # ~1.4x while raw min totals IMPROVED). Only when the batch
+        # shows that signature — normalized total up, raw total flat —
+        # do raw-flat per-key flags demote to suspects; otherwise every
+        # normalized flag reports (annotated with its raw ratio), so a
+        # genuine regression under an honestly-faster host still exits 1.
+        ra = sum(qa[k] for k in common if qa[k] > 0 and qb[k] > 0)
+        rb = sum(qb[k] for k in common if qa[k] > 0 and qb[k] > 0)
+        skewed = ra > 0 and na > 0 and \
+            rb / ra < 1.1 and (nb / na) / (rb / ra) > args.raw_threshold
+        if skewed:
+            print("  [calibration-skew detected: normalized total "
+                  f"{nb / na:.2f}x vs raw total {rb / ra:.2f}x — "
+                  "raw-flat flags demote to suspects]")
         flagged = []
         suspects = []
         for k in common:
@@ -83,15 +100,10 @@ def main():
                 continue  # -1 = failed/capped entry; absence is its own alarm
             an, bn = a / hfa, b / hfb
             if bn > an * args.threshold and bn - an > args.floor:
-                # a real regression shows up RAW too; when only the
-                # normalized ratio trips, the flag is the calibration
-                # denominator, not the query (r10 post-mortem: an
-                # extreme host_factor=0.592 pass inflated every
-                # normalized time ~1.4x while raw min times IMPROVED)
-                if b > a * args.raw_threshold:
-                    flagged.append((k, an, bn, a, b))
-                else:
+                if skewed and b <= a * args.raw_threshold:
                     suspects.append((k, an, bn, a, b))
+                else:
+                    flagged.append((k, an, bn, a, b))
         for k, an, bn, a, b in sorted(flagged, key=lambda t: t[1] - t[2]):
             print(f"  REGRESSED {k}: {an:.2f}s -> {bn:.2f}s "
                   f"({bn / an:.2f}x normalized, {b / a:.2f}x raw)")
