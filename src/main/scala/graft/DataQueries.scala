@@ -1808,6 +1808,32 @@ object DataQueries {
         col("cluster_size"))
       .orderBy(col("anchor_id"), col("positive_id"))
 
+  /** Per-user behavior sequences — the sequence-model training-example
+    * construction: each user's last 5 events in chronological order
+    * with inter-event gaps. Ranking runs on full-precision timestamps
+    * (ties by event_id) in both engines; the exported epoch and gap
+    * are floored seconds, so every row replays. */
+  val t106UserSequences: Q = (s, d) =>
+    Temporal.keyedSequences(T.events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "event_type", "event_id", maxLen = 5)
+      .orderBy(col("user_id"), col("pos"))
+
+  /** Trailing-window volume anomaly over the event log — the ingest
+    * monitor shape: per (event_type, day) counts vs the previous 7
+    * days' mean/std (current day excluded). Integer counts make every
+    * moment exact (the variance numerator n·Σv² − (Σv)² is an exact
+    * integer), so the oracle replays z and the flag bit-for-bit; a
+    * planted spike/flat-history alarm is StatsSpec-pinned. */
+  val t107VolumeAnomaly: Q = (s, d) => {
+    val daily = T.events(s, d)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    Stats.trailingAnomaly(daily, Seq("event_type"), col("day"),
+        col("n_events"), window = 7, nSigma = 3.0)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1914,6 +1940,8 @@ object DataQueries {
     "t103_hard_negatives" -> t103HardNegatives,
     "t104_script_profile" -> t104ScriptProfile,
     "t105_positive_pairs" -> t105PositivePairs,
+    "t106_user_sequences" -> t106UserSequences,
+    "t107_volume_anomaly" -> t107VolumeAnomaly,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -1963,6 +1991,21 @@ object DataQueries {
       graft.etl.Merge.sequenceKeysScalable(
         T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
         "seq_key", 0L)),
+    // t102's classifier inference at corpus width: the model is built
+    // from the first 200 docs' vocabulary (model-sized, broadcast) and
+    // EVERY document scores — training is offline, this inference pass
+    // is what runs at 100 TB; the gated t102 caps the scored set for
+    // oracle size, this times the uncapped width
+    "x102_linear_score_scale" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val weights = TextOps.ngramRows(docs.filter(col("doc_id") < 200), 1)
+        .filter(col("ngram") =!= "").distinct()
+        .select(col("ngram").as("term"),
+          ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
+            .cast("decimal(18,9)") / 1000).cast("decimal(18,9)")
+            .as("weight"))
+      TextOps.linearScore(docs, weights, bias = 0.25)
+    }),
     // t103's hard-negative mining at the 4k two-sided regime: the
     // labeled frame replicated 8x (replicas are EXACT same-label twins
     // at cosine 1.0 — maximal same-label crowding, precisely what the

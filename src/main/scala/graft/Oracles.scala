@@ -3893,6 +3893,57 @@ object Oracles {
         |FROM comp a JOIN comp b ON a.comp = b.comp AND a.node < b.node
         |JOIN cs ON cs.comp = a.comp
         |ORDER BY anchor_id, positive_id""".stripMargin),
+
+    // behavior sequences: recency cut + position + gap all rank on the
+    // FULL-precision timestamp (ties by event_id); only the exported
+    // epoch/gap floor to seconds (floor, not cast — double->bigint
+    // casts round half-even where Spark's unix_timestamp floors)
+    "t106_user_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+        |    cast(floor(epoch(ts)) as bigint) AS sec
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 50 AND ts IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |k AS (SELECT * FROM r WHERE rn <= 5),
+        |p AS (SELECT user_id, event_type, sec,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos,
+        |    sec - lag(sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap_seconds
+        |  FROM k)
+        |SELECT cast(user_id as bigint) AS user_id,
+        |  cast(pos as bigint) AS pos, event_type AS value,
+        |  sec AS ts_epoch, gap_seconds
+        |FROM p ORDER BY user_id, pos""".stripMargin,
+
+    // volume anomaly: integer daily counts make the trailing moments
+    // exact — n*sumsq - sum^2 is an exact integer, sd/z are single IEEE
+    // ops on it, and FALSE AND NULL = FALSE keeps warm-up rows unflagged
+    // in both engines
+    "t107_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n_events,
+        |    count(n_events) OVER win AS n_prior,
+        |    sum(n_events) OVER win AS s,
+        |    sum(n_events * n_events) OVER win AS sq
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT *, cast(s as double) / n_prior AS mean,
+        |    sqrt(cast(n_prior * sq - s * s as double) /
+        |      (n_prior * (n_prior - 1))) AS sd
+        |  FROM w)
+        |SELECT event_type, day, n_events, cast(n_prior as bigint)
+        |    AS n_prior,
+        |  CASE WHEN sd > 0 THEN round((n_events - mean) / sd, 4) END AS z,
+        |  (n_prior >= 3 AND CASE WHEN sd > 0
+        |     THEN abs(n_events - mean) > 3.0 * sd
+        |     ELSE n_events <> mean END) AS anomaly,
+        |  round(mean, 4) AS mean_prior
+        |FROM c ORDER BY event_type, day""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling aggregates — the distributed form of the reference's
@@ -275,6 +276,50 @@ object Stats {
     when(n === 0, lit(null).cast("double"))
       .when(n === 1, element_at(sorted, 1))
       .otherwise(vLo + (pos - lo.cast("double")) * (vHi - vLo))
+  }
+
+  /** Trailing-window anomaly detection over a per-key series — the
+    * volume monitor an ingest pipeline runs per (source, day): each row's
+    * `valueCol` compares against the mean/std of the PREVIOUS `window`
+    * rows of its key (current row excluded, so a spike cannot mask
+    * itself; a sustained shift alarms until the window absorbs it).
+    * Integer values make every moment exact: the window aggregates are
+    * exact integer sums, the variance numerator n·Σv² − (Σv)² is an
+    * exact integer, and sd/z are single IEEE operations on those exact
+    * integers — an external engine replays them bit-for-bit (rounded to
+    * 4 for export). `anomaly` fires with ≥ `minPrior` prior rows when
+    * |z| > nSigma, or when a constant history (sd = 0) changes at all;
+    * z is null when sd = 0 (no scale to express it in).
+    *
+    * Scale shape: one hash exchange on the key, one sort per key —
+    * window frames are per-key and `window`-bounded, so state never
+    * exceeds the frame no matter the series length. */
+  def trailingAnomaly(df: DataFrame, keyCols: Seq[String],
+                      orderCol: Column, valueCol: Column, window: Int = 7,
+                      nSigma: Double = 3.0, minPrior: Int = 3): DataFrame = {
+    require(window >= 2 && minPrior >= 2, "need window >= 2, minPrior >= 2")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(-window, -1)
+    val v = valueCol.cast("long")
+    val varNum = col("n_prior") * col("__sq") - col("__s") * col("__s")
+    val sd = sqrt(varNum.cast("double") /
+      (col("n_prior") * (col("n_prior") - lit(1))).cast("double"))
+    df.withColumn("__s", sum(v).over(w))
+      .withColumn("__sq", sum(v * v).over(w))
+      .withColumn("n_prior", count(v).over(w))
+      // warm-up guards, not try_divide: ANSI mode refuses the /0 at
+      // n_prior <= 1, and null mean/sd is the honest value there
+      .withColumn("__mean", when(col("n_prior") > 0,
+        col("__s").cast("double") / col("n_prior").cast("double")))
+      .withColumn("__sd", when(col("n_prior") > 1, sd))
+      .withColumn("z", when(col("__sd") > 0,
+        round((v.cast("double") - col("__mean")) / col("__sd"), 4)))
+      .withColumn("anomaly", col("n_prior") >= minPrior &&
+        (when(col("__sd") > 0,
+            abs(v.cast("double") - col("__mean")) > lit(nSigma) * col("__sd"))
+          .otherwise(v.cast("double") =!= col("__mean"))))
+      .withColumn("mean_prior", round(col("__mean"), 4))
+      .drop("__s", "__sq", "__mean", "__sd")
   }
 
   /** Count-Min sketch build (Cormode & Muthukrishnan 2005): per group, a

@@ -232,4 +232,37 @@ object Temporal {
           when(col(s"stage${k}_ts").isNotNull, 1).otherwise(0))
           .reduce(_ + _))
   }
+
+  /** Per-key chronological behavior sequences — the training-example
+    * construction for sequence models over event logs (recommendation /
+    * next-action pretraining): each key's LAST `maxLen` events as
+    * ordered (pos, value, ts, gap_seconds) rows, pos 1 = oldest kept,
+    * gap = seconds since the previous KEPT event (null at pos 1). Ties
+    * order by `tieCol` so the sequence is total-order deterministic.
+    *
+    * Scale shape: one hash exchange on the key; the recency cut is a
+    * DESC row_number that plans as a map-side WindowGroupLimit (only
+    * ~maxLen rows per key per partition cross the exchange), and pos +
+    * gap are windows over the SAME partitioning — no second shuffle.
+    * The long-history user costs maxLen rows downstream no matter how
+    * many events they have. */
+  def keyedSequences(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, tieCol: String,
+                     maxLen: Int): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    val recency = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val forward = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val sec = unix_timestamp(col(tsCol))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__rn", row_number().over(recency))
+      .filter(col("__rn") <= maxLen)
+      .withColumn("pos", row_number().over(forward))
+      .withColumn("gap_seconds", sec - lag(sec, 1).over(forward))
+      .select(col(keyCol), col("pos").cast("long").as("pos"),
+        col(valueCol).as("value"), sec.as("ts_epoch"),
+        col("gap_seconds"))
+  }
 }

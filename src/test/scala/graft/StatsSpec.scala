@@ -264,6 +264,39 @@ class StatsSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("trailingAnomaly: a spike over noisy history flags with a large " +
+      "z, a change over FLAT history flags with null z, warm-up rows " +
+      "never flag, the current row is excluded from its own baseline") {
+    // key a: 7 noisy-but-stable days then a 30-spike (sd > 0 branch);
+    // key b: 7 flat days then a small change (sd = 0 branch)
+    val rows =
+      Seq(10L, 12L, 11L, 10L, 13L, 11L, 12L, 30L).zipWithIndex.map {
+        case (v, i) => ("a", f"d$i%02d", v) } ++
+      Seq(10L, 10L, 10L, 10L, 10L, 10L, 10L, 11L).zipWithIndex.map {
+        case (v, i) => ("b", f"d$i%02d", v) }
+    val df = rows.toDF("k", "day", "v")
+    val out = Stats.trailingAnomaly(df, Seq("k"), col("day"), col("v"))
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          r.getBoolean(5))).toMap
+    val (na, za, aa) = out(("a", "d07"))
+    assert(na == 7L && za > 10.0 && aa, s"spike must flag: z=$za")
+    val (nb, zb, ab) = out(("b", "d07"))
+    assert(nb == 7L && zb.isNaN && ab,
+      "flat-history change must flag with null z")
+    // warm-up rows (fewer than minPrior priors) never flag — including
+    // a's volatile early days
+    for (i <- 0 until 3; k <- Seq("a", "b"))
+      assert(!out((k, f"d$i%02d"))._3, s"$k d$i must not flag")
+    // the current row is excluded from its own baseline: a's d07 mean
+    // is the mean of d00-d06 (79/7), untouched by the spike itself
+    val mean = Stats.trailingAnomaly(df, Seq("k"), col("day"), col("v"))
+      .filter(col("k") === "a" && col("day") === "d07")
+      .collect()(0).getDouble(6)
+    assert(mean == 11.2857, s"baseline mean (79/7 rounded to 4): $mean")
+  }
+
   test("HyperLogLogSparse: registers bit-identical to dense across " +
       "cardinalities (incl. the densify boundary), buffer stays sparse " +
       "below m/4, all merge shapes agree") {

@@ -231,4 +231,35 @@ class TemporalSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
   }
+
+  test("keyedSequences: recency cut keeps the LAST maxLen, positions " +
+      "re-rank oldest-first, gaps are between kept events only, ties " +
+      "break by tieCol, null keys/ts drop") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: 4 events; maxLen 3 drops the OLDEST (id 10)
+      (10L, t(100), java.lang.Long.valueOf(1L), "a"),
+      (11L, t(200), java.lang.Long.valueOf(1L), "b"),
+      (12L, t(260), java.lang.Long.valueOf(1L), "c"),
+      (13L, t(500), java.lang.Long.valueOf(1L), "d"),
+      // user 2: same-ts tie — higher event_id is MORE recent
+      (20L, t(100), java.lang.Long.valueOf(2L), "x"),
+      (21L, t(100), java.lang.Long.valueOf(2L), "y"),
+      // dropped rows
+      (30L, t(100), null.asInstanceOf[java.lang.Long], "n"),
+      (31L, null.asInstanceOf[java.sql.Timestamp],
+        java.lang.Long.valueOf(3L), "n")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ops.Temporal.keyedSequences(ev, "user_id", "ts",
+        "event_type", "event_id", maxLen = 3)
+      .orderBy("user_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "b", -1L), // gap null at pos 1; event "a" cut
+      (1L, 2L, "c", 60L),
+      (1L, 3L, "d", 240L),
+      (2L, 1L, "x", -1L), // tie: lower id is older -> pos 1
+      (2L, 2L, "y", 0L)), out.toSeq.toString)
+  }
 }
