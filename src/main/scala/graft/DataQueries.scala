@@ -1834,6 +1834,15 @@ object DataQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** First-order behavior transition matrix over the event log — the
+    * Markov (prev, next) counts + row-normalized probabilities per
+    * user-ordered sequence. Exact integer counts; the probability is
+    * one IEEE division rounded to 6. */
+  val t108TransitionMatrix: Q = (s, d) =>
+    Temporal.transitionMatrix(T.events(s, d), "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1942,6 +1951,7 @@ object DataQueries {
     "t105_positive_pairs" -> t105PositivePairs,
     "t106_user_sequences" -> t106UserSequences,
     "t107_volume_anomaly" -> t107VolumeAnomaly,
+    "t108_transition_matrix" -> t108TransitionMatrix,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3944,6 +3944,25 @@ object Oracles {
         |     ELSE n_events <> mean END) AS anomaly,
         |  round(mean, 4) AS mean_prior
         |FROM c ORDER BY event_type, day""".stripMargin,
+
+    // transition matrix: lag over the same (ts, event_id) total order,
+    // exact integer counts, one IEEE division per row
+    "t108_transition_matrix" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |c AS (SELECT prev_type, next_type, count(*) AS n_transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n_transitions) AS total FROM c
+        |  GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n_transitions,
+        |  round(cast(c.n_transitions as double) / t.total, 6) AS prob
+        |FROM c JOIN t ON c.prev_type = t.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -233,6 +233,40 @@ object Temporal {
           .reduce(_ + _))
   }
 
+  /** First-order transition matrix over per-key event sequences — the
+    * Markov summary of a behavior log (what follows what, how often):
+    * consecutive (prev, next) pairs in each key's chronological order,
+    * counted corpus-wide, with the row-normalized transition
+    * probability. The sequence-analytics companion to [[funnel]]
+    * (funnel asks "did the chain complete", this asks "what do chains
+    * look like") and the statistics a synthetic-behavior generator or
+    * next-event baseline model is fit from. Ties order by `tieCol`, so
+    * pairs are total-order deterministic; probabilities divide exact
+    * integer counts and round to 6 for export.
+    *
+    * Scale shape: one hash exchange on the key for the lag window, one
+    * aggregate-sized (prev, next) count; row totals join back on the
+    * aggregate frame (broadcast-sized: the state space is |event
+    * types|², never row count). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("__total"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .withColumn("prob", round(col("n_transitions").cast("double") /
+        col("__total").cast("double"), 6))
+      .drop("__total")
+  }
+
   /** Per-key chronological behavior sequences — the training-example
     * construction for sequence models over event logs (recommendation /
     * next-action pretraining): each key's LAST `maxLen` events as

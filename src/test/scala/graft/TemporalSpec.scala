@@ -232,6 +232,26 @@ class TemporalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
   }
 
+  test("transitionMatrix: hand-counted pairs, row-normalized probs, " +
+      "same-ts ties chain by tieCol, no cross-key chaining") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      // user 1: a -> b -> a; user 2: a -> b (same ts, id-ordered);
+      // user 3: a -> c. No (user-1 last) -> (user-2 first) pair.
+      (1L, t(10), 1L, "a"), (2L, t(20), 1L, "b"), (3L, t(30), 1L, "a"),
+      (4L, t(30), 2L, "a"), (5L, t(30), 2L, "b"),
+      (6L, t(1), 3L, "a"), (7L, t(2), 3L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Temporal.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 0.666667), ("a", "c") -> (1L, 0.333333),
+      ("b", "a") -> (1L, 1.0)), got.toString)
+  }
+
   test("keyedSequences: recency cut keeps the LAST maxLen, positions " +
       "re-rank oldest-first, gaps are between kept events only, ties " +
       "break by tieCol, null keys/ts drop") {
