@@ -1759,15 +1759,21 @@ object DataQueries {
     * for offline training; inference is the part that runs at 100 TB),
     * so the oracle rebuilds the exact same model and replays every
     * decimal tf·weight sum and 6-dp sigmoid. */
-  val t102LinearScore: Q = (s, d) => {
-    val docs = T.documents(s, d)
-    val weights = TextOps.ngramRows(docs.filter(col("doc_id") < 20), 1)
+  /** The md5-derived stand-in "learned model" t102/x102 score against:
+    * the seed docs' vocabulary with signed pseudo-weights in [-1, 1].
+    * ONE definition — the formula is the contract the t102 oracle
+    * replays, and the benched x102 must measure the same model. */
+  private def md5SeedWeights(docs: DataFrame, vocabCap: Long): DataFrame =
+    TextOps.ngramRows(docs.filter(col("doc_id") < vocabCap), 1)
       .filter(col("ngram") =!= "").distinct()
       .select(col("ngram").as("term"),
         ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
           .cast("decimal(18,9)") / 1000).cast("decimal(18,9)").as("weight"))
-    TextOps.linearScore(docs.filter(col("doc_id") < 300), weights,
-        bias = 0.25)
+
+  val t102LinearScore: Q = (s, d) => {
+    val docs = T.documents(s, d)
+    TextOps.linearScore(docs.filter(col("doc_id") < 300),
+        md5SeedWeights(docs, 20), bias = 0.25)
       .orderBy(col("doc_id"))
   }
 
@@ -1826,6 +1832,7 @@ object DataQueries {
     * planted spike/flat-history alarm is StatsSpec-pinned. */
   val t107VolumeAnomaly: Q = (s, d) => {
     val daily = T.events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_events"))
@@ -2008,13 +2015,7 @@ object DataQueries {
     // oracle size, this times the uncapped width
     "x102_linear_score_scale" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val weights = TextOps.ngramRows(docs.filter(col("doc_id") < 200), 1)
-        .filter(col("ngram") =!= "").distinct()
-        .select(col("ngram").as("term"),
-          ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
-            .cast("decimal(18,9)") / 1000).cast("decimal(18,9)")
-            .as("weight"))
-      TextOps.linearScore(docs, weights, bias = 0.25)
+      TextOps.linearScore(docs, md5SeedWeights(docs, 200), bias = 0.25)
     }),
     // t103's hard-negative mining at the 4k two-sided regime: the
     // labeled frame replicated 8x (replicas are EXACT same-label twins

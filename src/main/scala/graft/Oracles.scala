@@ -3924,7 +3924,9 @@ object Oracles {
     "t107_volume_anomaly" ->
       """WITH daily AS (SELECT event_type,
         |    strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
         |w AS (SELECT event_type, day, n_events,
         |    count(n_events) OVER win AS n_prior,
         |    sum(n_events) OVER win AS s,
@@ -3932,9 +3934,12 @@ object Oracles {
         |  FROM daily
         |  WINDOW win AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-        |c AS (SELECT *, cast(s as double) / n_prior AS mean,
-        |    sqrt(cast(n_prior * sq - s * s as double) /
-        |      (n_prior * (n_prior - 1))) AS sd
+        |c AS (SELECT *,
+        |    CASE WHEN n_prior > 0
+        |      THEN cast(s as double) / n_prior END AS mean,
+        |    CASE WHEN n_prior > 1
+        |      THEN sqrt(cast(n_prior * sq - s * s as double) /
+        |        (n_prior * (n_prior - 1))) END AS sd
         |  FROM w)
         |SELECT event_type, day, n_events, cast(n_prior as bigint)
         |    AS n_prior,

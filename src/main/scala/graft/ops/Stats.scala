@@ -298,14 +298,21 @@ object Stats {
                       orderCol: Column, valueCol: Column, window: Int = 7,
                       nSigma: Double = 3.0, minPrior: Int = 3): DataFrame = {
     require(window >= 2 && minPrior >= 2, "need window >= 2, minPrior >= 2")
+    require(minPrior <= window,
+      "minPrior > window can never be satisfied — the detector would " +
+        "silently never flag")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(-window, -1)
     val v = valueCol.cast("long")
+    // moments accumulate as DECIMAL (the zscoreBy discipline): long
+    // sums of v*v wrap silently past v ~ 4e8 at this window, exactly
+    // the regime the 100 TB claim covers
+    val vd = valueCol.cast("decimal(19,0)") // vd*vd fits decimal(38,0)
     val varNum = col("n_prior") * col("__sq") - col("__s") * col("__s")
     val sd = sqrt(varNum.cast("double") /
       (col("n_prior") * (col("n_prior") - lit(1))).cast("double"))
-    df.withColumn("__s", sum(v).over(w))
-      .withColumn("__sq", sum(v * v).over(w))
+    df.withColumn("__s", sum(vd).over(w))
+      .withColumn("__sq", sum(vd * vd).over(w))
       .withColumn("n_prior", count(v).over(w))
       // warm-up guards, not try_divide: ANSI mode refuses the /0 at
       // n_prior <= 1, and null mean/sd is the honest value there

@@ -245,9 +245,10 @@ object Temporal {
     * integer counts and round to 6 for export.
     *
     * Scale shape: one hash exchange on the key for the lag window, one
-    * aggregate-sized (prev, next) count; row totals join back on the
-    * aggregate frame (broadcast-sized: the state space is |event
-    * types|², never row count). */
+    * aggregate-sized (prev, next) count; row totals are one window sum
+    * OVER that aggregate frame (the state space is |event types|²,
+    * never row count), so the corpus is read and shuffled exactly
+    * once. */
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
                        typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
@@ -259,12 +260,15 @@ object Temporal {
       .filter(col("__prev").isNotNull)
       .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
       .agg(count(lit(1)).as("n_transitions"))
-    val totals = pairs.groupBy(col("prev_type"))
-      .agg(sum(col("n_transitions")).as("__total"))
-    pairs.join(broadcast(totals), Seq("prev_type"))
+    // row totals as a window over the ALREADY-aggregated frame
+    // (|event types|² rows), not a groupBy + join back: the latter
+    // duplicates the scan+lag lineage in the plan and only AQE stage
+    // reuse saves it — this form reads the corpus exactly once
+    // unconditionally (review finding)
+    pairs
       .withColumn("prob", round(col("n_transitions").cast("double") /
-        col("__total").cast("double"), 6))
-      .drop("__total")
+        sum(col("n_transitions"))
+          .over(Window.partitionBy(col("prev_type"))).cast("double"), 6))
   }
 
   /** Per-key chronological behavior sequences — the training-example
