@@ -159,4 +159,81 @@ class PropertySpec extends SparkSpec {
         .except(again).count() === 0L)
     }
   }
+
+  test("cmsEstimate never underestimates and merge-by-sum equals " +
+      "one-pass on random multisets") {
+    import graft.ops.Stats
+    val itemGen = Gen.listOfN(60, Gen.choose(0, 12).map(i => s"i$i"))
+    for (seed <- 1 to 4) {
+      val items = itemGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val df = items.map(("g", _)).toDF("g", "v")
+      val probes = truth.keys.toSeq.map(("g", _)).toDF("g", "probe")
+      val est = Stats.cmsEstimate(
+          Stats.cmsSketchBy(df, Seq("g"), col("v"), 3, 8),
+          probes, Seq("g"), 3, 8)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      truth.foreach { case (item, n) =>
+        assert(est(item) >= n, s"seed=$seed $item: ${est(item)} < $n") }
+      val (h1, h2) = items.splitAt(items.size / 2)
+      val merged = Stats.cmsSketchBy(h1.map(("g", _)).toDF("g", "v"),
+          Seq("g"), col("v"), 3, 8)
+        .unionAll(Stats.cmsSketchBy(h2.map(("g", _)).toDF("g", "v"),
+          Seq("g"), col("v"), 3, 8))
+        .groupBy("g", "row", "bucket").agg(sum("cnt").as("cnt"))
+      val estM = Stats.cmsEstimate(merged, probes, Seq("g"), 3, 8)
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(estM == est, s"seed=$seed: shard merge must equal one-pass")
+    }
+  }
+
+  test("hilbertValue is a bijection onto [0, 4^bits) with unit-step " +
+      "locality at random bit widths") {
+    import graft.ops.Layout
+    for (bits <- Seq(1, 2, 3, 5)) {
+      val n = 1 << bits
+      val grid = spark.range(n.toLong * n).select(
+        (col("id") / n).cast("long").as("x"), (col("id") % n).as("y"))
+      val got = grid
+        .withColumn("h", Layout.hilbertValue(col("x"), col("y"), bits))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).toSet == (0L until n.toLong * n).toSet,
+        s"bits=$bits: not a bijection")
+      val sorted = got.sortBy(_._3).toSeq
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) =>
+          math.abs(a._1 - b._1) + math.abs(a._2 - b._2) == 1
+        case _ => true
+      }, s"bits=$bits: walk must be unit steps")
+    }
+  }
+
+  test("trailingAnomaly matches a per-key sliding-window reference on " +
+      "random series and never flags warm-up rows") {
+    import graft.ops.Stats
+    val vGen = Gen.listOfN(14, Gen.choose(0L, 40L))
+    for (seed <- 1 to 4) {
+      val vs = vGen.pureApply(Gen.Parameters.default, Seed(seed + 90L))
+      val df = vs.zipWithIndex.map { case (v, i) => ("k", f"d$i%02d", v) }
+        .toDF("k", "day", "v")
+      val out = Stats.trailingAnomaly(df, Seq("k"), col("day"), col("v"),
+          window = 7, nSigma = 3.0, minPrior = 3)
+        .orderBy("day").collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        val prior = vs.slice(math.max(0, i - 7), i)
+        assert(r.getLong(3) == prior.size, s"seed=$seed row $i n_prior")
+        if (prior.size < 3)
+          assert(!r.getBoolean(5), s"seed=$seed row $i warm-up flagged")
+        else {
+          val mean = prior.sum.toDouble / prior.size
+          val sd = math.sqrt(
+            prior.map(v => (v - mean) * (v - mean)).sum / (prior.size - 1))
+          val expect =
+            if (sd > 0) math.abs(vs(i) - mean) > 3.0 * sd
+            else vs(i).toDouble != mean
+          assert(r.getBoolean(5) == expect, s"seed=$seed row $i flag")
+        }
+      }
+    }
+  }
 }
