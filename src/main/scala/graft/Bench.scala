@@ -593,7 +593,15 @@ object Bench {
             graft.etl.Tables.exportedEventsParts(s, d), watch,
             maxCount = 1000L,
             sink = _.write.format("noop").mode("overwrite").save()))
-      }))
+      }),
+      // streaming transition extraction: buffer-until-watermark pair
+      // emission (the s15 discipline on consecutive-event pairs); the
+      // flush sentinel part advances the watermark so the tails emit
+      "s17_transitions" -> ((s, d) =>
+        runStream("s17_transitions",
+          Streams.transitionsWithState(Streams.eventsStreamPaced(s,
+            graft.etl.Tables.exportedEventsPartsFlush(s, d))).toDF(),
+          "append")))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

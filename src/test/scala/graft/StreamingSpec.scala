@@ -538,6 +538,60 @@ class StreamingSpec extends SparkSpec {
       "out-of-order A must re-anchor the buffered B and C")
   }
 
+  test("transitionsWithState: out-of-order arrival ACROSS microbatches " +
+      "still emits exactly the batch lag pairs; the cross-batch chain " +
+      "survives the state boundary") {
+    val dir = Files.createTempDirectory("graft_trans").toString
+    // batch 1 delivers user 7's LATER events first (B@10:30, C@11:00)
+    // and user 8's in-order pair; batch 2 delivers user 7's EARLIER
+    // A@10:10 — a naive per-batch lag would emit (B,C) then nothing,
+    // losing (A,B) and the true order — plus the flush sentinel
+    val batch1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "B", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "C", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"), 8L, "A", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 09:30:00"), 8L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch2 = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "A", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "Z", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch1.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    Thread.sleep(50)
+    val before = new java.io.File(s"$dir/ev").listFiles().map(_.getName).toSet
+    batch2.coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$dir/ev").listFiles().foreach { f =>
+      f.setLastModified(if (before(f.getName)) now - 120000L else now)
+    }
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/ev")
+    val q = Streams.transitionsWithState(stream, watermark = "2 days")
+      .writeStream.format("memory").queryName("spec_trans")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("spec_trans")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "prev_type", "next_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(streamed == Set(
+      (7L, "A", "B"), (7L, "B", "C"), (8L, "A", "B")),
+      s"streamed pairs: $streamed")
+    // and the corpus-level matrix folded from the streamed pairs equals
+    // the batch operator on the same events
+    val batchPairs = graft.ops.Temporal.transitionMatrix(
+        batch1.unionByName(batch2).filter(col("user_id") =!= 99L),
+        "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val fromStream = streamed.groupBy(p => (p._2, p._3)).view
+      .mapValues(_.size.toLong).toMap
+    assert(fromStream == batchPairs, s"$fromStream vs $batchPairs")
+  }
+
   test("dedupEvents suppresses replayed event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     // event 2 replayed (same id, same payload), id 3 unique
