@@ -1850,6 +1850,15 @@ object DataQueries {
         "event_type", "event_id")
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** Next-event training examples over the event log — t106's
+    * sequences unrolled into the (prefix, label) rows a next-action
+    * model trains on. The '>'-joined prefix string is the portable
+    * encoding both engines build from the same total order. */
+  val t109NextEventExamples: Q = (s, d) =>
+    Temporal.nextEventExamples(T.events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "event_type", "event_id", maxLen = 5)
+      .orderBy(col("user_id"), col("pos"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1959,6 +1968,7 @@ object DataQueries {
     "t106_user_sequences" -> t106UserSequences,
     "t107_volume_anomaly" -> t107VolumeAnomaly,
     "t108_transition_matrix" -> t108TransitionMatrix,
+    "t109_next_event_examples" -> t109NextEventExamples,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3968,6 +3968,28 @@ object Oracles {
         |  round(cast(c.n_transitions as double) / t.total, 6) AS prob
         |FROM c JOIN t ON c.prev_type = t.prev_type
         |ORDER BY c.prev_type, c.next_type""".stripMargin,
+
+    // next-event examples: t106's recency cut + a running string_agg
+    // prefix over the same total order — both engines concatenate the
+    // identical ordered values
+    "t109_next_event_examples" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 50 AND ts IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |k AS (SELECT * FROM r WHERE rn <= 5),
+        |p AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos,
+        |    string_agg(event_type, '>') OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix
+        |  FROM k)
+        |SELECT cast(user_id as bigint) AS user_id,
+        |  cast(pos as bigint) AS pos, prefix, event_type AS label
+        |FROM p WHERE pos >= 2
+        |ORDER BY user_id, pos""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -271,6 +271,31 @@ object Temporal {
           .over(Window.partitionBy(col("prev_type"))).cast("double"), 6))
   }
 
+  /** Next-event training examples — the supervised dataset a next-action
+    * model actually consumes, built from [[keyedSequences]]: for every
+    * position k ≥ 2 of a key's (last-N) sequence, one example with
+    * `prefix` = the values before k (in order, '>'-joined) and `label` =
+    * the value at k. The prefix string is the portable encoding both
+    * engines build identically from the same total order; a trainer
+    * splits it back or hashes it as a feature. Examples per key ≤
+    * maxLen − 1 — the long-history bound [[keyedSequences]] already
+    * pays for.
+    *
+    * Scale shape: keyedSequences' one exchange, plus one more ordered
+    * window over the SAME key partitioning for the running prefix —
+    * no additional shuffle. */
+  def nextEventExamples(events: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, tieCol: String,
+                        maxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyedSequences(events, keyCol, tsCol, valueCol, tieCol, maxLen)
+      .withColumn("prefix", concat_ws(">", collect_list(col("value")).over(w)))
+      .filter(col("pos") >= 2)
+      .select(col(keyCol), col("pos"), col("prefix"),
+        col("value").as("label"))
+  }
+
   /** Per-key chronological behavior sequences — the training-example
     * construction for sequence models over event logs (recommendation /
     * next-action pretraining): each key's LAST `maxLen` events as

@@ -232,6 +232,24 @@ class TemporalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
   }
 
+  test("nextEventExamples: ordered prefixes with labels, pos-1 rows " +
+      "emit no example, prefixes cover only the KEPT window") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1 has 4 events but maxLen 3: the oldest ("z") is cut, so
+    // prefixes must start at "a" — a truncation-blind builder would
+    // leak "z" into every prefix
+    val ev = Seq(
+      (1L, t(5), 1L, "z"), (2L, t(10), 1L, "a"),
+      (3L, t(20), 1L, "b"), (4L, t(30), 1L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Temporal.nextEventExamples(ev, "user_id", "ts",
+        "event_type", "event_id", maxLen = 3)
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq((2L, "a", "b"), (3L, "a>b", "c")),
+      got.toSeq.toString)
+  }
+
   test("transitionMatrix: hand-counted pairs, row-normalized probs, " +
       "same-ts ties chain by tieCol, no cross-key chaining") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
