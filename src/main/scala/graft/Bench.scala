@@ -628,7 +628,10 @@ object Bench {
     // leaves everything completed so far — to bench_summary_r{N}.json,
     // N inferred as (max existing BENCH_r*.json round)+1 in the cwd.
     // Override with SPARK_GRAFT_BENCH_SUMMARY; set it empty to disable.
-    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", {
+    // A dev-filtered run (CLI name args) never writes the default file:
+    // it would clobber the full record with a one-query summary.
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY",
+      if (nameFilter.nonEmpty) "" else {
       val rx = "BENCH_r(\\d+)\\.json".r
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
