@@ -1859,6 +1859,20 @@ object DataQueries {
         "user_id", "ts", "event_type", "event_id", maxLen = 5)
       .orderBy(col("user_id"), col("pos"))
 
+  /** Hierarchy flattening over a synthetic decimal-digit account tree
+    * (child custkey → custkey div 10, roots 1–9): every (node,
+    * ancestor, depth) materialized so rollups are plain joins — the
+    * closure q47's one-level parent link stops short of. Pure integer
+    * iteration; the oracle replays it as a recursive CTE with the same
+    * min-depth canonicalization. */
+  val t110AncestorClosure: Q = (s, d) =>
+    graft.ops.Graph.ancestorClosure(
+        T.customer(s, d).filter(col("c_custkey") >= 10)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey div 10").as("parent")),
+        maxDepth = 6)
+      .orderBy(col("node"), col("ancestor"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1969,6 +1983,7 @@ object DataQueries {
     "t107_volume_anomaly" -> t107VolumeAnomaly,
     "t108_transition_matrix" -> t108TransitionMatrix,
     "t109_next_event_examples" -> t109NextEventExamples,
+    "t110_ancestor_closure" -> t110AncestorClosure,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3990,6 +3990,23 @@ object Oracles {
         |  cast(pos as bigint) AS pos, prefix, event_type AS label
         |FROM p WHERE pos >= 2
         |ORDER BY user_id, pos""".stripMargin,
+
+    // ancestor closure: the level iteration replayed as a recursive CTE
+    // with the same min-depth canonicalization; ancestors chain only
+    // through nodes that exist as children (both engines build the edge
+    // set from the same customer rows)
+    "t110_ancestor_closure" ->
+      """WITH RECURSIVE e AS (SELECT cast(c_custkey as bigint) AS node,
+        |    cast(c_custkey // 10 as bigint) AS anc
+        |  FROM customer WHERE c_custkey >= 10),
+        |cl AS (SELECT node, anc AS ancestor, cast(1 as bigint) AS depth
+        |  FROM e
+        |  UNION ALL
+        |  SELECT cl.node, e.anc, cl.depth + 1
+        |  FROM cl JOIN e ON cl.ancestor = e.node)
+        |SELECT node, ancestor, min(depth) AS depth
+        |FROM cl GROUP BY 1, 2
+        |ORDER BY node, ancestor""".stripMargin,
   )
 
   val all: Map[String, String] = {

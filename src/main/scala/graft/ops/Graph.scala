@@ -95,4 +95,56 @@ object Graph {
     }
     pr
   }
+
+  /** Ancestor closure of a parent hierarchy — org-chart / BOM / account
+    * tree flattening (the reference's parent-account self-link q47 walks
+    * ONE level; this materializes every (node, ancestor, depth) so
+    * rollups become a plain join instead of a recursive query). Accepts
+    * DAGs (multiple parents): each pair keeps its MINIMUM path depth,
+    * which is also what makes the output canonical on trees. Self-loops
+    * are dropped; a frontier still alive past `maxDepth` fails loud —
+    * a "hierarchy" with a cycle (or one deeper than declared) must not
+    * silently truncate rollups.
+    *
+    * Scale shape: linear level-chaining — one equi shuffle join per
+    * level, frontier-sized frames, lineage truncated per level
+    * (localCheckpoint, the connectedComponents discipline). Business
+    * hierarchies are shallow (≤ ~12 levels), so O(depth) joins beats
+    * the doubling scheme's log-rounds on constants while keeping every
+    * intermediate frame node-count-bounded. */
+  def ancestorClosure(edges: DataFrame, maxDepth: Int = 12,
+                      childCol: String = "child",
+                      parentCol: String = "parent"): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val base = edges
+      .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
+      .filter(col("node") =!= col("ancestor"))
+      .distinct().localCheckpoint()
+    var level = base.withColumn("depth", lit(1L))
+    var acc = level
+    var d = 1
+    var alive = true
+    while (alive && d < maxDepth) {
+      val next = level
+        .select(col("node"), col("ancestor").as("__mid"), col("depth"))
+        .join(base.select(col("node").as("__mid"), col("ancestor")),
+          Seq("__mid"))
+        .select(col("node"), col("ancestor"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint()
+      if (next.isEmpty) alive = false
+      else { acc = acc.unionByName(next); level = next; d += 1 }
+    }
+    if (alive && d >= maxDepth) {
+      val probe = level
+        .select(col("ancestor").as("__mid"))
+        .join(base.select(col("node").as("__mid")), Seq("__mid"))
+      if (!probe.isEmpty)
+        throw new IllegalStateException(
+          s"ancestorClosure frontier still alive past maxDepth=$maxDepth" +
+            " — cycle, or a deeper hierarchy than declared")
+    }
+    acc.groupBy(col("node"), col("ancestor"))
+      .agg(min(col("depth")).as("depth"))
+  }
 }

@@ -28,6 +28,29 @@ class GraphSpec extends SparkSpec {
     assert(b == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("ancestorClosure: full closure with min path depth, DAG pairs " +
+      "take the shorter path, self-loops drop, cycles fail loud") {
+    import spark.implicits._
+    import graft.ops.Graph
+    // tree: 100 -> 10 -> 1, 11 -> 1; plus a DAG shortcut 100 -> 1
+    // (direct) so (100, 1) has paths of depth 2 and 1 -> keep 1
+    val edges = Seq((100L, 10L), (10L, 1L), (11L, 1L), (100L, 1L),
+      (5L, 5L)) // self-loop must vanish
+      .toDF("child", "parent")
+    val got = Graph.ancestorClosure(edges, maxDepth = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (100L, 10L) -> 1L, (100L, 1L) -> 1L, (10L, 1L) -> 1L,
+      (11L, 1L) -> 1L), got.toString)
+    // a 3-cycle can never drain the frontier: fail, don't truncate
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val ex = intercept[IllegalStateException] {
+      Graph.ancestorClosure(cyc, maxDepth = 4).collect()
+    }
+    assert(ex.getMessage.contains("cycle"), ex.getMessage)
+  }
+
   test("pageRank: regular graphs are fixed points at 1.0; a star matches " +
       "the hand-unrolled quantized recursion; partitioning-independent") {
     // triangle (2-regular): pr/2 + pr/2 = pr, so 0.15 + 0.85*1 = 1.0
