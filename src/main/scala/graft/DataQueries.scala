@@ -1873,6 +1873,25 @@ object DataQueries {
         maxDepth = 6)
       .orderBy(col("node"), col("ancestor"))
 
+  /** Subtree account-balance rollup over the t110 tree — every
+    * ancestor's decimal-exact total across its whole subtree, one join
+    * + one aggregate at query time. Totals export as double after the
+    * exact decimal sum (the q01 discipline). */
+  val t111SubtreeRollup: Q = (s, d) => {
+    val cust = T.customer(s, d)
+    val closure = graft.ops.Graph.ancestorClosure(
+      cust.filter(col("c_custkey") >= 10)
+        .select(col("c_custkey").as("child"),
+          expr("c_custkey div 10").as("parent")),
+      maxDepth = 6)
+    graft.ops.Graph.subtreeRollup(closure,
+        cust.select(col("c_custkey").as("id"),
+          col("c_acctbal").as("value")))
+      .select(col("ancestor"), col("n_members"),
+        round(col("total").cast("double"), 4).as("total"))
+      .orderBy(col("ancestor"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -1984,6 +2003,7 @@ object DataQueries {
     "t108_transition_matrix" -> t108TransitionMatrix,
     "t109_next_event_examples" -> t109NextEventExamples,
     "t110_ancestor_closure" -> t110AncestorClosure,
+    "t111_subtree_rollup" -> t111SubtreeRollup,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -4007,6 +4007,27 @@ object Oracles {
         |SELECT node, ancestor, min(depth) AS depth
         |FROM cl GROUP BY 1, 2
         |ORDER BY node, ancestor""".stripMargin,
+
+    // subtree rollup: the t110 closure + self-membership, decimal-exact
+    // sums, double cast + round only at export (the q01 discipline)
+    "t111_subtree_rollup" ->
+      """WITH RECURSIVE e AS (SELECT cast(c_custkey as bigint) AS node,
+        |    cast(c_custkey // 10 as bigint) AS anc
+        |  FROM customer WHERE c_custkey >= 10),
+        |cl AS (SELECT node, anc AS ancestor, cast(1 as bigint) AS depth
+        |  FROM e
+        |  UNION ALL
+        |  SELECT cl.node, e.anc, cl.depth + 1
+        |  FROM cl JOIN e ON cl.ancestor = e.node),
+        |mind AS (SELECT node, ancestor FROM cl GROUP BY 1, 2),
+        |v AS (SELECT cast(c_custkey as bigint) AS vid,
+        |    cast(c_acctbal as decimal(27,4)) AS val FROM customer),
+        |m AS (SELECT vid AS ancestor, vid FROM v
+        |  UNION ALL SELECT ancestor, node AS vid FROM mind)
+        |SELECT m.ancestor, count(*) AS n_members,
+        |  round(cast(sum(v.val) as double), 4) AS total
+        |FROM m JOIN v ON m.vid = v.vid
+        |GROUP BY 1 ORDER BY m.ancestor""".stripMargin,
   )
 
   val all: Map[String, String] = {

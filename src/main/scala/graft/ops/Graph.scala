@@ -147,4 +147,28 @@ object Graph {
     acc.groupBy(col("node"), col("ancestor"))
       .agg(min(col("depth")).as("depth"))
   }
+
+  /** Subtree rollup over an [[ancestorClosure]] — the point of
+    * flattening: every ancestor's total over its ENTIRE subtree
+    * (descendants at any depth, plus its own row) as one join + one
+    * aggregate, no recursion at query time. `values` = (id, value)
+    * rows; nodes absent from the closure contribute only to their own
+    * total. Values accumulate as decimals (order/partitioning-free) —
+    * the q01 exact-aggregation discipline. Returns (ancestor,
+    * n_members, total) where n_members counts self + descendants that
+    * HAVE a value row. */
+  def subtreeRollup(closure: DataFrame, values: DataFrame,
+                    idCol: String = "id", valueCol: String = "value",
+                    valueDecimal: String = "decimal(27,4)"): DataFrame = {
+    val v = values.select(col(idCol).as("__vid"),
+      col(valueCol).cast(valueDecimal).as("__v"))
+    // each value row lands on itself (depth 0) and on every ancestor
+    val membership = v.select(col("__vid").as("ancestor"), col("__vid"))
+      .unionByName(
+        closure.select(col("ancestor"), col("node").as("__vid")))
+    membership.join(v, Seq("__vid"))
+      .groupBy(col("ancestor"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__v")).as("total"))
+  }
 }

@@ -49,6 +49,21 @@ class GraphSpec extends SparkSpec {
       Graph.ancestorClosure(cyc, maxDepth = 4).collect()
     }
     assert(ex.getMessage.contains("cycle"), ex.getMessage)
+
+    // subtree rollup on the tree part: node values 1->5, 10->7,
+    // 11->11, 100->2; root 1's subtree = all (25), node 10's = itself
+    // + 100 (9), leaves roll up only themselves
+    val tree = Seq((100L, 10L), (10L, 1L), (11L, 1L))
+      .toDF("child", "parent")
+    val vals = Seq((1L, 5.0), (10L, 7.0), (11L, 11.0), (100L, 2.0))
+      .toDF("id", "value")
+    val roll = Graph.subtreeRollup(
+        Graph.ancestorClosure(tree, maxDepth = 6), vals)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    assert(roll == Map(
+      1L -> ((4L, 25.0)), 10L -> ((2L, 9.0)),
+      11L -> ((1L, 11.0)), 100L -> ((1L, 2.0))), roll.toString)
   }
 
   test("pageRank: regular graphs are fixed points at 1.0; a star matches " +
