@@ -1892,6 +1892,15 @@ object DataQueries {
       .orderBy(col("ancestor"))
   }
 
+  /** Retention labels over the event log: per event, does the same
+    * user act again within 6 hours — the churn/propensity label
+    * builder. Ordering on full-precision timestamps with event-id
+    * ties; label arithmetic on floored seconds (t106's discipline). */
+  val t112RetentionLabels: Q = (s, d) =>
+    Temporal.futureEventLabel(T.events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "event_id", horizonSeconds = 6L * 3600)
+      .orderBy(col("user_id"), col("event_id"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2004,6 +2013,7 @@ object DataQueries {
     "t109_next_event_examples" -> t109NextEventExamples,
     "t110_ancestor_closure" -> t110AncestorClosure,
     "t111_subtree_rollup" -> t111SubtreeRollup,
+    "t112_retention_labels" -> t112RetentionLabels,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -4028,6 +4028,22 @@ object Oracles {
         |  round(cast(sum(v.val) as double), 4) AS total
         |FROM m JOIN v ON m.vid = v.vid
         |GROUP BY 1 ORDER BY m.ancestor""".stripMargin,
+
+    // retention labels: lead over the same full-precision total order,
+    // label arithmetic on floored seconds (the t106 discipline)
+    "t112_retention_labels" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    cast(floor(epoch(ts)) as bigint) AS sec
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id < 50 AND ts IS NOT NULL),
+        |l AS (SELECT user_id, event_id, sec,
+        |    lead(sec) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM e)
+        |SELECT cast(user_id as bigint) AS user_id,
+        |  cast(event_id as bigint) AS event_id, sec AS ts_epoch,
+        |  (nxt IS NOT NULL AND nxt - sec <= 21600) AS label
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -271,6 +271,33 @@ object Temporal {
           .over(Window.partitionBy(col("prev_type"))).cast("double"), 6))
   }
 
+  /** Future-activity labels — the supervised LABEL builder next to the
+    * t106/t109 feature builders: for every event, whether its key has
+    * another event within `horizonSeconds` after it (in the (ts, tie)
+    * total order) — the retention label of a churn model, the
+    * will-it-convert label of a propensity model. One lead() over the
+    * per-key order: the next event is the earliest follower, so
+    * "next within horizon" IS "any within horizon". Label arithmetic
+    * runs on floored epoch seconds (deterministic cross-engine; the
+    * t106 export discipline) while ORDERING keeps full timestamp
+    * precision with `tieCol` ties. Keys' last events label false —
+    * exactly the right-censoring a downstream trainer must window away
+    * (the caller drops the trailing horizon; this op doesn't guess the
+    * observation end). */
+  def futureEventLabel(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0, "horizonSeconds must be >= 0")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val sec = unix_timestamp(col(tsCol))
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__next", lead(sec, 1).over(w))
+      .select(col(keyCol), col(tieCol), sec.as("ts_epoch"),
+        (col("__next").isNotNull &&
+          col("__next") - sec <= horizonSeconds).as("label"))
+  }
+
   /** Next-event training examples — the supervised dataset a next-action
     * model actually consumes, built from [[keyedSequences]]: for every
     * position k ≥ 2 of a key's (last-N) sequence, one example with

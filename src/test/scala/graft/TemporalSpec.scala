@@ -232,6 +232,24 @@ class TemporalSpec extends SparkSpec {
     assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx")
   }
 
+  test("futureEventLabel: within-horizon follower labels true, gap " +
+      "past horizon false, last event right-censors false, boundary " +
+      "is inclusive") {
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "a"), // next at +100 <= 100 -> true (boundary)
+      (2L, t(100), 1L, "a"), // next at +101 > 100 -> false
+      (3L, t(201), 1L, "a"), // last event -> false (censored)
+      (4L, t(0), 2L, "a") // singleton -> false
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.ops.Temporal.futureEventLabel(ev, "user_id", "ts",
+        "event_id", horizonSeconds = 100L)
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false),
+      got.toString)
+  }
+
   test("nextEventExamples: ordered prefixes with labels, pos-1 rows " +
       "emit no example, prefixes cover only the KEPT window") {
     def t(s: Long) = new java.sql.Timestamp(s * 1000L)
