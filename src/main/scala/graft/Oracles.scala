@@ -3845,7 +3845,8 @@ object Oracles {
     "t104_script_profile" ->
       """WITH p AS (SELECT doc_id,
         |  cast(coalesce(length(text) - length(regexp_replace(text,
-        |    '[A-Za-z]', '', 'g')), 0) as bigint) AS n_latin,
+        |    '[A-Za-z\x{C0}-\x{D6}\x{D8}-\x{F6}\x{F8}-\x{24F}\x{1E00}-\x{1EFF}]',
+        |    '', 'g')), 0) as bigint) AS n_latin,
         |  cast(coalesce(length(text) - length(regexp_replace(text,
         |    '[\x{4E00}-\x{9FFF}]', '', 'g')), 0) as bigint) AS n_cjk,
         |  cast(coalesce(length(text) - length(regexp_replace(text,

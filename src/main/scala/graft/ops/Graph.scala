@@ -125,12 +125,20 @@ object Graph {
     var d = 1
     var alive = true
     while (alive && d < maxDepth) {
+      // collapse each level to distinct (node, ancestor) BEFORE the
+      // checkpoint: without it the frame carries one row per distinct
+      // PATH, and a diamond-heavy DAG grows 2^levels intermediate rows
+      // (round-10 advice) — the final min() would still be right, but
+      // the job blows up first. With the dedup every frame is bounded
+      // by |node pairs|; min(depth) keeps the shortest-path contract
+      // (all rows in one level share depth d+1 today, but min() stays
+      // correct if a future variant mixes depths).
       val next = level
         .select(col("node"), col("ancestor").as("__mid"), col("depth"))
         .join(base.select(col("node").as("__mid"), col("ancestor")),
           Seq("__mid"))
-        .select(col("node"), col("ancestor"),
-          (col("depth") + 1).as("depth"))
+        .groupBy(col("node"), col("ancestor"))
+        .agg(min(col("depth") + 1).as("depth"))
         .localCheckpoint()
       if (next.isEmpty) alive = false
       else { acc = acc.unionByName(next); level = next; d += 1 }

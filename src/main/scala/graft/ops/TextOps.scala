@@ -766,7 +766,15 @@ object TextOps {
     def cnt(pattern: String): Column =
       (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
     val classes = Seq(
-      "latin" -> cnt("[A-Za-z]"),
+      // ASCII letters + Latin-1 Supplement / Extended-A/B letters +
+      // Latin Extended Additional (precomposed Vietnamese lives in
+      // U+1E00-U+1EFF): accented Latin must count as latin, or a
+      // diacritic-heavy doc flips dominant_script to 'none' — the
+      // round-10 advice. U+00D7 × and U+00F7 ÷ are excluded: math
+      // signs, not letters. BMP ranges replay identically in Java
+      // regex and RE2.
+      "latin" -> cnt("[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6" +
+        "\\u00F8-\\u024F\\u1E00-\\u1EFF]"),
       "cjk" -> cnt("[\\u4E00-\\u9FFF]"),
       "cyrillic" -> cnt("[\\u0400-\\u04FF]"),
       "arabic" -> cnt("[\\u0600-\\u06FF]"),

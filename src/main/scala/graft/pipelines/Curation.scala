@@ -349,7 +349,14 @@ object Curation {
     *     retrieval score — and its fate — never depends on which
     *     batch it arrived in. A later run's `evalSet` reshapes
     *     stage 6's overlap gate (batch-scoped by design) but not the
-    *     frozen retrieval index. */
+    *     frozen retrieval index.
+    *   - `cls_weights` + `cls_params` (needs `clsWeights` on first
+    *     run): the learned classifier is persisted WHOLE — the weight
+    *     table plus a one-row (bias, tau) frame — and stored beats
+    *     passed for all three, so a month-2 run passing a different
+    *     bias or threshold still screens with the first run's
+    *     effective model (weights with a different bias ARE a
+    *     different classifier). */
   def runIncremental(newDocs: DataFrame, evalSet: DataFrame,
                      outPath: String, stateDir: String,
                      minWords: Int = 5, jaccard: Double = 0.5,
@@ -398,6 +405,15 @@ object Curation {
     // the state swap below can't invalidate the lazy read mid-publish)
     val clsUsed: Option[DataFrame] =
       load("cls_weights").orElse(clsWeights).map(_.localCheckpoint())
+    // bias and tau are PART of the model (round-10 advice: a month-2
+    // run passing a different bias/tau would silently screen with a
+    // different effective classifier — exactly the cross-batch drift
+    // cls_weights exists to stop): stored beats passed for all three
+    val (clsBiasUsed, clsTauUsed) = load("cls_params")
+      .flatMap(_.collect().headOption)
+      .map(r => (r.getDouble(r.fieldIndex("bias")),
+        r.getDouble(r.fieldIndex("tau"))))
+      .getOrElse((clsBias, clsTau))
     // the frozen retrieval index: stored beats rebuilt (see scaladoc)
     val bm25Idx: Option[DataFrame] =
       if (bm25Tau.isEmpty) None
@@ -415,7 +431,7 @@ object Curation {
       // the frozen classifier: stored beats passed (every batch must be
       // screened by the SAME model, the dsir_profile discipline)
       clsWeights = clsUsed,
-      clsBias = clsBias, clsTau = clsTau)
+      clsBias = clsBiasUsed, clsTau = clsTauUsed)
     // state := old ∪ kept survivors — staged fully before the swap, so
     // the lazy reads of the old state complete during staging
     val newFps = histFps.unionByName(r.kept.select(
@@ -451,9 +467,15 @@ object Curation {
     // persist the classifier model alongside the other frozen state
     // dimensions — without this, "stored beats passed" could never
     // fire and a month-2 run would silently screen with a DIFFERENT
-    // model (or none), the cross-batch drift this state exists to stop
+    // model (or none), the cross-batch drift this state exists to stop.
+    // cls_params rides along as a one-row (bias, tau) frame so the
+    // WHOLE effective model is frozen, not just the weight table
     val clsState: Map[String, DataFrame] =
-      clsUsed.map("cls_weights" -> _).toMap
+      clsUsed.map(w => Map(
+        "cls_weights" -> w,
+        "cls_params" -> spark.range(1).select(
+          lit(clsBiasUsed).as("bias"), lit(clsTauUsed).as("tau")))
+      ).getOrElse(Map.empty)
     graft.etl.Publish.publishAll(stateDir,
       Map("fingerprints" -> newFps, "band_index" -> newBands) ++
         semState ++ dsirState ++ bm25State ++ clsState) match {

@@ -225,9 +225,15 @@ class CurationSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(state, "cls_weights")),
       "the model must persist as a state dimension")
-    // month 2 passes NO weights: the spam doc (unique words, passes
-    // every heuristic) must still die at the classifier via the
-    // STORED model
+    assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(state, "cls_params")),
+      "bias and tau must persist WITH the model (round-10 advice)")
+    // month 2 passes NO weights AND hostile bias/tau: the spam doc
+    // (unique words, passes every heuristic) must still die at the
+    // classifier via the STORED model, and the clean doc must survive
+    // — if the passed bias=-100 governed, everything would die; if the
+    // passed tau=0.999 governed, the clean doc (prob σ(1)≈0.73) would
+    // die too
     val m2 = Seq(
       (300L, body(300), "web"),
       (301L, "spamword trovak blenni squam drolt phizz spamword wrenk " +
@@ -238,7 +244,7 @@ class CurationSpec extends SparkSpec {
     val r2 = Curation.runIncremental(m2, evalSet, out2, state,
       keepNum = 1, keepDen = 1, budgetTokens = 100000L,
       capacity = 64, buckets = 4, shards = 4,
-      clsBias = 1.0, clsTau = 0.5)
+      clsBias = -100.0, clsTau = 0.999)
     val by2 = r2.report.collect()
       .map(row => row.getString(1) -> row.getLong(2)).toMap
     assert(by2.contains("classifier_prune"),

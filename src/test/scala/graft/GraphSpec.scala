@@ -50,6 +50,26 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("cycle"), ex.getMessage)
 
+    // chained diamonds (a->b1/b2->c->d1/d2->e->...): path count doubles
+    // per diamond (2^k paths bottom-to-top), but the per-level dedup
+    // keeps every frame pair-bounded (round-10 advice) — with 8 chained
+    // diamonds the closure must still come back (256 paths collapse to
+    // one (bottom, top) pair of depth 16) with correct min depths
+    val k = 8
+    val diam = (0 until k).flatMap { i =>
+      val (lo, hi) = (i * 10L, (i + 1) * 10L)
+      Seq((lo, lo + 1), (lo, lo + 2), (lo + 1, hi), (lo + 2, hi))
+    }.toDF("child", "parent")
+    val dg = Graph.ancestorClosure(diam, maxDepth = 2 * k + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(dg((0L, k * 10L)) === 2L * k)
+    assert(dg((0L, 1L)) === 1L && dg((0L, 10L)) === 2L)
+    // pair count: distinct reachable pairs only, not 2^k paths —
+    // anchors contribute 3(k-i) pairs each, the 2 mids of diamond i
+    // contribute 1 + 3(k-i-1) each: 108 + 184 = 292 at k=8
+    assert(dg.size === 292)
+
     // subtree rollup on the tree part: node values 1->5, 10->7,
     // 11->11, 100->2; root 1's subtree = all (25), node 10's = itself
     // + 100 (9), leaves roll up only themselves

@@ -804,7 +804,12 @@ class TextQualitySpec extends SparkSpec {
       (3L, "abc абв"), // 3 latin vs 3 cyrillic tie -> latin (fixed order)
       (4L, "مرحبا"), // 5 arabic
       (5L, ""), (6L, null.asInstanceOf[String]),
-      (7L, "123 456") // digits are counted but never dominate
+      (7L, "123 456"), // digits are counted but never dominate
+      // accented Latin (Latin-1 Supplement / Extended) counts as latin
+      // (round-10 advice: "détérioré" must not land in n_other and flip
+      // dominance to 'none'), while × ÷ stay math signs, not letters
+      (8L, "été ñoño Đặng"), // 11 latin letters + 2 spaces
+      (9L, "2×3÷4") // x-sign and division sign are other, digits count
     ).toDF("doc_id", "text")
     val out = TextOps.scriptProfile(docs).orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -821,6 +826,8 @@ class TextQualitySpec extends SparkSpec {
     assert(counts(5L) == (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none"))
     assert(counts(6L) == (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, "none"))
     assert(counts(7L) == (0L, 0L, 0L, 0L, 6L, 1L, 7L, 0L, "none"))
+    assert(counts(8L) == (11L, 0L, 0L, 0L, 0L, 2L, 13L, 0L, "latin"))
+    assert(counts(9L) == (0L, 0L, 0L, 0L, 3L, 0L, 5L, 2L, "none"))
   }
 
   test("linearScore: hand-computed tf·weight sums, bare bias for " +

@@ -84,13 +84,13 @@ def main():
         # do raw-flat per-key flags demote to suspects; otherwise every
         # normalized flag reports (annotated with its raw ratio), so a
         # genuine regression under an honestly-faster host still exits 1.
-        ra = sum(qa[k] for k in common if qa[k] > 0 and qb[k] > 0)
-        rb = sum(qb[k] for k in common if qa[k] > 0 and qb[k] > 0)
-        skewed = ra > 0 and na > 0 and \
-            rb / ra < 1.1 and (nb / na) / (rb / ra) > args.raw_threshold
+        rawA = sum(qa[k] for k in common if qa[k] > 0 and qb[k] > 0)
+        rawB = sum(qb[k] for k in common if qa[k] > 0 and qb[k] > 0)
+        skewed = rawA > 0 and na > 0 and \
+            rawB / rawA < 1.1 and (nb / na) / (rawB / rawA) > args.raw_threshold
         if skewed:
             print("  [calibration-skew detected: normalized total "
-                  f"{nb / na:.2f}x vs raw total {rb / ra:.2f}x — "
+                  f"{nb / na:.2f}x vs raw total {rawB / rawA:.2f}x — "
                   "raw-flat flags demote to suspects]")
         flagged = []
         suspects = []
