@@ -1614,34 +1614,29 @@ object DataQueries {
       .filter(col("spend").isNotNull)
       .orderBy(col("user_id"), col("event_type"))
 
-  /** Blocked edit-distance fuzzy join — entity resolution without the
-    * all-pairs cartesian: candidates meet only inside a (3-char
-    * prefix) block, then exact levenshtein <= 2 keeps real near-names.
-    * The fixture plants a 1-edit twin per part name (4th char
-    * dropped, prefix preserved), which blocking must retain. At 100 TB
-    * the block key is the join key: pair volume is Σ block² instead
-    * of n², and a skewed block behaves like any skewed join key (AQE
-    * territory) — the same discipline as the LSH band join, with edit
-    * distance in place of Jaccard. */
+  /** Blocked edit-distance fuzzy join ([[Dedup.editDistancePairs]]) —
+    * entity resolution without the all-pairs cartesian: candidates are
+    * generated over DISTINCT names only (the round-10 fix that kills
+    * the quadratic — a bare prefix block over TPC-H's fixed color
+    * vocabulary is constant-cardinality, so with repeating names pair
+    * volume grew with data²; distinct-name blocking is
+    * replication-flat, ScaleSpec-proven), inside a composite (3-char
+    * prefix, length-bucket) block with adjacent-bucket probing, then
+    * exact levenshtein <= 2 keeps real near-names and id pairs come
+    * back by two id-list joins. The fixture plants a 1-edit twin per
+    * part name (4th char dropped, prefix preserved), which blocking
+    * must retain. dist >= 1 because exact-duplicate pairs are t02's
+    * job (TPC-H names repeat heavily — dist-0 pairs would bury the
+    * near-match signal), and that contract is what makes the
+    * distinct-name collapse lossless. */
   val t95EditDistanceJoin: Q = (s, d) => {
-    // dist >= 1: exact-duplicate pairs are t02's job (TPC-H names
-    // repeat heavily — dist-0 pairs would bury the near-match signal)
     val parts = T.part(s, d).filter(col("p_partkey") % 4 === 0)
       .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
     val planted = parts.select((col("id") + 100000L).as("id"),
       concat(substring(col("name"), 1, 3), substring(col("name"), 5,
         1000000)).as("name"))
-    val all = parts.unionByName(planted)
-      .withColumn("blk", substring(col("name"), 1, 3))
-    val a = all.select(col("blk"), col("id").as("id_a"),
-      col("name").as("name_a"))
-    val b = all.select(col("blk"), col("id").as("id_b"),
-      col("name").as("name_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b") &&
-        levenshtein(col("name_a"), col("name_b")).between(1, 2))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+    Dedup.editDistancePairs(parts.unionByName(planted),
+        maxDist = 2, minDist = 1)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -2283,6 +2278,23 @@ object DataQueries {
         TextOps.ngramRows(T.documents(s, d)
           .repartition(s.sparkContext.defaultParallelism), 2),
         Seq(), col("ngram"), k = 256)),
+    // t95's blocked edit-distance join at the 10x-replicated name
+    // regime on the composite (prefix, length-bucket) key — the
+    // round-10 `weak` fix measured where it matters: replicas KEEP
+    // their name, so every block's population multiplies 10x (the
+    // constant-vocabulary worst case that sank the bare-prefix key),
+    // and the timed work is candidate generation + levenshtein
+    // verification over those dense blocks plus the census and pair
+    // count (one summary row out — nothing corpus-sized collects)
+    "x95_edit_blocking_scale" -> ((s, d) => {
+      val big = scaledPartNames(s, d, copies = 10)
+      val census = Dedup.editDistanceBlockCensus(big)
+        .agg(max(col("n")).as("max_block"),
+          count(lit(1)).as("n_blocks"))
+      Dedup.editDistancePairs(big, maxDist = 2, minDist = 1)
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(census)
+    }),
     // t36's heavy hitters through the Misra-Gries one-pass sketch: the
     // bounded-state path whose exchange is capacity * partitions
     // regardless of vocabulary (t36's exact count stays the oracle path;
@@ -2329,6 +2341,26 @@ object DataQueries {
     })
   private[graft] def warmPqStatics(s: SparkSession, d: String): Unit = {
     pqStatics(s, d); ()
+  }
+
+  /** The part-name corpus replicated `copies`x with distinct ids but
+    * UNCHANGED names (block populations multiply — the fixed-vocabulary
+    * regime the composite edit-distance block key exists for), plus the
+    * t95 planted 1-edit twin per 4th name — the scale harness for x95
+    * and ScaleSpec's blocking floors. */
+  private[graft] def scaledPartNames(s: SparkSession, d: String,
+                                     copies: Int): DataFrame = {
+    val parts = T.part(s, d)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
+    val big = parts
+      .select(explode(sequence(lit(0), lit(copies - 1))).as("__i"),
+        col("id"), col("name"))
+      .select((col("id") * copies + col("__i")).as("id"), col("name"))
+    val planted = big.filter(col("id") % 4 === 0)
+      .select((col("id") + 10000000L).as("id"),
+        concat(substring(col("name"), 1, 3),
+          substring(col("name"), 5, 1000000)).as("name"))
+    big.unionByName(planted).localCheckpoint()
   }
 
   /** The sf event log replicated `copies`x with distinct event AND user

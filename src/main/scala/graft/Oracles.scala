@@ -3613,18 +3613,28 @@ object Oracles {
         |FROM events WHERE user_id <= 30
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // blocked fuzzy join: same 3-char-prefix blocks, same levenshtein
-    // (classic unit-cost edit distance in both engines)
+    // blocked fuzzy join: the composite (3-char prefix,
+    // floor(length/4) bucket) key with the probe side expanded to
+    // adjacent buckets, then the same levenshtein (classic unit-cost
+    // edit distance in both engines) — the anchor side carries one key
+    // and the three expanded keys are distinct, so each pair matches
+    // exactly once. DELIBERATELY replayed at the id level with no
+    // distinct-name collapse: a hash match proves the Spark side's
+    // distinct-names-then-id-reconstruction is lossless
     "t95_edit_distance_join" ->
       """WITH base AS (SELECT p_partkey AS id, lower(p_name) AS name
         |  FROM part WHERE p_partkey % 4 = 0),
         |pl AS (SELECT id + 100000 AS id,
         |    substr(name, 1, 3) || substr(name, 5) AS name FROM base),
-        |a AS (SELECT *, substr(name, 1, 3) AS blk
-        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pl))
+        |k AS (SELECT id, name, substr(name, 1, 3) AS pfx,
+        |    length(name) // 4 AS lb
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM pl)),
+        |b AS (SELECT k.id, k.name, k.pfx, k.lb + d.d AS lbk
+        |  FROM k CROSS JOIN (VALUES (-1), (0), (1)) d(d))
         |SELECT cast(x.id as bigint) AS id_a, cast(y.id as bigint) AS id_b,
         | cast(levenshtein(x.name, y.name) as int) AS edit_dist
-        |FROM a x JOIN a y ON x.blk = y.blk AND x.id < y.id
+        |FROM k x JOIN b y ON x.pfx = y.pfx AND x.lb = y.lbk
+        |  AND x.id < y.id
         |  AND levenshtein(x.name, y.name) BETWEEN 1 AND 2
         |ORDER BY id_a, id_b""".stripMargin,
 

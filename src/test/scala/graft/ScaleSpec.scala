@@ -143,6 +143,68 @@ class ScaleSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("x95 edit-distance blocking: equals the direct-id bare-prefix " +
+      "result set, planted 1-edit twins all survive at 10x, and " +
+      "candidate volume is replication-FLAT (the quadratic killer)") {
+    import graft.ops.Dedup
+    // (a) result-set equality with the PRE-FIX formulation (direct-id
+    // bare-prefix join, no distinct collapse, no length pruning — an
+    // independent reference): the fix is candidate pruning only
+    val small = graft.DataQueries.scaledPartNames(spark,
+      "/root/testdata/sf0.001", copies = 2)
+    val got = Dedup.editDistancePairs(small, maxDist = 2, minDist = 1)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+    val blk = small.withColumn("blk", substring(col("name"), 1, 3))
+    val ref = blk.select(col("blk"), col("id").as("id_a"),
+        col("name").as("na"))
+      .join(blk.select(col("blk"), col("id").as("id_b"),
+        col("name").as("nb")), Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("na"), col("nb")).between(1, 2))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("na"), col("nb")).as("edit_dist"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "blocking fix changed the result set")
+    // (b) the x95 10x regime: every planted twin (one deletion, prefix
+    // preserved -> equal or adjacent length bucket) is retained
+    val big = graft.DataQueries.scaledPartNames(spark,
+      "/root/testdata/sf0.01", copies = 10)
+    val nPlanted = big.filter(col("id") >= 10000000L).count()
+    val pairs = Dedup.editDistancePairs(big, maxDist = 2, minDist = 1)
+      .localCheckpoint()
+    val twinHits = pairs.filter(
+      col("id_b") === col("id_a") + 10000000L &&
+        col("edit_dist") === 1).count()
+    assert(twinHits === nPlanted,
+      s"planted twins lost by blocking: $twinHits of $nPlanted")
+    // (c) the fix that matters at 100 TB: candidate volume runs over
+    // DISTINCT names, so it must be (near-)FLAT in the replication
+    // factor — the pre-fix direct-id blocking paid ~100x more here
+    // (every block's population multiplied 10x => pairs 100x). The
+    // census is distinct-name populations; candidate volume from it
+    // via the same neighbor-expansion join the operator does.
+    def candVolume(names: org.apache.spark.sql.DataFrame): Long = {
+      val c = Dedup.editDistanceBlockCensus(names).localCheckpoint()
+      c.select(col("pfx"), col("lb").as("lbk"), col("n").as("na"))
+        .join(c.select(col("pfx"),
+          explode(array(col("lb") - 1, col("lb"), col("lb") + 1))
+            .as("lbk"), col("n").as("nb")), Seq("pfx", "lbk"))
+        .agg(sum(col("na") * col("nb"))).head().getLong(0)
+    }
+    val one = graft.DataQueries.scaledPartNames(spark,
+      "/root/testdata/sf0.01", copies = 1)
+    val (v1, v10) = (candVolume(one), candVolume(big))
+    val rows10 = big.count()
+    info(s"candidate volume 1x: $v1, 10x: $v10 " +
+      s"(${v10.toDouble / v1}%x for 10x rows = $rows10); " +
+      s"pairs ${pairs.count()}")
+    // planted-twin coverage differs slightly between the corpora
+    // (copies=10 plants a twin for every base name, copies=1 for a
+    // quarter), so allow 2x — the pre-fix behavior here would be ~100x
+    assert(v10 <= v1 * 2,
+      s"candidate volume grew with replication: $v1 -> $v10")
+  }
+
   test("knn recall at the benched scale regimes is measured and floored") {
     import graft.ops.Similarity
     val sf = "/root/testdata/sf0.1"
