@@ -1160,17 +1160,18 @@ object DataQueries {
   /** Graph-ANN beam search over the exact degree-4 neighbor graph
     * (corpus capped at the first 1024 vectors so the all-pairs graph
     * build stays oracle-cheap at any sf — x69 carries the bucketed
-    * 16k regime with build and search timed separately): entry set
-    * every 50th node, beam 4, TWO expansion rounds, top-4. The oracle
-    * unrolls both rounds — graph edges, entry scoring, each round's
-    * expand/rescore/re-rank and the final contract replayed
-    * join-for-join. */
+    * 16k regime with build and search timed separately): the FIXED
+    * 10-node md5-order entry sample (round-10 fix — round-0 cost no
+    * longer scales with the corpus), beam 4, TWO expansion rounds,
+    * top-4. The oracle unrolls both rounds — graph edges, the md5
+    * entry ranking, each round's expand/rescore/re-rank and the final
+    * contract replayed join-for-join. */
   val t69GraphSearch: Q = (s, d) => {
     val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") < 1024)
     val graph = Similarity.knnGraphExact(emb, degree = 4)
     Similarity.graphSearch(emb, graph, emb.filter(col("vec_id") < 8),
-        k = 4, beam = 4, rounds = 2, entryEvery = 50)
+        k = 4, beam = 4, rounds = 2, entryCount = 10)
       .select(col("query_id").cast("long").as("query_id"),
         col("rank").cast("long").as("rank"),
         col("neighbor_id").cast("long").as("neighbor_id"), col("cosine"))
@@ -2219,15 +2220,18 @@ object DataQueries {
     // over every search, so neither cost should mask the other
     "x69_graph_build" -> ((s, d) =>
       Similarity.knnGraph(pqStatics(s, d).big, degree = 8, bits = 8)),
-    // t69's beam SEARCH against the frozen warm-up-built graph: two
-    // rounds whose per-round cost is beam*degree*|Q| rows, independent
-    // of corpus size (the whole point of the graph layer)
+    // t69's beam SEARCH against the frozen warm-up-built graph: the
+    // fixed 10-node entry sample (round-10 fix) makes round 0
+    // O(|Q|*10) and each round beam*degree*|Q| rows — EVERY stage of
+    // the search is now corpus-size-independent except the one
+    // bounded-heap entry scan, so build (x69_graph_build) scales with
+    // the corpus and search stays flat
     "x69_graph_search" -> ((s, d) => {
       val st = pqStatics(s, d)
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.graphSearch(st.big, st.graph, queries, k = 8, beam = 8,
-        rounds = 2, entryEvery = 125)
+        rounds = 2, entryCount = 10)
     }),
     // t65's binary search at the same 16k regime and query slate: the
     // quantization ladder's most aggressive point (32x cut) — stage 1

@@ -2231,9 +2231,10 @@ object Oracles {
         |ORDER BY d.doc_id""".stripMargin,
 
     // graph-ANN beam search, both rounds unrolled: the degree-4 exact
-    // graph, the every-50th entry scoring, round 1's expand/rescore/
-    // re-rank, round 2's, and the final top-4 — one edge ranked
-    // differently anywhere reroutes the walk and breaks the hash
+    // graph, the fixed 10-node md5-order entry sample (salt 'entry' —
+    // both engines hash the identical string), round 1's expand/
+    // rescore/re-rank, round 2's, and the final top-4 — one edge
+    // ranked differently anywhere reroutes the walk and breaks the hash
     "t69_graph_search" ->
       """WITH v AS (SELECT vec_id, cast(embedding as double[]) AS ev
         |  FROM embeddings WHERE vec_id < 1024),
@@ -2244,9 +2245,12 @@ object Oracles {
         |g AS (SELECT node_id, nbr_id FROM gall WHERE rnk <= 4),
         |q AS (SELECT vec_id AS query_id, ev AS qv FROM v
         |  WHERE vec_id < 8),
+        |e AS (SELECT vec_id FROM v
+        |  ORDER BY md5('entry' || cast(vec_id AS varchar)), vec_id
+        |  LIMIT 10),
         |s0 AS (SELECT query_id, n.vec_id AS nid,
         |    list_cosine_similarity(qv, n.ev) AS cos
-        |  FROM q JOIN v n ON n.vec_id % 50 = 0
+        |  FROM q JOIN v n ON n.vec_id IN (SELECT vec_id FROM e)
         |    AND n.vec_id <> q.query_id),
         |f0 AS (SELECT query_id, nid, cos FROM (SELECT s0.*,
         |    row_number() OVER (PARTITION BY query_id

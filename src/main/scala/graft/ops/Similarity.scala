@@ -1220,8 +1220,9 @@ object Similarity {
 
   /** Graph-ANN beam search — the NSW/HNSW idea in its deterministic
     * bounded-round Spark form: per query, start from the fixed entry
-    * set (every `entryEvery`-th node, the [[kmeansCentroids]] init
-    * discipline), keep the `beam` best nodes seen so far by
+    * set (a deterministic `entryCount`-node sample in md5 order — the
+    * hashSplit/stratifiedSplit discipline, so any engine replays the
+    * same entries), keep the `beam` best nodes seen so far by
     * (cosine desc, node asc), and for `rounds` rounds expand the
     * frontier along the graph's edges, rescore, and re-rank frontier ∪
     * expansions back down to `beam`. The frontier is the best-ever
@@ -1230,6 +1231,17 @@ object Similarity {
     * fixed-round search is replayable round-for-round by an external
     * engine (t69 oracle unrolls both rounds in SQL). Returns the
     * final frontier's top-`k` under the standard contract.
+    *
+    * The FIXED-COUNT entry sample is the round-10 fix: the previous
+    * every-`entryEvery`-th-node entry set scaled with the corpus, so
+    * round-0 scoring was |Q|·|C|/entryEvery cosines — the one
+    * corpus-proportional term in an otherwise corpus-free search. The
+    * measured entry-density-vs-depth trade (SimilaritySpec: recall
+    * saturates across the trade at equal budget, depth wins) already
+    * justified a small fixed set: round 0 is now O(|Q|·entryCount)
+    * at ANY corpus size. The sample ranks by md5 of the node id with
+    * an 'entry' salt (TakeOrderedAndProject — one bounded-heap scan,
+    * no full sort) and broadcasts.
     *
     * Scale shape: per round ONE edge join (frontier × degree rows),
     * one id-keyed vector fetch join and one query-partitioned beam
@@ -1240,11 +1252,12 @@ object Similarity {
     * across rounds. */
   def graphSearch(corpus: DataFrame, graph: DataFrame,
                   queries: DataFrame, k: Int, beam: Int = 8,
-                  rounds: Int = 2, entryEvery: Int = 50,
+                  rounds: Int = 2, entryCount: Int = 16,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding",
                   selfJoin: Boolean = true): DataFrame = {
     require(beam >= k, s"beam $beam must cover k $k")
+    require(entryCount >= 1, "need at least one entry node")
     val cv = corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")))
@@ -1260,8 +1273,11 @@ object Similarity {
             .orderBy(col("__cos").desc, col("__nid"))))
         .filter(col("__rn") <= beam).drop("__rn")
     val entries = q.select(col("query_id"))
-      .crossJoin(corpus.filter(col(idCol) % entryEvery === 0)
-        .select(col(idCol).as("__nid")))
+      .crossJoin(broadcast(corpus
+        .select(col(idCol).as("__nid"))
+        .orderBy(md5(concat(lit("entry"), col("__nid").cast("string"))),
+          col("__nid"))
+        .limit(entryCount)))
     var frontier = topBeam(score(entries)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val expanded = frontier

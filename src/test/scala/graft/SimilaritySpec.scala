@@ -778,7 +778,7 @@ class SimilaritySpec extends SparkSpec {
     // can only improve as rounds grow
     def best(rounds: Int): Map[Long, Double] =
       Similarity.graphSearch(emb, gExact, emb, k = 1, beam = 8,
-          rounds = rounds, entryEvery = 25)
+          rounds = rounds, entryCount = 20)
         .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     val b0 = best(0); val b1 = best(1); val b2 = best(2)
     assert(b0.forall { case (id, c) => c <= b1(id) + 1e-9 },
@@ -788,14 +788,14 @@ class SimilaritySpec extends SparkSpec {
     // recall at the working configuration, exact graph then the
     // bucketed-construction graph (pays the knnJoin edge recall toll)
     val rExact = recallOf(Similarity.graphSearch(emb, gExact, emb, 5,
-      beam = 16, rounds = 3, entryEvery = 25), 5)
+      beam = 16, rounds = 3, entryCount = 20), 5)
     val gBucket = Similarity.knnGraph(emb, degree = 8, bits = 8)
       .localCheckpoint()
     val rBucket = recallOf(Similarity.graphSearch(emb, gBucket, emb, 5,
-      beam = 16, rounds = 3, entryEvery = 25), 5)
+      beam = 16, rounds = 3, entryCount = 20), 5)
     info(f"graphSearch recall@5 (beam=16, rounds=3): exact graph " +
       f"$rExact%.3f, bucketed graph $rBucket%.3f")
-    // measured 0.706/0.580 — the best recall of any family member on
+    // measured 0.704/0.567 (md5 entry sample) — the best recall of any family member on
     // this worst-case near-random fixture (lsh probe1 0.497, ivf
     // 0.661); floors ~10 pts under
     assert(rExact >= 0.6, f"exact-graph recall collapsed: $rExact%.3f")
@@ -812,18 +812,22 @@ class SimilaritySpec extends SparkSpec {
     // the bottleneck on this corpus and a second graph layer has no
     // headroom to buy.
     val g = Similarity.knnGraphExact(emb, degree = 8).localCheckpoint()
-    def r(entryEvery: Int, rounds: Int): Double =
+    def r(entryCount: Int, rounds: Int): Double =
       recallOf(Similarity.graphSearch(emb, g, emb, 5, beam = 16,
-        rounds = rounds, entryEvery = entryEvery), 5)
-    val sparse = r(50, 4)  // ~10 entries + 4 walk rounds
-    val flat   = r(25, 3)  // ~20 entries + 3 rounds (the t69 config)
-    val dense  = r(10, 2)  // ~50 entries + 2 rounds
+        rounds = rounds, entryCount = entryCount), 5)
+    val sparse = r(10, 4)  // 10 entries + 4 walk rounds
+    val flat   = r(20, 3)  // 20 entries + 3 rounds
+    val dense  = r(50, 2)  // 50 entries + 2 rounds
     info(f"recall@5 at ~equal budget: sparse-entries/4r $sparse%.3f, " +
       f"flat/3r $flat%.3f, dense-entries/2r $dense%.3f")
-    // measured 0.726 / 0.706 / 0.681: MORE walk beats MORE entries on
-    // the worst-case fixture — entry selection is already saturated,
-    // so a hierarchical entry layer has nothing to buy here (ROADMAP
-    // #6 closed by measurement); floors pin the shape
+    // measured 0.704 / 0.704 / 0.686 (md5 sample; every-Nth measured
+    // 0.726/0.706/0.681): MORE walk beats MORE entries on the
+    // worst-case fixture — entry selection is already saturated, so a
+    // hierarchical entry layer has nothing to buy here (ROADMAP #6
+    // closed by measurement), and that same saturation is what
+    // justifies the FIXED 10-20 node entry sample (round-10 fix:
+    // round-0 cost no longer scales with the corpus); floors pin the
+    // shape
     assert(sparse >= flat - 0.02 && flat >= dense - 0.02,
       "walk depth must not lose to entry density at equal budget")
     assert(Seq(sparse, flat, dense).max -
