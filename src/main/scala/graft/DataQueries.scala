@@ -2028,6 +2028,20 @@ object DataQueries {
       TextOps.bm25TopK(docs.filter(col("doc_id") % 50 === 0), docs,
         k = 5, exactSums = false)
     }),
+    // t78's BM25 against the PREBUILT postings index ([[TextOps
+    // .bm25Index]] built once in Bench warm-up, localCheckpointed):
+    // times the amortized per-query-set retrieval alone — distinct
+    // query terms -> postings join -> pair sum -> top-k, no corpus
+    // tokenize/df/dl/N aggregates in the timed plan (PlanSpec pins
+    // that). t78/x78 deliberately keep the inline-statistics one-shot
+    // shape; a deployment that probes a reference corpus repeatedly
+    // pays THIS number (round-10 verdict item 2: t78/t79's cost is
+    // index rebuild, not retrieval — put the warm number on record).
+    // Same query slate as x78, production double-sum accumulator.
+    "x78i_bm25_warm_search" -> ((s, d) =>
+      TextOps.bm25TopKIndexed(
+        T.documents(s, d).filter(col("doc_id") % 50 === 0),
+        bm25Static(s, d), k = 5, exactSums = false)),
     // t87's JL cut at the 16k regime: project the corpus 64->16 once,
     // then exact top-8 in projected space — times what the 4x
     // bytes-moved reduction costs and buys before any ANN indexing
@@ -2345,6 +2359,20 @@ object DataQueries {
     })
   private[graft] def warmPqStatics(s: SparkSession, d: String): Unit = {
     pqStatics(s, d); ()
+  }
+
+  /** Frozen warm BM25 index over the full sf documents corpus for
+    * x78i — the [[pqStatics]] discipline on lexical retrieval: built
+    * ONCE untimed (Bench warm-up; lazily on first use in dev-filtered
+    * runs) and probed per pass, so x78i times pure retrieval while
+    * x78 keeps the build-inclusive one-shot number. */
+  private val bm25StaticMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def bm25Static(s: SparkSession, d: String): DataFrame =
+    bm25StaticMemo.getOrElseUpdate(d,
+      TextOps.bm25Index(T.documents(s, d)).localCheckpoint())
+  private[graft] def warmBm25Static(s: SparkSession, d: String): Unit = {
+    bm25Static(s, d); ()
   }
 
   /** The part-name corpus replicated `copies`x with distinct ids but

@@ -359,4 +359,34 @@ class PlanSpec extends SparkSpec {
         p.take(2500))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("x78i: the warm-index BM25 probe plan touches no corpus-" +
+      "statistics aggregate — query tokenize + postings join + pair " +
+      "sum + top-k only") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.TextOps
+    val docs = graft.etl.Tables.documents(spark, d)
+    val idx = TextOps.bm25Index(docs.filter(col("doc_id") % 5 === 0))
+      .localCheckpoint()
+    val probe = TextOps.bm25TopKIndexed(
+      docs.filter(col("doc_id") % 50 === 0), idx, k = 5,
+      exactSums = false)
+    val p = probe.queryExecution.executedPlan.toString
+    // the index arrives as the checkpointed RDD scan: the corpus
+    // tokenize/tf/df/dl/N/Ltot pipeline ran at BUILD time (t78/x78
+    // carry that cost; x78i must not). The probe plan has exactly two
+    // logical aggregates — the query-term distinct and the
+    // (query, doc) pair sum — i.e. at most 4 partial+final physical
+    // HashAggregates; the 26-exchange inline-statistics shape would
+    // show many more, plus extra parquet scans of the corpus text
+    assert(p.contains("Scan ExistingRDD"), p.take(2500))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs <= 4,
+      s"corpus-statistics aggregates leaked into the probe plan " +
+        s"($aggs HashAggregates):\n${p.take(3000)}")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"the probe plan re-reads the corpus:\n${p.take(3000)}")
+    // and the per-query top-k ranks map-side before the final filter
+    assert(p.contains("WindowGroupLimit"), p.take(2500))
+  }
 }
