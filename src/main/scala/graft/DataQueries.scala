@@ -2273,6 +2273,32 @@ object DataQueries {
         "view_ts", payload = Seq("view_id", "view_value"),
         tie = "view_id")
     }),
+    // t70's as-of under deliberate 80/20 key skew at 10x (round-10
+    // verdict item 6): 80% of ~100k events fold onto ONE user, so one
+    // window partition carries 80% of both sides. The union+window
+    // as-of inherits groupBy-skew behavior BY DESIGN: the hot key
+    // costs one task's sort of its own rows (n_hot log n_hot) and a
+    // linear carry — never a pair explosion (the range-join
+    // formulation would pay |L_hot|x|R_hot| candidate pairs, ~1.5B at
+    // this regime vs ~80k sorted rows here). Measured honestly: AQE's
+    // skew-split does NOT engage — it splits skewed JOIN partitions
+    // and this plan has no join; a window partition is indivisible
+    // (ScaleSpec pins the unchanged one-exchange no-join plan under
+    // AQE and the range-join-equal result on the skewed frame). The
+    // hot sort IS the ceiling, and this entry records its price next
+    // to the uniform x70.
+    "x70s_asof_skew_scale" -> ((s, d) => {
+      val ev = skewedEvents(s, d, copies = 10)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      graft.ops.Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+        "view_ts", payload = Seq("view_id", "view_value"),
+        tie = "view_id")
+    }),
     // t76's nearest-either as-of at 10x keys — same one-exchange
     // two-carry plan, cost |L|+|R| regardless of window populations
     "x76_asof_nearest_scale" -> ((s, d) => {
@@ -2408,6 +2434,16 @@ object DataQueries {
       .reduce(_ unionByName _)
       .localCheckpoint()
   }
+
+  /** [[scaledEvents]] with DELIBERATE 80/20 key skew: 80% of all rows
+    * (every event_id % 5 < 4 — deterministic) fold onto user 0, the
+    * rest keep their spread keys. The as-of family's worst case: one
+    * window partition carries 80% of both sides. */
+  private[graft] def skewedEvents(s: SparkSession, d: String,
+                                  copies: Int): DataFrame =
+    scaledEvents(s, d, copies)
+      .withColumn("user_id",
+        when(col("event_id") % 5 < 4, lit(0L)).otherwise(col("user_id")))
 
   /** The sf embedding frame replicated `copies`x with distinct ids —
     * the scale harness for x29/x30 (replicas keep their vector, so bucket

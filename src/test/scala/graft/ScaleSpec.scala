@@ -205,6 +205,64 @@ class ScaleSpec extends SparkSpec {
       s"candidate volume grew with replication: $v1 -> $v10")
   }
 
+  test("x70s: as-of under 80/20 key skew — result equals the range-join " +
+      "reference, and the plan under AQE stays ONE exchange + window " +
+      "with no join (so no AQE skew-split node exists to fire)") {
+    import graft.ops.Temporal
+    // the skewed harness at spec scale: 80% of events on user 0
+    val ev = graft.DataQueries.skewedEvents(spark,
+      "/root/testdata/sf0.001", copies = 2)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    val asof = Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+      "view_ts", payload = Seq("view_id", "view_value"), tie = "view_id")
+    // correctness on the skewed frame: the textbook range join +
+    // per-purchase top-1 (nearest prior view, ties by highest id) —
+    // the t70 oracle's formulation, independent of the union+window
+    import org.apache.spark.sql.expressions.Window
+    val ranked = purchases.join(views, Seq("user_id"), "left")
+      .filter(col("view_ts").isNull || col("view_ts") <= col("ts"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("purchase_id"))
+          .orderBy(col("view_ts").desc_nulls_last,
+            col("view_id").desc_nulls_last)))
+      .filter(col("__rn") === 1)
+    // left-join rows that matched only out-of-range views need the
+    // null carry, like the oracle's outer form
+    val ref = purchases.join(ranked.filter(col("view_ts").isNotNull)
+        .select(col("purchase_id"), col("view_id"), col("view_ts"),
+          col("view_value")),
+      Seq("purchase_id"), "left")
+    val a = asof.select(col("purchase_id"), col("view_id"),
+      col("view_value"))
+    val r = ref.select(col("purchase_id"), col("view_id"),
+      col("view_value"))
+    assert(a.exceptAll(r).isEmpty && r.exceptAll(a).isEmpty,
+      "skewed as-of diverged from the range-join reference")
+    // plan under AQE: the window partition is indivisible, so AQE's
+    // skew-split (a JOIN optimization) has nothing to attach to —
+    // the honest skew story is the hot key's single-task sort, which
+    // is linear-log in its rows, vs the range join's |L_hot|*|R_hot|
+    // pair explosion. Pin that the plan did NOT regress into a join
+    // under skew and still carries exactly one hash exchange per
+    // window input.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") != "false")
+    val p = asof.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of planned a join:\n${p.take(1500)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.take(1500))
+    assert(!p.contains("skew=true"),
+      "unexpected AQE skew-split in a windowed plan")
+    val hot = ev.filter(col("user_id") === 0L).count()
+    info(s"hot key carries $hot of ${ev.count()} rows; " +
+      "cost = one task sorting them (linear-log), not pairs")
+  }
+
   test("knn recall at the benched scale regimes is measured and floored") {
     import graft.ops.Similarity
     val sf = "/root/testdata/sf0.1"
