@@ -334,6 +334,20 @@ object Bench {
         graft.etl.Tables.documents(s, d)
           .filter(col("doc_id") % 50 === 0)).localCheckpoint())
     }
+    // s18's frozen transition-probability baseline: the reference-
+    // period matrix (even users — a deliberately different population
+    // than the full stream, so some drift flags genuinely fire), the
+    // s06 frozen-profile discipline on behavior statistics
+    val transBaseMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def transBase(s: SparkSession, d: String): DataFrame = synchronized {
+      transBaseMemo.getOrElseUpdate(d,
+        graft.ops.Temporal.transitionMatrix(
+            graft.etl.Tables.events(s, d)
+              .filter(col("user_id") % 2 === 0),
+            "user_id", "ts", "event_type", "event_id")
+          .localCheckpoint())
+    }
     // warm-up failure must FAIL the dependent benches, not silently move
     // the index/profile build inside the timed region (getOrElseUpdate
     // would rebuild on first use): s05/s06/s07/s08 check the flag and
@@ -345,12 +359,13 @@ object Bench {
       dsirProf(streamSpark, sfDir)
       viewsStatic(streamSpark, sfDir)
       bm25Idx(streamSpark, sfDir)
+      transBase(streamSpark, sfDir)
       graft.etl.Tables.exportedEmbsParts(streamSpark, sfDir)
       streamStaticWarm = true
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream-static warm-up failed " +
-          s"(s05/s06/s07/s08/s09/s12 will record -1): ${e.getMessage}")
+          s"(s05/s06/s07/s08/s09/s12/s18 will record -1): ${e.getMessage}")
     }
     def requireStreamStaticWarm(): Unit =
       if (!streamStaticWarm) throw new IllegalStateException(
@@ -605,7 +620,20 @@ object Bench {
         runStream("s17_transitions",
           Streams.transitionsWithState(Streams.eventsStreamPaced(s,
             graft.etl.Tables.exportedEventsPartsFlush(s, d))).toDF(),
-          "append")))
+          "append")),
+      // transition-probability drift gate: s17's pair extraction with
+      // each microbatch folded into the running (prev, next) grid and
+      // alarmed against the frozen (untimed) reference-period matrix —
+      // the s06 drift discipline on t108's behavior statistics
+      "s18_transition_drift" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val base = transBase(s, d)
+        runStreamQuery("s18_transition_drift", () =>
+          Streams.startTransitionDriftMonitor(s,
+            graft.etl.Tables.exportedEventsPartsFlush(s, d), base,
+            tol = 0.1,
+            sink = _.write.format("noop").mode("overwrite").save()))
+      }))
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
       streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>

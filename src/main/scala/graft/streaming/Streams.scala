@@ -593,6 +593,90 @@ object Streams {
       }
   }
 
+  /** Row-normalized probabilities over a (prev_type, next_type,
+    * n_transitions) count grid — [[graft.ops.Temporal.transitionMatrix]]'s
+    * probability arithmetic (exact integer counts divided, round 6)
+    * applied to an externally folded grid, so a per-batch fold and the
+    * batch operator produce the IDENTICAL frame on the same pairs. */
+  def transitionGridProbs(counts: DataFrame): DataFrame =
+    counts.withColumn("prob",
+      round(col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("prev_type"))).cast("double"), 6))
+
+  /** Transition-probability drift gate — the s06 drift discipline on
+    * t108's behavior statistics: an observed transition matrix
+    * ([[graft.ops.Temporal.transitionMatrix]] on a batch frame, or the
+    * running grid [[startTransitionDriftMonitor]] folds) compared
+    * against a FROZEN `baseline` matrix. A (prev, next) pair drifts
+    * when its probability moves more than `tol` from the baseline's,
+    * or when the pair is ABSENT from the baseline — a brand-new
+    * transition is always drift (the s06 new-source rule). Pairs the
+    * baseline has but the observation lacks don't alarm here (early
+    * grids legitimately cover few pairs; run the comparison the other
+    * way for a disappearance audit). Both sides compare at round-6, so
+    * an external engine replays every flag. Baseline is
+    * aggregate-sized (≤ |event types|²) — broadcast. */
+  def transitionDrift(observed: DataFrame, baseline: DataFrame,
+                      tol: Double = 0.1): DataFrame =
+    observed.join(broadcast(baseline.select(col("prev_type"),
+        col("next_type"), col("prob").as("ref_prob"))),
+        Seq("prev_type", "next_type"), "left")
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        col("prob"), col("ref_prob"),
+        (col("ref_prob").isNull ||
+          abs(col("prob") - col("ref_prob")) > tol).cast("long")
+          .as("drift"))
+
+  /** Drive [[transitionsWithState]] over a paced event-part directory
+    * and alarm transition-probability drift per trigger (s18): each
+    * microbatch's emitted pairs fold into a RUNNING (prev, next) count
+    * grid (aggregate-sized — ≤ |event types|² rows — localCheckpointed
+    * per trigger, the upsert-sink discipline), and `sink` receives the
+    * grid's [[transitionDrift]] frame against the frozen `baseline`.
+    * Because [[transitionsWithState]] emits exactly the batch lag
+    * pairs under any microbatch split and admitted disorder (s17), the
+    * final grid equals [[graft.ops.Temporal.transitionMatrix]] on the
+    * same events and the final drift frame equals the batch gate —
+    * StreamingSpec pins that parity. State: the watermark-bounded
+    * buffer inside the pair extractor plus the grid, both bounded. */
+  def startTransitionDriftMonitor(spark: SparkSession, dir: String,
+                                  baseline: DataFrame, tol: Double = 0.1,
+                                  sink: DataFrame => Unit,
+                                  filesPerTrigger: Int = 1,
+                                  watermark: String = "60 days")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var grid: Option[DataFrame] = None
+    transitionsWithState(
+        eventsStreamPaced(spark, dir, filesPerTrigger), watermark).toDF()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val delta = b.groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        val next = grid.fold(delta)(g =>
+          g.unionByName(delta)
+            .groupBy(col("prev_type"), col("next_type"))
+            .agg(sum(col("n_transitions")).as("n_transitions")))
+          .localCheckpoint()
+        grid = Some(next)
+        sink(transitionDrift(transitionGridProbs(next), baseline, tol))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** [[startTransitionDriftMonitor]] with the await — the one-shot
+    * runner. */
+  def runTransitionDriftOnce(spark: SparkSession, dir: String,
+                             baseline: DataFrame, tol: Double = 0.1,
+                             sink: DataFrame => Unit,
+                             filesPerTrigger: Int = 1,
+                             watermark: String = "60 days"): Unit =
+    startTransitionDriftMonitor(spark, dir, baseline, tol, sink,
+      filesPerTrigger, watermark).awaitTermination()
+
   /** Stream-stream interval join: purchases attributed to the clicks of
     * the same user within the preceding `horizon`. Both sides carry a
     * watermark and the join condition bounds click_ts to

@@ -592,6 +592,55 @@ class StreamingSpec extends SparkSpec {
     assert(fromStream == batchPairs, s"$fromStream vs $batchPairs")
   }
 
+  test("transition drift monitor (s18): the final per-trigger drift " +
+      "frame equals the batch gate on the same events; a pair absent " +
+      "from the baseline alarms, an in-tolerance pair does not") {
+    val dir = Files.createTempDirectory("graft_tdrift").toString
+    // the s17 fixture: user 7 out-of-order ACROSS microbatches, user 8
+    // in-order, plus the far-future flush sentinel (user 99, no pair)
+    val batch1 = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 7L, "B", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "C", 1.0, "{}"),
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"), 8L, "A", 1.0, "{}"),
+      (4L, Timestamp.valueOf("2024-01-01 09:30:00"), 8L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch2 = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "A", 1.0, "{}"),
+      (6L, Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "Z", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch1.coalesce(1).write.mode("overwrite").parquet(s"$dir/ev")
+    Thread.sleep(50)
+    val before = new java.io.File(s"$dir/ev").listFiles().map(_.getName).toSet
+    batch2.coalesce(1).write.mode("append").parquet(s"$dir/ev")
+    val now = System.currentTimeMillis()
+    new java.io.File(s"$dir/ev").listFiles().foreach { f =>
+      f.setLastModified(if (before(f.getName)) now - 120000L else now)
+    }
+    // frozen baseline says A->B always follows A (prob 1.0); B->C is
+    // NOT in the baseline, so it must alarm as a brand-new transition
+    val baseline = Seq(("A", "B", 1.0))
+      .toDF("prev_type", "next_type", "prob")
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    Streams.runTransitionDriftOnce(spark, s"$dir/ev", baseline,
+      tol = 0.1, sink = f => { last = f.collect() },
+      filesPerTrigger = 1, watermark = "2 days")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(5)))).toMap
+    val got = keyed(last)
+    // batch twin: the t108 matrix through the same gate
+    val expected = keyed(Streams.transitionDrift(
+      graft.ops.Temporal.transitionMatrix(batch1.unionByName(batch2),
+        "user_id", "ts", "event_type", "event_id"),
+      baseline, tol = 0.1).collect())
+    assert(got == expected, s"streamed $got != batch $expected")
+    assert(got(("A", "B"))._3 === 0L,
+      "in-tolerance pair must not alarm")
+    assert(got(("B", "C"))._3 === 1L,
+      "a transition absent from the baseline must alarm")
+    assert(got(("A", "B"))._1 === 2L && got(("A", "B"))._2 === 1.0)
+  }
+
   test("dedupEvents suppresses replayed event_ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     // event 2 replayed (same id, same payload), id 3 unique
