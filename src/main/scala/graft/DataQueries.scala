@@ -1897,6 +1897,38 @@ object DataQueries {
         "user_id", "ts", "event_id", horizonSeconds = 6L * 3600)
       .orderBy(col("user_id"), col("event_id"))
 
+  /** KMV set-difference estimates ([[Stats.kmvDifference]]) — the
+    * Theta-sketch A∖B on the t75 per-language bigram sketches: per
+    * language pair, how many bigrams each side holds that the other
+    * lacks, from O(k) sketch state and two IEEE divisions — exact
+    * below fill, every set op and division oracle-replayed. The
+    * "how much of source A is NOT already in B" curation dashboard
+    * number without joining row data. */
+  val t113KmvDifference: Q = (s, d) =>
+    Stats.kmvDifference(
+      Stats.kmvSketchBy(
+        TextOps.ngramRows(T.documents(s, d), 2, keep = Seq("lang")),
+        Seq("lang"), col("ngram"), k = 64),
+      "lang", k = 64)
+      .orderBy(col("g_a"), col("g_b"))
+
+  /** Near-name canonicalization ([[Dedup.canonicalNames]]) over the
+    * t95 planted corpus: every part name and its 1-edit twin map to
+    * the lexicographically smallest name of their edit-distance
+    * cluster (transitive closure — the t105 argument applied to
+    * names), untouched names to themselves. The oracle replays the
+    * composite blocking, the recursive closure and the min-name
+    * canonicalization. */
+  val t114CanonicalNames: Q = (s, d) => {
+    val parts = T.part(s, d).filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("name"))
+    val planted = parts.select((col("id") + 100000L).as("id"),
+      concat(substring(col("name"), 1, 3), substring(col("name"), 5,
+        1000000)).as("name"))
+    Dedup.canonicalNames(parts.unionByName(planted), maxDist = 2)
+      .orderBy(col("id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2010,6 +2042,8 @@ object DataQueries {
     "t110_ancestor_closure" -> t110AncestorClosure,
     "t111_subtree_rollup" -> t111SubtreeRollup,
     "t112_retention_labels" -> t112RetentionLabels,
+    "t113_kmv_difference" -> t113KmvDifference,
+    "t114_canonical_names" -> t114CanonicalNames,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

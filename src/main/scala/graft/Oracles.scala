@@ -4059,6 +4059,92 @@ object Oracles {
         |  cast(event_id as bigint) AS event_id, sec AS ts_epoch,
         |  (nxt IS NOT NULL AND nxt - sec <= 21600) AS label
         |FROM l ORDER BY user_id, event_id""".stripMargin,
+
+    // KMV set difference: the t75 sketch CTEs, then per pair the
+    // merged-sample elements seen only in one side's k-min set, scaled
+    // by the union estimate — same membership rule, same two IEEE
+    // divisions, exact below fill
+    "t113_kmv_difference" ->
+      """WITH d AS (SELECT lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS ngram
+        |  FROM d WHERE len(t) >= 2),
+        |h AS (SELECT DISTINCT lang,
+        |    ('0x'||substr(md5(ngram),1,15))::bigint AS h FROM g),
+        |r AS (SELECT lang, h, row_number() OVER (
+        |    PARTITION BY lang ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT lang, h FROM r WHERE rn <= 64),
+        |langs AS (SELECT DISTINCT lang FROM sk),
+        |p AS (SELECT a.lang AS g_a, b.lang AS g_b
+        |  FROM langs a JOIN langs b ON a.lang < b.lang),
+        |md AS (SELECT DISTINCT p.g_a, p.g_b, s.h
+        |  FROM p JOIN sk s ON s.lang IN (p.g_a, p.g_b)),
+        |mr AS (SELECT g_a, g_b, h, row_number() OVER (
+        |    PARTITION BY g_a, g_b ORDER BY h) AS rn FROM md),
+        |mm AS (SELECT * FROM mr WHERE rn <= 64),
+        |ms AS (SELECT g_a, g_b, count(*) AS msize,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth
+        |  FROM mm GROUP BY 1, 2),
+        |ao AS (SELECT mm.g_a, mm.g_b, count(*) AS aonly
+        |  FROM mm
+        |  JOIN sk sa ON sa.lang = mm.g_a AND sa.h = mm.h
+        |  WHERE NOT EXISTS (SELECT 1 FROM sk sb
+        |    WHERE sb.lang = mm.g_b AND sb.h = mm.h)
+        |  GROUP BY 1, 2),
+        |bo AS (SELECT mm.g_a, mm.g_b, count(*) AS bonly
+        |  FROM mm
+        |  JOIN sk sb ON sb.lang = mm.g_b AND sb.h = mm.h
+        |  WHERE NOT EXISTS (SELECT 1 FROM sk sa
+        |    WHERE sa.lang = mm.g_a AND sa.h = mm.h)
+        |  GROUP BY 1, 2)
+        |SELECT ms.g_a, ms.g_b,
+        | cast(coalesce(ao.aonly, 0) as bigint) AS n_a_only_kmin,
+        | cast(coalesce(bo.bonly, 0) as bigint) AS n_b_only_kmin,
+        | round(coalesce(ao.aonly, 0)::double / msize::double *
+        |   (CASE WHEN msize < 64 THEN msize::double
+        |    ELSE 63.0 * 1152921504606846976.0 / kth::double END), 4)
+        |   AS est_a_minus_b,
+        | round(coalesce(bo.bonly, 0)::double / msize::double *
+        |   (CASE WHEN msize < 64 THEN msize::double
+        |    ELSE 63.0 * 1152921504606846976.0 / kth::double END), 4)
+        |   AS est_b_minus_a
+        |FROM ms LEFT JOIN ao USING (g_a, g_b)
+        |LEFT JOIN bo USING (g_a, g_b)
+        |ORDER BY g_a, g_b""".stripMargin,
+
+    // near-name canonicalization: the t95 composite blocking on
+    // distinct names, the recursive reachability closure (the t105
+    // discipline on names), min-name-including-self canonical labels,
+    // and the id-level mapping — all replayed
+    "t114_canonical_names" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS name
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |pl AS (SELECT id + 100000 AS id,
+        |    substr(name, 1, 3) || substr(name, 5) AS name FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        |k AS (SELECT name, substr(name, 1, 3) AS pfx,
+        |    length(name) // 4 AS lb
+        |  FROM (SELECT DISTINCT name FROM u)),
+        |b AS (SELECT k.name, k.pfx, k.lb + d.d AS lbk
+        |  FROM k CROSS JOIN (VALUES (-1), (0), (1)) d(d)),
+        |e AS (SELECT x.name AS na, y.name AS nb
+        |  FROM k x JOIN b y ON x.pfx = y.pfx AND x.lb = y.lbk
+        |    AND x.name < y.name
+        |    AND levenshtein(x.name, y.name) BETWEEN 1 AND 2),
+        |sym AS (SELECT na AS src, nb AS dst FROM e
+        |  UNION SELECT nb, na FROM e),
+        |reach AS (SELECT src AS node, dst AS r FROM sym
+        |  UNION SELECT reach.node, s.dst FROM reach
+        |    JOIN sym s ON s.src = reach.r),
+        |comp AS (SELECT node, least(node, min(r)) AS canon
+        |  FROM reach GROUP BY node)
+        |SELECT cast(u.id as bigint) AS id, u.name,
+        | coalesce(comp.canon, u.name) AS canonical_name
+        |FROM u LEFT JOIN comp ON comp.node = u.name
+        |ORDER BY id""".stripMargin,
   )
 
   val all: Map[String, String] = {

@@ -1013,42 +1013,78 @@ object Dedup {
                         prefixLen: Int = 3, lenBucket: Int = 4,
                         idCol: String = "id",
                         nameCol: String = "name"): DataFrame = {
+    require(minDist >= 1,
+      "need minDist >= 1 (dist-0 pairs are the digest dedup's job, " +
+        "and excluding them keeps the distinct-name collapse lossless)")
+    val ids = names.select(col(idCol).as("__eid"),
+      col(nameCol).as("__enm"))
+    editDistanceNamePairs(names, maxDist, minDist, prefixLen, lenBucket,
+        nameCol)
+      .join(ids.select(col("__enm").as("name_a"),
+        col("__eid").as("__ia")), Seq("name_a"))
+      .join(ids.select(col("__enm").as("name_b"),
+        col("__eid").as("__ib")), Seq("name_b"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("edit_dist"))
+  }
+
+  /** [[editDistancePairs]]' distinct-NAME stage — (name_a < name_b,
+    * edit_dist) candidate+verify over the composite blocks, each
+    * unordered name pair exactly once. Shared by the id-pair join
+    * above and [[canonicalNames]]' clustering. */
+  def editDistanceNamePairs(names: DataFrame, maxDist: Int,
+                            minDist: Int = 1, prefixLen: Int = 3,
+                            lenBucket: Int = 4,
+                            nameCol: String = "name"): DataFrame = {
     require(maxDist >= 1 && minDist >= 1 && minDist <= maxDist,
-      "need 1 <= minDist <= maxDist (dist-0 pairs are the digest " +
-        "dedup's job, and excluding them keeps the distinct-name " +
-        "collapse lossless)")
+      "need 1 <= minDist <= maxDist")
     require(lenBucket >= maxDist,
       s"lenBucket $lenBucket must cover maxDist $maxDist so edit-" +
         "reachable lengths span at most adjacent buckets")
-    val ids = names.select(col(idCol).as("__eid"),
-      col(nameCol).as("__enm"))
     // the distinct-name frame feeds both join branches — materialize
     // once (the band-join discipline)
-    val dn = ids.select(col("__enm")).distinct()
+    val dn = names.select(col(nameCol).as("__enm")).distinct()
       .select(col("__enm"),
         substring(col("__enm"), 1, prefixLen).as("__pfx"),
         floor(length(col("__enm")) / lenBucket).cast("long").as("__lb"))
       .localCheckpoint()
     val a = dn.select(col("__pfx"), col("__lb").as("__lbk"),
-      col("__enm").as("__na"))
+      col("__enm").as("name_a"))
     val b = dn.select(col("__pfx"),
       explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1))
         .as("__lbk"),
-      col("__enm").as("__nb"))
-    val dist = levenshtein(col("__na"), col("__nb"))
-    // name-level pairs, canonical order by name (each unordered name
-    // pair exactly once); names differ (dist >= 1), so the id pairs
-    // below can never double-emit
-    val namePairs = a.join(b, Seq("__pfx", "__lbk"))
-      .filter(col("__na") < col("__nb") &&
+      col("__enm").as("name_b"))
+    val dist = levenshtein(col("name_a"), col("name_b"))
+    a.join(b, Seq("__pfx", "__lbk"))
+      .filter(col("name_a") < col("name_b") &&
         dist.between(minDist, maxDist))
-      .select(col("__na"), col("__nb"), dist.as("edit_dist"))
-    namePairs
-      .join(ids.select(col("__enm").as("__na"), col("__eid").as("__ia")),
-        Seq("__na"))
-      .join(ids.select(col("__enm").as("__nb"), col("__eid").as("__ib")),
-        Seq("__nb"))
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("edit_dist"))
+      .select(col("name_a"), col("name_b"), dist.as("edit_dist"))
+  }
+
+  /** Near-name canonicalization — the entity-resolution step AFTER
+    * [[editDistancePairs]]' matching: every name maps to the
+    * lexicographically smallest name in its edit-distance cluster
+    * (the transitive closure of the dist ≤ maxDist name graph — A~B
+    * and B~C canonicalize together even though ed(A,C) may exceed
+    * maxDist, the [[positivePairs]] closure argument), names with no
+    * near-twin map to themselves. This is the "normalize the vendor /
+    * restaurant / client name column" operation every warehouse
+    * dedupe ends with, as one distributed mapping.
+    *
+    * Scale shape: clustering runs ENTIRELY at the distinct-name level
+    * ([[editDistanceNamePairs]] + [[connectedComponents]] on name
+    * labels — min-label propagation works on strings unchanged);
+    * id rows join the finished (name → canonical) map once at the
+    * end. Returns all input columns plus `canonical_name`. */
+  def canonicalNames(names: DataFrame, maxDist: Int, prefixLen: Int = 3,
+                     lenBucket: Int = 4,
+                     nameCol: String = "name"): DataFrame = {
+    val pairs = editDistanceNamePairs(names, maxDist, minDist = 1,
+      prefixLen, lenBucket, nameCol)
+    val comp = connectedComponents(pairs, "name_a", "name_b")
+      .select(col("id").as(nameCol), col("comp").as("__canon"))
+    names.join(comp, Seq(nameCol), "left")
+      .select(names.columns.map(col) :+
+        coalesce(col("__canon"), col(nameCol)).as("canonical_name"): _*)
   }
 }

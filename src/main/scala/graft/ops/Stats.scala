@@ -426,4 +426,50 @@ object Stats {
         round(jac, 4).as("est_jaccard"),
         round(jac * unionEst, 4).as("est_intersection"))
   }
+
+  /** Directional set-DIFFERENCE estimates from per-group KMV sketches —
+    * the Theta-sketch A∖B operation on [[kmvSketchBy]] state (the
+    * ROADMAP "Theta sketches" item, closed with KMV's own sample): for
+    * every group pair, the pairwise-merged bottom-k is a uniform hash
+    * sample of A∪B below its kth min, so the fraction of it seen ONLY
+    * in A's sketch estimates |A∖B| / |A∪B| and scales by the union
+    * estimate — the same fraction-times-union discipline as
+    * [[kmvOverlap]]'s intersection, and the dashboard number a
+    * curation pipeline wants for "how much of source A is NOT already
+    * in B" without ever joining row data. Exact whenever the merged
+    * fill is under k (the sample IS the union, and the fraction times
+    * the exact union is the exact count). Membership tests run against
+    * the k-min sets (the t75 rule): in the filled case every sample
+    * element sits below the merged kth min ≤ both groups' retention
+    * thresholds, so the tests are faithful; every output is an exact
+    * function of the hash sets plus two IEEE divisions — an external
+    * engine replays it bit-for-bit (t113 oracle).
+    *
+    * Scale shape: identical to [[kmvOverlap]] — aggregate-sized
+    * sketch frame, broadcast self-join, O(k) state per group. */
+  def kmvDifference(sketches: DataFrame, groupCol: String,
+                    k: Int): DataFrame = {
+    val twoTo60 = 1152921504606846976.0
+    val a = sketches.select(col(groupCol).as("g_a"), col("kmv").as("__ka"))
+    val b = sketches.select(col(groupCol).as("g_b"), col("kmv").as("__kb"))
+    val m = slice(array_sort(array_distinct(
+      concat(col("__ka"), col("__kb")))), 1, k)
+    val unionEst = when(size(col("__m")) < k,
+        size(col("__m")).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * twoTo60 /
+        element_at(col("__m"), k).cast("double"))
+    val aOnly = size(array_except(
+      array_intersect(col("__m"), col("__ka")), col("__kb")))
+    val bOnly = size(array_except(
+      array_intersect(col("__m"), col("__kb")), col("__ka")))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .withColumn("__m", m)
+      .select(col("g_a"), col("g_b"),
+        aOnly.cast("long").as("n_a_only_kmin"),
+        bOnly.cast("long").as("n_b_only_kmin"),
+        round(aOnly.cast("double") / size(col("__m")).cast("double") *
+          unionEst, 4).as("est_a_minus_b"),
+        round(bOnly.cast("double") / size(col("__m")).cast("double") *
+          unionEst, 4).as("est_b_minus_a"))
+  }
 }

@@ -132,6 +132,37 @@ class StatsSpec extends SparkSpec {
     assert(ib > 0, "intersection estimate must be positive")
   }
 
+  test("kmvDifference: exact below fill (known asymmetric difference, " +
+      "identical sets zero both ways, disjoint sets are whole sets); " +
+      "estimator lands near truth above fill") {
+    val df = (Seq("a", "b", "c").map(("g1", _)) ++
+      Seq("b", "c", "d", "e").map(("g2", _)) ++
+      Seq("x", "y").map(("g3", _)) ++
+      Seq("a", "b", "c").map(("g4", _))).toDF("g", "v")
+    val out = Stats.kmvDifference(
+        Stats.kmvSketchBy(df, Seq("g"), col("v"), k = 8), "g", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(("g1", "g2")) === ((1L, 2L, 1.0, 2.0)),
+      "g1\\g2 = {a}, g2\\g1 = {d,e}")
+    assert(out(("g1", "g4")) === ((0L, 0L, 0.0, 0.0)), "identical sets")
+    assert(out(("g1", "g3")) === ((3L, 2L, 3.0, 2.0)),
+      "disjoint: each side's whole set")
+    // above fill: |A\B| = 500, |B\A| = 500 at union 1500, k=64
+    val big = ((0 until 1000).map(i => ("h1", s"v$i")) ++
+      (500 until 1500).map(i => ("h2", s"v$i"))).toDF("g", "v")
+    val (_, _, ea, eb) = Stats.kmvDifference(
+        Stats.kmvSketchBy(big, Seq("g"), col("v"), k = 64), "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap.apply(("h1", "h2"))
+    assert(math.abs(ea - 500.0) / 500.0 < 0.5,
+      f"a-minus-b estimate $ea%.0f too far from 500")
+    assert(math.abs(eb - 500.0) / 500.0 < 0.5,
+      f"b-minus-a estimate $eb%.0f too far from 500")
+  }
+
   test("kmvDistinctBy: partitioning-independent (mergeable set algebra) " +
       "and runs as an ObjectHashAggregate") {
     val ev = graft.etl.Tables.events(spark, "/root/testdata/sf0.001")

@@ -479,4 +479,35 @@ class TextDedupSpec extends SparkSpec {
       (7L, 8L, 7L, 2L)),
       s"closure pairs with cluster provenance: $got")
   }
+
+  test("canonicalNames: a transitive edit chain canonicalizes to the " +
+      "min name even past maxDist, singletons map to themselves, and " +
+      "repeated rows of one name all get the same canonical") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // chain: "walnut" ~1~ "valnut" ~... plant a 2-step chain where the
+    // ends are 2 edits apart THROUGH the middle but share the prefix
+    // ("sal"): salmonx ~1~ salmonxy ~1~ salmonxyz; ed(salmonx,
+    // salmonxyz) = 2 (within maxDist) — and a genuinely transitive
+    // case: salmona ~2~ salmonbc via salmonab? use dist-1 chain:
+    // salmon1 ~1~ salmon12 ~1~ salmon123 (ends at dist 2); extend to
+    // salmon1234 (dist 3 from salmon1 — ONLY reachable transitively)
+    val rows = Seq(
+      (1L, "salmon1"), (2L, "salmon12"), (3L, "salmon123"),
+      (4L, "salmon1234"),     // 3 edits from salmon1: transitive only
+      (5L, "walnut"),         // singleton
+      (6L, "salmon1"),        // repeat of name 1
+      (7L, "plum9"))          // singleton
+      .toDF("id", "name")
+    val got = Dedup.canonicalNames(rows, maxDist = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "salmon1" && got(2L) === "salmon1" &&
+      got(3L) === "salmon1", "chain members take the min name")
+    assert(got(4L) === "salmon1",
+      "a name 3 edits from the canonical must still join through the " +
+        "transitive chain")
+    assert(got(5L) === "walnut" && got(7L) === "plum9",
+      "singletons canonicalize to themselves")
+    assert(got(6L) === "salmon1", "every row of a repeated name maps")
+  }
 }
