@@ -86,6 +86,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs matches a brute-force same-prefix oracle on " +
+      "random name corpora (random lengths, heavy repeats)") {
+    // names from a tiny alphabet with random lengths 3-9 and a 10-row
+    // corpus: repeats are common (exercising the distinct collapse),
+    // lengths straddle bucket boundaries (exercising the neighbor
+    // probe); the oracle is the definition itself — every id pair with
+    // equal 3-prefix and levenshtein in [1, 2]
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val nameGen = for {
+      n <- Gen.choose(3, 9)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = Gen.listOfN(10, nameGen)
+    for (i <- 1 to 5) {
+      val names = corpusGen.pureApply(Gen.Parameters.default, Seed(7L + i))
+      val rows = names.zipWithIndex.map { case (n, id) => (id.toLong, n) }
+      val expect = (for {
+        (ia, na) <- rows; (ib, nb) <- rows
+        if ia < ib && na.take(3) == nb.take(3)
+        d = lev(na, nb) if d >= 1 && d <= 2
+      } yield (ia, ib, d)).toSet
+      val got = graft.ops.Dedup
+        .editDistancePairs(rows.toDF("id", "name"), maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == expect, s"names=$rows got=$got expect=$expect")
+    }
+  }
+
   test("hashSample: nested rates give nested samples (stable holdouts)") {
     val docs = spark.range(0, 500).toDF("doc_id")
     def ids(rate: Double) = graft.ops.TextOps
