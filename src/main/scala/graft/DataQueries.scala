@@ -2076,6 +2076,29 @@ object DataQueries {
       TextOps.bm25TopKIndexed(
         T.documents(s, d).filter(col("doc_id") % 50 === 0),
         bm25Static(s, d), k = 5, exactSums = false)),
+    // t79's hybrid retrieval in its WARM deployment shape: BOTH
+    // modalities probe prebuilt indexes — the frozen x78i BM25
+    // postings for the lexical list, the frozen x40 IVF-PQ layer
+    // (centroids + codebooks, corpus flowing as codes) for the dense
+    // list — then reciprocal-rank fusion. The one-shot t79 rebuilds
+    // both inline; a retrieval service pays THIS per query set. The
+    // 8-query slate shares ids across modalities (vec 0,8..56 = doc
+    // 0,8..56); dense neighbor ids live in the replicated 8x space, so
+    // the fusion's cross-modal agreement is incidental — the entry
+    // times the warm probe + fuse COST (t79's oracle owns semantics).
+    "x79i_hybrid_warm" -> ((s, d) => {
+      val st = pqStatics(s, d)
+      val queries = st.big
+        .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
+      val dense = Similarity.ivfPqTopK(st.big, queries, st.cents, st.cb,
+        m = 4, k = 10, nprobe = 3)
+      val sparse = TextOps.bm25TopKIndexed(
+        T.documents(s, d)
+          .filter(col("doc_id") < 64 && col("doc_id") % 8 === 0),
+        bm25Static(s, d), k = 10, exactSums = false)
+        .withColumnRenamed("doc_id", "neighbor_id")
+      Similarity.rrfFuse(Seq(dense, sparse), k = 5)
+    }),
     // t87's JL cut at the 16k regime: project the corpus 64->16 once,
     // then exact top-8 in projected space — times what the 4x
     // bytes-moved reduction costs and buys before any ANN indexing
