@@ -1016,14 +1016,25 @@ object Dedup {
     require(minDist >= 1,
       "need minDist >= 1 (dist-0 pairs are the digest dedup's job, " +
         "and excluding them keeps the distinct-name collapse lossless)")
+    // materialized once: the id table feeds both reconstruction joins,
+    // and without the checkpoint the (possibly expensive) upstream
+    // lineage would run once per branch on top of the dn build —
+    // review finding, same band-join discipline as dn below
     val ids = names.select(col(idCol).as("__eid"),
       col(nameCol).as("__enm"))
-    editDistanceNamePairs(names, maxDist, minDist, prefixLen, lenBucket,
-        nameCol)
+      .localCheckpoint()
+    editDistanceNamePairs(ids, maxDist, minDist, prefixLen, lenBucket,
+        "__enm")
       .join(ids.select(col("__enm").as("name_a"),
         col("__eid").as("__ia")), Seq("name_a"))
       .join(ids.select(col("__enm").as("name_b"),
         col("__eid").as("__ib")), Seq("name_b"))
+      // an id that carries BOTH names of a pair would otherwise emit a
+      // (x, x) self-pair — the direct-id formulation's id_a < id_b
+      // excluded exactly that (review finding); cross-id multiplicity
+      // matches it already (two ids sharing both names emit the pair
+      // twice in both formulations)
+      .filter(col("__ia") =!= col("__ib"))
       .select(least(col("__ia"), col("__ib")).as("id_a"),
         greatest(col("__ia"), col("__ib")).as("id_b"), col("edit_dist"))
   }
@@ -1078,10 +1089,14 @@ object Dedup {
     * end. Returns all input columns plus `canonical_name`. */
   def canonicalNames(names: DataFrame, maxDist: Int, prefixLen: Int = 3,
                      lenBucket: Int = 4,
-                     nameCol: String = "name"): DataFrame = {
+                     nameCol: String = "name",
+                     maxIter: Int = 25): DataFrame = {
     val pairs = editDistanceNamePairs(names, maxDist, minDist = 1,
       prefixLen, lenBucket, nameCol)
-    val comp = connectedComponents(pairs, "name_a", "name_b")
+    // maxIter passes through so the CC failure's "raise maxIter"
+    // remedy is actually reachable from here (review finding): an
+    // edit CHAIN's diameter can exceed near-dup clusters' usual depth
+    val comp = connectedComponents(pairs, "name_a", "name_b", maxIter)
       .select(col("id").as(nameCol), col("comp").as("__canon"))
     names.join(comp, Seq(nameCol), "left")
       .select(names.columns.map(col) :+

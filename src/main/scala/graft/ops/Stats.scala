@@ -402,23 +402,35 @@ object Stats {
     * `sketches` = [[kmvSketchBy]] output; pairs are g_a < g_b. The
     * pair frame is group-level (aggregate-sized) — the self-join is
     * broadcast and never touches row data. */
-  def kmvOverlap(sketches: DataFrame, groupCol: String,
-                 k: Int): DataFrame = {
-    val twoTo60 = 1152921504606846976.0
+  /** The shared pair-merge machinery of [[kmvOverlap]] and
+    * [[kmvDifference]]: the broadcast g_a < g_b self-join of the
+    * sketch frame with `__m` = the merged bottom-k of A∪B, plus the
+    * standard KMV union estimator over `__m` — ONE definition so the
+    * two operators (and their oracles) can never desynchronize on the
+    * estimator's fill-boundary convention (review finding). */
+  private def kmvMergedPairs(sketches: DataFrame, groupCol: String,
+                             k: Int): (DataFrame, Column) = {
+    val twoTo60 = 1152921504606846976.0 // 2^60, exact in double
     val a = sketches.select(col(groupCol).as("g_a"), col("kmv").as("__ka"))
     val b = sketches.select(col(groupCol).as("g_b"), col("kmv").as("__kb"))
-    val m = slice(array_sort(array_distinct(
-      concat(col("__ka"), col("__kb")))), 1, k)
-    val shared = size(array_intersect(array_intersect(col("__m"),
-      col("__ka")), col("__kb")))
+    val merged = a.join(broadcast(b), col("g_a") < col("g_b"))
+      .withColumn("__m", slice(array_sort(array_distinct(
+        concat(col("__ka"), col("__kb")))), 1, k))
     val unionEst = when(size(col("__m")) < k,
         size(col("__m")).cast("double"))
       .otherwise(lit((k - 1).toDouble) * twoTo60 /
         element_at(col("__m"), k).cast("double"))
+    (merged, unionEst)
+  }
+
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+                 k: Int): DataFrame = {
+    val (merged, unionEst) = kmvMergedPairs(sketches, groupCol, k)
+    val shared = size(array_intersect(array_intersect(col("__m"),
+      col("__ka")), col("__kb")))
     val jac = col("__shared").cast("double") /
       size(col("__m")).cast("double")
-    a.join(broadcast(b), col("g_a") < col("g_b"))
-      .withColumn("__m", m)
+    merged
       .withColumn("__shared", shared)
       .select(col("g_a"), col("g_b"),
         col("__shared").cast("long").as("n_shared_kmin"),
@@ -449,21 +461,12 @@ object Stats {
     * sketch frame, broadcast self-join, O(k) state per group. */
   def kmvDifference(sketches: DataFrame, groupCol: String,
                     k: Int): DataFrame = {
-    val twoTo60 = 1152921504606846976.0
-    val a = sketches.select(col(groupCol).as("g_a"), col("kmv").as("__ka"))
-    val b = sketches.select(col(groupCol).as("g_b"), col("kmv").as("__kb"))
-    val m = slice(array_sort(array_distinct(
-      concat(col("__ka"), col("__kb")))), 1, k)
-    val unionEst = when(size(col("__m")) < k,
-        size(col("__m")).cast("double"))
-      .otherwise(lit((k - 1).toDouble) * twoTo60 /
-        element_at(col("__m"), k).cast("double"))
+    val (merged, unionEst) = kmvMergedPairs(sketches, groupCol, k)
     val aOnly = size(array_except(
       array_intersect(col("__m"), col("__ka")), col("__kb")))
     val bOnly = size(array_except(
       array_intersect(col("__m"), col("__kb")), col("__ka")))
-    a.join(broadcast(b), col("g_a") < col("g_b"))
-      .withColumn("__m", m)
+    merged
       .select(col("g_a"), col("g_b"),
         aOnly.cast("long").as("n_a_only_kmin"),
         bOnly.cast("long").as("n_b_only_kmin"),

@@ -640,7 +640,11 @@ object Streams {
     * final grid equals [[graft.ops.Temporal.transitionMatrix]] on the
     * same events and the final drift frame equals the batch gate —
     * StreamingSpec pins that parity. State: the watermark-bounded
-    * buffer inside the pair extractor plus the grid, both bounded. */
+    * buffer inside the pair extractor plus the grid, both bounded.
+    * The grid lives in this run's memory (localCheckpoint): a
+    * deployment that must survive driver restarts folds each batch
+    * into a parquet grid through [[runUpsertOnce]]'s atomic-publish
+    * discipline instead — the drift comparison is unchanged. */
   def startTransitionDriftMonitor(spark: SparkSession, dir: String,
                                   baseline: DataFrame, tol: Double = 0.1,
                                   sink: DataFrame => Unit,

@@ -509,5 +509,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) === "walnut" && got(7L) === "plum9",
       "singletons canonicalize to themselves")
     assert(got(6L) === "salmon1", "every row of a repeated name maps")
+    // null names survive the mapping as nulls (no match, no crash) and
+    // never pair with anything in editDistancePairs
+    val withNull = rows.unionByName(
+      Seq((8L, null.asInstanceOf[String])).toDF("id", "name"))
+    val gn = Dedup.canonicalNames(withNull, maxDist = 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(2))).toMap
+    assert(gn(8L).isEmpty && gn(1L).contains("salmon1"))
+    assert(!Dedup.editDistancePairs(withNull, maxDist = 2)
+      .collect().exists(r => r.getLong(0) == 8L || r.getLong(1) == 8L))
+    // a duplicate id carrying two near names must not self-pair (the
+    // direct-id formulation's id_a < id_b excluded it — review
+    // finding), and multiplicity still matches that formulation
+    val dupId = Seq((1L, "salmon1"), (1L, "salmon12"), (2L, "salmon12"))
+      .toDF("id", "name")
+    val dp = Dedup.editDistancePairs(dupId, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(dp === List((1L, 2L)), s"expected one (1,2) pair: $dp")
   }
 }
