@@ -360,6 +360,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graphSearch entry sample: md5-order + limit plans as " +
+      "TakeOrderedAndProject (one bounded-heap scan), never a global " +
+      "sort — the shape that keeps round 0 corpus-cheap") {
+    import org.apache.spark.sql.functions._
+    // the exact expression graphSearch builds its entry set from (the
+    // per-round localCheckpoints hide it from the t69 plan snapshot,
+    // so this pins the planning of the shape directly)
+    val emb = graft.etl.Tables.embeddings(spark, d)
+      .select(col("vec_id").as("__nid"))
+    val entries = emb
+      .orderBy(md5(concat(lit("entry"), col("__nid").cast("string"))),
+        col("__nid"))
+      .limit(10)
+    val p = entries.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"entry sample fell back to a global sort:\n${p.take(1500)}")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(1500))
+  }
+
   test("x78i: the warm-index BM25 probe plan touches no corpus-" +
       "statistics aggregate — query tokenize + postings join + pair " +
       "sum + top-k only") {
