@@ -1929,6 +1929,29 @@ object DataQueries {
       .orderBy(col("id"))
   }
 
+  /** t70's backward as-of through the CHUNKED carry
+    * ([[Temporal.asofJoinChunked]], hourly chunks) — the hot-key-
+    * splitting form the x70s measurement showed a plain window cannot
+    * get from AQE. Same output contract as t70; the oracle is t70's
+    * independent range-join + top-1 SQL VERBATIM, so a hash match
+    * proves chunking changes nothing. */
+  val t115AsofChunked: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"), col("value").as("view_value"))
+    Temporal.asofJoinChunked(purchases, views, Seq("user_id"), "ts",
+        "view_ts", payload = Seq("view_id", "view_ts", "view_value"),
+        tie = "view_id", chunkSeconds = 3600L)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2044,6 +2067,7 @@ object DataQueries {
     "t112_retention_labels" -> t112RetentionLabels,
     "t113_kmv_difference" -> t113KmvDifference,
     "t114_canonical_names" -> t114CanonicalNames,
+    "t115_asof_chunked" -> t115AsofChunked,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -2355,6 +2379,23 @@ object DataQueries {
       graft.ops.Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
         "view_ts", payload = Seq("view_id", "view_value"),
         tie = "view_id")
+    }),
+    // x70s's skewed frame through the CHUNKED as-of: the hot key's
+    // 80% of rows split across hourly chunks into parallel sorts —
+    // the mitigation measured against x70s's single-task-sort ceiling
+    // (same semantics, TemporalSpec-pinned; t115 oracle-gated)
+    "x70c_asof_chunked_skew" -> ((s, d) => {
+      val ev = skewedEvents(s, d, copies = 10)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      graft.ops.Temporal.asofJoinChunked(purchases, views,
+        Seq("user_id"), "ts", "view_ts",
+        payload = Seq("view_id", "view_value"), tie = "view_id",
+        chunkSeconds = 3600L)
     }),
     // t76's nearest-either as-of at 10x keys — same one-exchange
     // two-carry plan, cost |L|+|R| regardless of window populations

@@ -4156,6 +4156,10 @@ object Oracles {
     base ++ Map(
       "q52_csv_egress" -> base("q51_client_territory_spend"),
       "q53_json_egress" -> base("q51_client_territory_spend"),
+      // t115 runs t70's semantics through the chunked carry — the
+      // oracle is DELIBERATELY t70's independent range-join + top-1
+      // SQL verbatim: a hash match proves chunking changes nothing
+      "t115_asof_chunked" -> base("t70_asof_join"),
       // q55 writes the same snapshot as ORC and reads it back — the
       // typed-columnar round trip must hash equal to q51's own oracle
       "q55_orc_egress" -> base("q51_client_territory_spend"),

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * carries the nearest right payload onto every left row. Cost is one
   * shuffle + one sort of |L|+|R| rows total — no candidate explosion,
   * no range-bucket tuning, and a key's cost is bounded by its own row
-  * count (skewed keys behave exactly like a skewed groupBy, which AQE
-  * already handles). At 100 TB this is the shape you want: the same
-  * single exchange a `groupBy(key)` would pay, independent of how many
-  * right rows fall inside any window.
+  * count. Skew honesty (round-11 measurement, x70s): a hot key is ONE
+  * task's sort — linear-log in its rows, never a pair explosion, but
+  * AQE cannot split it (skew-split is a join optimization; a window
+  * partition is indivisible). When a single key outgrows one task,
+  * use [[asofJoinChunked]]: the same semantics with the hot key split
+  * across time chunks.
   */
 object Temporal {
 
@@ -109,6 +111,110 @@ object Temporal {
           col(tc).cast("long") * lit(1000000L))
         dist <= graceUs
       case _ => lit(true)
+    }
+    val kept = matched.withColumn("__k",
+      when(col("__m").isNotNull && inTol, col("__m")))
+    kept.select(left.columns.map(col) ++
+      payload.map(c => col(s"__k.$c").as(c)): _*)
+  }
+
+  /** [[asofJoin]] with the hot key SPLIT across time chunks — the skew
+    * mitigation the x70s measurement showed AQE cannot provide (a
+    * window partition is indivisible; skew-split only splits joins).
+    * Identical backward semantics (same tie rule, same tolerance
+    * voiding, left-outer) by construction:
+    *
+    *   1. every row gets `chunk = floor(ts / chunkSeconds)` — time
+    *      partitions, so ALL rows of an earlier chunk are strictly
+    *      earlier than every row of a later one (equal timestamps
+    *      share a chunk, preserving the equal-ts visibility rule);
+    *   2. the running carry windows over (key, CHUNK) — a key with a
+    *      billion rows across a year of 1-day chunks runs ~365
+    *      parallel sorts instead of one giant one;
+    *   3. each chunk's LAST right payload (max by (ts, tie) — exactly
+    *      the row the carry would hand the next chunk) collapses to a
+    *      (key, chunk) boundary table, prefix-carried per key over the
+    *      CHUNK order — an aggregate-sized window (distinct occupied
+    *      chunks per key, not rows);
+    *   4. a left row's match = its within-chunk carry, else its
+    *      chunk's prefix carry (the latest right of any earlier
+    *      chunk). The (key, chunk) join back reuses step 2's
+    *      partitioning on the big side; the boundary side is tiny.
+    *
+    * Equality with [[asofJoin]] on every input is TemporalSpec-pinned
+    * (uniform, skewed, tie-heavy, unmatched, tolerance). Costs one
+    * more exchange than the unchunked form (the boundary table) — pay
+    * it when a key's row count threatens a single task, not before.
+    * Backward + constant `tolerance` only (the deployed hot-key
+    * shapes); forward/per-row-grace callers use [[asofJoin]]. */
+  def asofJoinChunked(left: DataFrame, right: DataFrame,
+                      keys: Seq[String], leftTs: String, rightTs: String,
+                      payload: Seq[String], tie: String,
+                      chunkSeconds: Long = 86400L,
+                      tolerance: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoinChunked needs at least one key column")
+    require(chunkSeconds >= 1, "chunkSeconds must be >= 1")
+    val bad = payload.toSet.intersect(left.columns.toSet)
+    require(bad.isEmpty, s"payload collides with left columns: $bad")
+    val reserved = Set("__ts", "__tie", "__pay", "__is_left", "__m",
+      "__k", "__chunk", "__bpay", "__ppay")
+    val clash = reserved.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"left columns clash with asofJoinChunked helpers: $clash")
+
+    val pay = struct(col(rightTs).as("__rts") +:
+      payload.map(c => col(c).as(c)): _*)
+    val r = right.select(keys.map(col) ++ Seq(
+      col(rightTs).as("__ts"), col(tie).as("__tie"),
+      pay.as("__pay"), lit(0).as("__is_left")): _*)
+    val payType = r.schema("__pay").dataType
+    val tieType = r.schema("__tie").dataType
+    val l = left.select(left.columns.map(col) ++ Seq(
+      col(leftTs).as("__ts"), lit(null).cast(tieType).as("__tie"),
+      lit(null).cast(payType).as("__pay"), lit(1).as("__is_left")): _*)
+    val tagged = l.unionByName(r.select(l.columns.map(c =>
+        if (r.columns.contains(c)) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)): _*))
+      .withColumn("__chunk",
+        floor(unix_micros(col("__ts")) / lit(chunkSeconds * 1000000L)))
+
+    // (2) within-chunk running carry — the asofJoin window with the
+    // chunk added to the partitioning, so a hot key parallelizes
+    val ord = Seq(col("__ts").asc, col("__is_left"), col("__tie").asc)
+    val wc = Window.partitionBy((keys.map(col) :+ col("__chunk")): _*)
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = tagged
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(wc))
+
+    // (3) per-(key, chunk) boundary = the chunk's winning right row
+    // (max by (ts, tie) — identical to what the running carry ends the
+    // chunk holding), prefix-carried per key over chunk order; seeded
+    // from EVERY occupied chunk (left-only chunks carry a null
+    // boundary but still need a prefix row)
+    val bounds = tagged.filter(col("__is_left") === 0)
+      .groupBy((keys.map(col) :+ col("__chunk")): _*)
+      .agg(max_by(col("__pay"), struct(col("__ts"), col("__tie")))
+        .as("__bpay"))
+    val chunks = tagged.select((keys.map(col) :+ col("__chunk")): _*)
+      .distinct()
+      .join(bounds, keys :+ "__chunk", "left")
+    val wp = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunks.withColumn("__ppay",
+        last(col("__bpay"), ignoreNulls = true).over(wp))
+      .select((keys.map(col) :+ col("__chunk") :+ col("__ppay")): _*)
+
+    // (4) combine: within-chunk match wins (it is never older than the
+    // previous chunk's boundary), else the prefix carry
+    val matched = within.filter(col("__is_left") === 1)
+      .join(carry, keys :+ "__chunk")
+      .withColumn("__m", coalesce(col("__m"), col("__ppay")))
+    val inTol = tolerance match {
+      case Some(t) =>
+        col("__m.__rts") >= col("__ts") - expr(s"INTERVAL $t")
+      case None => lit(true)
     }
     val kept = matched.withColumn("__k",
       when(col("__m").isNotNull && inTol, col("__m")))

@@ -33,6 +33,68 @@ class TemporalSpec extends SparkSpec {
     out.map(r => r.getAs[Long]("lid") ->
       Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)).toMap
 
+  test("asofJoinChunked == asofJoin row-for-row: hand fixture at a " +
+      "chunk size that splits it, the real event log (uniform AND " +
+      "80/20-skewed), tie-heavy equal timestamps, and tolerance") {
+    def same(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame, label: String): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, label)
+    // hand fixture with 2-second chunks: rows straddle boundaries and
+    // the equal-ts pair (rid 1/2 at :05) shares a chunk by definition
+    same(
+      Temporal.asofJoinChunked(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rid", "v"), tie = "rid", chunkSeconds = 2L),
+      Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rid", "v"), tie = "rid"),
+      "hand fixture, 2s chunks")
+    // tolerance voids identically (the match surfaces through the
+    // boundary carry and must still void on distance)
+    same(
+      Temporal.asofJoinChunked(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rid"), tie = "rid", chunkSeconds = 2L,
+        tolerance = Some("2 seconds")),
+      Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
+        payload = Seq("rid"), tie = "rid",
+        tolerance = Some("2 seconds")),
+      "hand fixture, 2s chunks + 2s tolerance")
+    // the real event log, uniform and deliberately skewed (the x70s
+    // harness: 80% of rows on user 0 — the input this variant exists
+    // for), hourly chunks
+    for ((ev, label) <- Seq(
+        (graft.etl.Tables.events(spark, d), "uniform events"),
+        (graft.DataQueries.skewedEvents(spark, d, copies = 2),
+          "skewed events"))) {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"), col("value").as("view_value"))
+      same(
+        Temporal.asofJoinChunked(purchases, views, Seq("user_id"), "ts",
+          "view_ts", payload = Seq("view_id", "view_value"),
+          tie = "view_id", chunkSeconds = 3600L),
+        Temporal.asofJoin(purchases, views, Seq("user_id"), "ts",
+          "view_ts", payload = Seq("view_id", "view_value"),
+          tie = "view_id"),
+        label)
+    }
+    // tie-heavy: many rights at ONE timestamp sitting exactly on a
+    // chunk boundary — the boundary winner must be the max tie, and a
+    // left row in the NEXT chunk must receive it
+    val ties = (1L to 9L).map(i => ("K", "2024-01-01 00:00:04", i))
+      .toDF("k", "rts", "rid")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("rid"))
+    val probe = Seq(("K", "2024-01-01 00:00:07", 1L))
+      .toDF("k", "lts", "lid")
+      .select(col("k"), to_timestamp(col("lts")).as("lts"), col("lid"))
+    val got = Temporal.asofJoinChunked(probe, ties, Seq("k"), "lts",
+        "rts", payload = Seq("rid"), tie = "rid", chunkSeconds = 2L)
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("rid") == 9L,
+      "boundary carry must hand the NEXT chunk the max-tie winner")
+  }
+
   test("backward: latest prior wins, equal-ts visible, ties take the " +
       "highest tie, unmatched rows survive with nulls") {
     val out = Temporal.asofJoin(leftDf, rightDf, Seq("k"), "lts", "rts",
