@@ -386,22 +386,6 @@ object Stats {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
-  /** Pairwise set-overlap estimates between every two groups, from
-    * their KMV sketches alone (Beyer et al., SIGMOD 2007): merge the
-    * two sketches to the k smallest of A∪B; the union estimate is the
-    * standard KMV estimator on the merged k-th minimum, the Jaccard
-    * estimate is |merged ∩ A ∩ B| / |merged|, and the intersection
-    * estimate is their product. When both groups sit below fill the
-    * merged sketch IS A∪B and everything is exact. Every number is an
-    * exact function of the hash sets (set ops + one IEEE division), so
-    * an external engine replays the estimates bit-for-bit — O(k)
-    * state per group makes this the 100 TB way to get an
-    * all-pairs-of-sources overlap dashboard without ever joining the
-    * underlying data.
-    *
-    * `sketches` = [[kmvSketchBy]] output; pairs are g_a < g_b. The
-    * pair frame is group-level (aggregate-sized) — the self-join is
-    * broadcast and never touches row data. */
   /** The shared pair-merge machinery of [[kmvOverlap]] and
     * [[kmvDifference]]: the broadcast g_a < g_b self-join of the
     * sketch frame with `__m` = the merged bottom-k of A∪B, plus the
@@ -423,6 +407,22 @@ object Stats {
     (merged, unionEst)
   }
 
+  /** Pairwise set-overlap estimates between every two groups, from
+    * their KMV sketches alone (Beyer et al., SIGMOD 2007): merge the
+    * two sketches to the k smallest of A∪B; the union estimate is the
+    * standard KMV estimator on the merged k-th minimum, the Jaccard
+    * estimate is |merged ∩ A ∩ B| / |merged|, and the intersection
+    * estimate is their product. When both groups sit below fill the
+    * merged sketch IS A∪B and everything is exact. Every number is an
+    * exact function of the hash sets (set ops + one IEEE division), so
+    * an external engine replays the estimates bit-for-bit — O(k)
+    * state per group makes this the 100 TB way to get an
+    * all-pairs-of-sources overlap dashboard without ever joining the
+    * underlying data.
+    *
+    * `sketches` = [[kmvSketchBy]] output; pairs are g_a < g_b. The
+    * pair frame is group-level (aggregate-sized) — the self-join is
+    * broadcast and never touches row data. */
   def kmvOverlap(sketches: DataFrame, groupCol: String,
                  k: Int): DataFrame = {
     val (merged, unionEst) = kmvMergedPairs(sketches, groupCol, k)

@@ -158,7 +158,9 @@ object Temporal {
     require(bad.isEmpty, s"payload collides with left columns: $bad")
     val reserved = Set("__ts", "__tie", "__pay", "__is_left", "__m",
       "__k", "__chunk", "__bpay", "__ppay")
-    val clash = reserved.intersect(left.columns.toSet)
+    val clash = reserved.intersect(left.columns.toSet) ++
+      left.columns.filter(c =>
+        c.startsWith("__r_") || c.startsWith("__b_"))
     require(clash.isEmpty,
       s"left columns clash with asofJoinChunked helpers: $clash")
 
@@ -172,11 +174,16 @@ object Temporal {
     val l = left.select(left.columns.map(col) ++ Seq(
       col(leftTs).as("__ts"), lit(null).cast(tieType).as("__tie"),
       lit(null).cast(payType).as("__pay"), lit(1).as("__is_left")): _*)
+    // materialized once — the tagged union feeds THREE branches (the
+    // within-chunk window, the boundary aggregate, the chunk census);
+    // without this the |L|+|R| scan lineage runs once per branch
+    // (review finding — the band-join discipline again)
     val tagged = l.unionByName(r.select(l.columns.map(c =>
         if (r.columns.contains(c)) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)): _*))
       .withColumn("__chunk",
         floor(unix_micros(col("__ts")) / lit(chunkSeconds * 1000000L)))
+      .localCheckpoint()
 
     // (2) within-chunk running carry — the asofJoin window with the
     // chunk added to the partitioning, so a hot key parallelizes
@@ -196,9 +203,18 @@ object Temporal {
       .groupBy((keys.map(col) :+ col("__chunk")): _*)
       .agg(max_by(col("__pay"), struct(col("__ts"), col("__tie")))
         .as("__bpay"))
+    // null-safe attach (like the final carry join): grouping put null
+    // keys / the null-ts chunk in real groups, so a plain equi join
+    // would orphan their boundaries
+    val boundsR = bounds.select(
+      (keys.map(c => col(c).as(s"__b_$c")) :+
+        col("__chunk").as("__b_chunk") :+ col("__bpay")): _*)
+    val boundsCond = (keys.map(c => col(c) <=> col(s"__b_$c")) :+
+      (col("__chunk") <=> col("__b_chunk"))).reduce(_ && _)
     val chunks = tagged.select((keys.map(col) :+ col("__chunk")): _*)
       .distinct()
-      .join(bounds, keys :+ "__chunk", "left")
+      .join(boundsR, boundsCond, "left")
+      .select((keys.map(col) :+ col("__chunk") :+ col("__bpay")): _*)
     val wp = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -207,9 +223,18 @@ object Temporal {
       .select((keys.map(col) :+ col("__chunk") :+ col("__ppay")): _*)
 
     // (4) combine: within-chunk match wins (it is never older than the
-    // previous chunk's boundary), else the prefix carry
+    // previous chunk's boundary), else the prefix carry. The join is
+    // NULL-SAFE on every key and the chunk: window partitioning groups
+    // null keys (and null-ts rows' null chunk) like GROUP BY does, so
+    // a plain equi join would silently DROP those left rows that
+    // asofJoin keeps (review finding); <=> restores row-for-row parity
+    val carryR = carry.select(
+      (keys.map(c => col(c).as(s"__r_$c")) :+
+        col("__chunk").as("__r_chunk") :+ col("__ppay")): _*)
+    val joinCond = (keys.map(c => col(c) <=> col(s"__r_$c")) :+
+      (col("__chunk") <=> col("__r_chunk"))).reduce(_ && _)
     val matched = within.filter(col("__is_left") === 1)
-      .join(carry, keys :+ "__chunk")
+      .join(carryR, joinCond, "left")
       .withColumn("__m", coalesce(col("__m"), col("__ppay")))
     val inTol = tolerance match {
       case Some(t) =>

@@ -93,6 +93,25 @@ class TemporalSpec extends SparkSpec {
       .collect()
     assert(got.length == 1 && got(0).getAs[Long]("rid") == 9L,
       "boundary carry must hand the NEXT chunk the max-tie winner")
+    // null keys and null timestamps: window partitioning groups nulls
+    // (GROUP BY semantics), so asofJoin KEEPS such left rows — the
+    // chunked carry join is null-safe for exactly this parity (review
+    // finding: a plain equi join silently dropped them)
+    val nl = Seq((null.asInstanceOf[String], "2024-01-01 00:00:10", 1L),
+        ("A", null.asInstanceOf[String], 2L),
+        ("A", "2024-01-01 00:00:10", 3L))
+      .toDF("k", "lts", "lid")
+      .select(col("k"), to_timestamp(col("lts")).as("lts"), col("lid"))
+    val nr = Seq((null.asInstanceOf[String], "2024-01-01 00:00:05", 7L),
+        ("A", "2024-01-01 00:00:05", 8L))
+      .toDF("k", "rts", "rid")
+      .select(col("k"), to_timestamp(col("rts")).as("rts"), col("rid"))
+    same(
+      Temporal.asofJoinChunked(nl, nr, Seq("k"), "lts", "rts",
+        payload = Seq("rid"), tie = "rid", chunkSeconds = 2L),
+      Temporal.asofJoin(nl, nr, Seq("k"), "lts", "rts",
+        payload = Seq("rid"), tie = "rid"),
+      "null keys / null timestamps")
   }
 
   test("backward: latest prior wins, equal-ts visible, ties take the " +
