@@ -263,6 +263,55 @@ class ScaleSpec extends SparkSpec {
       "cost = one task sorting them (linear-log), not pairs")
   }
 
+  test("x70c crossover: on a 2M-row 90%-hot key the CHUNKED as-of " +
+      "agrees with the plain window and the single-task sort ceiling " +
+      "is measured against the parallel chunk sorts") {
+    import graft.ops.Temporal
+    // synthetic hot log: 2M events over ~23 days of seconds, 90% on
+    // key 0 — the regime where one window partition IS the job
+    val n = 2000000L
+    val ev = spark.range(n).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 97).as("k"),
+        to_timestamp(from_unixtime(lit(1700000000L) + col("id")))
+          .as("ts"),
+        col("id"))
+      .localCheckpoint()
+    val lhs = ev.filter(col("id") % 2 === 1)
+      .select(col("k"), col("ts"), col("id").as("lid"))
+    val rhs = ev.filter(col("id") % 2 === 0)
+      .select(col("k"), col("ts").as("rts"), col("id").as("rid"))
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(col("rid")), sum(col("rid"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (plainFp, plainS) = timed(fingerprint(
+      Temporal.asofJoin(lhs, rhs, Seq("k"), "ts", "rts",
+        payload = Seq("rid"), tie = "rid")))
+    // ~128 one-day-ish chunks: the hot key's 1.8M rows become ~128
+    // parallel sorts of ~14k rows instead of one sort of 1.8M
+    val (chunkFp, chunkS) = timed(fingerprint(
+      Temporal.asofJoinChunked(lhs, rhs, Seq("k"), "ts", "rts",
+        payload = Seq("rid"), tie = "rid", chunkSeconds = 16384L)))
+    assert(chunkFp === plainFp,
+      s"chunked diverged on the hot log: $chunkFp vs $plainFp")
+    info(f"2M rows, 90%% hot key: plain window $plainS%.1f s " +
+      f"(single-task sort) vs chunked $chunkS%.1f s " +
+      f"(${n / 16384}%d-way parallel chunks)")
+    // no wall-time assert (host noise); the fingerprint equality is
+    // the gate, the timings are the recorded evidence. Measured
+    // result (pinned in PLANS.md): the plain window still WINS here
+    // (3.7 vs 4.6 s) — an in-memory 1.8M-row sort is cheap and the
+    // chunked form's exchange+join overhead is not. The crossover
+    // needs a hot key big enough to SPILL one task's sort (hundreds
+    // of millions of rows — beyond what a polite local test can
+    // stage), which is exactly what the operator's scaladoc tells
+    // callers to wait for.
+  }
+
   test("knn recall at the benched scale regimes is measured and floored") {
     import graft.ops.Similarity
     val sf = "/root/testdata/sf0.1"
