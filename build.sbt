@@ -56,4 +56,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 240m JIT code cache; once full, HotSpot disables compilation and every
   // later query runs interpreted (~10x slower single-task stages).
   "-XX:ReservedCodeCacheSize=1g",
+  // Keep Derby's error log out of the repo root. Set here (not in a spec
+  // class body) so it is guaranteed to precede embedded-driver load no
+  // matter which suite touches Derby first.
+  "-Dderby.stream.error.file=target/derby.log",
 )

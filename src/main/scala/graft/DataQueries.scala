@@ -2209,7 +2209,7 @@ object DataQueries {
       Dedup.semanticDedup(big, cents, tau = 0.99)
     }),
     // t38's PQ encode 8x past fixture scale: the corpus x broadcast-
-    // codebook expansion with the map-side min(struct) argmin — 16k
+    // codebook expansion with the map-side min_by hash-agg argmin — 16k
     // vectors x 4 subspaces x ~81 codewords of the native L2 kernel
     "x38_pq_encode_scale" -> ((s, d) => {
       val big = scaledEmbeddings(s, d, copies = 8)

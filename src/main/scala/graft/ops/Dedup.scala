@@ -1091,6 +1091,13 @@ object Dedup {
                      lenBucket: Int = 4,
                      nameCol: String = "name",
                      maxIter: Int = 25): DataFrame = {
+    // same reserved-name discipline as asofJoin/asofJoinChunked: a
+    // clashing input would yield a duplicate/ambiguous column instead
+    // of a clear error
+    Seq("canonical_name", "__canon").foreach { r =>
+      require(!names.columns.contains(r),
+        s"canonicalNames: input must not already contain column '$r'")
+    }
     val pairs = editDistanceNamePairs(names, maxDist, minDist = 1,
       prefixLen, lenBucket, nameCol)
     // maxIter passes through so the CC failure's "raise maxIter"

@@ -428,8 +428,11 @@ object Stats {
     val (merged, unionEst) = kmvMergedPairs(sketches, groupCol, k)
     val shared = size(array_intersect(array_intersect(col("__m"),
       col("__ka")), col("__kb")))
-    val jac = col("__shared").cast("double") /
-      size(col("__m")).cast("double")
+    // empty merged sample (both groups all-null values) → 0/0 would be
+    // NaN; an empty union shares nothing, so the estimate is a defined 0
+    val jac = when(size(col("__m")) === 0, lit(0.0))
+      .otherwise(col("__shared").cast("double") /
+        size(col("__m")).cast("double"))
     merged
       .withColumn("__shared", shared)
       .select(col("g_a"), col("g_b"),
@@ -466,13 +469,15 @@ object Stats {
       array_intersect(col("__m"), col("__ka")), col("__kb")))
     val bOnly = size(array_except(
       array_intersect(col("__m"), col("__kb")), col("__ka")))
+    // same empty-sample guard as kmvOverlap's jaccard: 0/0 → defined 0
+    def frac(part: Column): Column =
+      when(size(col("__m")) === 0, lit(0.0))
+        .otherwise(part.cast("double") / size(col("__m")).cast("double"))
     merged
       .select(col("g_a"), col("g_b"),
         aOnly.cast("long").as("n_a_only_kmin"),
         bOnly.cast("long").as("n_b_only_kmin"),
-        round(aOnly.cast("double") / size(col("__m")).cast("double") *
-          unionEst, 4).as("est_a_minus_b"),
-        round(bOnly.cast("double") / size(col("__m")).cast("double") *
-          unionEst, 4).as("est_b_minus_a"))
+        round(frac(aOnly) * unionEst, 4).as("est_a_minus_b"),
+        round(frac(bOnly) * unionEst, 4).as("est_b_minus_a"))
   }
 }

@@ -11,11 +11,9 @@ import graft.etl.Tables
   * so the partitioned read exercises real per-partition JDBC cursors. */
 class JdbcSpec extends SparkSpec {
 
-  // keep Derby's error log out of the repo root (untracked residue the
-  // judge flags every round): point it into target/ before the driver
-  // first loads
-  System.setProperty("derby.stream.error.file", "target/derby.log")
-
+  // derby.stream.error.file is set as a forked-JVM system property in
+  // build.sbt — a class-body setProperty here would only win if this
+  // suite happened to initialize before the Derby driver's first load
   private val url = "jdbc:derby:memory:graftjdbc;create=true"
 
   private def seed(): Unit = {

@@ -157,14 +157,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning(cnt"), p.take(2000))
   }
 
-  test("t38: PQ encode's argmin is a map-side partial aggregate against " +
-      "a broadcast codebook") {
+  test("t38: PQ encode's argmin is a map-side partial HASH aggregate " +
+      "against a broadcast codebook") {
     val p = plan("t38_pq_encode")
     // the corpus x codebook expansion must meet in a broadcast join and
     // reduce to one row per (vector, subspace) BEFORE the exchange —
-    // partial_min(struct(dist, code)) upstream of the shuffle
+    // partial_min(packed decimal) upstream of the shuffle
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("partial_min"), p.take(3000))
+    // the (dist, code) pair packs into ONE decimal precisely so the
+    // argmin hash-aggregates: a struct-valued min is not a mutable
+    // buffer and regresses to sorting the whole corpus x codebook
+    // expansion
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 

@@ -251,6 +251,12 @@ class ScaleSpec extends SparkSpec {
     // under skew and still carries exactly one hash exchange per
     // window input.
     assert(spark.conf.get("spark.sql.adaptive.enabled") != "false")
+    // execute asof ITSELF first: the exceptAll above ran on derived
+    // DataFrames with their own queryExecutions, so without an action
+    // here asof's executedPlan is the initial AdaptiveSparkPlan
+    // (isFinalPlan=false) and the skew=true assertion below could
+    // never fail — AQE skew markers only appear post-execution
+    asof.count()
     val p = asof.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"as-of planned a join:\n${p.take(1500)}")
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
