@@ -1149,6 +1149,80 @@ object CoreQueries {
       .orderBy(col("month"))
   }
 
+  /** O10/O32 — the S1:29-41 "Check what's left unmapped" problem-children
+    * report, the reference's first inline validation artifact: unmapped
+    * map rows inner-joined back to the transaction header, BOTH lookup
+    * dimensions re-resolved BY DISPLAY NAME (the idiom the reference
+    * uses for Lookups.BankTypes / lookups.creditcardtypes), the per-row
+    * flags frame joined on id, and the known-problem
+    * (client, card-type-id, bank-type-id) triples LEFT-joined so
+    * `iif(pr.clientcode is null, 0, 1)` labels each residual row; sorted
+    * problem-children-first then by the flags frame's fingerprint id,
+    * exactly the analyst reading order of S1:40-41. Fixture cast:
+    * orders = TransactionHeader (the customer's nation / region display
+    * names standing in for BankType / CreditCardType), a lineitem
+    * rollup = Staging.RecordFlags, negative-balance customers =
+    * Staging.ProblemChildren, pending-status orders = the
+    * fingerprint-less map residue.
+    *
+    * Scale: both display-name lookups broadcast (25 / 5 rows); the
+    * flags rollup is one map-side-combined aggregate on the join key;
+    * the problem-triple frame broadcasts (delinquent-client-sized); the
+    * only fact-fact joins (residue x header x flags) are all keyed on
+    * the order id. */
+  val q56ProblemChildren: Q = (s, d) => {
+    val bank = T.nation(s, d).select(
+      col("n_nationkey").cast("long").as("bank_id"),
+      col("n_name").as("bank_display"))
+    val cct = T.region(s, d).select(
+      col("r_regionkey").cast("long").as("cct_id"),
+      col("r_name").as("cct_display"))
+    val th = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("o_orderkey").cast("long").as("id"),
+        col("o_custkey").cast("long").as("clientcode"),
+        col("n_name").as("bank_type"),
+        col("r_name").as("creditcard_type"),
+        col("o_totalprice"),
+        Ops.dateKey(col("o_orderdate")).cast("long").as("datekey"))
+    val p = T.orders(s, d).select(
+      col("o_orderkey").cast("long").as("id"),
+      when(col("o_orderstatus") === "P", lit(null).cast("long"))
+        .otherwise(col("o_custkey").cast("long")).as("fingerprint_id"))
+    val fl = T.lineitem(s, d)
+      .groupBy(col("l_orderkey").cast("long").as("id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        min(col("l_suppkey").cast("long")).as("fl_fingerprint_id"))
+    val pr = T.customer(s, d).filter(col("c_acctbal") < 0)
+      .join(broadcast(T.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").cast("long").as("pr_clientcode"),
+        col("n_nationkey").cast("long").as("pr_bank_id"),
+        col("n_regionkey").cast("long").as("pr_cct_id"))
+    p.filter(col("fingerprint_id").isNull)
+      .join(th, Seq("id"))
+      .join(broadcast(bank), col("bank_type") === col("bank_display"))
+      .join(broadcast(cct), col("creditcard_type") === col("cct_display"))
+      .join(fl, Seq("id"))
+      .join(broadcast(pr),
+        col("clientcode") === col("pr_clientcode") &&
+          col("cct_id") === col("pr_cct_id") &&
+          col("bank_id") === col("pr_bank_id"), "left")
+      .select(
+        when(col("pr_clientcode").isNull, 0L).otherwise(1L)
+          .as("problemchild"),
+        col("id"), col("clientcode"), col("bank_type"),
+        col("creditcard_type"), col("datekey"), col("o_totalprice"),
+        col("n_items"), col("n_returned"), col("fl_fingerprint_id"))
+      .orderBy(col("problemchild"), col("fl_fingerprint_id"), col("id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_in_like" -> q02FilterInLike,
@@ -1205,5 +1279,6 @@ object CoreQueries {
     "q53_json_egress" -> q53JsonEgress,
     "q55_orc_egress" -> q55OrcEgress,
     "q54_partitioned_egress" -> q54PartitionedEgress,
+    "q56_problem_children" -> q56ProblemChildren,
   )
 }

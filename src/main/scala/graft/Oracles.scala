@@ -607,6 +607,53 @@ object Oracles {
         |FROM orders
         |WHERE cast(strftime(o_orderdate, '%Y%m') as int) BETWEEN 199601 AND 199612
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // S1:29-41 problem-children report replay: unmapped map residue
+    // joined back to the header, lookups re-resolved BY DISPLAY NAME,
+    // flags joined on id, known-problem triples left-joined for the
+    // iif(pr.clientcode is null, 0, 1) label
+    "q56_problem_children" ->
+      """WITH th AS (SELECT cast(o_orderkey as bigint) AS id,
+        |    cast(o_custkey as bigint) AS clientcode,
+        |    n_name AS bank_type, r_name AS creditcard_type,
+        |    o_totalprice,
+        |    cast(cast(strftime(o_orderdate,'%Y%m%d') as int) as bigint)
+        |      AS datekey
+        |  FROM orders JOIN customer ON o_custkey=c_custkey
+        |  JOIN nation ON c_nationkey=n_nationkey
+        |  JOIN region ON n_regionkey=r_regionkey),
+        |p AS (SELECT cast(o_orderkey as bigint) AS id,
+        |    CASE WHEN o_orderstatus='P' THEN NULL
+        |         ELSE cast(o_custkey as bigint) END AS fingerprint_id
+        |  FROM orders),
+        |fl AS (SELECT cast(l_orderkey as bigint) AS id,
+        |    cast(count(*) as bigint) AS n_items,
+        |    cast(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)
+        |      as bigint) AS n_returned,
+        |    cast(min(l_suppkey) as bigint) AS fl_fingerprint_id
+        |  FROM lineitem GROUP BY 1),
+        |bank AS (SELECT cast(n_nationkey as bigint) AS bank_id,
+        |    n_name AS bank_display FROM nation),
+        |cct AS (SELECT cast(r_regionkey as bigint) AS cct_id,
+        |    r_name AS cct_display FROM region),
+        |pr AS (SELECT cast(c_custkey as bigint) AS pr_clientcode,
+        |    cast(n_nationkey as bigint) AS pr_bank_id,
+        |    cast(n_regionkey as bigint) AS pr_cct_id
+        |  FROM customer JOIN nation ON c_nationkey=n_nationkey
+        |  WHERE c_acctbal < 0)
+        |SELECT cast(CASE WHEN pr.pr_clientcode IS NULL THEN 0 ELSE 1 END
+        |    as bigint) AS problemchild,
+        |  th.id, th.clientcode, th.bank_type, th.creditcard_type,
+        |  th.datekey, th.o_totalprice, fl.n_items, fl.n_returned,
+        |  fl.fl_fingerprint_id
+        |FROM p JOIN th ON p.id=th.id
+        |JOIN bank ON th.bank_type=bank.bank_display
+        |JOIN cct ON th.creditcard_type=cct.cct_display
+        |JOIN fl ON th.id=fl.id
+        |LEFT JOIN pr ON th.clientcode=pr.pr_clientcode
+        |  AND cct.cct_id=pr.pr_cct_id AND bank.bank_id=pr.pr_bank_id
+        |WHERE p.fingerprint_id IS NULL
+        |ORDER BY 1, fl.fl_fingerprint_id, th.id""".stripMargin,
   )
 
   /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors
