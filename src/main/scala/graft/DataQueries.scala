@@ -2178,6 +2178,18 @@ object DataQueries {
         .reduce(_ unionByName _).localCheckpoint()
       Similarity.hardNegativesBucketed(big, big, k = 3, oversample = 4)
     }),
+    // t80's margin mining at the two-sided corpus regime: both
+    // "language" sides 8x-replicated (~8k x ~8k at sf0.1), candidate
+    // lists from the bucketed knnJoin in each direction with nothing
+    // broadcast — the CCMatrix composition whose mined-mutual recall
+    // vs the exact mine is SimilaritySpec-pinned; the mining tail
+    // itself stays rank-frame-sized
+    "x80_margin_mine_scale" -> ((s, d) => {
+      val big = scaledEmbeddings(s, d, copies = 8)
+      Similarity.marginMineBucketed(
+        big.filter(col("vec_id") % 2 === 0),
+        big.filter(col("vec_id") % 2 === 1), k = 4, bits = 8)
+    }),
     // t29's two-sided knn-join measured 8x past fixture scale: the sf
     // embedding frame replicated with distinct ids (replicas share a
     // bucket — a duplication-skewed corpus, sign-LSH's worst case for

@@ -255,6 +255,29 @@ object Similarity {
           .cast("long").as("is_mutual"))
   }
 
+  /** [[marginMine]] at corpus scale — the CCMatrix/NLLB composition
+    * where BOTH language sides are corpus-sized: the candidate lists
+    * come from [[knnJoin]] in each direction (bucket-keyed shuffle
+    * joins, nothing broadcast, per-query fan-out |other side|/2^bits
+    * per probe — the [[hardNegativesBucketed]] discipline), then the
+    * mining itself runs rank-frame-sized exactly as in [[marginMine]].
+    * Approximation lives ONLY in the candidate lists: margins of
+    * retrieved pairs are computed by the same exact rule, and a true
+    * mutual-best pair is mined iff each endpoint retrieves the other
+    * into its k-list — mined-mutual recall vs the exact brute-force
+    * mine is spec-pinned on the fixture (SimilaritySpec). Sides must
+    * be disjoint id spaces (bitext sides are; the knnJoin
+    * selfJoin=false contract). */
+  def marginMineBucketed(src: DataFrame, tgt: DataFrame, k: Int,
+                         bits: Int = 8, probe1: Boolean = true,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    marginMine(
+      knnJoin(src, tgt, k, bits, probe1 = probe1, idCol = idCol,
+        vecCol = vecCol, selfJoin = false),
+      knnJoin(tgt, src, k, bits, probe1 = probe1, idCol = idCol,
+        vecCol = vecCol, selfJoin = false))
+
   /** Per-query retrieval-quality metrics — recall@k, MRR@k and binary
     * nDCG@k of a `system` ranking against a `truth` ranking (both in
     * the (query_id, rank, neighbor_id) retriever contract; truth's
