@@ -144,31 +144,63 @@ object Merge {
     * max(existing key)` (BillingGroup_script.sql:65).
     *
     * The single-partition window matches the reference semantics and is fine
-    * for dimension-sized data; for 100 TB fact-sized inputs use
-    * [[sequenceKeysScalable]] instead.
+    * for dimension-sized data; for anything that can grow, use
+    * [[sequenceKeysOrdered]] (same keys for unique `ord`, no
+    * single-partition exchange) or [[sequenceKeysScalable]] (order-free).
     */
   def sequenceKeys(df: DataFrame, ord: Seq[Column], keyCol: String,
                    offset: Long): DataFrame =
     df.withColumn(keyCol,
       row_number().over(Window.orderBy(ord: _*)).cast("long") + lit(offset))
 
+  /** Cumulative start offset per partition id from a (pid, count) pass —
+    * the shared tail of the scalable sequencers. Computed as a broadcast
+    * theta self-join over the partition-count frame (|partitions| rows,
+    * |partitions|^2 pairs — metadata-sized) so NO single-partition
+    * exchange exists anywhere in the sequencing plan, not even a tiny
+    * one: base(p) = sum of counts of partitions before p. */
+  private def partitionBases(withPid: DataFrame): DataFrame = {
+    val counts = withPid.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    counts.select(col("__pid"), col("__cnt"))
+      .join(broadcast(counts.select(col("__pid").as("__pid2"),
+        col("__cnt").as("__cnt2"))), col("__pid2") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__base"))
+  }
+
+  /** [[sequenceKeys]] without the single-partition window — the monthly
+    * pipeline's default (SURVEY §7.3-7): range-repartition on `ord`, rank
+    * within each (ord-disjoint) partition, and add the preceding
+    * partitions' counts via [[partitionBases]]. For unique `ord` the
+    * assigned keys are IDENTICAL to [[sequenceKeys]] — key = global rank
+    * in ord order + offset — because the range partitioner keeps equal
+    * ord values in one partition, so ranks never straddle a boundary;
+    * ties (non-unique ord) fall to arbitrary within-partition order,
+    * the same caveat the global window has. Scale shape: one range
+    * exchange + per-partition sort (every task sorts its slice; no task
+    * sorts the world) + a metadata-sized base join. */
+  def sequenceKeysOrdered(df: DataFrame, ord: Seq[Column], keyCol: String,
+                          offset: Long): DataFrame = {
+    val withPid = df.repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(ord: _*)))
+    withPid.join(broadcast(partitionBases(withPid)), "__pid")
+      .withColumn(keyCol, col("__rn").cast("long") + col("__base") + lit(offset))
+      .drop("__pid", "__rn", "__base")
+  }
+
   /** Scale-safe dense sequencing: per-partition `row_number` plus a
     * broadcast map of partition offsets — no global shuffle to one task.
     * Keys are contiguous from offset+1 but assignment order follows the
-    * current partitioning, so sort first if global order matters.
+    * current partitioning; use [[sequenceKeysOrdered]] when key order
+    * must follow a sort order deterministically.
     */
   def sequenceKeysScalable(df: DataFrame, keyCol: String, offset: Long): DataFrame = {
     val withPid = df.withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(monotonically_increasing_id())))
-    val counts = withPid.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__base",
-        coalesce(sum(col("__cnt")).over(
-          Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__base"))
-    withPid.join(broadcast(counts), "__pid")
+    withPid.join(broadcast(partitionBases(withPid)), "__pid")
       .withColumn(keyCol, col("__rn").cast("long") + col("__base") + lit(offset))
       .drop("__pid", "__rn", "__base")
   }

@@ -76,10 +76,18 @@ object BillingGroup {
   }
 
   /** S4:60-70 — insert-if-absent into DimBillingGroup with surrogate keys
-    * continuing from the current max (row_number + max-key, S4:65). */
-  def insertNewGroups(dim: DataFrame, locations: DataFrame): DataFrame = {
-    val maxKey = dim.agg(coalesce(max(col("BillingGroupKey")), lit(0L)))
-      .first().getLong(0)
+    * continuing from the current max (row_number + max-key, S4:65). Keys
+    * continue from `maxKeyHint` when the caller holds one (a
+    * [[graft.etl.KeyLedger]] read — no dimension scan); sequencing is
+    * the range-partitioned [[Merge.sequenceKeysOrdered]] on
+    * (name, back-office id) — the frame's distinct key, so assignment
+    * is fully deterministic where the reference's name-only ORDER BY
+    * left same-name ties to the engine. */
+  def insertNewGroups(dim: DataFrame, locations: DataFrame,
+                      maxKeyHint: Option[Long] = None): DataFrame = {
+    val maxKey = maxKeyHint.getOrElse(
+      dim.agg(coalesce(max(col("BillingGroupKey")), lit(0L)))
+        .first().getLong(0))
     val fresh = locations
       .select(col("BillingGroupDisplayName").as("BillingGroupName"),
         coalesce(col("BackOfficeBillingGroupId"), lit(-1L))
@@ -88,7 +96,8 @@ object BillingGroup {
       .join(dim, Seq("BillingGroupName", "BillingGroupBackOfficeId"),
         "left_anti")
     dim.unionByName(
-      Merge.sequenceKeys(fresh, Seq(col("BillingGroupName")),
+      Merge.sequenceKeysOrdered(fresh,
+        Seq(col("BillingGroupName"), col("BillingGroupBackOfficeId")),
         "BillingGroupKey", maxKey)
         .select(dim.columns.map(col).toIndexedSeq: _*))
   }

@@ -50,7 +50,8 @@ object Monthly {
       endDate: String,
       startKey: Long,
       endKey: Long,
-      algo: String = "sha1")
+      algo: String = "sha1",
+      keyLedger: Option[String] = None)
 
   /** Updated warehouse + the reference's zero-expectation probes. */
   case class Result(outputs: Map[String, DataFrame],
@@ -59,13 +60,18 @@ object Monthly {
 
   /** Fill NULL surrogate keys with a sequence continuing from the current
     * max (IDENTITY analog, O39) — new dimension rows minted by the
-    * insert-if-absent stages get their keys here. */
+    * insert-if-absent stages get their keys here. `maxKeyHint` skips the
+    * scalar max scan when the caller holds a [[graft.etl.KeyLedger]]
+    * value; sequencing is [[Merge.sequenceKeysOrdered]] (ord is the
+    * dimension's unique proxy id, so keys match the global row_number
+    * form with no single-partition window). */
   private def assignMissingKeys(dim: DataFrame, keyCol: String,
-                                ord: Column): DataFrame = {
-    val maxKey = dim.agg(coalesce(max(col(keyCol)), lit(0L)))
-      .first().getLong(0)
+                                ord: Column,
+                                maxKeyHint: Option[Long]): DataFrame = {
+    val maxKey = maxKeyHint.getOrElse(
+      dim.agg(coalesce(max(col(keyCol)), lit(0L))).first().getLong(0))
     val existing = dim.filter(col(keyCol).isNotNull)
-    val fresh = Merge.sequenceKeys(
+    val fresh = Merge.sequenceKeysOrdered(
       dim.filter(col(keyCol).isNull).drop(keyCol), Seq(ord), keyCol, maxKey)
     existing.unionByName(fresh.select(existing.columns.map(col).toIndexedSeq: _*))
   }
@@ -73,13 +79,23 @@ object Monthly {
   def run(in: Inputs): Result = {
     val sd = lit(in.startDate)
     val ed = lit(in.endDate)
+    // max-key lookups go through the KeyLedger metadata files when the
+    // run carries a ledger dir (SURVEY §7.3-7: the dimension max is the
+    // one driver-side collect worth replacing at 100 TB); without one,
+    // the legacy scalar max scan runs inline
+    def tableMax(table: String)(scan: => Long): Long = in.keyLedger match {
+      case Some(dir) => graft.etl.KeyLedger.maxKey(dir, table)(scan)
+      case None => scan
+    }
 
     // ---- S1: staging full map + new-fingerprint insert ----
     val fullMap = Fingerprint.monthlyFullMap(in.header, in.detail,
       in.dimFingerprint, sd, in.algo)
-    val maxFpId = in.dimFingerprint
-      .agg(coalesce(max(col("FingerprintID")), lit(0L))).first().getLong(0)
-    val newFps = Merge.sequenceKeys(
+    val maxFpId = tableMax("dimFingerprint") {
+      in.dimFingerprint
+        .agg(coalesce(max(col("FingerprintID")), lit(0L))).first().getLong(0)
+    }
+    val newFps = Merge.sequenceKeysOrdered(
         Fingerprint.newFingerprints(in.header, in.dimFingerprint, sd, ed,
           algo = in.algo),
         Seq(col("SimHash")), "FingerprintID", maxFpId)
@@ -98,13 +114,22 @@ object Monthly {
     val dimPatron = assignMissingKeys(
       Patron.insertNewPatrons(in.dimPatron, clProxy, in.dimZipGeo,
         in.dimClient),
-      "ID", col("ProxyID"))
+      "ID", col("ProxyID"),
+      in.keyLedger.map(_ => tableMax("dimPatron") {
+        in.dimPatron.agg(coalesce(max(col("ID")), lit(0L)))
+          .first().getLong(0)
+      }))
     val fact2 = Patron.mapFactPatron(fact1, in.txnProxy, dimPatron,
       in.startKey, in.endKey)
     val dimUnique = assignMissingKeys(
       Patron.insertUniquePatrons(in.dimUniquePatron,
         in.uniquePatronCandidates),
-      "UniquePatronId", col("ProxyID"))
+      "UniquePatronId", col("ProxyID"),
+      in.keyLedger.map(_ => tableMax("dimUniquePatron") {
+        in.dimUniquePatron
+          .agg(coalesce(max(col("UniquePatronId")), lit(0L)))
+          .first().getLong(0)
+      }))
     val fact3 = Patron.mapFactUniquePatron(fact2, in.txnKeys, dimUnique,
       in.startKey, in.endKey)
 

@@ -53,10 +53,17 @@ object Restaurant {
 
   /** P-Rest:221-235 — insert new restaurant groups: canonical names not yet
     * in the dimension (NOT IN on the cleaned name, P-Rest:228-229), with
-    * program date range aggregated per group. */
-  def insertNewGroups(dimGroup: DataFrame, staging: DataFrame): DataFrame = {
-    val maxKey = dimGroup.agg(coalesce(max(col("RestaurantGroupKey")), lit(0L)))
-      .first().getLong(0)
+    * program date range aggregated per group. Keys continue from
+    * `maxKeyHint` when the caller holds one (a [[graft.etl.KeyLedger]]
+    * read — no dimension scan) and from a scalar max scan otherwise;
+    * sequencing is the range-partitioned [[Merge.sequenceKeysOrdered]]
+    * (names are unique post-groupBy, so keys are byte-identical to the
+    * reference's global row_number with no single-partition window). */
+  def insertNewGroups(dimGroup: DataFrame, staging: DataFrame,
+                      maxKeyHint: Option[Long] = None): DataFrame = {
+    val maxKey = maxKeyHint.getOrElse(
+      dimGroup.agg(coalesce(max(col("RestaurantGroupKey")), lit(0L)))
+        .first().getLong(0))
     val fresh = staging
       .withColumn("__name", cleanGroupName(col("ChainName")))
       .filter(col("__name").isNotNull && col("__name") =!= "")
@@ -67,7 +74,7 @@ object Restaurant {
       .join(dimGroup.select(cleanGroupName(col("RestaurantGroupName"))
         .as("RestaurantGroupName")), Seq("RestaurantGroupName"), "left_anti")
     dimGroup.unionByName(
-      Merge.sequenceKeys(fresh, Seq(col("RestaurantGroupName")),
+      Merge.sequenceKeysOrdered(fresh, Seq(col("RestaurantGroupName")),
         "RestaurantGroupKey", maxKey)
         .select(dimGroup.columns.map(col).toIndexedSeq: _*))
   }

@@ -118,4 +118,26 @@ class MergeSpec extends SparkSpec {
     val keys = out.select("k").as[Long].collect().sorted
     assert(keys.toSeq == (501L to 1500L))
   }
+
+  test("sequenceKeysOrdered: byte-identical keys to the global-window " +
+      "form on unique ord, with NO single-partition exchange in the plan") {
+    // multi-partition input with names deliberately scattered across
+    // partitions, so key assignment genuinely depends on the range
+    // repartition + base-offset math, not input luck
+    val df = spark.range(500).repartition(7)
+      .select(concat(lit("name_"),
+        lpad(col("id").cast("string"), 4, "0")).as("n"))
+    val ordered = Merge.sequenceKeysOrdered(df, Seq(col("n")), "k", 100L)
+      .select("n", "k")
+    val global = Merge.sequenceKeys(df, Seq(col("n")), "k", 100L)
+      .select("n", "k")
+    assert(ordered.exceptAll(global).isEmpty &&
+      global.exceptAll(ordered).isEmpty,
+      "ordered sequencing diverged from the reference global window")
+    // scale posture: the whole point — no task ever sorts the world
+    ordered.count()
+    val p = ordered.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in sequenceKeysOrdered plan:\n${p.take(2000)}")
+  }
 }

@@ -177,4 +177,56 @@ class MonthlySpec extends SparkSpec {
     o2.keys.foreach(k => sameRows(k, o2(k), o3(k)))
     assert(r3.unmappedPatrons == 0 && r3.unmappedUniquePatrons == 0)
   }
+
+  /** SURVEY §7.3-7: with a KeyLedger the batch's max-key lookups read
+    * metadata files instead of scanning dimension key columns — and the
+    * ledger value is authoritative, so key minting continues from it. */
+  test("keyLedger: outputs identical, ledger seeded on first contact, " +
+      "a recorded max drives the next mint without a dim scan, and " +
+      "recordFrom refreshes at publish time") {
+    import graft.etl.KeyLedger
+    val dir = Files.createTempDirectory("graft_ledger").toString
+    val in = monthInputs()
+    val base = Monthly.run(in).outputs
+      .map { case (k, df) => k -> df.localCheckpoint() }
+    val led = Monthly.run(in.copy(keyLedger = Some(dir))).outputs
+    // same world, same keys: the ledger changes where the max comes
+    // from, never what gets minted
+    base.keys.foreach { k =>
+      assert(led(k).exceptAll(base(k)).isEmpty &&
+        base(k).exceptAll(led(k)).isEmpty, s"$k drifted under the ledger")
+    }
+    // first contact seeded all three tables from the fallback scans
+    assert(KeyLedger.read(dir, "dimFingerprint").contains(10L))
+    assert(KeyLedger.read(dir, "dimPatron").isDefined)
+    assert(KeyLedger.read(dir, "dimUniquePatron").isDefined)
+    // the ledger is authoritative: bump dimFingerprint's recorded max and
+    // the next run mints ABOVE it — proof the scan was skipped
+    KeyLedger.record(dir, "dimFingerprint", 500L)
+    val bumped = Monthly.run(in.copy(keyLedger = Some(dir)))
+      .outputs("dim_fingerprint")
+      .agg(max(col("FingerprintID"))).first().getLong(0)
+    assert(bumped == 501L,
+      s"expected the new fingerprint keyed 501 from the ledger max, got $bumped")
+    // publish-time refresh: recordFrom scans the published dim once and
+    // the ledger catches up
+    val refreshed = KeyLedger.recordFrom(dir, "dimFingerprint",
+      base("dim_fingerprint"), "FingerprintID")
+    assert(refreshed == 11L && KeyLedger.read(dir, "dimFingerprint")
+      .contains(11L))
+  }
+
+  /** The sequencing inside the batch is the range-partitioned form: no
+    * single-partition exchange may appear in any published output's
+    * executed plan (the O39 scale posture, PlanSpec's discipline applied
+    * to the pipeline composition). */
+  test("monthly plans: no single-partition exchange in any output") {
+    val result = Monthly.run(monthInputs())
+    result.outputs.foreach { case (name, df) =>
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$name plan has a single-partition exchange:\n${p.take(2000)}")
+    }
+  }
 }

@@ -174,6 +174,33 @@ class PipelineSpec extends SparkSpec {
       Seq("Unknown", "Keep Updated", "Brand New"))
   }
 
+  test("restaurant: new groups keyed from max in cleaned-name order, " +
+      "program range aggregated, existing names skipped; ledger hint " +
+      "overrides the dim scan") {
+    val dim = Seq((7L, "EXISTING GROUP", 20240101, 20241231))
+      .toDF("RestaurantGroupKey", "RestaurantGroupName",
+        "RestaurantGroupStartDateKey", "RestaurantGroupEndDateKey")
+    val staging = Seq(
+      ("existing group", 20250101, 20250131),  // cleans to the known name
+      ("Zeta Chain", 20250201, 20250228),
+      ("zeta chain.", 20250105, 20250420),     // same group after cleaning
+      ("Alpha's Diner", 20250301, 20250331)
+    ).toDF("ChainName", "ProgramStartDateKey", "ProgramEndDateKey")
+    val out = Restaurant.insertNewGroups(dim, staging)
+      .orderBy("RestaurantGroupKey").collect()
+    // ALPHAS DINER sorts before ZETA CHAIN -> keys 8, 9; ranges merged
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(
+      (7L, "EXISTING GROUP"), (8L, "ALPHAS DINER"), (9L, "ZETA CHAIN")))
+    val zeta = out(2)
+    assert(zeta.getAs[Int]("RestaurantGroupStartDateKey") == 20250105)
+    assert(zeta.getAs[Int]("RestaurantGroupEndDateKey") == 20250420)
+    // a KeyLedger-held max wins over the dim scan
+    val hinted = Restaurant.insertNewGroups(dim, staging,
+        maxKeyHint = Some(100L))
+      .orderBy("RestaurantGroupKey").collect()
+    assert(hinted.map(_.getLong(0)).toSeq == Seq(7L, 101L, 102L))
+  }
+
   // ---- BiReporting (S5) ----
 
   test("bi reporting: definition merge + bridge sync + dim backfill") {
