@@ -1258,7 +1258,14 @@ object Similarity {
   def knnGraphExact(corpus: DataFrame, degree: Int,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame =
-    bruteForceTopK(corpus, corpus, degree, idCol, vecCol)
+    // repartition the scored side first: the n^2 cosine pass is CPU-dense
+    // and inherits the scan's split count — a one-file corpus would run
+    // every pairwise cosine in a single task (measured 1.4s of t69's
+    // cost). The row shuffle is corpus-sized (cheap) and spreads the
+    // quadratic work across the cluster — the q07 repartition-before-
+    // CPU-dense-derivation discipline.
+    bruteForceTopK(corpus.repartition(col(idCol)), corpus, degree,
+        idCol, vecCol)
       .select(col("query_id").as("node_id"), col("neighbor_id").as("nbr_id"))
 
   /** Bucketed-construction twin of [[knnGraphExact]] (the scale path:
@@ -1329,11 +1336,21 @@ object Similarity {
         .orderBy(md5(concat(lit("entry"), col("__nid").cast("string"))),
           col("__nid"))
         .limit(entryCount)))
+    // materialize the edge projection ONCE before the loop: every round
+    // joins it, and when the edge list is small enough to broadcast,
+    // each round's broadcast build would otherwise RE-RUN the whole
+    // graph construction (the knnGraph cosine pass) inside one
+    // single-threaded broadcast thread — measured 2x ~1.4s single-task
+    // stages on t69. The checkpoint computes the build with full
+    // parallelism and pins edge-count-sized blocks (corpus x degree
+    // rows), consistent with the per-round frontier checkpoints that
+    // already make this operator eager.
+    val edges = graph.select(col("node_id").as("__nid"), col("nbr_id"))
+      .localCheckpoint()
     var frontier = topBeam(score(entries)).localCheckpoint()
     for (_ <- 1 to rounds) {
       val expanded = frontier
-        .join(graph.select(col("node_id").as("__nid"), col("nbr_id")),
-          Seq("__nid"))
+        .join(edges, Seq("__nid"))
         .select(col("query_id"), col("nbr_id").as("__nid")).distinct()
       frontier = topBeam(score(expanded).unionByName(frontier).distinct())
         .localCheckpoint()
