@@ -1952,6 +1952,22 @@ object DataQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** t85's event-id family with the HLL++ band correction ON: ~2000
+    * true distincts per type at p=9 sits squarely in the 2.5m–5m band
+    * where the harmonic estimator systematically overshoots, so this
+    * is exactly the regime the anchor table exists for. The oracle
+    * rebuilds the registers from the same md5 hashes and replays the
+    * SAME piecewise-linear correction — its CASE chain is generated
+    * from the same anchor array ([[graft.ops.Stats.hllBiasSqlCase]]),
+    * so the table cannot drift between engine and oracle. t85 keeps
+    * the uncorrected classic estimator pinned alongside. */
+  val t116HllBiasCorrected: Q = (s, d) =>
+    Stats.hllDistinctBy(T.events(s, d), Seq("event_type"),
+        col("event_id").cast("string"), p = 9, biasCorrect = true)
+      .select(col("event_type"), col("n_rows"), col("hll_v"),
+        col("hll_s"), col("est_distinct"))
+      .orderBy(col("event_type"))
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2068,6 +2084,7 @@ object DataQueries {
     "t113_kmv_difference" -> t113KmvDifference,
     "t114_canonical_names" -> t114CanonicalNames,
     "t115_asof_chunked" -> t115AsofChunked,
+    "t116_hll_bias_corrected" -> t116HllBiasCorrected,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -659,6 +659,12 @@ object Oracles {
   /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors
     * CoreQueries.clientDims: 40 clients, industry = id mod 5, patron →
     * client via custkey mod 40, high-value = custkey mod 3 = 0. */
+  /** The p=9 raw-estimate numerator as the engine's EXACT double (same
+    * expression order as Stats.hllDistinctBy's rawNum), so the t116
+    * oracle's raw estimate is bit-identical before the correction. */
+  private lazy val hllRawNum9: Double =
+    0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * math.pow(2.0, 52)
+
   private lazy val clientDimCtes: String =
     """dimp AS (SELECT c_custkey AS pid2, c_custkey%40 AS cid,
       |  CASE WHEN c_custkey%3=0 THEN 1 ELSE 0 END AS hv FROM customer),
@@ -3501,6 +3507,41 @@ object Oracles {
         |JOIN est u ON u.event_type = n.event_type AND u.fam = 'u'
         |JOIN est ev ON ev.event_type = n.event_type AND ev.fam = 'e'
         |ORDER BY n.event_type""".stripMargin,
+
+    // t85's event-id family with the HLL++ band correction: registers
+    // rebuilt from the same md5 hashes; the correction CASE chain is
+    // GENERATED from the engine's own anchor array (Stats.hllBiasSqlCase)
+    // so the table cannot drift between engine and oracle; the raw
+    // numerator is the engine's exact double literal
+    "t116_hll_bias_corrected" ->
+      s"""WITH reg AS (
+         |  SELECT event_type, h // 2251799813685248 AS j,
+         |    max(CASE WHEN h % 2251799813685248 = 0 THEN 52
+         |      ELSE 52 - length(ltrim(bin(h % 2251799813685248),'0')) END)
+         |      AS mr
+         |  FROM (SELECT DISTINCT event_type,
+         |      ('0x'||substr(md5(cast(event_id as varchar)),1,15))::bigint
+         |        AS h
+         |    FROM events WHERE event_id IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT event_type,
+         |    cast(512 - count(*) as bigint) AS hll_v,
+         |    cast((512 - count(*)) * (1::bigint << 52)
+         |      + sum((1::bigint << (52 - mr))) as bigint) AS hll_s
+         |  FROM reg GROUP BY 1),
+         |rawe AS (SELECT event_type, hll_v, hll_s,
+         |    $hllRawNum9 / hll_s AS rw FROM agg),
+         |est AS (SELECT event_type, hll_v, hll_s,
+         |    round(CASE WHEN rw <= 1280.0 AND hll_v > 0
+         |      THEN 512*ln(512.0/hll_v)
+         |      ELSE rw - (${graft.ops.Stats.hllBiasSqlCase(9, "rw")})
+         |      END, 4) AS est_distinct
+         |  FROM rawe),
+         |n AS (SELECT event_type, count(*) AS n_rows FROM events
+         |  WHERE event_id IS NOT NULL GROUP BY 1)
+         |SELECT n.event_type, n.n_rows, e.hll_v, e.hll_s, e.est_distinct
+         |FROM n JOIN est e ON e.event_type = n.event_type
+         |ORDER BY n.event_type""".stripMargin,
 
     // Morton z-value: bit i of x lands at 2i, of y at 2i+1 — the oracle
     // replays the interleave shift-for-shift with integer bit ops

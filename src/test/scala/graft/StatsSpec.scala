@@ -243,6 +243,50 @@ class StatsSpec extends SparkSpec {
       "remerged per-shard registers must equal the one-pass sketch")
   }
 
+  test("hllDistinctBy biasCorrect: the band correction tightens the " +
+      "error where the harmonic estimator systematically overshoots") {
+    // 48 groups x 1350 distinct values at p=9: raw estimates land near
+    // the band start (~2.6m) where the derived anchors show ~+3% bias.
+    // Value salts ('specband') are DISJOINT from the table-derivation
+    // salts ('hllbias'), so this is held-out evidence, not a replay of
+    // the fit — and everything is deterministic, so the pinned bounds
+    // cannot flap.
+    val df = (0 until 48).flatMap(g =>
+        (0 until 1350).map(i => (s"g$g", s"specband:$g:$i")))
+      .toDF("g", "v")
+    def meanSignedErr(biasCorrect: Boolean): Double = {
+      val est = Stats.hllDistinctBy(df, Seq("g"), col("v"), p = 9,
+          biasCorrect = biasCorrect)
+        .select(col("est_distinct")).collect().map(_.getDouble(0))
+      est.map(e => (e - 1350.0) / 1350.0).sum / est.length
+    }
+    val classic = meanSignedErr(biasCorrect = false)
+    val corrected = meanSignedErr(biasCorrect = true)
+    info(f"mean signed error over 48 in-band groups: " +
+      f"classic ${classic * 100}%.2f%%, corrected ${corrected * 100}%.2f%%")
+    // observed on this deterministic fixture: classic +1.41%, corrected
+    // -0.65% — the overshoot the table was built for, mostly removed
+    assert(classic > 0.008, f"expected systematic overshoot, got $classic%.4f")
+    assert(math.abs(corrected) < math.abs(classic),
+      f"correction did not tighten: $corrected%.4f vs $classic%.4f")
+    assert(math.abs(corrected) < 0.012,
+      f"corrected mean error above 1.2%%: $corrected%.4f")
+    // outside the band nothing changes: the LC branch (small n) and the
+    // beyond-5m regime must be untouched by the flag
+    val small = (1 to 100).map(i => ("g", s"specsmall:$i")).toDF("g", "v")
+    val lcOff = Stats.hllDistinctBy(small, Seq("g"), col("v"), p = 9)
+      .collect()(0).getDouble(4)
+    val lcOn = Stats.hllDistinctBy(small, Seq("g"), col("v"), p = 9,
+      biasCorrect = true).collect()(0).getDouble(4)
+    assert(lcOff == lcOn, "LC branch must be untouched by biasCorrect")
+    val huge = (0 until 4000).map(i => ("g", s"spechuge:$i")).toDF("g", "v")
+    val hOff = Stats.hllDistinctBy(huge, Seq("g"), col("v"), p = 9)
+      .collect()(0).getDouble(4)
+    val hOn = Stats.hllDistinctBy(huge, Seq("g"), col("v"), p = 9,
+      biasCorrect = true).collect()(0).getDouble(4)
+    assert(hOff == hOn, "beyond-5m estimates must be untouched")
+  }
+
   test("sampleQuantilesBy: exact at or below the sample size, " +
       "partitioning-independent, estimator lands near truth above it") {
     // group of 5 <= k=8: the sample IS the group -> exact interpolation
