@@ -613,6 +613,22 @@ object Bench {
             maxCount = 1000L,
             sink = _.write.format("noop").mode("overwrite").save()))
       }),
+      // s16's grid under a 1-day half-life: the long-running form —
+      // forward-weighted 2^day decimal cells, same bounded state, the
+      // foreachBatch probe rescaled as of the fixture window's end so
+      // month-old floods stop alarming while fresh ones still do
+      "s19_decayed_frequency" -> ((s, d) => {
+        import s.implicits._
+        val watch = Seq(("click", "1"), ("click", "2"), ("view", "3"),
+          ("purchase", "4")).toDF("event_type", "probe")
+        runStreamQuery("s19_decayed_frequency", () =>
+          Streams.startDecayedFrequencyMonitor(s,
+            graft.etl.Tables.exportedEventsParts(s, d), watch,
+            maxDecayed = 100.0,
+            t0Micros = 1704067200000000L, halfLifeSeconds = 86400L,
+            asOfMicros = 1706659200000000L,
+            sink = _.write.format("noop").mode("overwrite").save()))
+      }),
       // streaming transition extraction: buffer-until-watermark pair
       // emission (the s15 discipline on consecutive-event pairs); the
       // flush sentinel part advances the watermark so the tails emit

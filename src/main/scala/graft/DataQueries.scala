@@ -1968,6 +1968,42 @@ object DataQueries {
         col("hll_s"), col("est_distinct"))
       .orderBy(col("event_type"))
 
+  /** Decayed Count-Min (t101's grid under a 1-day half-life): the
+    * fixture's 30-day event window anchors at 2024-01-01 and is probed
+    * as of 2024-01-31, so a user's estimate is their occurrence count
+    * with each event discounted by half per whole day of age. Cells
+    * are exact decimal 2^day sums, the rescale is an exact exponent
+    * shift, and the oracle replays every cell and estimate — plus an
+    * exactly-computed decayed TRUE count per probe, so the CMS
+    * never-underestimates guarantee is visible in the overcount
+    * column under decay too. */
+  val t117CmsDecayed: Q = (s, d) => {
+    val t0 = 1704067200000000L      // 2024-01-01T00:00:00Z in micros
+    val asOf = 1706659200000000L    // 2024-01-31T00:00:00Z
+    val hl = 86400L                 // 1-day half-life
+    val ev = T.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"),
+        col("ts"))
+    val sk = Stats.cmsDecayedSketchBy(ev, Seq("event_type"), col("uid"),
+      col("ts"), t0, hl, depth = 4, width = 32)
+    val probes = ev.filter(col("uid").cast("long") < 40)
+      .select(col("event_type"), col("uid").as("probe")).distinct()
+    val truDecayed = ev.filter(col("uid").cast("long") < 40)
+      .withColumn("__b", floor((unix_micros(col("ts")) - lit(t0))
+        .cast("double") / lit(hl * 1000000.0)).cast("long"))
+      .groupBy(col("event_type"), col("uid").as("probe"))
+      .agg((sum(pow(lit(2.0), col("__b")).cast("decimal(38,0)"))
+        .cast("double") / lit(math.pow(2.0, 30.0))).as("__t"))
+      .select(col("event_type"), col("probe"),
+        round(col("__t"), 4).as("true_decayed"))
+    Stats.cmsDecayedEstimate(sk, probes, Seq("event_type"), asOf, t0, hl,
+        depth = 4, width = 32)
+      .join(truDecayed, Seq("event_type", "probe"))
+      .withColumn("overcount",
+        round(col("est_decayed") - col("true_decayed"), 4))
+      .orderBy(col("event_type"), col("probe"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2085,6 +2121,7 @@ object DataQueries {
     "t114_canonical_names" -> t114CanonicalNames,
     "t115_asof_chunked" -> t115AsofChunked,
     "t116_hll_bias_corrected" -> t116HllBiasCorrected,
+    "t117_cms_decayed" -> t117CmsDecayed,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -3543,6 +3543,43 @@ object Oracles {
          |FROM n JOIN est e ON e.event_type = n.event_type
          |ORDER BY n.event_type""".stripMargin,
 
+    // decayed CMS: cells are exact decimal sums of 2^dayBucket forward
+    // mass (replayed cell-for-cell from the same md5 buckets); the 2^-30
+    // as-of rescale and the exactly-computed decayed true counts are
+    // exact exponent shifts, so estimates and overcounts reproduce
+    "t117_cms_decayed" ->
+      """WITH ev AS (SELECT event_type, cast(user_id as varchar) AS uid, ts
+        |  FROM events WHERE user_id IS NOT NULL),
+        |bk AS (SELECT event_type, uid,
+        |    cast(floor((epoch_us(ts) - 1704067200000000)
+        |      / 86400000000.0) as bigint) AS b
+        |  FROM ev),
+        |cells AS (SELECT event_type, r.i AS row,
+        |    ('0x'||substr(md5('cms:'||cast(r.i as varchar)||':'||uid),1,15))
+        |      ::bigint % 32 AS bucket,
+        |    sum(cast(pow(2.0, b) as decimal(38,0))) AS mass
+        |  FROM bk CROSS JOIN range(4) r(i)
+        |  GROUP BY 1, 2, 3),
+        |probes AS (SELECT DISTINCT event_type, uid AS probe FROM ev
+        |  WHERE cast(uid as bigint) < 40),
+        |est AS (SELECT p.event_type, p.probe,
+        |    round(cast(min(coalesce(c.mass, 0)) as double)
+        |      / 1073741824.0, 4) AS est_decayed
+        |  FROM probes p CROSS JOIN range(4) r(i)
+        |  LEFT JOIN cells c ON c.event_type = p.event_type AND c.row = r.i
+        |    AND c.bucket = ('0x'||substr(md5('cms:'||cast(r.i as varchar)
+        |      ||':'||p.probe),1,15))::bigint % 32
+        |  GROUP BY 1, 2),
+        |tru AS (SELECT event_type, uid AS probe,
+        |    round(cast(sum(cast(pow(2.0, b) as decimal(38,0))) as double)
+        |      / 1073741824.0, 4) AS true_decayed
+        |  FROM bk WHERE cast(uid as bigint) < 40 GROUP BY 1, 2)
+        |SELECT e.event_type, e.probe, e.est_decayed, t.true_decayed,
+        |  round(e.est_decayed - t.true_decayed, 4) AS overcount
+        |FROM est e JOIN tru t ON e.event_type = t.event_type
+        |  AND e.probe = t.probe
+        |ORDER BY e.event_type, e.probe""".stripMargin,
+
     // Morton z-value: bit i of x lands at 2i, of y at 2i+1 — the oracle
     // replays the interleave shift-for-shift with integer bit ops
     "t86_zvalue" ->

@@ -471,6 +471,84 @@ object Stats {
       .agg(sum(col("__w")).as("cnt"))
   }
 
+  /** Exponentially-DECAYED Count-Min sketch — the long-running-monitor
+    * variant of [[cmsSketchBy]] (ROADMAP "decayed/windowed sketch"
+    * item): a frequency monitor that runs for months wants recent mass
+    * to dominate without keeping one grid per window and composing
+    * them. Each occurrence contributes `2^b` to its cells, where
+    * `b = floor((t − t0) / halfLife)` is the event's whole-half-life
+    * index since the monitor's epoch `t0Micros` — FORWARD-weighted
+    * mass, so decay is pure bookkeeping at read time
+    * ([[cmsDecayedEstimate]] rescales by `2^-B`) and the aggregation
+    * stays order-free, mergeable by summing cells, and streamable as
+    * ONE stateful aggregate with ≤ depth·width rows per group forever.
+    *
+    * Exactness discipline: `2^b` is an exact double for b < 88 and the
+    * cells accumulate as DECIMAL(38,0) — exact integers, so shard
+    * grids, microbatch order, and an external oracle all reproduce the
+    * cells bit-for-bit (the t101 discipline under decay). The price is
+    * a bounded epoch: b must land in [0, 88) (row-level raise_error
+    * outside), i.e. one epoch covers 88 half-lives — at a 1-day
+    * half-life, ~3 months, after which a monitor re-anchors t0 (old
+    * mass has decayed by 2^-88 ≈ 3e-27; dropping it is the point).
+    * Decay is bucket-granular: ages round DOWN to whole half-lives. */
+  def cmsDecayedSketchBy(df: DataFrame, groupCols: Seq[String],
+                         valueCol: Column, timeCol: Column,
+                         t0Micros: Long, halfLifeSeconds: Long,
+                         depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2 && halfLifeSeconds > 0,
+      "cmsDecayed needs depth >= 1, width >= 2, halfLife > 0")
+    val hlUs = halfLifeSeconds * 1000000L
+    // micro diffs stay far under 2^53, so the double floor-div is exact
+    val b = floor((unix_micros(timeCol) - lit(t0Micros)).cast("double") /
+      lit(hlUs.toDouble)).cast("long")
+    val bGuard = when(b < 0 || b >= 88,
+        raise_error(concat(lit("cmsDecayedSketchBy: event falls outside " +
+          "the epoch's 88-half-life horizon (re-anchor t0); bucket="),
+          b.cast("string"))))
+      .otherwise(b)
+    val mass = pow(lit(2.0), bGuard).cast("decimal(38,0)")
+    val buckets = array((0 until depth).map { i =>
+      pmod(hash60(concat_ws(":", lit("cms"), lit(i), valueCol)),
+        lit(width.toLong))
+    }: _*)
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) ++ Seq(mass.as("__m"),
+        posexplode(buckets).as(Seq("row", "bucket"))): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("row"), col("bucket")): _*)
+      .agg(sum(col("__m")).as("mass"))
+  }
+
+  /** Decayed point-frequency estimates from a [[cmsDecayedSketchBy]]
+    * grid as of `asOfMicros`: min over the depth rows of the item's
+    * cell mass, rescaled by 2^-B (B = whole half-lives from t0 to
+    * asOf) — an exact exponent shift on the double, so the printed
+    * round-4 value replays externally. The estimate reads "occurrences,
+    * each discounted by half per half-life of age (bucket-granular)";
+    * like the plain CMS it never underestimates the decayed truth. */
+  def cmsDecayedEstimate(sketch: DataFrame, probes: DataFrame,
+                         groupCols: Seq[String], asOfMicros: Long,
+                         t0Micros: Long, halfLifeSeconds: Long,
+                         depth: Int = 4, width: Int = 64): DataFrame = {
+    val bAsOf = (asOfMicros - t0Micros) / (halfLifeSeconds * 1000000L)
+    require(bAsOf >= 0 && bAsOf < 89,
+      s"cmsDecayedEstimate: asOf is $bAsOf half-lives from t0; re-anchor")
+    val buckets = array((0 until depth).map { i =>
+      pmod(hash60(concat_ws(":", lit("cms"), lit(i), col("probe"))),
+        lit(width.toLong))
+    }: _*)
+    probes
+      .select(groupCols.map(col) ++ Seq(col("probe"),
+        posexplode(buckets).as(Seq("row", "bucket"))): _*)
+      .join(broadcast(sketch), groupCols ++ Seq("row", "bucket"), "left")
+      .groupBy(groupCols.map(col) :+ col("probe"): _*)
+      .agg(min(coalesce(col("mass"), lit(0).cast("decimal(38,0)")))
+        .as("__mass"))
+      .withColumn("est_decayed",
+        round(col("__mass").cast("double") / lit(math.pow(2.0, bAsOf.toDouble)), 4))
+      .drop("__mass")
+  }
+
   /** Point-frequency estimates from a [[cmsSketchBy]] sketch: for each
     * (group, probe item) the estimate is the MIN over the depth rows of
     * the counter at the item's bucket (missing cell = 0). The classic

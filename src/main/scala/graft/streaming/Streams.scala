@@ -207,6 +207,49 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** [[frequencyGrid]] with exponential decay
+    * ([[graft.ops.Stats.cmsDecayedSketchBy]]): the long-running form of
+    * s16 — a monitor that runs for months wants last week's bot flood
+    * to stop alarming without keeping one grid per window and composing
+    * them. Cells hold forward-weighted 2^halfLifeBucket mass as exact
+    * decimals, so state stays ≤ depth·width rows per type forever,
+    * microbatch order cannot change a cell, and paced == batch EXACTLY
+    * (StreamingSpec-pinned). One epoch covers 88 half-lives; re-anchor
+    * t0 beyond that (the sketch's documented contract). */
+  def decayedFrequencyGrid(events: DataFrame, t0Micros: Long,
+                           halfLifeSeconds: Long, depth: Int = 4,
+                           width: Int = 1024): DataFrame =
+    graft.ops.Stats.cmsDecayedSketchBy(events, Seq("event_type"),
+      coalesce(col("user_id").cast("string"), lit(NullKeySentinel)),
+      col("ts"), t0Micros, halfLifeSeconds, depth = depth, width = width)
+
+  /** Drive [[decayedFrequencyGrid]] over a paced event-part directory —
+    * the s16 wiring with age-discounted estimates: `sink` gets
+    * (event_type, probe, est_decayed, alarm) per trigger, alarm =
+    * est_decayed > maxDecayed as of `asOfMicros`. Returns the started
+    * query (the bench's capped runner owns termination). */
+  def startDecayedFrequencyMonitor(spark: SparkSession, dir: String,
+                                   watch: DataFrame, maxDecayed: Double,
+                                   t0Micros: Long, halfLifeSeconds: Long,
+                                   asOfMicros: Long,
+                                   sink: DataFrame => Unit,
+                                   filesPerTrigger: Int = 1,
+                                   depth: Int = 4, width: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    decayedFrequencyGrid(eventsStreamPaced(spark, dir, filesPerTrigger),
+        t0Micros, halfLifeSeconds, depth, width)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (grid: DataFrame, _: Long) =>
+        sink(graft.ops.Stats.cmsDecayedEstimate(grid, watch,
+            Seq("event_type"), asOfMicros, t0Micros, halfLifeSeconds,
+            depth, width)
+          .withColumn("alarm", col("est_decayed") > maxDecayed))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming length-drift gate — sampled token-count quantiles per
     * source at ingest: a [[graft.functions.KMinPairs]] bottom-k-by-hash
     * sample (ONE stateful aggregation: quantiles then interpolate as a

@@ -1026,4 +1026,65 @@ class StreamingSpec extends SparkSpec {
         s"CMS must never undercount: $u est ${last(("click", u))._1} < $n")
     }
   }
+
+  test("decayedFrequencyGrid: paced stream == batch (decayed cells are " +
+      "exact decimal sums); a LAST-WEEK storm stops alarming while a " +
+      "fresh one still does — the long-running-monitor semantics") {
+    val d = "/root/testdata/sf0.001"
+    val t0 = 1704067200000000L   // 2024-01-01, the fixture window start
+    val asOf = 1706659200000000L // 2024-01-31 -> B = 30 day half-lives
+    val hl = 86400L
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d)
+    val q = Streams.decayedFrequencyGrid(
+        Streams.eventsStreamPaced(spark, parts, 1), t0, hl)
+      .writeStream.format("memory").queryName("spec_freq_decay")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val key = Seq("event_type", "row", "bucket")
+    val paced = spark.table("spec_freq_decay").orderBy(key.map(col): _*)
+      .collect().toSeq
+    val batch = Streams
+      .decayedFrequencyGrid(graft.etl.Tables.events(spark, d), t0, hl)
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(paced == batch,
+      "decayed cells must sum across microbatches to the one-pass grid")
+
+    // two planted storms of IDENTICAL volume (400 clicks each): one on
+    // day 0, one on day 29. As of day 30 the old storm's mass has
+    // halved 30 times (est 400/2^30 ~ 4e-7) while the fresh one still
+    // carries 400/2 = 200 — so with the same threshold the fresh storm
+    // alarms and the month-old one does not, which is exactly what the
+    // undecayed s16 grid cannot do (both count 400 forever)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_freq_decay").toString
+    graft.etl.Tables.events(spark, d).write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    def plant(uid: Long, epochSec: Long) =
+      (1L to 400L).map(i => (800000L + uid * 1000 + i,
+          new java.sql.Timestamp(epochSec * 1000L + i), uid, "click",
+          1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    plant(70001L, 1704070800L) // day 0 storm
+    plant(70002L, 1706572800L) // day 29 storm
+    val watch = Seq(("click", "70001"), ("click", "70002"))
+      .toDF("event_type", "probe")
+    var last: Map[String, (Double, Boolean)] = Map.empty
+    Streams.startDecayedFrequencyMonitor(spark, dir, watch,
+        maxDecayed = 100.0, t0Micros = t0, halfLifeSeconds = hl,
+        asOfMicros = asOf,
+        sink = est => last = est.collect().map(r =>
+          r.getString(1) -> (r.getDouble(2), r.getBoolean(3))).toMap,
+        filesPerTrigger = 2)
+      .awaitTermination()
+    assert(last("70002")._2, "the fresh storm must alarm")
+    assert(!last("70001")._2,
+      s"the month-old storm must have decayed below the threshold, " +
+        s"est ${last("70001")._1}")
+    // never undercounts the decayed truth: day-29 mass 400*2^29/2^30
+    assert(last("70002")._1 >= 200.0,
+      s"fresh-storm estimate ${last("70002")._1} undercuts 400/2")
+  }
 }
