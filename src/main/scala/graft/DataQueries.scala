@@ -1869,6 +1869,21 @@ object DataQueries {
         maxDepth = 6)
       .orderBy(col("node"), col("ancestor"))
 
+  /** t110's closure through the path-DOUBLING form
+    * ([[graft.ops.Graph.ancestorClosureDoubling]] — ⌈log2 d⌉ self-joins
+    * instead of d frontier joins, the deep-taxonomy variant whose
+    * round bound ScaleSpec's depth-64 rehearsal proves): same fixture,
+    * same output contract, and the oracle is t110's recursive-CTE SQL
+    * VERBATIM, so a hash match proves the two forms agree pair-for-pair
+    * and depth-for-depth. */
+  val t118ClosureDoubling: Q = (s, d) =>
+    graft.ops.Graph.ancestorClosureDoubling(
+        T.customer(s, d).filter(col("c_custkey") >= 10)
+          .select(col("c_custkey").as("child"),
+            expr("c_custkey div 10").as("parent")),
+        maxDepth = 6)
+      .orderBy(col("node"), col("ancestor"))
+
   /** Subtree account-balance rollup over the t110 tree — every
     * ancestor's decimal-exact total across its whole subtree, one join
     * + one aggregate at query time. Totals export as double after the
@@ -2122,6 +2137,7 @@ object DataQueries {
     "t115_asof_chunked" -> t115AsofChunked,
     "t116_hll_bias_corrected" -> t116HllBiasCorrected,
     "t117_cms_decayed" -> t117CmsDecayed,
+    "t118_closure_doubling" -> t118ClosureDoubling,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

@@ -4285,6 +4285,10 @@ object Oracles {
       // oracle is DELIBERATELY t70's independent range-join + top-1
       // SQL verbatim: a hash match proves chunking changes nothing
       "t115_asof_chunked" -> base("t70_asof_join"),
+      // t118 runs t110's closure through path doubling — the oracle is
+      // DELIBERATELY t110's recursive-CTE SQL verbatim: a hash match
+      // proves the log-rounds form agrees pair-for-pair, depth-for-depth
+      "t118_closure_doubling" -> base("t110_ancestor_closure"),
       // q55 writes the same snapshot as ORC and reads it back — the
       // typed-columnar round trip must hash equal to q51's own oracle
       "q55_orc_egress" -> base("q51_client_territory_spend"),

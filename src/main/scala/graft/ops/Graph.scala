@@ -156,6 +156,92 @@ object Graph {
       .agg(min(col("depth")).as("depth"))
   }
 
+  /** [[ancestorClosure]] by path doubling — the deep-hierarchy form:
+    * after round k the frame holds every (node, ancestor) pair whose
+    * shortest path is ≤ 2^k edges (a shortest path of length ≤ 2^k
+    * splits into two halves of length ≤ 2^(k-1), so the self-join's
+    * min(d1 + d2) is the shortest distance — the classic transitive-
+    * closure recurrence), so a depth-d hierarchy closes in ⌈log2 d⌉
+    * self-joins instead of d frontier joins. Same output contract and
+    * the SAME min-depth semantics as the linear form (ScaleSpec pins
+    * equality on chain, diamond and forest fixtures; t118 pins it
+    * against t110's recursive-CTE oracle verbatim).
+    *
+    * Crossover: each round self-joins the ACCUMULATED closure (up to
+    * |node pairs| rows) where the linear form joins only the frontier
+    * against the base edges — for the ≤ ~12-level business hierarchies
+    * the reference has, linear wins on constants (SURVEY's call), and
+    * the doubling form wins when depth is what hurts: rounds —
+    * scheduler latency + lineage — dominate a deep chain long before
+    * row counts do (ScaleSpec's depth-64 rehearsal measures it).
+    * Cycle guard: a cycle keeps producing new pairs, so rounds are
+    * capped at ⌈log2 maxDepth⌉ + 1 and a still-growing frame past the
+    * cap fails loudly, like the linear form's probe. */
+  def ancestorClosureDoubling(edges: DataFrame, maxDepth: Int = 64,
+                              childCol: String = "child",
+                              parentCol: String = "parent"): DataFrame =
+    closureDoublingWithRounds(edges, maxDepth, childCol, parentCol)._1
+
+  /** [[ancestorClosureDoubling]] plus the executed round count — the
+    * spec's hook for proving the O(log d) round bound. */
+  private[graft] def closureDoublingWithRounds(
+      edges: DataFrame, maxDepth: Int, childCol: String,
+      parentCol: String): (DataFrame, Int) = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val base = edges
+      .select(col(childCol).as("node"), col(parentCol).as("ancestor"))
+      .filter(col("node") =!= col("ancestor"))
+      .distinct()
+      .withColumn("depth", lit(1L))
+      .localCheckpoint()
+    val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, maxDepth - 1).toLong) + 1 // ceil(log2 maxDepth) + 1
+    var acc = base
+    var accN = base.count()
+    var rounds = 0
+    var grew = true
+    while (grew && rounds < maxRounds) {
+      val next = acc
+        .unionByName(acc
+          .select(col("node"), col("ancestor").as("__mid"),
+            col("depth").as("__d1"))
+          .join(acc.select(col("node").as("__mid"), col("ancestor"),
+            col("depth").as("__d2")), Seq("__mid"))
+          .select(col("node"), col("ancestor"),
+            (col("__d1") + col("__d2")).as("depth")))
+        .groupBy(col("node"), col("ancestor"))
+        .agg(min(col("depth")).as("depth"))
+        .localCheckpoint()
+      val n = next.count()
+      rounds += 1
+      if (n == accN) grew = false
+      else { acc = next; accN = n }
+    }
+    if (grew) {
+      // still growing at the cap: every DAG of depth <= maxDepth has
+      // converged by now, so this is a cycle or an understated depth
+      throw new IllegalStateException(
+        s"ancestorClosureDoubling still growing after $rounds rounds " +
+          s"(maxDepth=$maxDepth) — cycle, or a deeper hierarchy than " +
+          "declared")
+    }
+    // unlike the linear frontier (which a cycle keeps alive forever),
+    // doubling CONVERGES on a cyclic graph — its finite pair set just
+    // includes a composed (n, n) self-pair for every cycle member, so
+    // cycles are detected on the converged frame; keep the linear
+    // form's fail-loud contract
+    if (!acc.filter(col("node") === col("ancestor")).isEmpty)
+      throw new IllegalStateException(
+        "ancestorClosureDoubling: composed self-pair found — the edge " +
+          "set contains a cycle")
+    // depths exceeding maxDepth would mean the declared bound was wrong
+    // even though growth stopped (maxDepth between the true depth and
+    // the next power of two) — keep the linear form's loud contract
+    require(acc.agg(max(col("depth"))).first().getLong(0) <= maxDepth,
+      s"ancestorClosureDoubling found paths deeper than maxDepth=$maxDepth")
+    (acc, rounds)
+  }
+
   /** Subtree rollup over an [[ancestorClosure]] — the point of
     * flattening: every ancestor's total over its ENTIRE subtree
     * (descendants at any depth, plus its own row) as one join + one

@@ -86,6 +86,47 @@ class GraphSpec extends SparkSpec {
       11L -> ((1L, 11.0)), 100L -> ((1L, 2.0))), roll.toString)
   }
 
+  test("ancestorClosureDoubling: identical pairs AND min depths to the " +
+      "linear form on tree+shortcut, chained diamonds and a forest; " +
+      "cycles still fail loud") {
+    import spark.implicits._
+    import graft.ops.Graph
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val fixtures = Seq(
+      // tree + DAG shortcut + self-loop (the linear test's fixture)
+      (Seq((100L, 10L), (10L, 1L), (11L, 1L), (100L, 1L), (5L, 5L)), 6),
+      // 8 chained diamonds — the path-explosion regime
+      ((0 until 8).flatMap { i =>
+        val (lo, hi) = (i * 10L, (i + 1) * 10L)
+        Seq((lo, lo + 1), (lo, lo + 2), (lo + 1, hi), (lo + 2, hi))
+      }, 17),
+      // forest of three chains of different depths
+      ((0L until 5L).map(i => (i, i + 1)) ++
+        (10L until 13L).map(i => (i, i + 1)) ++ Seq((20L, 21L)), 6))
+    fixtures.foreach { case (edges, maxDepth) =>
+      val df = edges.toDF("child", "parent")
+      assert(asMap(Graph.ancestorClosureDoubling(df, maxDepth)) ==
+        asMap(Graph.ancestorClosure(df, maxDepth)),
+        s"doubling diverged from linear on $edges")
+    }
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val ex = intercept[IllegalStateException] {
+      Graph.ancestorClosureDoubling(cyc, maxDepth = 4).collect()
+    }
+    assert(ex.getMessage.contains("cycle"), ex.getMessage)
+    // an understated maxDepth fails loud even when growth stops within
+    // the round cap (depth-6 chain declared as 5: the ceil(log2 5)+1
+    // rounds converge — 2^3 covers depth 6 — but a depth-6 pair
+    // violates the declared bound)
+    val chain6 = (0L until 6L).map(i => (i, i + 1)).toDF("child", "parent")
+    val ex2 = intercept[IllegalArgumentException] {
+      Graph.ancestorClosureDoubling(chain6, maxDepth = 5).collect()
+    }
+    assert(ex2.getMessage.contains("deeper"), ex2.getMessage)
+  }
+
   test("pageRank: regular graphs are fixed points at 1.0; a star matches " +
       "the hand-unrolled quantized recursion; partitioning-independent") {
     // triangle (2-regular): pr/2 + pr/2 = pr, so 0.15 + 0.85*1 = 1.0

@@ -461,6 +461,39 @@ class ScaleSpec extends SparkSpec {
     assert(rJl >= 0.875, f"randomProject lost replica slots: $rJl%.3f")
   }
 
+  test("x110d depth rehearsal: a depth-64 forest closes in " +
+      "ceil(log2 64)+1 doubling rounds (O(log d) proven) and matches " +
+      "the linear frontier's 64-round output pair-for-pair") {
+    import graft.ops.Graph
+    // 32 disjoint chains of 64 edges each: the deep-taxonomy regime
+    // where ROUNDS (job scheduling + lineage), not row counts, dominate
+    // the linear form — closure is 32 * 64*65/2 = 66,560 pairs
+    val edges = spark.range(32).select(col("id").as("c"))
+      .crossJoin(spark.range(64).select(col("id").as("i")))
+      .select((col("c") * 1000 + col("i")).as("child"),
+        (col("c") * 1000 + col("i") + 1).as("parent"))
+      .localCheckpoint()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((doubled, rounds), tD) = timed {
+      val (df, r) = Graph.closureDoublingWithRounds(edges, 64,
+        "child", "parent")
+      (df.localCheckpoint(), r)
+    }
+    assert(rounds == 7,
+      s"depth 64 must close in ceil(log2 64)+1 = 7 rounds, took $rounds")
+    val (linear, tL) = timed(
+      Graph.ancestorClosure(edges, maxDepth = 64).localCheckpoint())
+    info(f"depth-64 rehearsal: doubling $rounds rounds $tD%.2f s, " +
+      f"linear 64 frontier joins $tL%.2f s")
+    assert(doubled.count() === 66560L)
+    assert(doubled.exceptAll(linear).isEmpty &&
+      linear.exceptAll(doubled).isEmpty,
+      "doubling closure diverged from the linear form at depth 64")
+  }
+
   test("writeFactByMonth enables partition pruning on the month") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fact").toString
     val fact = Seq((1L, 20250115L, 10.0), (2L, 20250220L, 20.0),
