@@ -502,10 +502,13 @@ object Stats {
     // micro diffs stay far under 2^53, so the double floor-div is exact
     val b = floor((unix_micros(timeCol) - lit(t0Micros)).cast("double") /
       lit(hlUs.toDouble)).cast("long")
-    val bGuard = when(b < 0 || b >= 88,
-        raise_error(concat(lit("cmsDecayedSketchBy: event falls outside " +
-          "the epoch's 88-half-life horizon (re-anchor t0); bucket="),
-          b.cast("string"))))
+    // a null event time must not silently skip the row (the plain CMS
+    // counts every non-null value; a time-less row here would vanish
+    // via null mass) — fail loud, like the horizon breach
+    val bGuard = when(timeCol.isNull || b < 0 || b >= 88,
+        raise_error(concat(lit("cmsDecayedSketchBy: null event time, or " +
+          "event outside the epoch's 88-half-life horizon (re-anchor " +
+          "t0); bucket="), coalesce(b.cast("string"), lit("null")))))
       .otherwise(b)
     val mass = pow(lit(2.0), bGuard).cast("decimal(38,0)")
     val buckets = array((0 until depth).map { i =>

@@ -243,6 +243,55 @@ class StatsSpec extends SparkSpec {
       "remerged per-shard registers must equal the one-pass sketch")
   }
 
+  test("cmsDecayedSketchBy: halving per half-life of age (exact when " +
+      "collision-free), shard grids merge by summing cells, null event " +
+      "time and horizon breaches fail loud") {
+    val t0 = 1704067200000000L
+    val hl = 86400L
+    def ts(day: Int) = new java.sql.Timestamp(
+      t0 / 1000L + day.toLong * 86400L * 1000L)
+    // item "old": 8 hits on day 0; item "new": 8 hits on day 3;
+    // item "mix": 4 on day 1 + 4 on day 2. As of day 4 (B=4):
+    // old = 8/16 = 0.5, new = 8/2 = 4.0, mix = 4/8 + 4/4 = 1.5
+    val rows = (1 to 8).map(i => ("g", "old", ts(0))) ++
+      (1 to 8).map(i => ("g", "new", ts(3))) ++
+      (1 to 4).map(i => ("g", "mix", ts(1))) ++
+      (1 to 4).map(i => ("g", "mix", ts(2)))
+    val df = rows.toDF("g", "v", "ts")
+    val sk = Stats.cmsDecayedSketchBy(df, Seq("g"), col("v"), col("ts"),
+      t0, hl, depth = 4, width = 4096) // wide -> collision-free here
+    val probes = Seq(("g", "old"), ("g", "new"), ("g", "mix"))
+      .toDF("g", "probe")
+    val asOf = t0 + 4L * 86400L * 1000000L
+    val est = Stats.cmsDecayedEstimate(sk, probes, Seq("g"), asOf, t0,
+        hl, depth = 4, width = 4096)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(est == Map("old" -> 0.5, "new" -> 4.0, "mix" -> 1.5),
+      est.toString)
+    // shard grids merge by summing cells == one-pass (exact decimals)
+    val onePass = sk.orderBy("g", "row", "bucket").collect().toSeq
+    val merged = Stats.cmsDecayedSketchBy(df.repartition(7), Seq("g"),
+        col("v"), col("ts"), t0, hl, depth = 4, width = 4096)
+      .orderBy("g", "row", "bucket").collect().toSeq
+    assert(onePass == merged, "cells must be partitioning-independent")
+    // null event time: the row must not vanish silently
+    val withNull = df.unionByName(
+      Seq(("g", "old", null: java.sql.Timestamp)).toDF("g", "v", "ts"))
+    val exNull = intercept[Exception] {
+      Stats.cmsDecayedSketchBy(withNull, Seq("g"), col("v"), col("ts"),
+        t0, hl).collect()
+    }
+    assert(exNull.getMessage.contains("null event time"),
+      exNull.getMessage)
+    // beyond the 88-half-life horizon: re-anchor, don't overflow
+    val far = Seq(("g", "old", ts(100))).toDF("g", "v", "ts")
+    val exFar = intercept[Exception] {
+      Stats.cmsDecayedSketchBy(far, Seq("g"), col("v"), col("ts"),
+        t0, hl).collect()
+    }
+    assert(exFar.getMessage.contains("horizon"), exFar.getMessage)
+  }
+
   test("hllDistinctBy biasCorrect: the band correction tightens the " +
       "error where the harmonic estimator systematically overshoots") {
     // 48 groups x 1350 distinct values at p=9: raw estimates land near
