@@ -236,8 +236,10 @@ object Graph {
           "set contains a cycle")
     // depths exceeding maxDepth would mean the declared bound was wrong
     // even though growth stopped (maxDepth between the true depth and
-    // the next power of two) — keep the linear form's loud contract
-    require(acc.agg(max(col("depth"))).first().getLong(0) <= maxDepth,
+    // the next power of two) — keep the linear form's loud contract.
+    // coalesce: an empty edge set has no max and is trivially in bound
+    require(acc.agg(coalesce(max(col("depth")), lit(0L)))
+        .first().getLong(0) <= maxDepth,
       s"ancestorClosureDoubling found paths deeper than maxDepth=$maxDepth")
     (acc, rounds)
   }

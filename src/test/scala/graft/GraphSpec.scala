@@ -125,6 +125,11 @@ class GraphSpec extends SparkSpec {
       Graph.ancestorClosureDoubling(chain6, maxDepth = 5).collect()
     }
     assert(ex2.getMessage.contains("deeper"), ex2.getMessage)
+    // degenerate inputs: an edge set that is empty (or all self-loops)
+    // closes to the empty frame, like the linear form
+    val selfOnly = Seq((5L, 5L)).toDF("child", "parent")
+    assert(Graph.ancestorClosureDoubling(selfOnly, maxDepth = 4)
+      .collect().isEmpty)
   }
 
   test("pageRank: regular graphs are fixed points at 1.0; a star matches " +
