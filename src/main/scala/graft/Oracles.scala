@@ -659,12 +659,6 @@ object Oracles {
   /** Client-dimension fixture CTEs shared by q43/q44/q45 — mirrors
     * CoreQueries.clientDims: 40 clients, industry = id mod 5, patron →
     * client via custkey mod 40, high-value = custkey mod 3 = 0. */
-  /** The p=9 raw-estimate numerator as the engine's EXACT double (same
-    * expression order as Stats.hllDistinctBy's rawNum), so the t116
-    * oracle's raw estimate is bit-identical before the correction. */
-  private lazy val hllRawNum9: Double =
-    0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * math.pow(2.0, 52)
-
   private lazy val clientDimCtes: String =
     """dimp AS (SELECT c_custkey AS pid2, c_custkey%40 AS cid,
       |  CASE WHEN c_custkey%3=0 THEN 1 ELSE 0 END AS hv FROM customer),
@@ -673,6 +667,12 @@ object Oracles {
       |  concat('C', cast(c_custkey as varchar)) AS code,
       |  concat('client ', cast(c_custkey as varchar)) AS cname
       |  FROM customer WHERE c_custkey<40)""".stripMargin
+
+  /** The p=9 raw-estimate numerator as the engine's EXACT double (same
+    * expression order as Stats.hllDistinctBy's rawNum), so the t116
+    * oracle's raw estimate is bit-identical before the correction. */
+  private lazy val hllRawNum9: Double =
+    0.7213 / (1.0 + 1.079 / 512) * 512 * 512 * math.pow(2.0, 52)
 
   /** Shared CTE chain of the segmentation oracle (Seg:144-217 mirror):
     * minimarket spend, totals, max-territory/max-minimarket ratios, and the

@@ -181,10 +181,21 @@ object Merge {
     * sorts the world) + a metadata-sized base join. */
   def sequenceKeysOrdered(df: DataFrame, ord: Seq[Column], keyCol: String,
                           offset: Long): DataFrame = {
+    // materialize the (pid, rank) assignment ONCE: the range partitioner
+    // SAMPLES its boundaries, and the frame is referenced both as the
+    // row side and inside partitionBases — without pinning, a plan that
+    // fails to reuse the exchange (exchange-reuse off, AQE
+    // canonicalization miss) could instantiate the subtree twice with
+    // DIFFERENT sampled boundaries, making the per-pid counts describe
+    // a different partitioning than the row side's pids — silent
+    // duplicate/skipped keys. The checkpoint fixes one partitioning for
+    // both consumers; the frame is the to-be-keyed insert set
+    // (dimension-insert-sized in every pipeline use).
     val withPid = df.repartitionByRange(ord: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(ord: _*)))
+      .localCheckpoint()
     withPid.join(broadcast(partitionBases(withPid)), "__pid")
       .withColumn(keyCol, col("__rn").cast("long") + col("__base") + lit(offset))
       .drop("__pid", "__rn", "__base")

@@ -225,21 +225,24 @@ object Graph {
           s"(maxDepth=$maxDepth) — cycle, or a deeper hierarchy than " +
           "declared")
     }
-    // unlike the linear frontier (which a cycle keeps alive forever),
-    // doubling CONVERGES on a cyclic graph — its finite pair set just
-    // includes a composed (n, n) self-pair for every cycle member, so
-    // cycles are detected on the converged frame; keep the linear
-    // form's fail-loud contract
-    if (!acc.filter(col("node") === col("ancestor")).isEmpty)
+    // ONE validation aggregate over the converged frame for both
+    // loud-failure contracts. (a) Cycles: unlike the linear frontier
+    // (which a cycle keeps alive forever), doubling CONVERGES on a
+    // cyclic graph — its finite pair set just includes a composed
+    // (n, n) self-pair for every cycle member. (b) Depth: a max depth
+    // past maxDepth means the declared bound was wrong even though
+    // growth stopped (maxDepth between the true depth and the next
+    // power of two). coalesce: an empty edge set is trivially valid.
+    val v = acc.agg(
+        coalesce(max(col("depth")), lit(0L)),
+        coalesce(max(when(col("node") === col("ancestor"), 1L)
+          .otherwise(0L)), lit(0L)))
+      .first()
+    if (v.getLong(1) > 0L)
       throw new IllegalStateException(
         "ancestorClosureDoubling: composed self-pair found — the edge " +
           "set contains a cycle")
-    // depths exceeding maxDepth would mean the declared bound was wrong
-    // even though growth stopped (maxDepth between the true depth and
-    // the next power of two) — keep the linear form's loud contract.
-    // coalesce: an empty edge set has no max and is trivially in bound
-    require(acc.agg(coalesce(max(col("depth")), lit(0L)))
-        .first().getLong(0) <= maxDepth,
+    require(v.getLong(0) <= maxDepth,
       s"ancestorClosureDoubling found paths deeper than maxDepth=$maxDepth")
     (acc, rounds)
   }

@@ -533,8 +533,13 @@ object Stats {
                          groupCols: Seq[String], asOfMicros: Long,
                          t0Micros: Long, halfLifeSeconds: Long,
                          depth: Int = 4, width: Int = 64): DataFrame = {
-    val bAsOf = (asOfMicros - t0Micros) / (halfLifeSeconds * 1000000L)
-    require(bAsOf >= 0 && bAsOf < 89,
+    // floorDiv: truncating division would round a pre-t0 asOf UP to
+    // bucket 0 and silently pass the guard
+    val bAsOf = Math.floorDiv(asOfMicros - t0Micros,
+      halfLifeSeconds * 1000000L)
+    // one bucket past the event horizon (88) is legal: reading the
+    // sketch "now", just after its final event bucket closed
+    require(bAsOf >= 0 && bAsOf <= 88,
       s"cmsDecayedEstimate: asOf is $bAsOf half-lives from t0; re-anchor")
     val buckets = array((0 until depth).map { i =>
       pmod(hash60(concat_ws(":", lit("cms"), lit(i), col("probe"))),

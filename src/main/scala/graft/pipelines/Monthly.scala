@@ -82,19 +82,24 @@ object Monthly {
     // max-key lookups go through the KeyLedger metadata files when the
     // run carries a ledger dir (SURVEY §7.3-7: the dimension max is the
     // one driver-side collect worth replacing at 100 TB); without one,
-    // the legacy scalar max scan runs inline
-    def tableMax(table: String)(scan: => Long): Long = in.keyLedger match {
-      case Some(dir) => graft.etl.KeyLedger.maxKey(dir, table)(scan)
-      case None => scan
-    }
+    // the legacy scalar max scan runs inline. A ledger-enabled caller
+    // MUST refresh after publishing ([[refreshLedger]]) — the recorded
+    // max is pre-mint, so skipping the refresh would re-mint the same
+    // keys next run (MonthlySpec proves the full cycle).
+    def ledgerMax(table: String, df: DataFrame,
+                  keyCol: String): Option[Long] =
+      in.keyLedger.map(dir => graft.etl.KeyLedger.maxKey(dir, table) {
+        df.agg(coalesce(max(col(keyCol)), lit(0L))).first().getLong(0)
+      })
 
     // ---- S1: staging full map + new-fingerprint insert ----
     val fullMap = Fingerprint.monthlyFullMap(in.header, in.detail,
       in.dimFingerprint, sd, in.algo)
-    val maxFpId = tableMax("dimFingerprint") {
-      in.dimFingerprint
-        .agg(coalesce(max(col("FingerprintID")), lit(0L))).first().getLong(0)
-    }
+    val maxFpId = ledgerMax("dimFingerprint", in.dimFingerprint,
+        "FingerprintID")
+      .getOrElse(in.dimFingerprint
+        .agg(coalesce(max(col("FingerprintID")), lit(0L)))
+        .first().getLong(0))
     val newFps = Merge.sequenceKeysOrdered(
         Fingerprint.newFingerprints(in.header, in.dimFingerprint, sd, ed,
           algo = in.algo),
@@ -114,22 +119,14 @@ object Monthly {
     val dimPatron = assignMissingKeys(
       Patron.insertNewPatrons(in.dimPatron, clProxy, in.dimZipGeo,
         in.dimClient),
-      "ID", col("ProxyID"),
-      in.keyLedger.map(_ => tableMax("dimPatron") {
-        in.dimPatron.agg(coalesce(max(col("ID")), lit(0L)))
-          .first().getLong(0)
-      }))
+      "ID", col("ProxyID"), ledgerMax("dimPatron", in.dimPatron, "ID"))
     val fact2 = Patron.mapFactPatron(fact1, in.txnProxy, dimPatron,
       in.startKey, in.endKey)
     val dimUnique = assignMissingKeys(
       Patron.insertUniquePatrons(in.dimUniquePatron,
         in.uniquePatronCandidates),
       "UniquePatronId", col("ProxyID"),
-      in.keyLedger.map(_ => tableMax("dimUniquePatron") {
-        in.dimUniquePatron
-          .agg(coalesce(max(col("UniquePatronId")), lit(0L)))
-          .first().getLong(0)
-      }))
+      ledgerMax("dimUniquePatron", in.dimUniquePatron, "UniquePatronId"))
     val fact3 = Patron.mapFactUniquePatron(fact2, in.txnKeys, dimUnique,
       in.startKey, in.endKey)
 
@@ -155,5 +152,28 @@ object Monthly {
           col("DateKey").between(in.startKey, in.endKey)).count(),
       unmappedUniquePatrons =
         Patron.unmappedCount(fact3, in.startKey, in.endKey))
+  }
+
+  /** The publish-time half of the KeyLedger contract: refresh the
+    * recorded max for every key-minting dimension from the PUBLISHED
+    * frames. `run` reads the ledger as authoritative and never writes
+    * post-mint maxima (the outputs are still lazy inside run — forcing
+    * them there would double-compute the batch), so a ledger-enabled
+    * deployment must call this after `Publish.publishAll` succeeds;
+    * skipping it re-mints the same keys next run. One scalar aggregate
+    * per dimension, off the mapping critical path — read the frames
+    * back from the published parquet so the scan is a key-column read,
+    * not a lineage replay. MonthlySpec proves the full
+    * run → publish → refresh → rerun cycle continues keys without
+    * collision. */
+  def refreshLedger(dir: String,
+                    outputs: Map[String, DataFrame]): Unit = {
+    graft.etl.KeyLedger.recordFrom(dir, "dimFingerprint",
+      outputs("dim_fingerprint"), "FingerprintID")
+    graft.etl.KeyLedger.recordFrom(dir, "dimPatron",
+      outputs("dim_patron"), "ID")
+    graft.etl.KeyLedger.recordFrom(dir, "dimUniquePatron",
+      outputs("dim_unique_patron"), "UniquePatronId")
+    ()
   }
 }

@@ -200,6 +200,19 @@ class MonthlySpec extends SparkSpec {
     assert(KeyLedger.read(dir, "dimFingerprint").contains(10L))
     assert(KeyLedger.read(dir, "dimPatron").isDefined)
     assert(KeyLedger.read(dir, "dimUniquePatron").isDefined)
+    // the full contract cycle: refresh from the published dims, then a
+    // next run's mint CONTINUES past the published keys instead of
+    // re-minting them — the collision a ledger-enabled deployment that
+    // skipped refreshLedger would silently hit
+    Monthly.refreshLedger(dir, base)
+    assert(KeyLedger.read(dir, "dimFingerprint").contains(11L),
+      "refreshLedger must record the post-mint max")
+    val nextMax = Monthly.run(in.copy(keyLedger = Some(dir)))
+      .outputs("dim_fingerprint")
+      .agg(max(col("FingerprintID"))).first().getLong(0)
+    assert(nextMax == 12L,
+      s"post-refresh mint must continue at 12 (11 is published), " +
+        s"got $nextMax")
     // the ledger is authoritative: bump dimFingerprint's recorded max and
     // the next run mints ABOVE it — proof the scan was skipped
     KeyLedger.record(dir, "dimFingerprint", 500L)
