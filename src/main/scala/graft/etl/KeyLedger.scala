@@ -19,7 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * The ledger is advisory metadata, not a lock: single-writer-per-table
   * scheduling (the monthly batch) is assumed, exactly as the reference's
-  * scalar subquery assumes no concurrent identity insert. */
+  * scalar subquery assumes no concurrent identity insert.
+  *
+  * Paths are local-filesystem, the same seam as [[Publish]]'s staging
+  * swap (this environment is single-JVM); a multi-node deployment swaps
+  * java.nio for the Hadoop FileSystem API — atomic rename is the only
+  * primitive either class needs. */
 object KeyLedger {
 
   private def fileOf(dir: String, table: String) = {

@@ -495,7 +495,8 @@ object Stats {
   def cmsDecayedSketchBy(df: DataFrame, groupCols: Seq[String],
                          valueCol: Column, timeCol: Column,
                          t0Micros: Long, halfLifeSeconds: Long,
-                         depth: Int = 4, width: Int = 64): DataFrame = {
+                         depth: Int = 4, width: Int = 64,
+                         weightCol: Column = lit(1L)): DataFrame = {
     require(depth >= 1 && width >= 2 && halfLifeSeconds > 0,
       "cmsDecayed needs depth >= 1, width >= 2, halfLife > 0")
     val hlUs = halfLifeSeconds * 1000000L
@@ -510,7 +511,10 @@ object Stats {
           "event outside the epoch's 88-half-life horizon (re-anchor " +
           "t0); bucket="), coalesce(b.cast("string"), lit("null")))))
       .otherwise(b)
-    val mass = pow(lit(2.0), bGuard).cast("decimal(38,0)")
+    // weighted mass stays an exact integer decimal: w * 2^b with
+    // b < 88 and long weights — the plain cmsSketchBy weightCol parity
+    val mass = (weightCol.cast("decimal(18,0)") *
+      pow(lit(2.0), bGuard).cast("decimal(38,0)")).cast("decimal(38,0)")
     val buckets = array((0 until depth).map { i =>
       pmod(hash60(concat_ws(":", lit("cms"), lit(i), valueCol)),
         lit(width.toLong))

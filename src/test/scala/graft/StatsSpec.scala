@@ -274,6 +274,17 @@ class StatsSpec extends SparkSpec {
         col("v"), col("ts"), t0, hl, depth = 4, width = 4096)
       .orderBy("g", "row", "bucket").collect().toSeq
     assert(onePass == merged, "cells must be partitioning-independent")
+    // weighted mass parity with the plain sketch: weight w multiplies
+    // the decayed contribution exactly (3 x day-3 hits at w=2 -> 6/2)
+    val wdf = Seq(("g", "w", ts(3), 2L), ("g", "w", ts(3), 2L),
+      ("g", "w", ts(3), 2L)).toDF("g", "v", "ts", "w")
+    val wEst = Stats.cmsDecayedEstimate(
+        Stats.cmsDecayedSketchBy(wdf, Seq("g"), col("v"), col("ts"),
+          t0, hl, depth = 4, width = 4096, weightCol = col("w")),
+        Seq(("g", "w")).toDF("g", "probe"), Seq("g"), asOf, t0, hl,
+        depth = 4, width = 4096)
+      .collect()(0).getDouble(2)
+    assert(wEst == 3.0, s"weighted decayed estimate: $wEst != 6/2")
     // null event time: the row must not vanish silently
     val withNull = df.unionByName(
       Seq(("g", "old", null: java.sql.Timestamp)).toDF("g", "v", "ts"))
