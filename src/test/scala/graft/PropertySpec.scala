@@ -244,6 +244,105 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sequenceKeysOrdered: keys equal offset + rank in sort order " +
+      "for ANY input partitioning (plain-Scala sort oracle)") {
+    val nameGen = Gen.listOfN(40, Gen.choose(0, 25)
+      .map(i => f"name_${i * 7 % 26}%02d"))
+    for (seed <- 1 to 4; parts <- Seq(1, 3, 13)) {
+      val names = nameGen.pureApply(Gen.Parameters.default,
+        Seed(seed + 40L)).distinct
+      val expected = names.sorted.zipWithIndex
+        .map { case (n, i) => n -> (1000L + i + 1) }.toMap
+      val got = Merge.sequenceKeysOrdered(
+          names.toDF("n").repartition(parts), Seq(col("n")), "k", 1000L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"seed=$seed parts=$parts: ordered keys diverged from sort rank")
+    }
+  }
+
+  test("ancestorClosureDoubling equals the linear closure AND a " +
+      "plain-Scala min-depth oracle on random DAGs") {
+    import graft.ops.Graph
+    // random DAGs by construction: edges only point to higher ids
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 10L), Gen.choose(1L, 11L)))
+    for (seed <- 1 to 5) {
+      val edges = edgeGen.pureApply(Gen.Parameters.default,
+          Seed(seed + 70L))
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        // plain-Scala BFS min-depth closure
+        val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val oracle = scala.collection.mutable.Map[(Long, Long), Long]()
+        for (start <- edges.map(_._1).distinct) {
+          var frontier = Set(start)
+          var d = 0L
+          while (frontier.nonEmpty && d <= 12) {
+            d += 1
+            frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+            frontier.foreach { anc =>
+              val k = (start, anc)
+              if (!oracle.contains(k)) oracle(k) = d
+            }
+          }
+        }
+        val df = edges.toDF("child", "parent")
+        def asMap(r: org.apache.spark.sql.DataFrame) =
+          r.collect().map(x =>
+            (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+        val dd = asMap(Graph.ancestorClosureDoubling(df, maxDepth = 12))
+        assert(dd == oracle.toMap, s"seed=$seed: doubling != BFS oracle")
+        assert(dd == asMap(Graph.ancestorClosure(df, maxDepth = 12)),
+          s"seed=$seed: doubling != linear")
+      }
+    }
+  }
+
+  test("cmsDecayedEstimate never underestimates the exact decayed " +
+      "truth on random (item, day) multisets; shard merge == one-pass") {
+    import graft.ops.Stats
+    val t0 = 1704067200000000L
+    val hl = 86400L
+    val rowGen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0, 9).map(i => s"i$i"), Gen.choose(0, 20)))
+    for (seed <- 1 to 4) {
+      val rows = rowGen.pureApply(Gen.Parameters.default, Seed(seed + 60L))
+      val asOfB = 21
+      val truth = rows.groupBy(_._1).view.mapValues(_.map { case (_, d) =>
+        math.pow(2.0, (d - asOfB).toDouble) }.sum).toMap
+      val df = rows.map { case (item, day) =>
+        ("g", item, new java.sql.Timestamp(
+          t0 / 1000L + day.toLong * 86400L * 1000L)) }
+        .toDF("g", "v", "ts")
+      val probes = truth.keys.toSeq.map(("g", _)).toDF("g", "probe")
+      val asOf = t0 + asOfB.toLong * 86400L * 1000000L
+      def estOf(sketch: org.apache.spark.sql.DataFrame) =
+        Stats.cmsDecayedEstimate(sketch, probes, Seq("g"), asOf, t0, hl,
+            depth = 3, width = 8)
+          .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+      val est = estOf(Stats.cmsDecayedSketchBy(df, Seq("g"), col("v"),
+        col("ts"), t0, hl, depth = 3, width = 8))
+      // est rounds to 4 dp, so "never undercounts" holds up to half a
+      // rounding quantum
+      truth.foreach { case (item, tv) =>
+        assert(est(item) >= tv - 5e-5,
+          s"seed=$seed $item: ${est(item)} undercuts decayed truth $tv") }
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      def grid(rs: Seq[(String, Int)]) =
+        Stats.cmsDecayedSketchBy(rs.map { case (item, day) =>
+            ("g", item, new java.sql.Timestamp(
+              t0 / 1000L + day.toLong * 86400L * 1000L)) }
+          .toDF("g", "v", "ts"), Seq("g"), col("v"), col("ts"), t0, hl,
+          depth = 3, width = 8)
+      val merged = grid(h1).unionAll(grid(h2))
+        .groupBy("g", "row", "bucket").agg(sum("mass").as("mass"))
+      assert(estOf(merged) == est,
+        s"seed=$seed: decayed shard merge must equal one-pass")
+    }
+  }
+
   test("trailingAnomaly matches a per-key sliding-window reference on " +
       "random series and never flags warm-up rows") {
     import graft.ops.Stats
