@@ -230,7 +230,7 @@ object Stats {
     * sets `md5("hllbias:<p>:<run>:<i>")`, anchor = (mean raw, mean
     * raw − true n), recorded to 4 dp. Fully deterministic: anyone
     * re-running the recorded procedure reproduces the table. */
-  private val hllBiasAnchors: Map[Int, Array[(Double, Double)]] = Map(
+  private[graft] val hllBiasAnchors: Map[Int, Array[(Double, Double)]] = Map(
     7 -> Array(
       (268.1055, 12.1055), (286.9748, 9.9748), (306.7110, 7.7110),
       (328.1139, 7.1139), (348.7615, 5.7615), (368.4315, 4.4315),

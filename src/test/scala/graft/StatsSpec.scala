@@ -243,6 +243,56 @@ class StatsSpec extends SparkSpec {
       "remerged per-shard registers must equal the one-pass sketch")
   }
 
+  test("hllBiasAnchors: the recorded derivation reproduces the table " +
+      "(spot anchors re-derived in plain Scala)") {
+    // the anchor tables claim provenance: "128 runs over salted value
+    // sets md5('hllbias:<p>:<run>:<i>'), 22 cardinalities m*(2+0.17k)".
+    // Re-run that exact procedure for two (p, k) spots and compare to
+    // the hardcoded entries — proof the table is the derivation's
+    // output, not hand-tuned numbers
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).take(15), 16)
+    def anchor(p: Int, k: Int): (Double, Double) = {
+      val m = 1 << p
+      val mBits = 60 - p
+      val maxRank = mBits + 1
+      val alphaNum =
+        0.7213 / (1.0 + 1.079 / m) * m * m * math.pow(2.0, maxRank)
+      val n = (m * (2.0 + 0.17 * k)).toInt
+      var sumRaw = 0.0
+      var sumBias = 0.0
+      for (rep <- 0 until 128) {
+        val regs = new Array[Int](m)
+        var i = 0
+        while (i < n) {
+          val h = hash60(s"hllbias:$p:$rep:$i")
+          val j = (h >>> mBits).toInt
+          val w = h & ((1L << mBits) - 1)
+          val bl = if (w == 0L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(w)
+          val rk = mBits + 1 - bl
+          if (rk > regs(j)) regs(j) = rk
+          i += 1
+        }
+        var s2 = 0L
+        var q = 0
+        while (q < m) { s2 += 1L << (maxRank - regs(q)); q += 1 }
+        val raw = alphaNum / s2.toDouble
+        sumRaw += raw
+        sumBias += raw - n
+      }
+      (sumRaw / 128, sumBias / 128)
+    }
+    def round4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((p, k) <- Seq((7, 0), (8, 5))) {
+      val (r, b) = anchor(p, k)
+      val (tr, tb) = graft.ops.Stats.hllBiasAnchors(p)(k)
+      assert(round4(r) == tr && round4(b) == tb,
+        f"p=$p k=$k: derived ($r%.4f, $b%.4f) != table ($tr, $tb)")
+    }
+  }
+
   test("cmsDecayedSketchBy: halving per half-life of age (exact when " +
       "collision-free), shard grids merge by summing cells, null event " +
       "time and horizon breaches fail loud") {
