@@ -2224,6 +2224,29 @@ object DataQueries {
       graft.etl.Merge.sequenceKeysScalable(
         T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
         "seq_key", 0L)),
+    // x19's ORDERED sibling: the pipeline-default sequencing (range
+    // partition + per-partition rank + checkpointed assignment) at the
+    // same fact scale — the deterministic-keys premium over the
+    // order-free form on record
+    "x19o_sequence_ordered_scale" -> ((s, d) =>
+      graft.etl.Merge.sequenceKeysOrdered(
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
+        Seq(col("l_orderkey"), col("l_linenumber")), "seq_key", 0L)),
+    // t117's decayed grid at 8x event scale with 8x the user domain:
+    // the exploded depth x width aggregate's map-side combine is what
+    // runs at 100 TB — state stays <= depth*width rows per type however
+    // many rows and users stream past
+    "x117_cms_decayed_scale" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"))
+      val big = (0 until 8).map(i =>
+          ev.select(col("event_type"),
+            (col("user_id") * 8 + i).as("user_id"), col("ts")))
+        .reduce(_ unionByName _)
+      Stats.cmsDecayedSketchBy(big, Seq("event_type"),
+        col("user_id").cast("string"), col("ts"),
+        1704067200000000L, 86400L, depth = 4, width = 1024)
+    }),
     // t102's classifier inference at corpus width: the model is built
     // from the first 200 docs' vocabulary (model-sized, broadcast) and
     // EVERY document scores — training is offline, this inference pass
