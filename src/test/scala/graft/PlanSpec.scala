@@ -335,6 +335,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
   }
 
+  test("t117: the decayed grid keeps t101's map-side-combined aggregate " +
+      "shape — the decay weighting adds no window, no extra exchange") {
+    val p = plan("t117_cms_decayed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // forward 2^bucket mass is a pure projection into the same
+    // (group,row,bucket)-keyed partial_sum as the undecayed grid
+    assert(p.contains("partial_sum"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("q56: the problem-children report broadcasts every lookup and " +
+      "the problem-triple frame; the only fact-fact joins are keyed") {
+    val p = plan("q56_problem_children")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("t102: classifier inference broadcasts only the model-sized " +
       "weight table; tf rows meet it in a hash join, cartesian-free") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
