@@ -629,6 +629,21 @@ object Bench {
             asOfMicros = 1706659200000000L,
             sink = _.write.format("noop").mode("overwrite").save()))
       }),
+      // s13's cardinality monitor under epoch slicing: one p=9 register
+      // set per (type, day) as the one stateful aggregate (<= 88 x 512
+      // ints per type forever), each trigger's grid recombined with
+      // recency weights in foreachBatch so month-old cardinality storms
+      // un-alarm while fresh ones fire — the s19 decay discipline
+      // applied to distinct counts
+      "s20_decayed_cardinality" -> ((s, d) =>
+        runStreamQuery("s20_decayed_cardinality", () =>
+          Streams.startDecayedCardinalityMonitor(s,
+            graft.etl.Tables.exportedEventsParts(s, d),
+            minDistinct = 2.0, maxRepeatFactor = 500.0,
+            activityFloor = 1.0,
+            t0Micros = 1704067200000000L, halfLifeSeconds = 86400L,
+            asOfMicros = 1706659200000000L,
+            sink = _.write.format("noop").mode("overwrite").save()))),
       // streaming transition extraction: buffer-until-watermark pair
       // emission (the s15 discipline on consecutive-event pairs); the
       // flush sentinel part advances the watermark so the tails emit

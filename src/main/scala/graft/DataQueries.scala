@@ -2019,6 +2019,44 @@ object DataQueries {
       .orderBy(col("event_type"), col("probe"))
   }
 
+  /** Decayed distinct users per event type — t85's HLL under t117's
+    * 1-day half-life: one p=9 register set per (type, day), recombined
+    * as of 2024-01-31 so each user counts at 2^-(30 − last_day). The
+    * oracle rebuilds every per-day register from the same md5 hashes,
+    * replays the suffix-union estimates (register maxima merge slices
+    * exactly), and runs the identical fixed-point ×10^4 forward-mass
+    * chain — every step an exact integer until the one final division,
+    * so the approximate-under-decay operator still hash-matches. The
+    * exactly-computed decayed TRUE distinct count sits alongside (each
+    * user weighted by their true last day), making the estimator's
+    * error visible per type like t117's overcount column. */
+  val t119HllDecayed: Q = (s, d) => {
+    val t0 = 1704067200000000L      // 2024-01-01T00:00:00Z in micros
+    val asOf = 1706659200000000L    // 2024-01-31T00:00:00Z -> B = 30
+    val hl = 86400L                 // 1-day half-life
+    val ev = T.events(s, d).filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"),
+        col("ts"))
+    val sk = Stats.hllEpochSketchBy(ev, Seq("event_type"), col("uid"),
+      col("ts"), t0, hl, p = 9)
+    // exact decayed truth: each distinct user at 2^(lastDay - 30),
+    // summed as decimal forward mass (the t117 true_decayed discipline)
+    val tru = ev
+      .withColumn("__b", floor((unix_micros(col("ts")) - lit(t0))
+        .cast("double") / lit(hl * 1000000.0)).cast("long"))
+      .groupBy(col("event_type"), col("uid"))
+      .agg(max(col("__b")).as("__last"))
+      .groupBy(col("event_type"))
+      .agg((sum(pow(lit(2.0), col("__last")).cast("decimal(38,0)"))
+        .cast("double") / lit(math.pow(2.0, 30.0))).as("__t"))
+      .select(col("event_type"), round(col("__t"), 4).as("true_decayed"))
+    Stats.hllDecayedDistinct(sk, Seq("event_type"), asOf, t0, hl, p = 9)
+      .join(tru, Seq("event_type"))
+      .select(col("event_type"), col("n_epochs"), col("rows_decayed"),
+        col("est_decayed"), col("true_decayed"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2137,6 +2175,7 @@ object DataQueries {
     "t115_asof_chunked" -> t115AsofChunked,
     "t116_hll_bias_corrected" -> t116HllBiasCorrected,
     "t117_cms_decayed" -> t117CmsDecayed,
+    "t119_hll_decayed" -> t119HllDecayed,
     "t118_closure_doubling" -> t118ClosureDoubling,
   )
 
@@ -2246,6 +2285,24 @@ object DataQueries {
       Stats.cmsDecayedSketchBy(big, Seq("event_type"),
         col("user_id").cast("string"), col("ts"),
         1704067200000000L, 86400L, depth = 4, width = 1024)
+    }),
+    // t119's decayed HLL at 8x event scale with 8x the user domain:
+    // the per-(type, day) register aggregate's map-side combine is the
+    // 100 TB path (row data collapses to <= 88 x 512 ints per type
+    // before the exchange); the suffix-union read recombination runs
+    // on that aggregate-sized grid only
+    "x119_hll_decayed_scale" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"))
+      val big = (0 until 8).map(i =>
+          ev.select(col("event_type"),
+            (col("user_id") * 8 + i).as("user_id"), col("ts")))
+        .reduce(_ unionByName _)
+      val sk = Stats.hllEpochSketchBy(big, Seq("event_type"),
+        col("user_id").cast("string"), col("ts"),
+        1704067200000000L, 86400L, p = 9)
+      Stats.hllDecayedDistinct(sk, Seq("event_type"),
+        1706659200000000L, 1704067200000000L, 86400L, p = 9)
     }),
     // t102's classifier inference at corpus width: the model is built
     // from the first 200 docs' vocabulary (model-sized, broadcast) and

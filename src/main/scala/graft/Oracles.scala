@@ -3580,6 +3580,69 @@ object Oracles {
         |  AND e.probe = t.probe
         |ORDER BY e.event_type, e.probe""".stripMargin,
 
+    // decayed HLL: per-day registers rebuilt from the same md5 hashes,
+    // suffix unions merged by register max (exact integers), estimates
+    // fixed-pointed at x10^4 and forward-weighted by 2^day as exact
+    // decimals (the t117 mass discipline applied to ESTIMATES; the
+    // double products m4*2^e / cnt*2^b are integer-times-power-of-2, so
+    // they are exact shifts far under 2^53) — one final division chain
+    // lands the round-4 values. true_decayed weights each user by
+    // 2^(last_day - 30) exactly.
+    "t119_hll_decayed" ->
+      s"""WITH ev AS (SELECT event_type, cast(user_id as varchar) AS uid,
+         |    ts FROM events WHERE user_id IS NOT NULL),
+         |bk AS (SELECT event_type, uid,
+         |    cast(floor((epoch_us(ts) - 1704067200000000)
+         |      / 86400000000.0) as bigint) AS b
+         |  FROM ev),
+         |reg AS (SELECT event_type, b, h // 2251799813685248 AS j,
+         |    max(CASE WHEN h % 2251799813685248 = 0 THEN 52
+         |      ELSE 52 - length(ltrim(bin(h % 2251799813685248),'0')) END)
+         |      AS mr
+         |  FROM (SELECT DISTINCT event_type, b,
+         |      ('0x'||substr(md5(uid),1,15))::bigint AS h FROM bk)
+         |  GROUP BY 1, 2, 3),
+         |epochs AS (SELECT DISTINCT event_type, b AS e FROM reg),
+         |suf AS (SELECT ep.event_type, ep.e, r.j, max(r.mr) AS mr
+         |  FROM epochs ep JOIN reg r ON r.event_type = ep.event_type
+         |    AND r.b >= ep.e
+         |  GROUP BY 1, 2, 3),
+         |agg AS (SELECT event_type, e,
+         |    cast(512 - count(*) as bigint) AS v,
+         |    cast((512 - count(*)) * (1::bigint << 52)
+         |      + sum((1::bigint << (52 - mr))) as bigint) AS s
+         |  FROM suf GROUP BY 1, 2),
+         |est AS (SELECT event_type, e,
+         |    round((CASE WHEN $hllRawNum9 / s <= 1280.0 AND v > 0
+         |      THEN 512*ln(512.0/v)
+         |      ELSE $hllRawNum9 / s END) * 10000.0, 0)::bigint AS s4
+         |  FROM agg),
+         |diffs AS (SELECT event_type, e, s4,
+         |    greatest(s4 - lead(s4, 1, 0)
+         |      OVER (PARTITION BY event_type ORDER BY e), 0) AS m4
+         |  FROM est),
+         |card AS (SELECT event_type, count(*) AS n_epochs,
+         |    sum(cast(m4 * pow(2.0, e) as decimal(38,0))) AS cm
+         |  FROM diffs GROUP BY 1),
+         |rowsm AS (SELECT event_type,
+         |    sum(cast(cnt * pow(2.0, b) as decimal(38,0))) AS rm
+         |  FROM (SELECT event_type, b, count(*) AS cnt FROM bk
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |tru AS (SELECT event_type,
+         |    round(cast(sum(cast(pow(2.0, lb) as decimal(38,0)))
+         |        as double) / 1073741824.0, 4) AS true_decayed
+         |  FROM (SELECT event_type, uid, max(b) AS lb FROM bk
+         |    GROUP BY 1, 2) GROUP BY 1)
+         |SELECT c.event_type, c.n_epochs,
+         |  round(cast(r.rm as double) / 1073741824.0, 4) AS rows_decayed,
+         |  round(cast(c.cm as double) / 1073741824.0 / 10000.0, 4)
+         |    AS est_decayed,
+         |  t.true_decayed
+         |FROM card c
+         |JOIN rowsm r ON r.event_type = c.event_type
+         |JOIN tru t ON t.event_type = c.event_type
+         |ORDER BY c.event_type""".stripMargin,
+
     // Morton z-value: bit i of x lands at 2i, of y at 2i+1 — the oracle
     // replays the interleave shift-for-shift with integer bit ops
     "t86_zvalue" ->

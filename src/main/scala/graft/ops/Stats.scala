@@ -296,6 +296,13 @@ object Stats {
   private def hllBiasSpark(p: Int, raw: Column): Column = {
     val a = hllBiasAnchors(p)
     val fiveM = 5.0 * (1 << p)
+    // the trailing .otherwise(0.0) below is reachable only for raw in
+    // (last anchor, 5m] — dead for the shipped tables, which all span
+    // past 5m. Assert that so an EXTENDED table stopping short cannot
+    // silently zero the correction inside the band (review finding).
+    require(a.last._1 >= fiveM,
+      s"hllBias anchors for p=$p end at ${a.last._1} < 5m=$fiveM — " +
+        "the table must span the full correction band")
     val base = when(raw > lit(fiveM), lit(0.0))
       .when(raw <= lit(a(0)._1), lit(a(0)._2))
     a.sliding(2).foldLeft(base) {
@@ -312,6 +319,8 @@ object Stats {
   private[graft] def hllBiasSqlCase(p: Int, raw: String): String = {
     val a = hllBiasAnchors(p)
     val fiveM = 5.0 * (1 << p)
+    require(a.last._1 >= fiveM, // the hllBiasSpark span assertion, shared
+      s"hllBias anchors for p=$p end at ${a.last._1} < 5m=$fiveM")
     val sb = new StringBuilder(s"CASE WHEN $raw > $fiveM THEN 0.0")
     sb.append(s"\n    WHEN $raw <= ${a(0)._1} THEN ${a(0)._2}")
     a.sliding(2).foreach {
@@ -513,8 +522,18 @@ object Stats {
       .otherwise(b)
     // weighted mass stays an exact integer decimal: w * 2^b with
     // b < 88 and long weights — the plain cmsSketchBy weightCol parity
-    val mass = (weightCol.cast("decimal(18,0)") *
+    val massRaw = (weightCol.cast("decimal(18,0)") *
       pow(lit(2.0), bGuard).cast("decimal(38,0)")).cast("decimal(38,0)")
+    // a decimal(38,0) overflow (huge weights near the horizon: w * 2^87
+    // past ~1e38) — or a NULL weight — yields NULL under non-ANSI mode,
+    // and sum() would silently SKIP it: dropped mass would break the
+    // never-underestimates guarantee with no signal. Fail loud, exactly
+    // like the horizon breach above (review finding).
+    val mass = when(massRaw.isNull,
+        raise_error(lit("cmsDecayedSketchBy: weighted mass w*2^b " +
+          "overflows decimal(38,0), or weight is null — bound weights " +
+          "or re-anchor t0")))
+      .otherwise(massRaw)
     val buckets = array((0 until depth).map { i =>
       pmod(hash60(concat_ws(":", lit("cms"), lit(i), valueCol)),
         lit(width.toLong))
@@ -523,7 +542,14 @@ object Stats {
       .select(groupCols.map(col) ++ Seq(mass.as("__m"),
         posexplode(buckets).as(Seq("row", "bucket"))): _*)
       .groupBy(groupCols.map(col) ++ Seq(col("row"), col("bucket")): _*)
-      .agg(sum(col("__m")).as("mass"))
+      .agg(sum(col("__m")).as("__mass"))
+      // the CELL sum can also overflow to NULL even when every row-level
+      // mass fits — same silent-drop hazard, same loud failure
+      .withColumn("mass", when(col("__mass").isNull,
+          raise_error(lit("cmsDecayedSketchBy: cell mass sum overflows " +
+            "decimal(38,0) — re-anchor t0 or bound weights")))
+        .otherwise(col("__mass")))
+      .drop("__mass")
   }
 
   /** Decayed point-frequency estimates from a [[cmsDecayedSketchBy]]
@@ -559,6 +585,171 @@ object Stats {
       .withColumn("est_decayed",
         round(col("__mass").cast("double") / lit(math.pow(2.0, bAsOf.toDouble)), 4))
       .drop("__mass")
+  }
+
+  /** Epoch-sliced HyperLogLog registers — the state shape that lets
+    * CARDINALITY decay the way [[cmsDecayedSketchBy]] lets frequency
+    * decay (ROADMAP "decayed HLL" item): one [[hllSketchBy]] register
+    * array per (group, half-life epoch), where
+    * `epoch = floor((t − t0) / halfLife)`. Register maxima themselves
+    * cannot decay (max is irreversible), so the slicing IS the decay
+    * mechanism: each epoch's registers freeze that epoch's distinct
+    * set, and [[hllDecayedDistinct]] recombines them at read time with
+    * recency weights. State is ≤ 88 epochs × 2^p ints per group
+    * FOREVER (the t117 re-anchor discipline bounds the epoch count),
+    * and the aggregation is ONE groupBy — legal as a streaming
+    * complete-mode aggregate, order-free, and mergeable: per-shard
+    * epoch sketches re-aggregate by elementwise register max, so
+    * paced microbatches equal the one-pass batch grid EXACTLY
+    * (StreamingSpec-pinned, the s19 discipline).
+    *
+    * A null event time fails loud (a time-less row silently skipping
+    * the sketch is the s13 null-producer hazard), as does an event
+    * outside the epoch horizon [0, 88) — both mirror
+    * [[cmsDecayedSketchBy]]'s guards. Null values are ignored
+    * (matching count(distinct)). Returns (group…, epoch, hll,
+    * n_rows). */
+  def hllEpochSketchBy(df: DataFrame, groupCols: Seq[String],
+                       valueCol: Column, timeCol: Column, t0Micros: Long,
+                       halfLifeSeconds: Long, p: Int = 9): DataFrame = {
+    require(p >= 7 && p <= 16, "hllEpochSketchBy needs p in [7, 16]")
+    require(halfLifeSeconds > 0, "hllEpochSketchBy needs halfLife > 0")
+    val hlUs = halfLifeSeconds * 1000000L
+    // micro diffs stay far under 2^53, so the double floor-div is exact
+    val b = floor((unix_micros(timeCol) - lit(t0Micros)).cast("double") /
+      lit(hlUs.toDouble)).cast("long")
+    val bGuard = when(timeCol.isNull || b < 0 || b >= 88,
+        raise_error(concat(lit("hllEpochSketchBy: null event time, or " +
+          "event outside the epoch's 88-half-life horizon (re-anchor " +
+          "t0); epoch="), coalesce(b.cast("string"), lit("null")))))
+      .otherwise(b)
+    val hll = udaf(new graft.functions.HyperLogLog(p), Encoders.scalaLong)
+    df.filter(valueCol.isNotNull)
+      .select(groupCols.map(col) ++ Seq(bGuard.as("epoch"),
+        hash60(valueCol).as("__h")): _*)
+      .groupBy(groupCols.map(col) :+ col("epoch"): _*)
+      .agg(hll(col("__h")).as("hll"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Decayed distinct-count estimate from a [[hllEpochSketchBy]] grid
+    * as of `asOfMicros` — each distinct item counts at weight
+    * `2^-(B − e_last)` where `e_last` is its most RECENT epoch of
+    * occurrence and B the as-of epoch, so a user last seen a month ago
+    * contributes ~nothing while today's users count in full: the
+    * cardinality monitor analog of [[cmsDecayedEstimate]].
+    *
+    * Derivation is pure suffix algebra on the frozen epoch registers:
+    * the suffix union U_e (elementwise register max over epochs ≥ e)
+    * estimates "distinct items seen in or after e" — registers of a
+    * union are maxima, so merging slices IS the HLL union, and the
+    * estimate S_e is monotone in e. Items whose last epoch is exactly
+    * e are then the difference S_e − S_next (clamped at 0: successive
+    * suffix estimates are monotone except across the linear-counting /
+    * harmonic branch seam), and the decayed count is
+    * Σ_e 2^(e−B) · (S_e − S_next).
+    *
+    * Exact-replay discipline (the t117 forward-mass trick applied to
+    * ESTIMATES): each S_e rounds to fixed-point ×10^4 as an exact
+    * long, the per-epoch differences scale by 2^e as exact
+    * decimal(38,0) forward mass (order-free sum — a double sum would
+    * be partition-order-dependent), and ONE final double division by
+    * 2^B · 10^4 lands the printed round-4 value, so an external
+    * engine replays every step (t119 oracle). Decimal overflow fails
+    * loud (the cmsDecayedSketchBy guard). `rows_decayed` applies the
+    * same forward-mass algebra to the exact per-epoch row counts —
+    * the decayed row-volume numerator a repeat-factor monitor needs.
+    * An epoch after asOf fails loud (its weight would exceed 1 —
+    * clock skew or a wrong anchor).
+    *
+    * Scale shape: everything here runs on the aggregate-sized sketch
+    * frame (≤ 89 epochs × 2^p cells per group) — the suffix-merge
+    * fan-out is epochs² × m rows per group, metadata-sized; row data
+    * is never re-read. Returns (group…, n_epochs, rows_decayed,
+    * est_decayed). */
+  def hllDecayedDistinct(sketch: DataFrame, groupCols: Seq[String],
+                         asOfMicros: Long, t0Micros: Long,
+                         halfLifeSeconds: Long, p: Int = 9,
+                         biasCorrect: Boolean = false): DataFrame = {
+    require(p >= 7 && p <= 16, "hllDecayedDistinct needs p in [7, 16]")
+    require(!biasCorrect || hllBiasAnchors.contains(p),
+      s"hllDecayedDistinct biasCorrect has anchor tables for p in " +
+        s"${hllBiasAnchors.keys.toSeq.sorted.mkString("[", ",", "]")}")
+    val bAsOf = Math.floorDiv(asOfMicros - t0Micros,
+      halfLifeSeconds * 1000000L)
+    // one epoch past the horizon is legal: reading "now", just after
+    // the final event epoch closed (the cmsDecayedEstimate rule)
+    require(bAsOf >= 0 && bAsOf <= 88,
+      s"hllDecayedDistinct: asOf is $bAsOf half-lives from t0; re-anchor")
+    val m = 1 << p
+    val maxRank = 60 - p + 1
+    val rawNum = 0.7213 / (1.0 + 1.079 / m) * m * m *
+      math.pow(2.0, maxRank)
+    def loud(c: Column, msg: String): Column =
+      when(c.isNull, raise_error(lit(msg))).otherwise(c)
+    val sk = sketch.withColumn("epoch",
+      when(col("epoch") > lit(bAsOf),
+          raise_error(concat(lit("hllDecayedDistinct: sketch carries an " +
+            "epoch after asOf (weight would exceed 1 — clock skew or " +
+            "wrong anchor); epoch="), col("epoch").cast("string"))))
+        .otherwise(col("epoch")))
+    // suffix unions: for each present epoch e, elementwise register max
+    // over epochs >= e; untouched registers stay 0 in the dense arrays,
+    // so every index survives the explode and S_e sees all m registers
+    val eFrame = sk.select(groupCols.map(col) :+ col("epoch").as("e"): _*)
+      .distinct()
+    val suffix = sk.join(eFrame, groupCols)
+      .filter(col("epoch") >= col("e"))
+      .select(groupCols.map(col) ++ Seq(col("e"),
+        posexplode(col("hll")).as(Seq("j", "r"))): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("e"), col("j")): _*)
+      .agg(max(col("r")).as("mr"))
+      .groupBy(groupCols.map(col) :+ col("e"): _*)
+      // hll_s/hll_v are the hllDistinctBy exact integers on the merged
+      // registers: sum of 2^(maxRank - mr) tops out at m * 2^maxRank
+      // = 2^61, inside long
+      .agg(sum(pow(lit(2.0), lit(maxRank) - col("mr")).cast("long"))
+          .as("hll_s"),
+        sum(when(col("mr") === 0, 1L).otherwise(0L)).as("hll_v"))
+    val raw = lit(rawNum) / col("hll_s").cast("double")
+    val harmonic = if (biasCorrect) raw - hllBiasSpark(p, raw) else raw
+    val est = when(raw <= lit(2.5 * m) && col("hll_v") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) /
+          col("hll_v").cast("double")))
+      .otherwise(harmonic)
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("e"))
+    val massCol = loud((col("__m4").cast("decimal(18,0)") *
+        pow(lit(2.0), col("e")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"),
+      "hllDecayedDistinct: epoch mass overflows decimal — re-anchor t0 " +
+        "or lower p")
+    val rowsCol = loud((col("n_rows").cast("decimal(18,0)") *
+        pow(lit(2.0), col("e")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)"),
+      "hllDecayedDistinct: row mass overflows decimal — re-anchor t0")
+    val twoToB = math.pow(2.0, bAsOf.toDouble)
+    sk.select(groupCols.map(col) ++
+        Seq(col("epoch").as("e"), col("n_rows")): _*)
+      .join(suffix, groupCols :+ "e")
+      // fixed-point S_e: round(est * 1e4) is an exact long (est * 1e4
+      // stays far under 2^53), the ONE rounding both engines share
+      .withColumn("__s4", round(est * lit(10000.0), 0).cast("long"))
+      .withColumn("__n4", lead(col("__s4"), 1, 0L).over(w))
+      .withColumn("__m4", greatest(col("__s4") - col("__n4"), lit(0L)))
+      .withColumn("__cm", massCol)
+      .withColumn("__rm", rowsCol)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_epochs"),
+        loud(sum(col("__rm")),
+          "hllDecayedDistinct: row mass sum overflows decimal")
+          .as("__rmm"),
+        loud(sum(col("__cm")),
+          "hllDecayedDistinct: epoch mass sum overflows decimal")
+          .as("__cmm"))
+      .select(groupCols.map(col) ++ Seq(col("n_epochs"),
+        round(col("__rmm").cast("double") / lit(twoToB), 4)
+          .as("rows_decayed"),
+        round(col("__cmm").cast("double") / lit(twoToB) / lit(10000.0), 4)
+          .as("est_decayed")): _*)
   }
 
   /** Point-frequency estimates from a [[cmsSketchBy]] sketch: for each

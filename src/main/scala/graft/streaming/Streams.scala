@@ -250,6 +250,62 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** [[cardinalityMonitor]]'s sketch under epoch slicing
+    * ([[graft.ops.Stats.hllEpochSketchBy]]) — the long-running form of
+    * s13: its all-time registers can never forget, so a month-old
+    * cardinality storm alarms forever; slicing one register set per
+    * half-life epoch lets [[graft.ops.Stats.hllDecayedDistinct]] weight
+    * each user by the recency of their LAST event at read time. One
+    * stateful aggregation, ≤ 88 epochs × 2^p ints per event type
+    * forever (re-anchor past the horizon — the s19 contract); register
+    * merges are maxima, so paced == batch EXACTLY
+    * (StreamingSpec-pinned). Null users fold to the s13 sentinel. */
+  def epochCardinalityGrid(events: DataFrame, t0Micros: Long,
+                           halfLifeSeconds: Long, p: Int = 9): DataFrame =
+    graft.ops.Stats.hllEpochSketchBy(events, Seq("event_type"),
+      coalesce(col("user_id").cast("string"), lit(NullKeySentinel)),
+      col("ts"), t0Micros, halfLifeSeconds, p)
+
+  /** Drive [[epochCardinalityGrid]] over a paced event-part directory —
+    * the s13 wiring with recency-weighted estimates: `sink` gets
+    * (event_type, n_epochs, rows_decayed, est_decayed, alarm) per
+    * trigger. Alarm semantics are s13's storm shape under decay:
+    * within active traffic (`rows_decayed >= activityFloor` — a type
+    * whose mass has decayed away is idle, not stuck), fire when the
+    * decayed distinct count sinks under `minDistinct` (stuck producer
+    * replaying one user) or decayed rows-per-distinct-user exceeds
+    * `maxRepeatFactor` (bot flood). A month-old storm's row mass has
+    * halved ~30 times, so it falls under the floor and un-alarms while
+    * an identical fresh storm still fires — exactly what s13's
+    * all-time registers cannot do (s20, StreamingSpec-pinned). */
+  def startDecayedCardinalityMonitor(spark: SparkSession, dir: String,
+                                     minDistinct: Double,
+                                     maxRepeatFactor: Double,
+                                     activityFloor: Double,
+                                     t0Micros: Long, halfLifeSeconds: Long,
+                                     asOfMicros: Long,
+                                     sink: DataFrame => Unit,
+                                     filesPerTrigger: Int = 1, p: Int = 9)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    epochCardinalityGrid(eventsStreamPaced(spark, dir, filesPerTrigger),
+        t0Micros, halfLifeSeconds, p)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (grid: DataFrame, _: Long) =>
+        sink(graft.ops.Stats.hllDecayedDistinct(grid, Seq("event_type"),
+            asOfMicros, t0Micros, halfLifeSeconds, p)
+          // double /0 is Infinity (not an error even under ANSI), and
+          // Infinity > maxRepeatFactor — a zero-distinct active type
+          // alarms through either arm, as it should
+          .withColumn("alarm", col("rows_decayed") >= activityFloor &&
+            (col("est_decayed") < minDistinct ||
+              col("rows_decayed") / col("est_decayed") >
+                maxRepeatFactor)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming length-drift gate — sampled token-count quantiles per
     * source at ingest: a [[graft.functions.KMinPairs]] bottom-k-by-hash
     * sample (ONE stateful aggregation: quantiles then interpolate as a

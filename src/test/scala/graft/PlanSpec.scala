@@ -346,6 +346,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
   }
 
+  test("t119: the decayed HLL keeps t85's map-side-combined register " +
+      "aggregate on the row-data path; the suffix recombination and its " +
+      "window run on the aggregate-sized epoch grid only") {
+    val p = plan("t119_hll_decayed")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the udaf register aggregate partials per partition before the
+    // (type, epoch) exchange — row data collapses to <= 88 x 512 ints
+    // per type map-side, exactly the t85 shape
+    assert(p.contains("ObjectHashAggregate"), p.take(2500))
+    // the events scan reads only what the sketch needs
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)"), p.take(2500))
+  }
+
   test("q56: the problem-children report broadcasts every lookup and " +
       "the problem-triple frame; the only fact-fact joins are keyed") {
     val p = plan("q56_problem_children")

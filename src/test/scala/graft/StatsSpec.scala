@@ -353,6 +353,109 @@ class StatsSpec extends SparkSpec {
     assert(exFar.getMessage.contains("horizon"), exFar.getMessage)
   }
 
+  test("cmsDecayedSketchBy: a weighted mass that cannot fit " +
+      "decimal(38,0) fails loud instead of silently dropping cell mass") {
+    val t0 = 1704067200000000L
+    val hl = 86400L
+    // 5e17 (fits decimal(18,0)) * 2^87 ~ 7.7e43 > 1e38: the non-ANSI
+    // decimal overflow yields NULL, which sum() would silently skip —
+    // the never-underestimates guarantee must fail loud instead
+    val far = Seq(("g", "v", new java.sql.Timestamp(
+        t0 / 1000L + 87L * 86400L * 1000L), 500000000000000000L))
+      .toDF("g", "v", "ts", "w")
+    // under ANSI (the session default) the cast itself throws; the
+    // raise_error guard covers non-ANSI deployments where the overflow
+    // would otherwise be a silent NULL — either way, LOUD
+    val ex = intercept[Exception] {
+      Stats.cmsDecayedSketchBy(far, Seq("g"), col("v"), col("ts"),
+        t0, hl, weightCol = col("w")).collect()
+    }
+    val chain = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString("\n")
+    assert(chain.contains("overflows decimal(38,0)") ||
+      chain.contains("NUMERIC_VALUE_OUT_OF_RANGE"), chain)
+  }
+
+  test("hllDecayedDistinct: all-fresh equals the plain estimate, old " +
+      "mass halves per half-life, mixed recency replays from suffix " +
+      "estimates, shard grids merge by register max, guards fail loud") {
+    val t0 = 1704067200000000L
+    val hl = 86400L
+    def ts(day: Int) = new java.sql.Timestamp(
+      t0 / 1000L + day.toLong * 86400L * 1000L)
+    val asOf = t0 + 4L * 86400L * 1000000L // B = 4
+    def round4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val usersA = (1 to 100).map(i => s"a_$i") // last seen day 1
+    val usersB = (1 to 100).map(i => s"b_$i") // seen day 4 (fresh)
+    def frame(rows: Seq[(String, java.sql.Timestamp)]) =
+      rows.map { case (v, t) => ("g", v, t) }.toDF("g", "v", "ts")
+    def plainEst(values: Seq[String]): Double =
+      Stats.hllDistinctBy(frame(values.map(v => (v, ts(0)))).drop("ts"),
+          Seq("g"), col("v"), p = 9)
+        .collect()(0).getAs[Double]("est_distinct")
+    def decayed(rows: Seq[(String, java.sql.Timestamp)]): Double =
+      Stats.hllDecayedDistinct(
+          Stats.hllEpochSketchBy(frame(rows), Seq("g"), col("v"),
+            col("ts"), t0, hl, p = 9),
+          Seq("g"), asOf, t0, hl, p = 9)
+        .collect()(0).getAs[Double]("est_decayed")
+    // all-fresh (every event in epoch B): weight 1 — the decayed
+    // estimate IS the plain estimate (through the shared x10^4 fix-point)
+    val estB = plainEst(usersB)
+    assert(decayed(usersB.map(v => (v, ts(4)))) == estB)
+    // all-old (epoch 0, B=4): the same fixed-point S4 rescaled by 2^-4
+    val s4B = math.round(estB * 10000.0)
+    val expectedOld = round4(s4B.toDouble / 16.0 / 10000.0)
+    assert(decayed(usersB.map(v => (v, ts(0)))) == expectedOld)
+    // mixed recency: A last seen day 1, B day 4 — replay the suffix
+    // algebra from plain estimates: S_1 = est(A u B), S_4 = est(B),
+    // decayed = (S4(B)*2^4 + max(S4(AuB)-S4(B),0)*2^1) / 2^4 / 10^4.
+    // A user also seen on an EARLIER day must not change anything
+    // (last-epoch semantics), so a_1 gets a day-0 echo.
+    val mixed = usersA.map(v => (v, ts(1))) ++
+      usersB.map(v => (v, ts(4))) ++ Seq(("a_1", ts(0)))
+    val s4AB = math.round(plainEst(usersA ++ usersB) * 10000.0)
+    val expectedMixed = round4(
+      (s4B * 16L + math.max(s4AB - s4B, 0L) * 2L).toDouble / 16.0
+        / 10000.0)
+    assert(decayed(mixed) == expectedMixed)
+    // per-epoch registers are partitioning-independent (max-merge)
+    val mdf = frame(mixed)
+    val onePass = Stats.hllEpochSketchBy(mdf, Seq("g"), col("v"),
+        col("ts"), t0, hl, p = 9)
+      .orderBy("g", "epoch").collect().toSeq
+    val sharded = Stats.hllEpochSketchBy(mdf.repartition(7), Seq("g"),
+        col("v"), col("ts"), t0, hl, p = 9)
+      .orderBy("g", "epoch").collect().toSeq
+    assert(onePass == sharded, "registers must be partitioning-independent")
+    // rows_decayed is exact forward mass: 100 rows at day 1 + 101 at
+    // day 4 (the echo lands day 0) -> 100/8 + 100/1 + 1/16
+    val rd = Stats.hllDecayedDistinct(
+        Stats.hllEpochSketchBy(mdf, Seq("g"), col("v"), col("ts"),
+          t0, hl, p = 9),
+        Seq("g"), asOf, t0, hl, p = 9)
+      .collect()(0).getAs[Double]("rows_decayed")
+    assert(rd == 112.5625, s"rows_decayed $rd")
+    // null event time fails loud (the cmsDecayed rule)
+    val exNull = intercept[Exception] {
+      Stats.hllEpochSketchBy(
+        frame(Seq(("x", null: java.sql.Timestamp))), Seq("g"),
+        col("v"), col("ts"), t0, hl).collect()
+    }
+    assert(exNull.getMessage.contains("null event time"),
+      exNull.getMessage)
+    // an epoch AFTER asOf would carry weight > 1: clock skew fails loud
+    val exFuture = intercept[Exception] {
+      Stats.hllDecayedDistinct(
+        Stats.hllEpochSketchBy(frame(Seq(("x", ts(5)))), Seq("g"),
+          col("v"), col("ts"), t0, hl),
+        Seq("g"), asOf, t0, hl).collect()
+    }
+    assert(exFuture.getMessage.contains("after asOf"),
+      exFuture.getMessage)
+  }
+
   test("hllDistinctBy biasCorrect: the band correction tightens the " +
       "error where the harmonic estimator systematically overshoots") {
     // 48 groups x 1350 distinct values at p=9: raw estimates land near

@@ -1087,4 +1087,77 @@ class StreamingSpec extends SparkSpec {
     assert(last("70002")._1 >= 200.0,
       s"fresh-storm estimate ${last("70002")._1} undercuts 400/2")
   }
+
+  test("epochCardinalityGrid: paced stream == batch (register maxima " +
+      "merge slices exactly); a MONTH-OLD replay storm un-alarms while " +
+      "an identical fresh one still fires — what s13's all-time " +
+      "registers cannot do") {
+    val d = "/root/testdata/sf0.001"
+    val t0 = 1704067200000000L   // 2024-01-01, the fixture window start
+    val asOf = 1706659200000000L // 2024-01-31 -> B = 30 day half-lives
+    val hl = 86400L
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d)
+    val q = Streams.epochCardinalityGrid(
+        Streams.eventsStreamPaced(spark, parts, 1), t0, hl)
+      .writeStream.format("memory").queryName("spec_card_decay")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val key = Seq("event_type", "epoch")
+    val paced = spark.table("spec_card_decay").orderBy(key.map(col): _*)
+      .collect().toSeq
+    val batch = Streams
+      .epochCardinalityGrid(graft.etl.Tables.events(spark, d), t0, hl)
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(paced == batch,
+      "per-epoch registers must max-merge across microbatches to the " +
+        "one-pass grid")
+
+    // two planted replay storms of IDENTICAL shape (400 rows, ONE user
+    // each), in their own event types so the fixture traffic stays
+    // clean: as of day 30 the old storm's decayed row mass is
+    // 400/2^30 ~ 4e-7 — under any activity floor — while the fresh one
+    // still carries 200 decayed rows from ~0.5 decayed distinct users,
+    // so the same thresholds alarm the fresh storm only. The undecayed
+    // s13 monitor sees both storms identically forever.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_card_decay").toString
+    graft.etl.Tables.events(spark, d).write.mode("overwrite").parquet(dir)
+    import spark.implicits._
+    def plant(uid: Long, typ: String, epochSec: Long) =
+      (1L to 400L).map(i => (900000L + uid * 1000 + i,
+          new java.sql.Timestamp(epochSec * 1000L + i), uid, typ,
+          1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    plant(90001L, "storm_old", 1704070800L) // day 0 storm
+    plant(90002L, "storm_new", 1706572800L) // day 29 storm
+    var last: Map[String, (Double, Double, Boolean)] = Map.empty
+    // minDistinct sits between the fresh storm's ~0.5 decayed users and
+    // the fixture's organic ~5 decayed users per type (sf0.001 is tiny)
+    Streams.startDecayedCardinalityMonitor(spark, dir,
+        minDistinct = 2.0, maxRepeatFactor = 500.0, activityFloor = 1.0,
+        t0Micros = t0, halfLifeSeconds = hl, asOfMicros = asOf,
+        sink = est => last = est.collect().map(r =>
+          r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+            r.getBoolean(4))).toMap,
+        filesPerTrigger = 2)
+      .awaitTermination()
+    assert(last("storm_new")._3,
+      s"the fresh one-user storm must alarm: ${last("storm_new")}")
+    assert(!last("storm_old")._3,
+      s"the month-old storm must have decayed under the activity " +
+        s"floor: ${last("storm_old")}")
+    // the fresh storm's decayed rows replay the truth EXACTLY
+    // (400 rows all in epoch 29: 400 * 2^29 / 2^30 = 200, exact
+    // forward-mass arithmetic)
+    assert(last("storm_new")._1 == 200.0,
+      s"fresh-storm rows_decayed ${last("storm_new")._1}")
+    // the fixture's organic traffic must NOT alarm: many distinct
+    // recent users per type, modest rows-per-user
+    Seq("click", "view", "purchase").foreach { t =>
+      assert(!last(t)._3, s"organic $t traffic alarmed: ${last(t)}")
+    }
+  }
 }
