@@ -2057,6 +2057,24 @@ object DataQueries {
       .orderBy(col("event_type"))
   }
 
+  /** t80's margin mining through the BUCKETED candidate path — the
+    * corpus-scale form (knnJoin both directions, nothing broadcast) at
+    * fixed bits, deterministically hash-verified like every other
+    * approximate retriever: the oracle replays the sign-LSH buckets,
+    * the Hamming-1 probe sets and the per-query top-4 shortlists in
+    * BOTH directions (the t29 derivation, twice), then runs t80's
+    * margin arithmetic on those shortlists verbatim. x80 benches this
+    * exact shape at 8×; recall vs the exact mine is SimilaritySpec-
+    * pinned — this query moves the bucketed path itself from
+    * spec-trusted to hash-verified. */
+  val t120MarginMineBucketed: Q = (s, d) => {
+    val emb = T.embeddings(s, d)
+    Similarity.marginMineBucketed(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), k = 4, bits = 8)
+      .orderBy(col("src_id"), col("tgt_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2176,6 +2194,7 @@ object DataQueries {
     "t116_hll_bias_corrected" -> t116HllBiasCorrected,
     "t117_cms_decayed" -> t117CmsDecayed,
     "t119_hll_decayed" -> t119HllDecayed,
+    "t120_margin_mine_bucketed" -> t120MarginMineBucketed,
     "t118_closure_doubling" -> t118ClosureDoubling,
   )
 

@@ -2739,6 +2739,70 @@ object Oracles {
         | cast(src_rank = 1 AND tgt_rank = 1 AS bigint) AS is_mutual
         |FROM r ORDER BY src_id, tgt_id""".stripMargin,
 
+    // t80's margin arithmetic on BUCKETED shortlists: both directions'
+    // candidates come from the t29 sign-LSH derivation (bucket +
+    // Hamming-1 probes, per-query top-4 on unrounded cosines, id
+    // tie-break) instead of the exact cross join; the margin tail is
+    // t80's verbatim — a single shortlist difference moves an average
+    // and breaks the hash
+    "t120_margin_mine_bucketed" ->
+      s"""WITH src AS (SELECT vec_id, embedding,
+         |    ${rhpBucketSql("embedding", 8)} AS b0
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT vec_id, embedding,
+         |    ${rhpBucketSql("embedding", 8)} AS b0
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |fp AS (SELECT s.vec_id AS qid, s.embedding AS qv,
+         |    unnest(${probeListSql("s.b0", 8, probe2 = false)}) AS bucket
+         |  FROM src s),
+         |fs AS (SELECT qid, t.vec_id AS nid,
+         |    list_cosine_similarity(cast(qv as double[]),
+         |      cast(t.embedding as double[])) AS cos
+         |  FROM fp JOIN tgt t ON t.b0 = fp.bucket),
+         |fr AS (SELECT qid, nid, round(cos, 4) AS cos4,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid) AS rnk FROM fs),
+         |fwd AS (SELECT qid, nid, cos4 FROM fr WHERE rnk <= 4),
+         |bp AS (SELECT t.vec_id AS qid, t.embedding AS qv,
+         |    unnest(${probeListSql("t.b0", 8, probe2 = false)}) AS bucket
+         |  FROM tgt t),
+         |bs AS (SELECT qid, s.vec_id AS nid,
+         |    list_cosine_similarity(cast(qv as double[]),
+         |      cast(s.embedding as double[])) AS cos
+         |  FROM bp JOIN src s ON s.b0 = bp.bucket),
+         |br AS (SELECT qid, nid, round(cos, 4) AS cos4,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, nid) AS rnk FROM bs),
+         |bwd AS (SELECT qid, nid, cos4 FROM br WHERE rnk <= 4),
+         |hs AS (SELECT qid AS src_id,
+         |    cast(sum(cast(cos4 AS decimal(27,12))) AS double) /
+         |      (2.0 * cast(count(*) AS double)) AS hsrc
+         |  FROM fwd GROUP BY 1),
+         |ht AS (SELECT qid AS tgt_id,
+         |    cast(sum(cast(cos4 AS decimal(27,12))) AS double) /
+         |      (2.0 * cast(count(*) AS double)) AS htgt
+         |  FROM bwd GROUP BY 1),
+         |pairs AS (SELECT src_id, tgt_id, max(cos4) AS cos FROM (
+         |    SELECT qid AS src_id, nid AS tgt_id, cos4 FROM fwd
+         |    UNION ALL SELECT nid AS src_id, qid AS tgt_id, cos4
+         |      FROM bwd) GROUP BY 1, 2),
+         |m AS (SELECT src_id, tgt_id,
+         |    cos / (hsrc + htgt) AS mg
+         |  FROM pairs JOIN hs USING (src_id) JOIN ht USING (tgt_id)),
+         |r AS (SELECT src_id, tgt_id, mg,
+         |    row_number() OVER (PARTITION BY src_id
+         |      ORDER BY mg DESC, tgt_id) AS src_rank,
+         |    row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY mg DESC, src_id) AS tgt_rank
+         |  FROM m)
+         |SELECT cast(src_id AS bigint) AS src_id,
+         | cast(tgt_id AS bigint) AS tgt_id,
+         | round(mg, 6) AS margin,
+         | cast(src_rank AS bigint) AS src_rank,
+         | cast(tgt_rank AS bigint) AS tgt_rank,
+         | cast(src_rank = 1 AND tgt_rank = 1 AS bigint) AS is_mutual
+         |FROM r ORDER BY src_id, tgt_id""".stripMargin,
+
     // hybrid dense+sparse RRF: the full brute-cosine ranking, the full
     // BM25 ranking (both at k=10) and the 1/(60+rank) fusion replayed —
     // a single rank flipped in either modality moves a fused score and

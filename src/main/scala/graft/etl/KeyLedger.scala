@@ -42,14 +42,23 @@ object KeyLedger {
     else None
   }
 
-  /** Record `v` as `table`'s current max key (atomic replace). */
+  /** Record `v` as `table`'s current max key (atomic replace). A failed
+    * write or move deletes the dot-prefixed temp file before rethrowing —
+    * a disk-full / permission failure must not leave residue in the
+    * ledger directory (review finding). */
   def record(dir: String, table: String, v: Long): Unit = {
     Files.createDirectories(Paths.get(dir))
     val f = fileOf(dir, table)
     val tmp = Files.createTempFile(Paths.get(dir), s".$table-", ".maxkey")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        try Files.deleteIfExists(tmp) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** The ledger value for `table`, or — on first contact — the result of

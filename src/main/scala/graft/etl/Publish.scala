@@ -16,16 +16,30 @@ import scala.util.{Failure, Success, Try}
 object Publish {
 
   /** Write all `outputs` (name -> DataFrame) under `root`. Returns the
-    * published paths on success; publishes nothing if any write fails. */
-  def publishAll(root: String, outputs: Map[String, DataFrame]): Try[Seq[String]] = {
+    * published paths on success; publishes nothing if any write fails.
+    *
+    * `onStaged` runs after EVERY output is staged and before any swap,
+    * receiving name -> staged path; if it throws, the publish aborts
+    * with nothing swapped in (the staging area is discarded). This is
+    * the write-ahead seam for metadata that must commit BEFORE the data
+    * becomes visible — [[graft.pipelines.Monthly.publishWithLedger]]
+    * records post-mint key-ledger maxima here, so a crash at any point
+    * can only leave the ledger AHEAD of the published warehouse (key
+    * gaps on rerun, the IDENTITY-rollback semantics), never behind it
+    * (duplicate keys). */
+  def publishAll(root: String, outputs: Map[String, DataFrame],
+                 onStaged: Map[String, String] => Unit = _ => ())
+      : Try[Seq[String]] = {
     val rootPath = Paths.get(root)
     Files.createDirectories(rootPath)
     val staging = Files.createTempDirectory(rootPath, ".staging-")
     val staged = Try {
-      outputs.toSeq.map { case (name, df) =>
+      val names = outputs.toSeq.map { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$staging/$name")
         name
       }
+      onStaged(names.map(n => n -> s"$staging/$n").toMap)
+      names
     }
     staged match {
       case Success(names) =>

@@ -83,9 +83,11 @@ object Monthly {
     // run carries a ledger dir (SURVEY §7.3-7: the dimension max is the
     // one driver-side collect worth replacing at 100 TB); without one,
     // the legacy scalar max scan runs inline. A ledger-enabled caller
-    // MUST refresh after publishing ([[refreshLedger]]) — the recorded
-    // max is pre-mint, so skipping the refresh would re-mint the same
-    // keys next run (MonthlySpec proves the full cycle).
+    // publishes through [[publishWithLedger]], which records the
+    // post-mint maxima write-ahead of the swap — the recorded value
+    // here is pre-mint, so publishing around the ledger would re-mint
+    // the same keys next run (MonthlySpec proves the full cycle AND
+    // the crash windows).
     def ledgerMax(table: String, df: DataFrame,
                   keyCol: String): Option[Long] =
       in.keyLedger.map(dir => graft.etl.KeyLedger.maxKey(dir, table) {
@@ -154,26 +156,60 @@ object Monthly {
         Patron.unmappedCount(fact3, in.startKey, in.endKey))
   }
 
-  /** The publish-time half of the KeyLedger contract: refresh the
-    * recorded max for every key-minting dimension from the PUBLISHED
-    * frames. `run` reads the ledger as authoritative and never writes
-    * post-mint maxima (the outputs are still lazy inside run — forcing
-    * them there would double-compute the batch), so a ledger-enabled
-    * deployment must call this after `Publish.publishAll` succeeds;
-    * skipping it re-mints the same keys next run. One scalar aggregate
-    * per dimension, off the mapping critical path — read the frames
-    * back from the published parquet so the scan is a key-column read,
-    * not a lineage replay. MonthlySpec proves the full
-    * run → publish → refresh → rerun cycle continues keys without
-    * collision. */
+  /** The three key-minting dimensions: (ledger table, output name, key
+    * column) — ONE list so [[publishWithLedger]] and [[refreshLedger]]
+    * can never disagree about what gets recorded. */
+  private val ledgerTables = Seq(
+    ("dimFingerprint", "dim_fingerprint", "FingerprintID"),
+    ("dimPatron", "dim_patron", "ID"),
+    ("dimUniquePatron", "dim_unique_patron", "UniquePatronId"))
+
+  /** Publish the batch AND commit the key ledger in the crash-safe
+    * order — the ledger-enabled deployment's ONE publish call. The
+    * post-mint maxima are recorded from the STAGED parquet (already
+    * written, so reading it is a key-column scan, not a lineage
+    * replay) BEFORE any table swaps in, via [[graft.etl.Publish
+    * .publishAll]]'s onStaged seam. That write-ahead ordering is what
+    * makes every crash window safe:
+    *
+    *  - crash while staging: ledger untouched, nothing published —
+    *    the rerun mints the same keys again, publishes once;
+    *  - crash after a ledger record, before the swap: nothing
+    *    published, ledger AHEAD — the rerun mints from the recorded
+    *    max, leaving a key GAP (exactly SQL Server IDENTITY after a
+    *    rollback) but never a duplicate;
+    *  - crash after the swap: ledger and warehouse already agree.
+    *
+    * The reverse order (publish, then record — the old refreshLedger
+    * contract) had a window where a crash left published keys BELOW a
+    * stale ledger max, silently re-minted on rerun; MonthlySpec's
+    * crash-injection test pins that this ordering closes it. */
+  def publishWithLedger(spark: org.apache.spark.sql.SparkSession,
+                        root: String, outputs: Map[String, DataFrame],
+                        ledgerDir: String)
+      : scala.util.Try[Seq[String]] =
+    graft.etl.Publish.publishAll(root, outputs, staged =>
+      ledgerTables.foreach { case (table, out, keyCol) =>
+        staged.get(out).foreach { path =>
+          graft.etl.KeyLedger.recordFrom(ledgerDir, table,
+            spark.read.parquet(path), keyCol)
+        }
+      })
+
+  /** Record the post-mint maxima from already-materialized output
+    * frames — the manual half of the ledger contract for deployments
+    * that publish through their own channel instead of
+    * [[publishWithLedger]] (which is the default: it removes the
+    * crash window between publish and refresh by recording BEFORE the
+    * swap). If you call this yourself, it must run only after the
+    * outputs are DURABLY published; a crash in between leaves the
+    * ledger at the pre-mint max and the next run re-mints published
+    * keys. One scalar aggregate per dimension. */
   def refreshLedger(dir: String,
                     outputs: Map[String, DataFrame]): Unit = {
-    graft.etl.KeyLedger.recordFrom(dir, "dimFingerprint",
-      outputs("dim_fingerprint"), "FingerprintID")
-    graft.etl.KeyLedger.recordFrom(dir, "dimPatron",
-      outputs("dim_patron"), "ID")
-    graft.etl.KeyLedger.recordFrom(dir, "dimUniquePatron",
-      outputs("dim_unique_patron"), "UniquePatronId")
+    ledgerTables.foreach { case (table, out, keyCol) =>
+      graft.etl.KeyLedger.recordFrom(dir, table, outputs(out), keyCol)
+    }
     ()
   }
 }

@@ -140,4 +140,39 @@ class MergeSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"single-partition exchange in sequenceKeysOrdered plan:\n${p.take(2000)}")
   }
+
+  /** The q19 misuse guard: `Merge.sequenceKeys` (the literal global-
+    * window form, a single-partition sort by construction) exists ONLY
+    * to pin the reference's S4:65 semantics in the q19 oracle and to
+    * anchor the ordered form's equivalence test above. Any NEW caller
+    * is a scale regression waiting to ship — this lint fails the build
+    * the moment one appears, so the reference-semantics form cannot
+    * quietly leak into a pipeline. */
+  test("lint: sequenceKeys (global-window form) has no callers outside " +
+      "its q19 oracle home and its own definition/equivalence test") {
+    val allowed = Set(
+      "src/main/scala/graft/etl/Merge.scala", // the definition
+      "src/main/scala/graft/CoreQueries.scala") // q19, reference semantics
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"lint expects to run from the repo root, cwd=${
+        System.getProperty("user.dir")}")
+    val call = java.util.regex.Pattern.compile(
+      "sequenceKeys\\s*\\(") // NOT ...Ordered( / ...Scalable(
+    val walk = java.nio.file.Files.walk(root)
+    val offenders =
+      try walk.filter(p => p.toString.endsWith(".scala"))
+        .filter(p => !allowed(p.toString))
+        .filter { p =>
+          val src = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          call.matcher(src).find()
+        }
+        .map[String](_.toString)
+        .toArray.toSeq
+      finally walk.close()
+    assert(offenders.isEmpty,
+      s"sequenceKeys (single-partition window) called outside its " +
+        s"allowed homes — use sequenceKeysOrdered/Scalable: $offenders")
+  }
 }

@@ -229,6 +229,77 @@ class MonthlySpec extends SparkSpec {
       .contains(11L))
   }
 
+  /** The ledger's durability contract: post-mint maxima commit
+    * WRITE-AHEAD of the warehouse swap (publishWithLedger records from
+    * the staged parquet before anything becomes visible), so a crash in
+    * ANY window leaves key GAPS on rerun — SQL Server IDENTITY-after-
+    * rollback semantics — never duplicate keys. Plus the two repair
+    * paths: a deleted ledger falls back to the first-contact re-scan,
+    * and a failed record() leaves no temp-file residue. */
+  test("publishWithLedger: write-ahead ledger survives a crash between " +
+      "record and swap with gaps not duplicates; deleted-ledger re-scan " +
+      "fallback; record() cleans its temp file on failure") {
+    import graft.etl.{KeyLedger, Publish}
+    import org.apache.spark.sql.functions.max
+    val dir = Files.createTempDirectory("graft_ledger_crash").toString
+    val root = Files.createTempDirectory("graft_pub_crash").toString
+    val in = monthInputs().copy(keyLedger = Some(dir))
+    val out1 = Monthly.run(in).outputs
+      .map { case (k, df) => k -> df.localCheckpoint() }
+
+    // happy path: ONE call stages, records post-mint maxima, swaps —
+    // no separate refreshLedger step for the caller to forget
+    assert(Monthly.publishWithLedger(spark, root, out1, dir).isSuccess)
+    assert(KeyLedger.read(dir, "dimFingerprint").contains(11L),
+      "publishWithLedger must record the post-mint max")
+    assert(spark.read.parquet(s"$root/dim_fingerprint").count() == 2)
+
+    // crash injection: the ledger records land (simulating a larger
+    // run that minted up to 42), then the process dies BEFORE the swap.
+    // publishAll's contract: nothing becomes visible.
+    val bigger = out1 + ("dim_fingerprint" ->
+      out1("dim_fingerprint").withColumn("FingerprintID",
+        org.apache.spark.sql.functions.col("FingerprintID") + 31L)
+        .localCheckpoint()) // max key now 42
+    val boom = Publish.publishAll(root, bigger, staged => {
+      KeyLedger.recordFrom(dir, "dimFingerprint",
+        spark.read.parquet(staged("dim_fingerprint")), "FingerprintID")
+      throw new RuntimeException("injected crash between record and swap")
+    })
+    assert(boom.isFailure, "the injected crash must abort the publish")
+    // the warehouse still shows run 1 (max key 11)...
+    assert(spark.read.parquet(s"$root/dim_fingerprint")
+      .agg(max(col("FingerprintID"))).first().getLong(0) == 11L)
+    // ...and the ledger is AHEAD at 42 — so the rerun mints 43: a gap
+    // of 12..42 (burned, like IDENTITY after rollback), NO duplicate of
+    // any key the crashed run staged
+    assert(KeyLedger.read(dir, "dimFingerprint").contains(42L))
+    val rerunMax = Monthly.run(in).outputs("dim_fingerprint")
+      .agg(max(col("FingerprintID"))).first().getLong(0)
+    assert(rerunMax == 43L,
+      s"rerun after the crash must mint ABOVE the recorded max, got $rerunMax")
+
+    // stale-ledger fallback: a deleted ledger file re-seeds from the
+    // first-contact dimension scan (the documented re-scan path)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "dimFingerprint.maxkey"))
+    val rescanMax = Monthly.run(in).outputs("dim_fingerprint")
+      .agg(max(col("FingerprintID"))).first().getLong(0)
+    assert(rescanMax == 11L && KeyLedger.read(dir, "dimFingerprint")
+        .contains(10L),
+      "a missing ledger entry must fall back to the dim scan and re-seed")
+
+    // record() failure hygiene: moving onto a non-empty DIRECTORY named
+    // like the ledger file fails — the temp file must not survive it
+    val blocked = java.nio.file.Paths.get(dir, "blocked.maxkey")
+    java.nio.file.Files.createDirectories(blocked.resolve("x"))
+    intercept[Exception] { KeyLedger.record(dir, "blocked", 7L) }
+    val residue = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(p => p.getFileName.toString.startsWith(".blocked-"))
+      .count()
+    assert(residue == 0L, "record() leaked a temp file on failure")
+  }
+
   /** The sequencing inside the batch is the range-partitioned form: no
     * single-partition exchange may appear in any published output's
     * executed plan (the O39 scale posture, PlanSpec's discipline applied
