@@ -312,10 +312,95 @@ class ScaleSpec extends SparkSpec {
     // result (pinned in PLANS.md): the plain window still WINS here
     // (3.7 vs 4.6 s) — an in-memory 1.8M-row sort is cheap and the
     // chunked form's exchange+join overhead is not. The crossover
-    // needs a hot key big enough to SPILL one task's sort (hundreds
-    // of millions of rows — beyond what a polite local test can
-    // stage), which is exactly what the operator's scaladoc tells
-    // callers to wait for.
+    // needs a hot key big enough to SPILL one task's sort — x70sp
+    // below FORCES that regime via the window buffer's spill
+    // threshold, since staging hundreds of millions of rows is
+    // beyond a polite local test.
+  }
+
+  test("x70sp forced-spill rehearsal: when the hot task's window " +
+      "buffer actually spills, the chunked as-of keeps every chunk " +
+      "under the spill threshold — disk churn measured via task " +
+      "metrics, outputs fingerprint-identical") {
+    import graft.ops.Temporal
+    // 16M events over ~185 days of seconds, 95% on one key: the hot
+    // window partition is ~15.2M rows. With the buffer forced to
+    // spill every 128k rows (the knob that simulates a task whose
+    // sort exceeds executor memory — locally, 128 GiB of heap means
+    // a real spill would need hundreds of millions of rows), the
+    // plain as-of's single hot task churns through ~115 disk spills
+    // while 65536-second chunks hold ~60k rows each — under the
+    // threshold, memory-only by construction.
+    val n = 16000000L
+    val ev = spark.range(n).select(
+        when(col("id") % 20 < 19, 0L).otherwise(col("id") % 97).as("k"),
+        to_timestamp(from_unixtime(lit(1700000000L) + col("id")))
+          .as("ts"),
+        col("id"))
+      .localCheckpoint()
+    val lhs = ev.filter(col("id") % 2 === 1)
+      .select(col("k"), col("ts"), col("id").as("lid"))
+    val rhs = ev.filter(col("id") % 2 === 0)
+      .select(col("k"), col("ts").as("rts"), col("id").as("rid"))
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(te.taskMetrics).foreach { m =>
+          spilled.addAndGet(m.diskBytesSpilled); ()
+        }
+      }
+    }
+    def measure(f: => (Long, Long)): ((Long, Long), Double, Long) = {
+      spilled.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val fp = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        // listener events drain asynchronously — poll to quiescence
+        var last = -1L
+        var waited = 0
+        while (spilled.get != last && waited < 50) {
+          last = spilled.get; Thread.sleep(100); waited += 1
+        }
+        (fp, secs, spilled.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(col("rid")), sum(col("rid"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val prevMem =
+      spark.conf.get("spark.sql.windowExec.buffer.in.memory.threshold")
+    val prevSp =
+      spark.conf.get("spark.sql.windowExec.buffer.spill.threshold")
+    try {
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "16384")
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "131072")
+      val (plainFp, plainS, plainSpill) = measure(fingerprint(
+        Temporal.asofJoin(lhs, rhs, Seq("k"), "ts", "rts",
+          payload = Seq("rid"), tie = "rid")))
+      val (chunkFp, chunkS, chunkSpill) = measure(fingerprint(
+        Temporal.asofJoinChunked(lhs, rhs, Seq("k"), "ts", "rts",
+          payload = Seq("rid"), tie = "rid", chunkSeconds = 65536L)))
+      assert(chunkFp === plainFp,
+        s"chunked diverged under forced spill: $chunkFp vs $plainFp")
+      // the rehearsal is only honest if the plain hot task REALLY hit
+      // disk, and the chunked form's whole point is that its chunk
+      // partitions never cross the same threshold
+      assert(plainSpill > 0L,
+        "forced-spill setup failed: the plain window never spilled")
+      assert(chunkSpill < plainSpill / 4,
+        f"chunked spilled ${chunkSpill}%d B vs plain ${plainSpill}%d B " +
+          "— chunks crossed the spill threshold")
+      info(f"16M rows, 95%% hot, forced spill: plain $plainS%.1f s " +
+        f"(${plainSpill / 1048576}%d MiB spilled) vs chunked " +
+        f"$chunkS%.1f s (${chunkSpill / 1048576}%d MiB spilled)")
+    } finally {
+      spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", prevMem)
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", prevSp)
+    }
   }
 
   test("knn recall at the benched scale regimes is measured and floored") {

@@ -13,6 +13,19 @@ sub-second entries flap with scheduler noise). This is the slow-drift
 net the per-round 2x driver gate can't see: a query regressing 1.3x
 every round passes each gate and doubles in three rounds.
 
+Streaming keys get a second lens: the min-of-N TOTAL hides 2x
+pass-to-pass swings (pass scheduling, source listing, query startup)
+that would mask a real regression — r12 saw s14 hit 7.47 s on one
+pass vs a 3.06 s min while its per-batch cost never moved. So for
+streaming keys the report also tracks the PER-BATCH MAX from each
+pass's streaming_detail (the number that matters for a monitor:
+state-update cost per trigger), normalized by host_factor:
+ - cross-round: min-of-passes per-batch max compared like any other
+   key (these DO flag as regressions);
+ - within-round: keys whose total swings across passes while the
+   per-batch max stays flat are reported as sum-vs-max divergence —
+   harness/pacing variance, informational, not a gate.
+
 Usage: python3 tools/bench_trend.py [--threshold 1.5] [--floor 0.3]
 """
 import argparse
@@ -42,8 +55,31 @@ def load_rounds(root):
         hf = total.get("host_factor") or 1.0
         if not queries:
             continue
-        rounds.append((int(m.group(1)), hf, queries))
+        # per-pass streaming observations: (normalized total seconds,
+        # normalized per-batch max seconds) per key — the within-round
+        # variance audit and the per-batch trend both read these
+        stream = {}
+        for p in d.get("passes") or []:
+            phf = p.get("host_factor") or 1.0
+            det = p.get("streaming_detail") or {}
+            for k, secs in (p.get("streaming_queries") or {}).items():
+                if secs is None or secs <= 0:
+                    continue
+                mb = (det.get(k) or {}).get("max_batch_ms")
+                mbn = mb / 1000.0 / phf if mb else None
+                stream.setdefault(k, []).append((secs / phf, mbn))
+        rounds.append((int(m.group(1)), hf, queries, stream))
     return rounds
+
+
+def batch_mins(stream):
+    """min-of-passes normalized per-batch max, per streaming key."""
+    out = {}
+    for k, obs in stream.items():
+        vals = [mb for _, mb in obs if mb is not None]
+        if vals:
+            out[k] = min(vals)
+    return out
 
 
 def main():
@@ -70,7 +106,7 @@ def main():
     print(f"rounds: {[r[0] for r in rounds]}  "
           f"(times normalized by each round's host_factor)")
     any_flag = False
-    for (ra, hfa, qa), (rb, hfb, qb) in zip(rounds, rounds[1:]):
+    for (ra, hfa, qa, sa_), (rb, hfb, qb, sb_) in zip(rounds, rounds[1:]):
         common = sorted(set(qa) & set(qb))
         na = sum(qa[k] for k in common if qa[k] > 0) / hfa
         nb = sum(qb[k] for k in common if qb[k] > 0) / hfb
@@ -120,6 +156,57 @@ def main():
         if not flagged:
             print("  no regressions past "
                   f"{args.threshold}x/+{args.floor}s")
+        # streaming per-batch trend: compare min-of-passes normalized
+        # per-batch max — the monitor-relevant cost the total hides
+        # behind pass-scheduling noise. Already host-normalized per
+        # pass, so no calibration-skew demotion applies.
+        ba, bb = batch_mins(sa_), batch_mins(sb_)
+        bflag = []
+        for k in sorted(set(ba) & set(bb)):
+            if bb[k] > ba[k] * args.threshold and bb[k] - ba[k] > args.floor:
+                bflag.append((k, ba[k], bb[k]))
+        for k, a, b in bflag:
+            print(f"  REGRESSED (per-batch) {k}: {a:.2f}s -> {b:.2f}s "
+                  f"({b / a:.2f}x normalized per-batch max)")
+            any_flag = True
+        if ba and bb and not bflag:
+            print(f"  streaming per-batch max: {len(set(ba) & set(bb))} "
+                  f"keys, no regressions")
+
+    # within-round variance audit for the LATEST round: a streaming
+    # total that swings across passes while the per-batch max stays
+    # flat is pass-scheduling / pacing noise the min-of-N hides —
+    # report it so a masked regression can't hide behind "min looked
+    # fine" (informational, never a gate)
+    rlast, _, _, slast = rounds[-1]
+    div = []
+    unstable = []
+    for k, obs in sorted(slast.items()):
+        # drop the first pass when we have spares: its per-batch cost
+        # carries JVM/codegen warm-up (r12: EVERY key reads ~2x pass-1
+        # vs pass-3), which is expected, not instability
+        warm = obs[1:] if len(obs) >= 3 else obs
+        tots = [t for t, _ in warm]
+        mbs = [mb for _, mb in warm if mb is not None]
+        if len(tots) < 2 or len(mbs) < 2 or min(mbs) <= 0:
+            continue
+        tot_spread = max(tots) / min(tots)
+        mb_spread = max(mbs) / min(mbs)
+        if tot_spread > 2.0 and mb_spread < 1.3:
+            div.append((k, tot_spread, mb_spread))
+        elif mb_spread > 2.0 and max(mbs) - min(mbs) > args.floor:
+            unstable.append((k, tot_spread, mb_spread))
+    print(f"\nr{rlast:02d} streaming variance "
+          f"({len(slast)} keys, per-pass normalized):")
+    for k, ts, ms in div:
+        print(f"  SUM-VS-MAX DIVERGENCE {k}: total spread {ts:.2f}x but "
+              f"per-batch max spread {ms:.2f}x — pass noise, min-of-N "
+              f"masks it; trust the per-batch trend above")
+    for k, ts, ms in unstable:
+        print(f"  PER-BATCH UNSTABLE {k}: per-batch max spread {ms:.2f}x "
+              f"across passes — the monitor cost itself is noisy")
+    if not div and not unstable:
+        print("  totals and per-batch maxima agree across passes")
     return 1 if any_flag else 0
 
 
