@@ -23,15 +23,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * register < 2^16 fits above them, and because rank occupies the low
   * bits a sort on the packed int IS a sort on (register, rank). The
   * two forms are distinguishable by length alone: sparse holds at most
-  * m/4 + 1 < m entries, dense exactly m.
+  * the densify cap + 1 < m entries, dense exactly m.
+  *
+  * `sparseCap` is the densify threshold (entries, not bytes); 0 takes
+  * the default m/4. The tradeoff it tunes: a LOWER cap densifies
+  * sooner (bounds the O(n) sorted-insert cost per new register but
+  * pays the flat 2^p state earlier), a HIGHER cap keeps partials small
+  * longer at quadratic insert cost near the cap. ScaleSpec's x85s
+  * sweep measures both regimes; m/4 sits in the flat region of the
+  * crossing workload while keeping the cap well under the point where
+  * insert cost dominates, which is why it is the default (the HLL++
+  * §5.3 choice lands there for the same reason).
   */
-class HyperLogLogSparse(p: Int)
+class HyperLogLogSparse(p: Int, sparseCap: Int = 0)
     extends Aggregator[Long, Array[Int], Array[Int]] {
   require(p >= 4 && p <= 16, "precision p must be in [4, 16]")
 
   private val m = 1 << p
   private val mBits = 60 - p
-  private val sparseMax = m / 4
+  private val sparseMax = if (sparseCap > 0) sparseCap else m / 4
+  require(sparseMax < m, s"sparseCap must stay under m=$m (dense is " +
+    "detected by length == m)")
 
   def zero: Array[Int] = Array.emptyIntArray
 

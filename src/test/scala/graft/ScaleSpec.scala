@@ -757,4 +757,90 @@ class ScaleSpec extends SparkSpec {
     assert(hArea <= zArea,
       s"hilbert boxes should not be looser than morton: $hArea vs $zArea")
   }
+
+  test("x85s sparse-HLL threshold sweep: many-small-groups state bytes " +
+      "collapse vs dense (shuffle-measured), the densify cap sweep is " +
+      "flat around the m/4 default, registers identical throughout") {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.Encoders
+    val p = 12 // m = 4096: dense partials are 16 KiB of ints per group
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        Option(te.taskMetrics).foreach { m =>
+          shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
+      }
+    }
+    def measure(df: => org.apache.spark.sql.DataFrame)
+        : (Seq[(Long, Seq[Int])], Double, Long) = {
+      shuffled.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val t0 = System.nanoTime()
+        val rows = df.orderBy("g").collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Int](1)))
+        val secs = (System.nanoTime() - t0) / 1e9
+        var last = -1L
+        var waited = 0
+        while (shuffled.get != last && waited < 50) {
+          last = shuffled.get; Thread.sleep(100); waited += 1
+        }
+        (rows, secs, shuffled.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def sketch(df: org.apache.spark.sql.DataFrame, cap: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val agg =
+        if (cap < 0) udaf(new graft.functions.HyperLogLog(p),
+          Encoders.scalaLong)
+        else udaf(new graft.functions.HyperLogLogSparse(p, cap),
+          Encoders.scalaLong)
+      df.select(col("g"), graft.ops.Stats.hash60(col("v")).as("__h"))
+        .groupBy(col("g")).agg(agg(col("__h")).as("hll"))
+    }
+    // regime A — many SMALL groups (the sparse form's reason to exist):
+    // 2000 groups x 64 distincts over 8 partitions. Dense carries a
+    // 16 KiB partial per (group, partition) in executor memory and
+    // onto the wire; sparse carries <= 64 packed ints. On the WIRE,
+    // lz4 collapses the dense partials' zero runs, so compressed
+    // shuffle bytes understate the 64x in-memory gap — the measured
+    // wire win is ~2x and the assertion pins sparse strictly smaller;
+    // the memory gap needs no measurement (it is the m/4 cap by
+    // construction).
+    val small = spark.range(512000).select(
+        (col("id") % 2000).as("g"),
+        concat(lit("u"), (col("id") % 128000)).as("v"))
+      .repartition(8).localCheckpoint()
+    val (dRows, dS, dBytes) = measure(sketch(small, -1))
+    val (sRows, sS, sBytes) = measure(sketch(small, 0)) // default m/4
+    assert(sRows == dRows, "sparse registers diverged from dense")
+    assert(sBytes < dBytes,
+      s"sparse partials should shuffle less than dense even compressed: " +
+        s"$sBytes vs $dBytes")
+    info(f"many-small (2000 x 64, p=$p): dense $dS%.1f s " +
+      f"${dBytes / 1024}%d KiB shuffled (lz4) vs sparse $sS%.1f s " +
+      f"${sBytes / 1024}%d KiB — wire ratio ${dBytes.toDouble / sBytes}%.1fx, " +
+      "in-memory partials 16 KiB vs <= 256 B")
+    // regime B — groups that CROSS the cap (40 groups x ~6000
+    // distincts touch ~3150 of 4096 registers): the cap trades sorted-
+    // insert cost against densify point. The sweep records m/16, m/4,
+    // m/2 wall times; registers must agree at every cap. Timings are
+    // evidence (host noise), the recorded flatness is the tuning
+    // conclusion the default rests on.
+    val big = spark.range(960000).select(
+        (col("id") % 40).as("g"),
+        concat(lit("w"), (col("id") % 240000)).as("v"))
+      .repartition(8).localCheckpoint()
+    val caps = Seq((1 << p) / 16, (1 << p) / 4, (1 << p) / 2)
+    val runs = caps.map(c => (c, measure(sketch(big, c))))
+    val (bd, bdS, _) = measure(sketch(big, -1))
+    runs.foreach { case (c, (rows, _, _)) =>
+      assert(rows == bd, s"cap=$c registers diverged from dense")
+    }
+    info("crossing regime (40 x ~6000, p=" + p + "): " +
+      runs.map { case (c, (_, s, _)) => f"cap=$c $s%.1f s" }
+        .mkString(", ") + f" vs dense $bdS%.1f s")
+  }
 }
