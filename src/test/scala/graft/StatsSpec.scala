@@ -386,8 +386,12 @@ class StatsSpec extends SparkSpec {
     val asOf = t0 + 4L * 86400L * 1000000L // B = 4
     def round4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val usersA = (1 to 100).map(i => s"a_$i") // last seen day 1
-    val usersB = (1 to 100).map(i => s"b_$i") // seen day 4 (fresh)
+    // 1000 + 1000 distincts: the A u B union (~2000) lands in p=9's
+    // 2.5m..5m harmonic band so the biasCorrect assertion below has a
+    // correction that actually fires; B alone (~1000) stays in the
+    // linear-counting branch, exercising both estimator paths
+    val usersA = (1 to 1000).map(i => s"a_$i") // last seen day 1
+    val usersB = (1 to 1000).map(i => s"b_$i") // seen day 4 (fresh)
     def frame(rows: Seq[(String, java.sql.Timestamp)]) =
       rows.map { case (v, t) => ("g", v, t) }.toDF("g", "v", "ts")
     def plainEst(values: Seq[String]): Double =
@@ -420,6 +424,27 @@ class StatsSpec extends SparkSpec {
       (s4B * 16L + math.max(s4AB - s4B, 0L) * 2L).toDouble / 16.0
         / 10000.0)
     assert(decayed(mixed) == expectedMixed)
+    // biasCorrect threads the SAME anchor-table correction through the
+    // suffix estimates: replay it from the bias-corrected plain
+    // estimates exactly as above (usersA+B ~200 distinct sits in p=9's
+    // 2.5m..5m band, so the correction actually moves the numbers)
+    def plainEstBc(values: Seq[String]): Double =
+      Stats.hllDistinctBy(frame(values.map(v => (v, ts(0)))).drop("ts"),
+          Seq("g"), col("v"), p = 9, biasCorrect = true)
+        .collect()(0).getAs[Double]("est_distinct")
+    val s4Bbc = math.round(plainEstBc(usersB) * 10000.0)
+    val s4ABbc = math.round(plainEstBc(usersA ++ usersB) * 10000.0)
+    val expectedBc = round4(
+      (s4Bbc * 16L + math.max(s4ABbc - s4Bbc, 0L) * 2L).toDouble / 16.0
+        / 10000.0)
+    val gotBc = Stats.hllDecayedDistinct(
+        Stats.hllEpochSketchBy(frame(mixed), Seq("g"), col("v"),
+          col("ts"), t0, hl, p = 9),
+        Seq("g"), asOf, t0, hl, p = 9, biasCorrect = true)
+      .collect()(0).getAs[Double]("est_decayed")
+    assert(gotBc == expectedBc, s"biasCorrect decayed: $gotBc != $expectedBc")
+    assert(gotBc != decayed(mixed),
+      "the band correction must actually move an in-band estimate")
     // per-epoch registers are partitioning-independent (max-merge)
     val mdf = frame(mixed)
     val onePass = Stats.hllEpochSketchBy(mdf, Seq("g"), col("v"),
@@ -429,14 +454,14 @@ class StatsSpec extends SparkSpec {
         col("v"), col("ts"), t0, hl, p = 9)
       .orderBy("g", "epoch").collect().toSeq
     assert(onePass == sharded, "registers must be partitioning-independent")
-    // rows_decayed is exact forward mass: 100 rows at day 1 + 101 at
-    // day 4 (the echo lands day 0) -> 100/8 + 100/1 + 1/16
+    // rows_decayed is exact forward mass: 1000 rows at day 1 + 1000 at
+    // day 4 + the day-0 echo -> (1000*2 + 1000*16 + 1) / 16
     val rd = Stats.hllDecayedDistinct(
         Stats.hllEpochSketchBy(mdf, Seq("g"), col("v"), col("ts"),
           t0, hl, p = 9),
         Seq("g"), asOf, t0, hl, p = 9)
       .collect()(0).getAs[Double]("rows_decayed")
-    assert(rd == 112.5625, s"rows_decayed $rd")
+    assert(rd == 1125.0625, s"rows_decayed $rd")
     // null event time fails loud (the cmsDecayed rule)
     val exNull = intercept[Exception] {
       Stats.hllEpochSketchBy(
