@@ -642,7 +642,7 @@ object Bench {
             minDistinct = 2.0, maxRepeatFactor = 500.0,
             activityFloor = 1.0,
             t0Micros = 1704067200000000L, halfLifeSeconds = 86400L,
-            asOfMicros = 1706659200000000L,
+            asOfMicros = Some(1706659200000000L),
             sink = _.write.format("noop").mode("overwrite").save()))),
       // streaming transition extraction: buffer-until-watermark pair
       // emission (the s15 discipline on consecutive-event pairs); the

@@ -23,7 +23,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * register < 2^16 fits above them, and because rank occupies the low
   * bits a sort on the packed int IS a sort on (register, rank). The
   * two forms are distinguishable by length alone: sparse holds at most
-  * the densify cap + 1 < m entries, dense exactly m.
+  * the densify cap (< m) entries — an insert that would exceed it
+  * densifies — dense exactly m.
   *
   * `sparseCap` is the densify threshold (entries, not bytes); 0 takes
   * the default m/4. The tradeoff it tunes: a LOWER cap densifies
@@ -38,6 +39,9 @@ import org.apache.spark.sql.expressions.Aggregator
 class HyperLogLogSparse(p: Int, sparseCap: Int = 0)
     extends Aggregator[Long, Array[Int], Array[Int]] {
   require(p >= 4 && p <= 16, "precision p must be in [4, 16]")
+
+  require(sparseCap >= 0, // a negative "cap" silently meaning default
+    s"sparseCap must be >= 0 (0 = the m/4 default); got $sparseCap")
 
   private val m = 1 << p
   private val mBits = 60 - p

@@ -706,15 +706,19 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val suffix = sk
       .select(groupCols.map(col) ++ Seq(col("epoch").as("e"),
-        posexplode(col("hll")).as(Seq("j", "r"))): _*)
+        col("n_rows"), posexplode(col("hll")).as(Seq("j", "r"))): _*)
       .withColumn("mr", max(col("r")).over(wSuffix))
       .groupBy(groupCols.map(col) :+ col("e"): _*)
       // hll_s/hll_v are the hllDistinctBy exact integers on the merged
       // registers: sum of 2^(maxRank - mr) tops out at m * 2^maxRank
-      // = 2^61, inside long
+      // = 2^61, inside long. n_rows rides along (constant per
+      // (group, e) — its sketch row's count), so the per-epoch row
+      // mass needs no join back to the sketch (review finding: that
+      // join was a whole extra exchange on the s20 per-trigger path)
       .agg(sum(pow(lit(2.0), lit(maxRank) - col("mr")).cast("long"))
           .as("hll_s"),
-        sum(when(col("mr") === 0, 1L).otherwise(0L)).as("hll_v"))
+        sum(when(col("mr") === 0, 1L).otherwise(0L)).as("hll_v"),
+        max(col("n_rows")).as("n_rows"))
     val raw = lit(rawNum) / col("hll_s").cast("double")
     val harmonic = if (biasCorrect) raw - hllBiasSpark(p, raw) else raw
     val est = when(raw <= lit(2.5 * m) && col("hll_v") > 0,
@@ -732,9 +736,7 @@ object Stats {
           .cast("decimal(38,0)"),
       "hllDecayedDistinct: row mass overflows decimal — re-anchor t0")
     val twoToB = math.pow(2.0, bAsOf.toDouble)
-    sk.select(groupCols.map(col) ++
-        Seq(col("epoch").as("e"), col("n_rows")): _*)
-      .join(suffix, groupCols :+ "e")
+    suffix
       // fixed-point S_e: round(est * 1e4) is an exact long (est * 1e4
       // stays far under 2^53), the ONE rounding both engines share
       .withColumn("__s4", round(est * lit(10000.0), 0).cast("long"))

@@ -187,14 +187,26 @@ object Monthly {
   def publishWithLedger(spark: org.apache.spark.sql.SparkSession,
                         root: String, outputs: Map[String, DataFrame],
                         ledgerDir: String)
-      : scala.util.Try[Seq[String]] =
+      : scala.util.Try[Seq[String]] = {
+    // fail BEFORE staging, not silently after: a publish that omits a
+    // key-minting dimension (subset publish, renamed output) would
+    // otherwise swap the warehouse in while the ledger keeps the
+    // pre-mint max — the exact silent-duplicate-keys bug this API
+    // exists to close (review finding; refreshLedger's outputs(out)
+    // lookup is loud for the same reason)
+    val missing = ledgerTables.collect {
+      case (_, out, _) if !outputs.contains(out) => out
+    }
+    require(missing.isEmpty,
+      s"publishWithLedger: outputs map lacks key-minting dimension(s) " +
+        s"$missing — publish them here too, or use Publish.publishAll " +
+        "for a subset publish that mints no keys")
     graft.etl.Publish.publishAll(root, outputs, staged =>
       ledgerTables.foreach { case (table, out, keyCol) =>
-        staged.get(out).foreach { path =>
-          graft.etl.KeyLedger.recordFrom(ledgerDir, table,
-            spark.read.parquet(path), keyCol)
-        }
+        graft.etl.KeyLedger.recordFrom(ledgerDir, table,
+          spark.read.parquet(staged(out)), keyCol)
       })
+  }
 
   /** Record the post-mint maxima from already-materialized output
     * frames — the manual half of the ledger contract for deployments

@@ -277,13 +277,22 @@ object Streams {
     * `maxRepeatFactor` (bot flood). A month-old storm's row mass has
     * halved ~30 times, so it falls under the floor and un-alarms while
     * an identical fresh storm still fires — exactly what s13's
-    * all-time registers cannot do (s20, StreamingSpec-pinned). */
+    * all-time registers cannot do (s20, StreamingSpec-pinned).
+    *
+    * `asOfMicros = None` (the long-running deployment default) reads
+    * each trigger "as of the newest data": the as-of epoch is the
+    * grid's max present epoch, so the latest events weigh 1 and the
+    * monitor keeps running as the stream advances. A FIXED Some(asOf)
+    * is the replayable form the spec and bench pin — but a fixed
+    * as-of would make hllDecayedDistinct fail loud (by contract) on
+    * the first event past it, killing the query on healthy traffic
+    * (review finding), so fixed is for bounded replays only. */
   def startDecayedCardinalityMonitor(spark: SparkSession, dir: String,
                                      minDistinct: Double,
                                      maxRepeatFactor: Double,
                                      activityFloor: Double,
                                      t0Micros: Long, halfLifeSeconds: Long,
-                                     asOfMicros: Long,
+                                     asOfMicros: Option[Long],
                                      sink: DataFrame => Unit,
                                      filesPerTrigger: Int = 1, p: Int = 9)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -292,8 +301,16 @@ object Streams {
       .writeStream
       .outputMode("complete")
       .foreachBatch { (grid: DataFrame, _: Long) =>
+        val asOf = asOfMicros.getOrElse {
+          // aggregate-sized grid; an all-null max (no data yet) reads
+          // as-of t0 — the estimate frame is empty then anyway
+          val maxEpoch = grid.agg(max(col("epoch"))).first()
+          t0Micros + (if (maxEpoch.isNullAt(0)) 0L
+                      else maxEpoch.getLong(0)) *
+            halfLifeSeconds * 1000000L
+        }
         sink(graft.ops.Stats.hllDecayedDistinct(grid, Seq("event_type"),
-            asOfMicros, t0Micros, halfLifeSeconds, p)
+            asOf, t0Micros, halfLifeSeconds, p)
           // double /0 is Infinity (not an error even under ANSI), and
           // Infinity > maxRepeatFactor — a zero-distinct active type
           // alarms through either arm, as it should

@@ -426,8 +426,9 @@ class StatsSpec extends SparkSpec {
     assert(decayed(mixed) == expectedMixed)
     // biasCorrect threads the SAME anchor-table correction through the
     // suffix estimates: replay it from the bias-corrected plain
-    // estimates exactly as above (usersA+B ~200 distinct sits in p=9's
-    // 2.5m..5m band, so the correction actually moves the numbers)
+    // estimates exactly as above (the A u B union, ~2000 distinct,
+    // sits in p=9's 2.5m..5m band — 1280..2560 — so the correction
+    // actually moves the numbers; B alone, ~1000, stays linear-counting)
     def plainEstBc(values: Seq[String]): Double =
       Stats.hllDistinctBy(frame(values.map(v => (v, ts(0)))).drop("ts"),
           Seq("g"), col("v"), p = 9, biasCorrect = true)

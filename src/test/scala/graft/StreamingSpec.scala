@@ -1138,7 +1138,7 @@ class StreamingSpec extends SparkSpec {
     // the fixture's organic ~5 decayed users per type (sf0.001 is tiny)
     Streams.startDecayedCardinalityMonitor(spark, dir,
         minDistinct = 2.0, maxRepeatFactor = 500.0, activityFloor = 1.0,
-        t0Micros = t0, halfLifeSeconds = hl, asOfMicros = asOf,
+        t0Micros = t0, halfLifeSeconds = hl, asOfMicros = Some(asOf),
         sink = est => last = est.collect().map(r =>
           r.getString(0) -> (r.getDouble(2), r.getDouble(3),
             r.getBoolean(4))).toMap,
