@@ -769,6 +769,30 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t54's machinery under the DEDUP contract (`keepFirst = true`): the
+    * corpus's NATURAL cross-doc 5-gram duplication (no planted
+    * boilerplate, minDocs = 2), with exactly one copy of every
+    * duplicated span surviving — the min (doc_id, pos) canonical
+    * occurrence. The oracle independently re-derives the canonical
+    * pick (row_number over (dg, doc, pos)) and the canonical-coverage
+    * save, so a single span cut in the wrong document breaks the
+    * hash. */
+  val t122KeepFirstDedup: Q = (s, d) =>
+    TextOps.repeatedNgramRemovalMd5(T.documents(s, d), n = 5,
+        minDocs = 2, keepFirst = true)
+      .select(col("doc_id").cast("long").as("doc_id"), col("clean_text"),
+        col("n_kept"), col("n_removed"))
+      .orderBy(col("doc_id"))
+
+  /** Duplicated-span audit report ([[TextOps.duplicateSpansMd5]]): the
+    * maximal cross-doc duplicated token runs per document, BEFORE any
+    * removal — where the duplication sits and how big it is. The
+    * oracle replays the interval merge (running covered-end window +
+    * break-flag running sum) span for span. */
+  val t123DupSpans: Q = (s, d) =>
+    TextOps.duplicateSpansMd5(T.documents(s, d), n = 5, minDocs = 2)
+      .orderBy(col("doc_id"), col("span_start"))
+
   /** Deterministic shard-shuffle of the corpus into 8 equal shards:
     * global salted-md5 order, integer-exact contiguous cuts — the
     * oracle replays the permutation rank, every cut boundary and the
@@ -2075,6 +2099,34 @@ object DataQueries {
       .orderBy(col("src_id"), col("tgt_id"))
   }
 
+  /** Keyless point-in-interval range join
+    * ([[Temporal.rangeJoinBucketed]]): every purchase × every GLOBAL
+    * error-incident window (error ts .. +30 min) containing it — the
+    * trade-in-outage-window shape where no equi key exists and naive
+    * Spark would plan a BroadcastNestedLoopJoin over |P|·|I| pairs.
+    * Buckets are the 1800 s interval length, so each incident explodes
+    * to exactly 2 bucket rows and the plan is a shuffled equi-join on
+    * the bucket (PlanSpec pins no-BNLJ with auto-broadcast off). The
+    * oracle IS the naive theta join — two formulations, one result,
+    * every overlapping pair (t70's one-nearest-row discipline, but for
+    * the many-match contract). */
+  val t121RangeJoin: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("ts").as("inc_start"),
+        (col("ts") + expr("INTERVAL 30 minutes")).as("inc_end"))
+    Temporal.rangeJoinBucketed(purchases, incidents,
+        pointTs = "ts", startTs = "inc_start", endTs = "inc_end",
+        bucketSeconds = 1800L)
+      .select(col("purchase_id"), col("error_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("inc_start")).as("inc_start_us"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2196,6 +2248,9 @@ object DataQueries {
     "t119_hll_decayed" -> t119HllDecayed,
     "t120_margin_mine_bucketed" -> t120MarginMineBucketed,
     "t118_closure_doubling" -> t118ClosureDoubling,
+    "t121_range_join" -> t121RangeJoin,
+    "t122_keepfirst_dedup" -> t122KeepFirstDedup,
+    "t123_dup_spans" -> t123DupSpans,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT
@@ -2294,6 +2349,22 @@ object DataQueries {
     // the exploded depth x width aggregate's map-side combine is what
     // runs at 100 TB — state stays <= depth*width rows per type however
     // many rows and users stream past
+    // t121's keyless range join at 4x the overlap density: 2-hour
+    // incident windows instead of 30 minutes (~1.1M pairs at sf0.1) —
+    // candidate volume scales with interval length x point density per
+    // bucket, never |P|·|I|; the plan stays the bucket-keyed shuffled
+    // equi-join (PlanSpec pins no-BNLJ / no-broadcast on this frame)
+    "x121_range_join_scale" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("ts").as("inc_start"),
+          (col("ts") + expr("INTERVAL 2 hours")).as("inc_end"))
+      graft.ops.Temporal.rangeJoinBucketed(purchases, incidents,
+        "ts", "inc_start", "inc_end", bucketSeconds = 7200L)
+    }),
     "x117_cms_decayed_scale" -> ((s, d) => {
       val ev = T.events(s, d)
         .select(col("event_type"), col("user_id"), col("ts"))
@@ -2450,6 +2521,12 @@ object DataQueries {
           .otherwise(col("text")).as("text"))
       TextOps.repeatedNgramRemoval(docs, n = 5, minDocs = 3)
     }),
+    // t122's keep-one-copy dedup on the xxhash64 digest family — the
+    // 100 TB path: same digest-keyed shapes plus the canonical arg-min
+    // aggregate and the (doc, position) saved-by-canonical aggregate
+    "x122_keepfirst_dedup_scale" -> ((s, d) =>
+      TextOps.repeatedNgramRemoval(T.documents(s, d), n = 5,
+        minDocs = 2, keepFirst = true)),
     // the reference's heaviest real shape (Seg:74-75: the 12-month
     // trailing window over the full fact; Seg:211's ~9M-patron
     // backfill regime) rehearsed at 10x patron scale on the

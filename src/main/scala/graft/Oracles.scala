@@ -2803,6 +2803,92 @@ object Oracles {
          | cast(src_rank = 1 AND tgt_rank = 1 AS bigint) AS is_mutual
          |FROM r ORDER BY src_id, tgt_id""".stripMargin,
 
+    // keyless point-in-interval range join: the oracle is the NAIVE
+    // theta join the bucketed form exists to avoid — two independent
+    // formulations (|P|·|I| comparisons here, bucket equi-join in the
+    // engine), every overlapping pair, inclusive both ends
+    "t121_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT event_id AS error_id, ts AS inc_start,
+        |    ts + INTERVAL '30 minutes' AS inc_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT cast(p.purchase_id as bigint) AS purchase_id,
+        | cast(i.error_id as bigint) AS error_id,
+        | cast(epoch_us(p.ts) as bigint) AS purchase_us,
+        | cast(epoch_us(i.inc_start) as bigint) AS inc_start_us
+        |FROM p JOIN i
+        |  ON p.ts >= i.inc_start AND p.ts <= i.inc_end
+        |ORDER BY purchase_id, error_id""".stripMargin,
+
+    // keep-one-copy substring dedup: t54's excision chain plus an
+    // independently-derived canonical pick (row_number over
+    // (dg, doc, pos) — the engine uses a min-struct aggregate; two
+    // formulations, one winner) and the canonical-coverage save
+    "t122_keepfirst_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS t,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+        |  FROM documents),
+        |p AS (SELECT doc_id, lt,
+        |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |f AS (SELECT dg FROM g GROUP BY dg
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |o AS (SELECT g.doc_id, g.pos, g.dg,
+        |    row_number() OVER (PARTITION BY g.dg
+        |      ORDER BY g.doc_id, g.pos) AS rn
+        |  FROM g JOIN f USING (dg)),
+        |cov AS (SELECT doc_id, pos + j AS cp,
+        |    CASE WHEN rn = 1 THEN 1 ELSE 0 END AS canon
+        |  FROM o CROSS JOIN range(0,5) r(j)),
+        |rm AS (SELECT doc_id, cp FROM cov GROUP BY doc_id, cp
+        |  HAVING max(canon) = 0),
+        |tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p2
+        |  FROM tok),
+        |kt AS (SELECT tp.doc_id, p2, tp.t[p2] AS w FROM tp
+        |  LEFT JOIN rm ON rm.doc_id = tp.doc_id AND rm.cp = tp.p2
+        |  WHERE rm.cp IS NULL),
+        |a AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p2) AS clean_text,
+        |    count(*) AS nk FROM kt GROUP BY 1)
+        |SELECT cast(tok.doc_id as bigint) AS doc_id,
+        | coalesce(a.clean_text, '') AS clean_text,
+        | cast(coalesce(a.nk, 0) as bigint) AS n_kept,
+        | cast(len(tok.t) - coalesce(a.nk, 0) as bigint) AS n_removed
+        |FROM tok LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // duplicated-span audit: the interval merge over flagged window
+    // starts replayed as the same running-covered-end + break-flag
+    // running-sum construction
+    "t123_dup_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS lt
+        |  FROM documents),
+        |p AS (SELECT doc_id, lt,
+        |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
+        |g AS (SELECT doc_id, pos,
+        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |f AS (SELECT dg FROM g GROUP BY dg
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (SELECT g.doc_id, g.pos AS p FROM g JOIN f USING (dg)),
+        |m AS (SELECT doc_id, p,
+        |    max(p) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 4
+        |      AS prev_end
+        |  FROM s),
+        |b AS (SELECT doc_id, p, CASE WHEN prev_end IS NULL
+        |    OR p > prev_end + 1 THEN 1 ELSE 0 END AS brk FROM m),
+        |i AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY p) AS isl FROM b)
+        |SELECT cast(doc_id as bigint) AS doc_id,
+        | cast(min(p) as bigint) AS span_start,
+        | cast(max(p) + 4 as bigint) AS span_end,
+        | cast(max(p) + 4 - min(p) + 1 as bigint) AS span_tokens,
+        | cast(count(*) as bigint) AS n_windows
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     // hybrid dense+sparse RRF: the full brute-cosine ranking, the full
     // BM25 ranking (both at k=10) and the 1/(60+rank) fusion replayed —
     // a single rank flipped in either modality moves a fused score and

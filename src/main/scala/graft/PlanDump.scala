@@ -32,6 +32,12 @@ object PlanDump {
       .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("\\.scala:\\d+", ".scala:x")
       .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
+      // lambda-variable fresh names draw from one GLOBAL counter, so
+      // ADDING a query shifts x_NNN in every later-planned snapshot —
+      // churn with no plan-shape meaning (the t15 family moved 29
+      // files when t121-t123 landed)
+      .replaceAll("\\blambda x_\\d+", "lambda x_")
+      .replaceAll("\\bx_\\d+#", "x_#")
       .replaceAll("(?m)^(\\s*Location:).*$", "$1 <path>")
       .replaceAll("file:/[^\\s,\\]\\)]+", "<path>")
       .replaceAll("/(?:tmp|root)/[^\\s,\\]\\)]+", "<path>")

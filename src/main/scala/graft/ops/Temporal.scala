@@ -467,6 +467,78 @@ object Temporal {
     * gap are windows over the SAME partitioning — no second shuffle.
     * The long-history user costs maxLen rows downstream no matter how
     * many events they have. */
+  /** Point-in-interval range join: every (`points` row, `intervals` row)
+    * pair where `startTs <= pointTs <= endTs` (inclusive both ends) and
+    * the optional `keys` columns are equal — event-in-session,
+    * trade-in-outage-window, price-validity enrichment. This is the
+    * MANY-match sibling of [[asofJoin]] (which picks ONE nearest row):
+    * the output carries every overlapping interval.
+    *
+    * Why it exists: Spark plans the naive theta form
+    * (`p.ts BETWEEN i.s AND i.e`, no equi key) as
+    * BroadcastNestedLoopJoin — |P|·|I| comparisons, a scale killer the
+    * moment the interval side outgrows a broadcast. This form
+    * manufactures an equi key instead (the standard binned range join):
+    * each point hashes to ONE `bucketSeconds`-wide time bucket, each
+    * interval explodes to the buckets it touches, and a shuffled
+    * equi-join on (keys, bucket) + the exact BETWEEN filter finds every
+    * pair. A point lives in exactly one bucket, so a qualifying pair
+    * appears exactly once — no post-join dedup. Cost: one explode
+    * (ceil(len/width)+1 rows per interval, loud-guarded below), one
+    * hash shuffle each side, candidate volume = pairs sharing a bucket
+    * — tune `bucketSeconds` toward the typical interval length so most
+    * intervals explode to ~2 rows and buckets stay slim.
+    *
+    * SQL comparison semantics throughout (the inner-join oracle's):
+    * null point/start/end timestamps and empty intervals (end < start)
+    * simply match nothing — the null bucket never equi-joins and
+    * `sequence` over a negative span is empty. An interval spanning
+    * more than `maxBucketsPerInterval` buckets fails LOUD instead of
+    * silently exploding the shuffle (an open-ended "interval" — a
+    * sentinel 9999-12-31 end — is a modeling bug this surfaces, not a
+    * row to absorb).
+    *
+    * Output: all `points` columns, then all `intervals` columns except
+    * the shared `keys` (kept once, from the point side). Non-key column
+    * names must not collide — alias on the way in. */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        pointTs: String, startTs: String, endTs: String,
+                        bucketSeconds: Long, keys: Seq[String] = Nil,
+                        maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    val clash = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"non-key columns shared by both sides: $clash — alias them first")
+    val reserved = Set("__rjb")
+    require(!(points.columns ++ intervals.columns).exists(reserved),
+      "__rjb is reserved by rangeJoinBucketed")
+
+    val w = bucketSeconds * 1000000L // micros; bucket ids stay exact longs
+    val p = points.withColumn("__rjb",
+      floor(unix_micros(col(pointTs)) / lit(w)))
+    val b0 = floor(unix_micros(col(startTs)) / lit(w))
+    val b1 = floor(unix_micros(col(endTs)) / lit(w))
+    val guardedB1 = when(b1 - b0 >= lit(maxBucketsPerInterval.toLong),
+        raise_error(concat(
+          lit(s"rangeJoinBucketed: an interval spans more than " +
+            s"$maxBucketsPerInterval buckets of $bucketSeconds s — " +
+            "widen bucketSeconds or fix the interval; start="),
+          col(startTs).cast("string"), lit(" end="),
+          col(endTs).cast("string"))))
+      .otherwise(b1)
+    // sequence(a, b) with b < a DESCENDS (step -1) rather than being
+    // empty — an end-before-start interval must explode to nothing,
+    // so gate the sequence; null gates/bounds explode to no rows too
+    val iv = intervals.withColumn("__rjb",
+      explode(when(b1 >= b0, sequence(b0, guardedB1))))
+    p.join(iv, keys :+ "__rjb",  "inner")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) <= col(endTs))
+      .select((points.columns.map(col) ++
+        intervals.columns.filterNot(keys.contains).map(col)): _*)
+  }
+
   def keyedSequences(events: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, tieCol: String,
                      maxLen: Int): DataFrame = {

@@ -294,6 +294,13 @@ object TextOps {
     * SQL-expressible — the t54 oracle replays shingle counts, run
     * detection and excision term-for-term.
     *
+    * `keepFirst = true` switches from the boilerplate contract (cut
+    * EVERY copy — chrome and license blocks should vanish entirely) to
+    * the dedup contract (Lee et al.'s actual dedup move: keep exactly
+    * ONE copy corpus-wide — the min (doc_id, pos) occurrence — and cut
+    * the rest, so duplicated CONTENT is not lost, merely de-weighted;
+    * t122 oracle-replays the canonical choice).
+    *
     * Scale shape — one digest-keyed discipline, NO suffix arrays, no
     * per-partition collects: the corpus-side gram explode is map-side
     * and carries (id, pos, digest) rows only; corpus-wide frequency is
@@ -305,9 +312,10 @@ object TextOps {
     * doc-keyed join that projects kept tokens by index. */
   def repeatedNgramRemoval(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame =
+                           textCol: String = "text",
+                           keepFirst: Boolean = false): DataFrame =
     repeatedNgramRemovalImpl(docs, n, minDocs, idCol, textCol,
-      md5Keys = false)
+      md5Keys = false, keepFirst = keepFirst)
 
   /** md5-family twin of [[repeatedNgramRemoval]] (the t54 oracle path —
     * DuckDB recomputes the same digests). The xxhash64 family is the
@@ -315,14 +323,84 @@ object TextOps {
     * (TextDedupSpec). */
   def repeatedNgramRemovalMd5(docs: DataFrame, n: Int = 5,
                               minDocs: Int = 2, idCol: String = "doc_id",
-                              textCol: String = "text"): DataFrame =
+                              textCol: String = "text",
+                              keepFirst: Boolean = false): DataFrame =
     repeatedNgramRemovalImpl(docs, n, minDocs, idCol, textCol,
-      md5Keys = true)
+      md5Keys = true, keepFirst = keepFirst)
+
+  /** Cross-document duplicated-SPAN report — the audit artifact next to
+    * [[repeatedNgramRemoval]]'s excision (the t61 decontamination-report
+    * discipline applied to dedup): for every document, the maximal runs
+    * of tokens covered by word `n`-grams that occur in >= `minDocs`
+    * distinct documents. Spans are maximal unions of the covered
+    * intervals [start, start+n-1]: interval merging over sorted starts
+    * (a new span opens only where a start clears the running covered
+    * end by more than one), NOT consecutive-start islands — two flagged
+    * starts 2 apart with an unflagged start between them still overlap
+    * in coverage and must report as ONE span.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens, n_windows) —
+    * 1-based inclusive token positions, `n_windows` = flagged window
+    * starts merged into the span. What it's for: sizing a dedup BEFORE
+    * running it (how much mass would keepFirst cut, which sources
+    * carry it), and pinning down WHERE the duplication sits for audit.
+    *
+    * Scale shape: the same digest-keyed aggregate + semi-join as the
+    * removal (nothing new shuffles corpus-wide); the islands window
+    * partitions by doc_id — bounded by one document's own flagged
+    * windows, never corpus-sized. */
+  def duplicateSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    duplicateSpansImpl(docs, n, minDocs, idCol, textCol, md5Keys = false)
+
+  /** md5-family twin of [[duplicateSpans]] (the t123 oracle path). */
+  def duplicateSpansMd5(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    duplicateSpansImpl(docs, n, minDocs, idCol, textCol, md5Keys = true)
+
+  private def duplicateSpansImpl(docs: DataFrame, n: Int, minDocs: Int,
+                                 idCol: String, textCol: String,
+                                 md5Keys: Boolean): DataFrame = {
+    require(n > 0, "shingle width must be positive")
+    require(minDocs > 1, "minDocs < 2 would flag every gram")
+    val grams = gramPositionRows(docs, n, idCol, textCol, md5Keys)
+    val flagged = grams.groupBy(col("dg"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("dg"))
+    // one row per flagged window start (a start can carry only one
+    // digest, so the semi-join cannot duplicate it); interval merging:
+    // a start opens a NEW span only when it clears the running covered
+    // end (max prior start + n - 1) by more than one — running-sum of
+    // the break flag is the span id
+    val starts = grams.join(flagged, Seq("dg"), "left_semi")
+      .select(col("doc_id"), (col("pos") + 1).as("p")) // 1-based
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val prevEnd = max(col("p"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1)) + (n - 1)
+    starts
+      .withColumn("__new",
+        when(prevEnd.isNull || col("p") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"),
+        col("n_windows").cast("long").as("n_windows"))
+  }
 
   private def repeatedNgramRemovalImpl(docs: DataFrame, n: Int,
                                        minDocs: Int, idCol: String,
                                        textCol: String,
-                                       md5Keys: Boolean): DataFrame = {
+                                       md5Keys: Boolean,
+                                       keepFirst: Boolean = false): DataFrame = {
     require(n > 0, "shingle width must be positive")
     require(minDocs > 1, "minDocs < 2 would flag every gram")
     val grams = gramPositionRows(docs, n, idCol, textCol, md5Keys)
@@ -332,12 +410,42 @@ object TextOps {
       .agg(count_distinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("dg"))
+    val occ = grams.join(flagged, Seq("dg"), "left_semi")
     // covered 1-based token positions per doc: union of [pos+1, pos+n]
     // over flagged window starts — collect_set merges overlaps into
-    // maximal runs; only flagged rows reach this aggregate
-    val covered = grams.join(flagged, Seq("dg"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("pos") + 1, col("pos") + n)).as("cp"))
+    // maximal runs; only flagged rows reach this aggregate.
+    //
+    // keepFirst = the DEDUP contract instead of the boilerplate one:
+    // the corpus keeps exactly one copy of every duplicated span — the
+    // CANONICAL occurrence, min (doc_id, pos) per digest (an arg-min
+    // AGGREGATE, map-side combinable — deliberately not a per-digest
+    // window, whose one-task partition a boilerplate gram in millions
+    // of docs would hot-spot). A token is excised only when NO
+    // canonical window covers it, so the winning document's span
+    // survives verbatim while every other copy — including a SECOND
+    // occurrence inside the winner itself — is cut. Unique-window
+    // coverage deliberately does NOT save a token: the k-1 edge tokens
+    // of a duplicated run always sit under unique straddling windows,
+    // and saving them would shrink every excision by its margins.
+    val coveredRows =
+      if (!keepFirst)
+        occ.select(col("doc_id"),
+          explode(sequence(col("pos") + 1, col("pos") + n)).as("cp"))
+      else {
+        val canon = occ.groupBy(col("dg"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("__c"))
+        occ.join(canon, Seq("dg"))
+          .withColumn("__canon",
+            (col("__c.doc_id") === col("doc_id") &&
+              col("__c.pos") === col("pos")).cast("int"))
+          .select(col("doc_id"), col("__canon"),
+            explode(sequence(col("pos") + 1, col("pos") + n)).as("cp"))
+          .groupBy(col("doc_id"), col("cp"))
+          .agg(max(col("__canon")).as("__saved"))
+          .filter(col("__saved") === 0)
+          .select(col("doc_id"), col("cp"))
+      }
+    val covered = coveredRows
       .groupBy(col("doc_id"))
       .agg(collect_set(col("cp")).as("__cov"))
     // reassembly is O(tokens + covered) per doc: kept positions come

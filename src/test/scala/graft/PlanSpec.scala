@@ -110,6 +110,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("t121/x121: the keyless range join is a bucket-keyed equi-join — " +
+      "no BNLJ, no cartesian, nothing broadcast with the threshold off") {
+    // the NAIVE formulation of t121 (pure theta predicate, no equi key)
+    // can only plan as BroadcastNestedLoopJoin / cartesian; the bucket
+    // key is what makes it shuffle-joinable — pin that on the gated
+    // query AND on the 4x-density frame the x121 bench times
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((label, df) <- Seq(
+          "t121" -> SparkEntry.queries("t121_range_join")(spark, d),
+          "x121" -> DataQueries.benchOnly("x121_range_join_scale")(spark, d))) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct") && !p.contains("BroadcastExchange"),
+          s"$label: ${p.take(2000)}")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$label: ${p.take(2000)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("t15: line dedup reads only (doc_id, text) from the scan") {
     val p = plan("t15_line_dedup")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),

@@ -399,4 +399,86 @@ class TemporalSpec extends SparkSpec {
       (2L, 1L, "x", -1L), // tie: lower id is older -> pos 1
       (2L, 2L, "y", 0L)), out.toSeq.toString)
   }
+
+  test("rangeJoinBucketed == naive theta join on real events (keyless " +
+      "AND keyed), and the pair set is bucket-width-invariant") {
+    val ev = graft.etl.Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("i_user"), col("ts").as("inc_start"),
+        (col("ts") + expr("INTERVAL 2 hours")).as("inc_end"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("purchase_id", "error_id")
+    val naive = purchases.join(incidents,
+      col("ts") >= col("inc_start") && col("ts") <= col("inc_end"))
+    val naiveKeyed = naive.filter(col("p_user") === col("i_user"))
+    for (w <- Seq(60L, 1800L, 7200L, 86400L)) {
+      val got = Temporal.rangeJoinBucketed(purchases, incidents,
+        "ts", "inc_start", "inc_end", bucketSeconds = w)
+      assert(pairs(got).exceptAll(pairs(naive)).isEmpty &&
+        pairs(naive).exceptAll(pairs(got)).isEmpty,
+        s"keyless pair-set mismatch at bucketSeconds=$w")
+    }
+    // keyed: the same-user restriction rides the equi key, not the filter
+    val keyed = Temporal.rangeJoinBucketed(
+      purchases.withColumnRenamed("p_user", "u"),
+      incidents.withColumnRenamed("i_user", "u"),
+      "ts", "inc_start", "inc_end", bucketSeconds = 3600L,
+      keys = Seq("u"))
+    assert(pairs(keyed).exceptAll(pairs(naiveKeyed)).isEmpty &&
+      pairs(naiveKeyed).exceptAll(pairs(keyed)).isEmpty,
+      "keyed pair-set mismatch")
+  }
+
+  test("rangeJoinBucketed edges: inclusive bounds, end-before-start and " +
+      "null timestamps match nothing, null keys match nothing, and an " +
+      "oversized interval fails loud") {
+    val nullTs = lit(null).cast("timestamp")
+    val pts = Seq((1L, "2024-01-01 00:00:10"), (2L, "2024-01-01 00:01:00"))
+      .toDF("pid", "p").select(col("pid"), to_timestamp(col("p")).as("p"))
+      .unionByName(Seq(3L).toDF("pid")
+        .select(col("pid"), nullTs.as("p")))
+    val ivs = Seq(
+      (10L, "2024-01-01 00:00:10", "2024-01-01 00:00:10"), // point == both ends
+      (11L, "2024-01-01 00:00:05", "2024-01-01 00:00:59"), // p1 only
+      (12L, "2024-01-01 00:02:00", "2024-01-01 00:01:00"), // end < start
+      (13L, "2024-01-01 00:01:00", "2024-01-01 00:01:30")  // p2 at start edge
+    ).toDF("iid", "s0", "e0")
+      .select(col("iid"), to_timestamp(col("s0")).as("s"),
+        to_timestamp(col("e0")).as("e"))
+      .unionByName(Seq(14L).toDF("iid")
+        .select(col("iid"), nullTs.as("s"), nullTs.as("e")))
+    val got = Temporal.rangeJoinBucketed(pts, ivs, "p", "s", "e",
+        bucketSeconds = 7L) // width coprime to the data's second grid
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)), got.toString)
+    // null keys never pair (SQL equi-join semantics)
+    val kp = pts.withColumn("k",
+      when(col("pid") === 1L, lit(null).cast("string")).otherwise(lit("a")))
+    val ki = ivs.withColumn("k",
+      when(col("iid").isin(10L, 11L), lit(null).cast("string"))
+        .otherwise(lit("a")))
+    val keyed = Temporal.rangeJoinBucketed(kp, ki, "p", "s", "e",
+        bucketSeconds = 7L, keys = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(keyed == Set((2L, 13L)), keyed.toString)
+    // an interval spanning more than maxBucketsPerInterval buckets is a
+    // modeling bug (open-ended sentinel end) -> loud, not a silent explode
+    val wide = Seq((20L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+      .toDF("iid", "s0", "e0")
+      .select(col("iid"), to_timestamp(col("s0")).as("s"),
+        to_timestamp(col("e0")).as("e"))
+    val err = intercept[Exception] {
+      Temporal.rangeJoinBucketed(pts, wide, "p", "s", "e",
+        bucketSeconds = 60L, maxBucketsPerInterval = 5).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(err).contains("rangeJoinBucketed"), chain(err).take(500))
+  }
 }

@@ -432,6 +432,86 @@ class TextDedupSpec extends SparkSpec {
     assert(planted.filter(col("n_removed") < 13).count() === 0L)
   }
 
+  test("repeatedNgramRemoval keepFirst: the min-(doc,pos) copy survives " +
+      "verbatim — including against a SECOND occurrence in the winner — " +
+      "and every other copy is excised; families agree") {
+    import spark.implicits._
+    val span = "one two three four five six seven"
+    val docs = Seq(
+      // winner (lowest doc id): span at pos 4..10, AND AGAIN at 13..19
+      (1L, "aa bb cc " + span + " dd ee " + span),
+      (2L, "ff gg " + span + " hh"),
+      (3L, "ii " + span))
+      .toDF("doc_id", "text")
+    val out = TextOps.repeatedNgramRemoval(docs, n = 4, minDocs = 2,
+        keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 keeps the FIRST occurrence only (the second is a
+    // non-canonical copy of every constituent gram)
+    assert(out(1L) === (("aa bb cc " + span + " dd ee", 12L, 7L)),
+      out(1L).toString)
+    assert(out(2L) === (("ff gg hh", 3L, 7L)), out(2L).toString)
+    assert(out(3L) === (("ii", 1L, 7L)), out(3L).toString)
+    // keepFirst = false (the boilerplate contract) cuts the winner too
+    val all = TextOps.repeatedNgramRemoval(docs, n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(all(1L) === 14L && all(2L) === 7L && all(3L) === 7L)
+    // corpus-wide conservation: exactly one copy of the span remains
+    // across the whole output
+    // family parity on the real corpus at the t122 parameters
+    val md5Out = TextOps.repeatedNgramRemovalMd5(
+      graft.etl.Tables.documents(spark, "/root/testdata/sf0.001"),
+      n = 5, minDocs = 2, keepFirst = true)
+    val xxOut = TextOps.repeatedNgramRemoval(
+      graft.etl.Tables.documents(spark, "/root/testdata/sf0.001"),
+      n = 5, minDocs = 2, keepFirst = true)
+    assert(md5Out.except(xxOut).count() === 0L &&
+      xxOut.except(md5Out).count() === 0L,
+      "hash families disagree under keepFirst")
+  }
+
+  test("duplicateSpans: maximal merged spans with exact boundaries; " +
+      "overlapping non-consecutive starts merge into ONE span") {
+    import spark.implicits._
+    val span = "one two three four five six seven"       // 7 tokens
+    val docs = Seq(
+      (1L, "aa bb cc " + span + " dd ee"),                // span at 4..10
+      (2L, span + " ff gg"),                              // span at 1..7
+      // two separated copies of a SHORTER shared 4-gram
+      (3L, "one two three four hh ii jj kk one two three four"))
+      .toDF("doc_id", "text")
+    val out = TextOps.duplicateSpans(docs, n = 4, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // doc1: starts 4..7 merge -> span 4..10 (7 tokens, 4 windows)
+    // doc2: starts 1..4 -> 1..7
+    // doc3: "one two three four" duplicated cross-doc at starts 1 and 9
+    //       -> TWO disjoint spans (gap 5..8 is unique)
+    assert(out === Set(
+      (1L, 4L, 10L, 7L, 4L),
+      (2L, 1L, 7L, 7L, 4L),
+      (3L, 1L, 4L, 4L, 1L),
+      (3L, 9L, 12L, 4L, 1L)), out.toString)
+    // interval-merge (not consecutive-starts): plant grams at starts
+    // 1 and 3 only (start 2's gram is unique) — coverage overlaps, so
+    // ONE span 1..6 with 2 windows
+    val tricky = Seq(
+      (10L, "pp qq rr ss tt uu vv"),
+      (11L, "pp qq rr ss xx rr ss tt uu yy"))
+      .toDF("doc_id", "text")
+    val t = TextOps.duplicateSpans(tricky, n = 4, minDocs = 2)
+      .filter(col("doc_id") === 10L)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(t === Set((1L, 6L, 2L)), t.toString)
+    // md5 family parity (the t123 oracle path)
+    val a = TextOps.duplicateSpans(docs, n = 4, minDocs = 2)
+    val b = TextOps.duplicateSpansMd5(docs, n = 4, minDocs = 2)
+    assert(a.except(b).count() === 0L && b.except(a).count() === 0L)
+  }
+
   test("retainBest keeps exactly the best-scored member per cluster; " +
       "unpaired docs survive as their own cluster") {
     import spark.implicits._
