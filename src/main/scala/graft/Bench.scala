@@ -323,6 +323,20 @@ object Bench {
             col("ts").as("view_ts"), col("value").as("view_value"))
           .localCheckpoint())
     }
+    // s21's frozen incident windows: every error event opens a
+    // 30-minute window — materialized untimed like the other statics
+    val incidentsStaticMemo =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    def incidentsStatic(s: SparkSession, d: String): DataFrame =
+      synchronized {
+        incidentsStaticMemo.getOrElseUpdate(d,
+          graft.etl.Tables.events(s, d)
+            .filter(col("event_type") === "error")
+            .select(col("event_id").as("error_id"),
+              col("ts").as("inc_start"),
+              (col("ts") + expr("INTERVAL 30 minutes")).as("inc_end"))
+            .localCheckpoint())
+      }
     // s12's frozen benchmark BM25 index: every 50th doc as the
     // held-out "benchmark" corpus (fan-out per incoming doc = sum of
     // matched bench dfs — the benchmark size IS the cost knob),
@@ -358,6 +372,7 @@ object Bench {
       embProfile(streamSpark, sfDir)
       dsirProf(streamSpark, sfDir)
       viewsStatic(streamSpark, sfDir)
+      incidentsStatic(streamSpark, sfDir)
       bm25Idx(streamSpark, sfDir)
       transBase(streamSpark, sfDir)
       graft.etl.Tables.exportedEmbsParts(streamSpark, sfDir)
@@ -644,6 +659,27 @@ object Bench {
             t0Micros = 1704067200000000L, halfLifeSeconds = 86400L,
             asOfMicros = Some(1706659200000000L),
             sink = _.write.format("noop").mode("overwrite").save()))),
+      // stream-static range join: each paced purchase microbatch x the
+      // frozen incident windows (every containing window, the
+      // many-match contract) — the s11 discipline on t121's operator
+      "s21_range_join" -> ((s, d) => {
+        requireStreamStaticWarm()
+        val incidents = incidentsStatic(s, d)
+        runStreamQuery("s21_range_join", () =>
+          Streams.eventsStreamPaced(s,
+              graft.etl.Tables.exportedEventsParts(s, d))
+            .filter(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"), col("ts"))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.ops.Temporal.rangeJoinBucketed(b, incidents,
+                  "ts", "inc_start", "inc_end", bucketSeconds = 1800L)
+                .write.format("noop").mode("overwrite").save()
+              ()
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }),
       // streaming transition extraction: buffer-until-watermark pair
       // emission (the s15 discipline on consecutive-event pairs); the
       // flush sentinel part advances the watermark so the tails emit

@@ -2028,7 +2028,8 @@ object Oracles {
         |p AS (SELECT doc_id, lt,
         |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
         |g AS (SELECT doc_id, pos,
-        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |    ('0x'||substr(md5(array_to_string(lt[pos:pos+4], ' ')),
+        |      1,15))::bigint AS dg FROM p),
         |f AS (SELECT dg FROM g GROUP BY dg HAVING count(DISTINCT doc_id) >= 3),
         |cov AS (SELECT DISTINCT g.doc_id, g.pos + j AS cp
         |  FROM g JOIN f USING (dg) CROSS JOIN range(0,5) r(j)),
@@ -2833,7 +2834,8 @@ object Oracles {
         |p AS (SELECT doc_id, lt,
         |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
         |g AS (SELECT doc_id, pos,
-        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |    ('0x'||substr(md5(array_to_string(lt[pos:pos+4], ' ')),
+        |      1,15))::bigint AS dg FROM p),
         |f AS (SELECT dg FROM g GROUP BY dg
         |  HAVING count(DISTINCT doc_id) >= 2),
         |o AS (SELECT g.doc_id, g.pos, g.dg,
@@ -2868,7 +2870,8 @@ object Oracles {
         |p AS (SELECT doc_id, lt,
         |    unnest(range(1, greatest(len(lt) - 4, 0) + 1)) AS pos FROM tok),
         |g AS (SELECT doc_id, pos,
-        |    md5(array_to_string(lt[pos:pos+4], ' ')) AS dg FROM p),
+        |    ('0x'||substr(md5(array_to_string(lt[pos:pos+4], ' ')),
+        |      1,15))::bigint AS dg FROM p),
         |f AS (SELECT dg FROM g GROUP BY dg
         |  HAVING count(DISTINCT doc_id) >= 2),
         |s AS (SELECT g.doc_id, g.pos AS p FROM g JOIN f USING (dg)),

@@ -255,7 +255,8 @@ object TextOps {
     * [[repeatedNgramRemoval]] needs to excise runs. Same codegen-only
     * construction (shifted slices + arrays_zip + posexplode, no
     * interpreted HOFs on the corpus path); gram keys are lowercased,
-    * digests md5 (cross-engine) or xxhash64 (scale family). */
+    * digests hash60 (md5-derived long — cross-engine) or xxhash64
+    * (scale family). */
   private def gramPositionRows(docs: DataFrame, n: Int, idCol: String,
                                textCol: String,
                                md5Keys: Boolean): DataFrame = {
@@ -267,8 +268,17 @@ object TextOps {
       .select(col("doc_id"), posexplode(col("__a")))
       .filter(col(s"col.__s${n - 1}").isNotNull)
     val fields = (0 until n).map(i => col(s"col.__s$i"))
-    val dg = if (md5Keys) md5(concat_ws(" ", fields: _*))
-             else xxhash64(fields: _*)
+    // both families carry the digest as a LONG: the oracle family is
+    // hash60 (first 15 hex chars of md5 — DuckDB replays it as
+    // ('0x'||substr(md5(g),1,15))::bigint, the KMV discipline). The
+    // original full-hex md5 STRING keys shuffled 4x the bytes and the
+    // dg-keyed aggregates ran GC-bound on 32-char comparisons —
+    // measured on t123: string keys 9.3 MB / 22 s executor time at
+    // sf0.1, long keys ~1/4 the shuffle and most of the wait gone.
+    val dg = if (md5Keys)
+        conv(substring(md5(concat_ws(" ", fields: _*)), 1, 15), 16, 10)
+          .cast("long")
+      else xxhash64(fields: _*)
     zipped.select(col("doc_id"), col("pos"), dg.as("dg"))
   }
 
@@ -365,7 +375,10 @@ object TextOps {
                                  md5Keys: Boolean): DataFrame = {
     require(n > 0, "shingle width must be positive")
     require(minDocs > 1, "minDocs < 2 would flag every gram")
+    // one materialization, two consumers — same rationale as the
+    // removal's gram checkpoint above
     val grams = gramPositionRows(docs, n, idCol, textCol, md5Keys)
+      .localCheckpoint()
     val flagged = grams.groupBy(col("dg"))
       .agg(count_distinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
@@ -403,7 +416,13 @@ object TextOps {
                                        keepFirst: Boolean = false): DataFrame = {
     require(n > 0, "shingle width must be positive")
     require(minDocs > 1, "minDocs < 2 would flag every gram")
+    // materialized once — the gram frame feeds TWO branches (the
+    // document-frequency aggregate and the probe side of the
+    // semi-join); without this the tokenize + explode + digest lineage
+    // runs once per branch (the t03 band-frame discipline; measured on
+    // t123's twin chain, the recompute was a third of the cost)
     val grams = gramPositionRows(docs, n, idCol, textCol, md5Keys)
+      .localCheckpoint()
     // document frequency per digest; a gram repeated WITHIN one doc
     // counts once (distinct doc_id) — the cross-document rule
     val flagged = grams.groupBy(col("dg"))

@@ -1153,6 +1153,33 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Stream-static RANGE-JOIN enrichment — the s11 as-of discipline on
+    * the many-match contract: each paced purchase microbatch joins
+    * against a FROZEN frame of incident windows through
+    * [[graft.ops.Temporal.rangeJoinBucketed]] (every purchase × every
+    * containing window; inner, so out-of-window purchases drop —
+    * the alert-correlation shape, not the enrichment one). Stateless
+    * across batches; per-row results depend only on (row, static), so
+    * pacing cannot change them (StreamingSpec: paced == batch). */
+  def runRangeJoinOnce(spark: SparkSession, dir: String,
+                       intervals: DataFrame, startTs: String,
+                       endTs: String, bucketSeconds: Long,
+                       sink: DataFrame => Unit,
+                       filesPerTrigger: Int = 1): Unit = {
+    val q = eventsStreamPaced(spark, dir, filesPerTrigger)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.ops.Temporal.rangeJoinBucketed(batch, intervals,
+          "ts", startTs, endTs, bucketSeconds))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming form of [[ingestScreen]] — the s10 bench shape: paced
     * documents screened per microbatch against BOTH frozen statics via
     * foreachBatch, each batch emerging with all gate columns at once.

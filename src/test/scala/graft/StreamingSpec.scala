@@ -969,6 +969,38 @@ class StreamingSpec extends SparkSpec {
       "the 1s tolerance must void matches the unbounded join kept")
   }
 
+  test("runRangeJoinOnce: paced stream-static range join == batch " +
+      "rangeJoinBucketed pair-for-pair; multi-window purchases carry " +
+      "every containing incident") {
+    import graft.ops.Temporal
+    val d = "/root/testdata/sf0.001"
+    val parts = graft.etl.Tables.exportedEventsParts(spark, d, parts = 4)
+    val ev = graft.etl.Tables.events(spark, d)
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("ts").as("inc_start"),
+        (col("ts") + expr("INTERVAL 2 hours")).as("inc_end"))
+      .localCheckpoint()
+    def pairs(b: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      b.select(col("purchase_id"), col("error_id")).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    Streams.runRangeJoinOnce(spark, parts, incidents, "inc_start",
+      "inc_end", bucketSeconds = 7200L, b => got += pairs(b))
+    assert(got.size >= 4, s"expected >=4 paced microbatches, saw ${got.size}")
+    val paced = got.toSeq.flatten.sorted
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts"))
+    val batch = pairs(Temporal.rangeJoinBucketed(purchases, incidents,
+      "ts", "inc_start", "inc_end", bucketSeconds = 7200L)).sorted
+    assert(paced == batch,
+      "per-microbatch range join against the static must equal batch")
+    // the many-match contract is actually exercised: at least one
+    // purchase sits inside MORE than one incident window
+    assert(paced.groupBy(_._1).values.exists(_.size > 1),
+      "fixture should put some purchase in overlapping incident windows")
+  }
+
   test("frequencyGrid: paced stream == batch (CMS cells sum across " +
       "microbatches); the foreachBatch probe flags a planted storm item " +
       "and never undercounts") {
