@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *   - -1 entries are excluded from every total; a query that never
   *     succeeded appears as -1 in "queries" so breakage is visible;
   *   - reps auto-downshift: if a completed pass exceeds
-  *     SPARK_GRAFT_BENCH_BUDGET wall seconds (default 300), remaining
-  *     passes are skipped — a 10-50x-degraded host yields one honest
-  *     pass instead of a dead process;
+  *     SPARK_GRAFT_BENCH_BUDGET wall seconds (default 600 — raised in
+  *     round 13 when the honest noop-write action pushed a healthy
+  *     full pass to ~400 s wall, where the old 300 s budget forced
+  *     every record down to noisy min-of-1), remaining passes are
+  *     skipped — a 10-50x-degraded host yields one honest pass
+  *     instead of a dead process;
   *   - single-pass -1 rescue (round-7 post-mortem: the downshifted pass
   *     made q07's one capped attempt the final record): when only one
   *     pass ran and it left -1 entries, exactly those queries are
@@ -111,7 +114,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toDouble
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
     // clear any stale last-line handoff: a previous run killed between
     // writing the file and sbt's exit hook would otherwise replay its
     // record into some LATER sbt invocation's stdout
@@ -191,7 +194,22 @@ object Bench {
     def timePass(qs: Seq[(String, (SparkSession, String) => DataFrame)])
         : Seq[(String, Double)] =
       qs.map { case (name, fn) =>
-        name -> timed(name) { fn(spark, sfDir).count(); () }
+        // noop WRITE, not count() — the hostKernelAction rationale
+        // applied to the queries themselves: under count() Catalyst
+        // prunes every column no aggregate needs and ELIMINATES
+        // cardinality-preserving operators outright (left joins on
+        // unique keys, projections), so a projection-shaped operator
+        // times as a bare scan. Round-13 catch: t54's 0.1 s "cost" was
+        // count() dropping the entire excision chain via left-join
+        // elimination — the real number is ~1.6 s. The noop sink
+        // computes every output column and row, which is what a
+        // pipeline consumer pays. (Numbers before the round-13 record
+        // are count()-timed: projection-heavy keys read low there —
+        // cross-round trend comparisons must use the same action.)
+        name -> timed(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ()
+        }
       }
 
     val main = (("seg_staging" ->

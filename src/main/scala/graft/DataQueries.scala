@@ -2127,6 +2127,27 @@ object DataQueries {
       .orderBy(col("purchase_id"), col("error_id"))
   }
 
+  /** Keyless interval-OVERLAP join ([[Temporal.intervalJoinBucketed]]):
+    * every 20-minute view session × every global 30-minute error
+    * incident it overlaps — t121's many-match discipline for
+    * interval×interval, where the first-common-bucket rule replaces a
+    * post-join dedup. The oracle is the naive overlap theta join. */
+  val t124IntervalJoin: Q = (s, d) => {
+    val ev = T.events(s, d)
+    val sessions = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts").as("v_start"),
+        (col("ts") + expr("INTERVAL 20 minutes")).as("v_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 30 minutes")).as("i_end"))
+    Temporal.intervalJoinBucketed(sessions, incidents, "v_start",
+        "v_end", "i_start", "i_end", bucketSeconds = 1800L)
+      .select(col("view_id"), col("error_id"),
+        unix_micros(col("v_start")).as("v_start_us"),
+        unix_micros(col("i_start")).as("i_start_us"))
+      .orderBy(col("view_id"), col("error_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t01_doc_stats" -> t01DocStats,
     "t02_exact_dedup" -> t02ExactDedup,
@@ -2251,6 +2272,7 @@ object DataQueries {
     "t121_range_join" -> t121RangeJoin,
     "t122_keepfirst_dedup" -> t122KeepFirstDedup,
     "t123_dup_spans" -> t123DupSpans,
+    "t124_interval_join" -> t124IntervalJoin,
   )
 
   /** Scale-path variants of the sketch family, timed by Bench but NOT

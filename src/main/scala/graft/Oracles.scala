@@ -2822,6 +2822,23 @@ object Oracles {
         |  ON p.ts >= i.inc_start AND p.ts <= i.inc_end
         |ORDER BY purchase_id, error_id""".stripMargin,
 
+    // interval-overlap join: the naive theta overlap join the bucketed
+    // form avoids — every (session, incident) pair with
+    // vs <= ie AND is <= ve, inclusive closed intervals
+    "t124_interval_join" ->
+      """WITH v AS (SELECT event_id AS view_id, ts AS vs,
+        |    ts + INTERVAL '20 minutes' AS ve
+        |  FROM events WHERE event_type = 'view'),
+        |i AS (SELECT event_id AS error_id, ts AS ist,
+        |    ts + INTERVAL '30 minutes' AS ie
+        |  FROM events WHERE event_type = 'error')
+        |SELECT cast(v.view_id as bigint) AS view_id,
+        | cast(i.error_id as bigint) AS error_id,
+        | cast(epoch_us(v.vs) as bigint) AS v_start_us,
+        | cast(epoch_us(i.ist) as bigint) AS i_start_us
+        |FROM v JOIN i ON v.vs <= i.ie AND i.ist <= v.ve
+        |ORDER BY view_id, error_id""".stripMargin,
+
     // keep-one-copy substring dedup: t54's excision chain plus an
     // independently-derived canonical pick (row_number over
     // (dg, doc, pos) — the engine uses a min-struct aggregate; two

@@ -36,8 +36,8 @@ object PlanDump {
       // ADDING a query shifts x_NNN in every later-planned snapshot —
       // churn with no plan-shape meaning (the t15 family moved 29
       // files when t121-t123 landed)
-      .replaceAll("\\blambda x_\\d+", "lambda x_")
-      .replaceAll("\\bx_\\d+#", "x_#")
+      .replaceAll("\\blambda ([a-z])_\\d+", "lambda $1_")
+      .replaceAll("\\b([a-z])_\\d+#", "$1_#")
       .replaceAll("(?m)^(\\s*Location:).*$", "$1 <path>")
       .replaceAll("file:/[^\\s,\\]\\)]+", "<path>")
       .replaceAll("/(?:tmp|root)/[^\\s,\\]\\)]+", "<path>")

@@ -664,14 +664,30 @@ object Similarity {
     * come from [[kmeansCentroids]] — or any clustering feeding
     * (centroid_id, vec).
     *
-    * The argmin is a partial-aggregated `min(struct(-cosine, cid, vec))`
-    * (the [[pqEncode]] discipline), NOT a row_number window: the map-side
-    * combine collapses the corpus x k broadcast expansion back to one row
-    * per vector before the id-keyed exchange, and no sort is needed —
-    * a window formulation would shuffle and sort all corpus x k rows per
-    * consumer. The struct ordering (distance, then centroid_id) is the
-    * same deterministic tiebreak; the vec field rides along and is never
-    * compared (centroid ids are unique). */
+    * The argmin is `min_by(cid, packed)` over a packed decimal
+    * comparable — the FULL [[pqEncode]] discipline, applied here in
+    * round 13 after the honest (noop-write) bench exposed what the old
+    * `min(struct(-cosine, cid, vec))` form cost: a struct-valued Min
+    * whose buffer carries an ARRAY is not UnsafeRow-mutable, so the
+    * aggregate fell to SortAggregate with interpreted struct ordering
+    * and a per-row vector copy — 512 s of CPU on x44's 32k x 256
+    * expansion, 15x the entire rest of the query (count()-based
+    * timing had pruned the aggregate away, which is why no round saw
+    * it). The packed form is ONE long:
+    * floor(-cos * 1e12) in the high bits (distance, 1e-12 buckets),
+    * the centroid RANK (row_number over cid, loud-guarded at 2^20) in
+    * the low 20 bits as the tiebreak — long arithmetic end to end, no
+    * per-row BigDecimal. Exactly-equal cosines (identical centroid
+    * vectors) share a bucket and tie to the lowest cid, the same
+    * winner the struct ordering picked; distinct cosines within one
+    * 1e-12 bucket also fall to the cid tiebreak where the old form
+    * compared doubles — the same accepted resolution bound as
+    * pqEncode's decimal packing. The vector no longer rides the buffer at all:
+    * it is functionally dependent on the id, so it moves to the GROUP
+    * KEY and the whole argmin hash-aggregates with a map-side combine
+    * (PlanSpec pins HashAggregate / forbids SortAggregate on t44's
+    * assignment). No sort, no window: the corpus x k expansion
+    * collapses map-side before the id-keyed exchange. */
   /** Align a centroid frame's vector element type to the corpus's (the
     * [[ivfTopK]]/[[kmeansStep]] rule, centralized): trained centroid
     * frames carry array<double> decimal-accumulated means while corpora
@@ -692,15 +708,34 @@ object Similarity {
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cidCol: String = "centroid_id",
-                cvecCol: String = "cvec"): DataFrame =
+                cvecCol: String = "cvec"): DataFrame = {
+    val ranked = alignCentroids(vecs, centroids, vecCol, cvecCol)
+      .select(col(cidCol), col(cvecCol))
+      .withColumn("__cr", (row_number().over(Window.orderBy(col(cidCol)))
+        - 1).cast("long"))
+    val rankGuard = when(col("__cr") >= 1048576L,
+        raise_error(lit("ivfAssign packs the centroid rank into 20 " +
+          "bits; the centroid table has >= 2^20 rows")))
+      .otherwise(col("__cr"))
+    // ALL-LONG packing (no per-row BigDecimal): distance bucket
+    // floor(-cos * 1e12) in the high bits, centroid rank in the low 20
+    // — |floor| <= 1e12, x 2^20 + rank < 2^60, no overflow. Ordering =
+    // (1e-12-bucketed distance, rank): exactly-equal cosines share a
+    // bucket and the rank picks the lowest cid (the old struct
+    // ordering's winner); distinct cosines within one 1e-12 bucket
+    // also fall to the rank — the same accepted resolution bound as
+    // [[pqEncode]]'s decimal packing. A decimal(25,24) form was ~4 us
+    // of BigDecimal per expansion row; this is long arithmetic on top
+    // of the native cosine kernel.
+    val packed =
+      floor((-cosine(col(vecCol), col(cvecCol))) * lit(1e12)) *
+        lit(1048576L) + rankGuard
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(alignCentroids(vecs, centroids, vecCol, cvecCol)
-        .select(col(cidCol), col(cvecCol))))
-      .groupBy(col(idCol))
-      .agg(min(struct((-cosine(col(vecCol), col(cvecCol))).as("__d"),
-        col(cidCol).as("__cid"), col(vecCol).as("__v"))).as("__m"))
-      .select(col(idCol), col("__m.__v").as(vecCol),
-        col("__m.__cid").as(cidCol))
+      .crossJoin(broadcast(ranked))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(min_by(col(cidCol), packed).as(cidCol))
+      .select(col(idCol), col(vecCol), col(cidCol))
+  }
 
   /** End-to-end IVF search — the piece that makes a trained index
     * ([[kmeansCentroids]] or any (centroid_id, cvec) frame) usable the

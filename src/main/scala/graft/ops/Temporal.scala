@@ -539,6 +539,76 @@ object Temporal {
         intervals.columns.filterNot(keys.contains).map(col)): _*)
   }
 
+  /** Interval-overlap join: every (`left` row, `right` row) pair whose
+    * closed intervals [ls, le] and [rs, re] OVERLAP (`ls <= re AND
+    * rs <= le`) with the optional `keys` equal — session × outage,
+    * shift × incident, stay × promotion-window. The interval × interval
+    * generalization of [[rangeJoinBucketed]] (a point is a zero-length
+    * interval).
+    *
+    * Same binned construction — both sides explode to the buckets they
+    * touch and equi-join on (keys, bucket) — plus the FIRST-COMMON-
+    * BUCKET rule instead of a post-join dedup: two overlapping
+    * intervals share every bucket their intersection touches, so the
+    * pair is kept only in the bucket where the later one starts,
+    * `greatest(floor(ls/w), floor(rs/w))` — exactly one surviving copy
+    * per qualifying pair, no distinct over an exploded result. Cost and
+    * guards are [[rangeJoinBucketed]]'s: ceil(len/width)+1 rows per
+    * interval per side (loud at `maxBucketsPerInterval`), one hash
+    * shuffle each side, candidate volume = co-bucketed pairs. Null
+    * bounds and empty (end < start) intervals match nothing — the
+    * inner-join oracle's comparison semantics.
+    *
+    * Output: all `left` columns, then all `right` columns except the
+    * shared `keys`. Non-key names must not collide — alias on the way
+    * in. */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame,
+                           leftStart: String, leftEnd: String,
+                           rightStart: String, rightEnd: String,
+                           bucketSeconds: Long, keys: Seq[String] = Nil,
+                           maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    val clash = left.columns.toSet
+      .intersect(right.columns.toSet) -- keys
+    require(clash.isEmpty,
+      s"non-key columns shared by both sides: $clash — alias them first")
+    val reserved = Set("__ijb", "__ijs")
+    require(!(left.columns ++ right.columns)
+        .exists(c => reserved.contains(c)),
+      "__ijb/__ijs are reserved by intervalJoinBucketed")
+
+    val w = bucketSeconds * 1000000L
+    def explodeSide(df: DataFrame, startC: String, endC: String) = {
+      val b0 = floor(unix_micros(col(startC)) / lit(w))
+      val b1 = floor(unix_micros(col(endC)) / lit(w))
+      val guardedB1 = when(b1 - b0 >= lit(maxBucketsPerInterval.toLong),
+          raise_error(concat(
+            lit(s"intervalJoinBucketed: an interval spans more than " +
+              s"$maxBucketsPerInterval buckets of $bucketSeconds s — " +
+              "widen bucketSeconds or fix the interval; start="),
+            col(startC).cast("string"), lit(" end="),
+            col(endC).cast("string"))))
+        .otherwise(b1)
+      // gate on b1 >= b0: sequence() DESCENDS for inverted bounds
+      // (the rangeJoinBucketed lesson), and null gates explode to no rows
+      df.withColumn("__ijs", b0)
+        .withColumn("__ijb", explode(when(b1 >= b0,
+          sequence(col("__ijs"), guardedB1))))
+    }
+    val l = explodeSide(left, leftStart, leftEnd)
+    val r = explodeSide(right, rightStart, rightEnd)
+      .withColumnRenamed("__ijs", "__ijs_r")
+    l.join(r, keys :+ "__ijb", "inner")
+      .filter(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        // first-common-bucket: keep the pair only where the LATER
+        // interval starts — each qualifying pair survives exactly once
+        col("__ijb") === greatest(col("__ijs"), col("__ijs_r")))
+      .select((left.columns.map(col) ++
+        right.columns.filterNot(keys.contains).map(col)): _*)
+  }
+
   def keyedSequences(events: DataFrame, keyCol: String, tsCol: String,
                      valueCol: String, tieCol: String,
                      maxLen: Int): DataFrame = {

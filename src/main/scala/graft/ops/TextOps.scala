@@ -99,13 +99,30 @@ object TextOps {
       "es" -> Seq("el", "la", "de", "que", "los", "es", "una", "por"),
       "it" -> Seq("il", "di", "che", "la", "per", "con", "una", "sono"),
     )
-    val toks = split(lower(trim(text)), "\\s+")
+    // ONE codegen'd regexp_count pass per language, not 8 interpreted
+    // HOF filter() passes each re-evaluating the split (the ngramRows
+    // lesson: HOFs have no doGenCode and their task time scales with
+    // thread count; 40 such passes made langId ~the whole cost of
+    // t01's noop-timed stats pass). `(?:^|\s)w(?=\s|$)` counts exactly
+    // the whitespace-token equality matches the filter form counted:
+    // the lookahead leaves the trailing separator unconsumed, so
+    // back-to-back stopwords all match; same Java regex engine as the
+    // split, so whitespace classes agree.
+    val norm = lower(trim(text))
     val scores = profiles.map { case (lang, words) =>
-      val score = words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
-      struct(score.cast("int").as("score"), lit(lang).as("lang"))
+      val pat = words.mkString("(?:^|\\s)(?:", "|", ")(?=\\s|$)")
+      struct(regexp_count(norm, lit(pat)).cast("int").as("score"),
+        lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    // 'und' rides INSIDE the greatest as a score-0 sentinel instead of
+    // a CASE around it: the CASE form evaluates the greatest twice
+    // (condition + value — conditional branches defeat subexpression
+    // elimination), doubling every regex pass. Ordering is unchanged:
+    // at score 0 the sentinel wins because 'und' sorts above every
+    // profile code ('en'..'it'); any positive score beats it.
+    val sentinel = struct(lit(0).cast("int").as("score"),
+      lit("und").as("lang"))
+    greatest(scores :+ sentinel: _*).getField("lang")
   }
 
   /** Content-defined document fingerprint: hash of the normalized text

@@ -121,6 +121,7 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       for ((label, df) <- Seq(
           "t121" -> SparkEntry.queries("t121_range_join")(spark, d),
+          "t124" -> SparkEntry.queries("t124_interval_join")(spark, d),
           "x121" -> DataQueries.benchOnly("x121_range_join_scale")(spark, d))) {
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("BroadcastNestedLoopJoin") &&
@@ -225,6 +226,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p.take(2000))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         p.take(2000))
+      // the ivfAssign argmin must HASH-aggregate (min_by over a packed
+      // decimal, vector in the group key) — the old min(struct(..,vec))
+      // buffer fell to SortAggregate with interpreted struct ordering:
+      // 512 s of CPU on x44's expansion, invisible under count() timing
+      assert(!p.contains("SortAggregate"), p.take(2000))
+      assert(p.contains("HashAggregate"), p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

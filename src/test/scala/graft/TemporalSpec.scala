@@ -433,6 +433,83 @@ class TemporalSpec extends SparkSpec {
       "keyed pair-set mismatch")
   }
 
+  test("intervalJoinBucketed == naive overlap join on real events " +
+      "(keyless AND keyed), bucket-width-invariant, exactly one row " +
+      "per qualifying pair") {
+    val ev = graft.etl.Tables.events(spark, d)
+    val sessions = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_start"),
+        (col("ts") + expr("INTERVAL 20 minutes")).as("v_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("i_user"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 30 minutes")).as("i_end"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("view_id", "error_id")
+    val naive = sessions.join(incidents,
+      col("v_start") <= col("i_end") && col("i_start") <= col("v_end"))
+    for (w <- Seq(60L, 1800L, 86400L)) {
+      val got = Temporal.intervalJoinBucketed(sessions, incidents,
+        "v_start", "v_end", "i_start", "i_end", bucketSeconds = w)
+      // exceptAll both ways ALSO proves multiplicity 1 (a duplicated
+      // pair would survive the diff against the naive single row)
+      assert(pairs(got).exceptAll(pairs(naive)).isEmpty &&
+        pairs(naive).exceptAll(pairs(got)).isEmpty,
+        s"keyless pair-set mismatch at bucketSeconds=$w")
+    }
+    val naiveKeyed = naive.filter(col("v_user") === col("i_user"))
+    val keyed = Temporal.intervalJoinBucketed(
+      sessions.withColumnRenamed("v_user", "u"),
+      incidents.withColumnRenamed("i_user", "u"),
+      "v_start", "v_end", "i_start", "i_end",
+      bucketSeconds = 3600L, keys = Seq("u"))
+    assert(pairs(keyed).exceptAll(pairs(naiveKeyed)).isEmpty &&
+      pairs(naiveKeyed).exceptAll(pairs(keyed)).isEmpty,
+      "keyed pair-set mismatch")
+  }
+
+  test("intervalJoinBucketed edges: touching endpoints overlap, nesting " +
+      "and identity count once, end-before-start and null bounds match " +
+      "nothing, oversized interval fails loud") {
+    val nullTs = lit(null).cast("timestamp")
+    def mk(rows: Seq[(Long, String, String)], id: String, s0: String,
+           e0: String) =
+      rows.toDF(id, "s0", "e0")
+        .select(col(id), to_timestamp(col("s0")).as(s0),
+          to_timestamp(col("e0")).as(e0))
+    val ls = mk(Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:10:00"),
+      (2L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+      (3L, "2024-01-01 03:00:00", "2024-01-01 02:30:00")), // end < start
+      "lid", "ls", "le")
+      .unionByName(Seq(4L).toDF("lid")
+        .select(col("lid"), nullTs.as("ls"), nullTs.as("le")))
+    val rs = mk(Seq(
+      (10L, "2024-01-01 00:10:00", "2024-01-01 00:20:00"), // touches l1's end
+      (11L, "2024-01-01 01:15:00", "2024-01-01 01:20:00"), // nested in l2
+      (12L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"), // identical to l2
+      (13L, "2024-01-01 02:00:01", "2024-01-01 02:30:00")),// just past l2
+      "rid", "rstart", "rend")
+    val got = Temporal.intervalJoinBucketed(ls, rs, "ls", "le",
+        "rstart", "rend", bucketSeconds = 7L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: each pair exactly once
+    assert(got.sorted.toSeq ==
+      Seq((1L, 10L), (2L, 11L), (2L, 12L)), got.mkString(","))
+    val err = intercept[Exception] {
+      Temporal.intervalJoinBucketed(ls,
+        mk(Seq((20L, "2024-01-01 00:00:00", "2024-01-01 01:00:00")),
+          "rid", "rstart", "rend"),
+        "ls", "le", "rstart", "rend",
+        bucketSeconds = 60L, maxBucketsPerInterval = 5).count()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    assert(chain(err).contains("intervalJoinBucketed"), chain(err).take(500))
+  }
+
   test("rangeJoinBucketed edges: inclusive bounds, end-before-start and " +
       "null timestamps match nothing, null keys match nothing, and an " +
       "oversized interval fails loud") {
