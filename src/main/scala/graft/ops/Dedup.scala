@@ -263,19 +263,25 @@ object Dedup {
                     textCol: String = "text"): DataFrame = {
     def normText(t: Column): Column =
       lower(regexp_replace(trim(t), "\\s+", " "))
-    def grams(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(graft.ops.TextOps.wordShingles(
-        col(textCol), shingleSize)).as("__g"): _*)
+    // gram rows through the codegen'd ngramRows explode, keyed by
+    // xxhash64 longs: the old explode(wordShingles(...)) evaluated the
+    // chained zip_with INTERPRETED per document (the ngramRows
+    // pathology — task time scaled with thread count), and md5-hex
+    // keys shuffled 4x the bytes of a long. The key is engine-internal
+    // (the t27/t61 oracles replay COUNTS and FLAGS, never the hash),
+    // so the 64-bit family is safe here — unlike the t03 signature
+    // paths where the oracle rebuilds the digests themselves.
+    def gramKeys(df: DataFrame, keep: Seq[String]): DataFrame =
+      graft.ops.TextOps.ngramRows(df, shingleSize, textCol, keep)
+        .select(keep.map(col) :+ xxhash64(col("ngram")).as("__gh"): _*)
     val evalExact = evalSet.select(md5(normText(col(textCol))).as("__h"))
       .distinct()
-    val evalGrams = grams(evalSet).select(md5(col("__g")).as("__gh"))
-      .distinct()
+    val evalGrams = gramKeys(evalSet, Nil).distinct()
     val exactIds = train
       .select(col(idCol), md5(normText(col(textCol))).as("__h"))
       .join(evalExact, Seq("__h"), "left_semi")
       .select(col(idCol)).distinct().withColumn("__exact", lit(1L))
-    val gramIds = grams(train, col(idCol))
-      .select(col(idCol), md5(col("__g")).as("__gh"))
+    val gramIds = gramKeys(train, Seq(idCol))
       .join(evalGrams, Seq("__gh"), "left_semi")
       .select(col(idCol)).distinct().withColumn("__gram", lit(1L))
     train.select(col(idCol))
@@ -296,27 +302,33 @@ object Dedup {
     * (t61 oracle).
     *
     * Scale shape — the flag's discipline unchanged: eval grams dedup
-    * once to a compact md5-hex hash column; train grams dedup per doc
-    * and meet them in ONE hash-keyed left-semi join; only (id, count)
+    * once to a compact 64-bit key column; train grams dedup per doc
+    * and meet them in ONE hash-keyed left join; only (id, count)
     * rows aggregate after it. Nothing text-sized crosses a shuffle. */
   def decontaminationReport(train: DataFrame, evalSet: DataFrame,
                             shingleSize: Int = 5,
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
-    def grams(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(graft.ops.TextOps.wordShingles(
-        col(textCol), shingleSize)).as("__g"): _*)
-    val evalGrams = grams(evalSet).select(md5(col("__g")).as("__gh"))
+    // same codegen'd gram rows + long keys as [[decontaminate]], and
+    // ONE pass over the train grams: the hit flag rides a left join
+    // against the distinct eval keys (each gram matches at most one),
+    // so total and contaminated counts come from a single doc-keyed
+    // aggregate — the old semi-join + second aggregate re-ran the
+    // whole gram explode per consumer
+    val evalGrams = graft.ops.TextOps.ngramRows(evalSet, shingleSize,
+        textCol)
+      .select(xxhash64(col("ngram")).as("__gh")).distinct()
+      .withColumn("__hit", lit(1L))
+    val agg = graft.ops.TextOps.ngramRows(train, shingleSize, textCol,
+        keep = Seq(idCol))
+      .select(col(idCol), xxhash64(col("ngram")).as("__gh"))
       .distinct()
-    val tg = grams(train, col(idCol))
-      .select(col(idCol), md5(col("__g")).as("__gh"))
-      .distinct()
-    val counts = tg.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val hits = tg.join(evalGrams, Seq("__gh"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__c"))
+      .join(evalGrams, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__c"))
     train.select(col(idCol))
-      .join(counts, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
+      .join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__n"), lit(0L)).as("n_grams"),
         coalesce(col("__c"), lit(0L)).as("n_contaminated"),
