@@ -271,6 +271,14 @@ object Dedup {
     // (the t27/t61 oracles replay COUNTS and FLAGS, never the hash),
     // so the 64-bit family is safe here — unlike the t03 signature
     // paths where the oracle rebuilds the digests themselves.
+    // Collision bound (round-13 ADVICE): 64-bit keys admit birthday
+    // collisions at ~n^2/2^65 expected colliding PAIRS over n distinct
+    // grams — at n = 2^32 (a ~100 TB corpus's gram universe) that is
+    // ~0.5 expected pairs CORPUS-WIDE, each producing at most one
+    // spurious contamination flag (false-positive-only: a collision
+    // can only ADD a flag, never hide real contamination). A screen
+    // that cannot tolerate even that should use the md5-gram
+    // variant's 128-bit keys and pay the 4x shuffle bytes.
     def gramKeys(df: DataFrame, keep: Seq[String]): DataFrame =
       graft.ops.TextOps.ngramRows(df, shingleSize, textCol, keep)
         .select(keep.map(col) :+ xxhash64(col("ngram")).as("__gh"): _*)

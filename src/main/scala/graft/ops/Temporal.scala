@@ -501,6 +501,16 @@ object Temporal {
     * Output: all `points` columns, then all `intervals` columns except
     * the shared `keys` (kept once, from the point side). Non-key column
     * names must not collide — alias on the way in. */
+  /** Exact floor division of a long-micros column by a positive long
+    * width, staying in integer arithmetic end to end: `a - pmod(a, w)`
+    * is exactly divisible by `w`, and `div` is the integral divide.
+    * The obvious `floor(a / w)` routes through DOUBLE division, which
+    * is floor-exact only while |a| < 2^53 (~year 2255 in micros) — a
+    * far-future timestamp could mis-bucket at a boundary and silently
+    * drop a qualifying pair (round-13 ADVICE). */
+  private[graft] def floorDivMicros(a: Column, w: Long): Column =
+    call_function("div", a - pmod(a, lit(w)), lit(w))
+
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
                         pointTs: String, startTs: String, endTs: String,
                         bucketSeconds: Long, keys: Seq[String] = Nil,
@@ -517,9 +527,9 @@ object Temporal {
 
     val w = bucketSeconds * 1000000L // micros; bucket ids stay exact longs
     val p = points.withColumn("__rjb",
-      floor(unix_micros(col(pointTs)) / lit(w)))
-    val b0 = floor(unix_micros(col(startTs)) / lit(w))
-    val b1 = floor(unix_micros(col(endTs)) / lit(w))
+      floorDivMicros(unix_micros(col(pointTs)), w))
+    val b0 = floorDivMicros(unix_micros(col(startTs)), w)
+    val b1 = floorDivMicros(unix_micros(col(endTs)), w)
     val guardedB1 = when(b1 - b0 >= lit(maxBucketsPerInterval.toLong),
         raise_error(concat(
           lit(s"rangeJoinBucketed: an interval spans more than " +
@@ -573,15 +583,18 @@ object Temporal {
       .intersect(right.columns.toSet) -- keys
     require(clash.isEmpty,
       s"non-key columns shared by both sides: $clash — alias them first")
-    val reserved = Set("__ijb", "__ijs")
+    // __ijs_r included: the right side's __ijs is RENAMED to it below,
+    // so an input column already named __ijs_r would slip past a
+    // two-name guard and ambiguate the greatest() (round-13 ADVICE)
+    val reserved = Set("__ijb", "__ijs", "__ijs_r")
     require(!(left.columns ++ right.columns)
         .exists(c => reserved.contains(c)),
-      "__ijb/__ijs are reserved by intervalJoinBucketed")
+      "__ijb/__ijs/__ijs_r are reserved by intervalJoinBucketed")
 
     val w = bucketSeconds * 1000000L
     def explodeSide(df: DataFrame, startC: String, endC: String) = {
-      val b0 = floor(unix_micros(col(startC)) / lit(w))
-      val b1 = floor(unix_micros(col(endC)) / lit(w))
+      val b0 = floorDivMicros(unix_micros(col(startC)), w)
+      val b1 = floorDivMicros(unix_micros(col(endC)), w)
       val guardedB1 = when(b1 - b0 >= lit(maxBucketsPerInterval.toLong),
           raise_error(concat(
             lit(s"intervalJoinBucketed: an interval spans more than " +

@@ -99,6 +99,12 @@ object TextOps {
       "es" -> Seq("el", "la", "de", "que", "los", "es", "una", "por"),
       "it" -> Seq("il", "di", "che", "la", "per", "con", "una", "sono"),
     )
+    // the score-0 sentinel below wins ties only because 'und' sorts
+    // lexicographically ABOVE every profile code — a future profile
+    // named 'vi'/'zh' would silently steal the no-hits case from 'und'
+    // unless this invariant is kept (round-13 ADVICE)
+    require(profiles.forall(_._1 < "und"),
+      "langId profile codes must sort below the 'und' sentinel")
     // ONE codegen'd regexp_count pass per language, not 8 interpreted
     // HOF filter() passes each re-evaluating the split (the ngramRows
     // lesson: HOFs have no doGenCode and their task time scales with

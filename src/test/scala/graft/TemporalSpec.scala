@@ -558,4 +558,32 @@ class TemporalSpec extends SparkSpec {
       if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
     assert(chain(err).contains("rangeJoinBucketed"), chain(err).take(500))
   }
+
+  test("floorDivMicros is exact integer floor division: matches " +
+      "Math.floorDiv beyond 2^53 micros (where floor(double/) rounds " +
+      "wrong) and on pre-1970 negatives (where trunc-div rounds wrong)") {
+    // adversarial values: 1-2 micros below a multiple of the 7 s bucket
+    // width near year 9999 (|a| > 2^53) — double conversion rounds the
+    // numerator UP across the multiple, so floor(a.toDouble / w) lands
+    // one bucket high; and negatives, where integral `div` alone would
+    // truncate toward zero instead of flooring
+    val w = 7000000L
+    val micros = Seq(
+      253402300794999999L, 253402300794999998L, // double-floor off by +1
+      253402300787999999L,                      // same pathology
+      253402300795000000L,                      // exact multiple (control)
+      -1L, -6999999L, -7000000L, -7000001L,     // pre-1970 floor vs trunc
+      0L, 1L, 6999999L)                         // small controls
+    val got = micros.toDF("a")
+      .select(col("a"), Temporal.floorDivMicros(col("a"), w).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    micros.foreach { a =>
+      assert(got(a) == Math.floorDiv(a, w),
+        s"a=$a got=${got(a)} want=${Math.floorDiv(a, w)}")
+    }
+    // and at least one of the adversarial values genuinely breaks the
+    // old double formulation — the reason this helper exists
+    assert(math.floor(253402300794999999L.toDouble / w.toDouble).toLong !=
+      Math.floorDiv(253402300794999999L, w))
+  }
 }
