@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   *     every record down to noisy min-of-1), remaining passes are
   *     skipped — a 10-50x-degraded host yields one honest pass
   *     instead of a dead process;
+  *   - pass-START health gate (round-13 post-mortem: the official r13
+  *     record was one pass begun at host_factor 4.66 — contention
+  *     inflated early queries 10-20x and poisoned every trend drawn
+  *     from it): a pass whose start kernel breaches
+  *     SPARK_GRAFT_BENCH_MAX_START_FACTOR (default 2.0) waits
+  *     SPARK_GRAFT_BENCH_GATE_WAIT s (default 60) and re-measures, up
+  *     to SPARK_GRAFT_BENCH_GATE_TRIES times (default 5); if the gate
+  *     exhausts, the pass runs anyway and its line (and, when EVERY
+  *     pass exhausted, the total/compact record) carries
+  *     degraded_start=true so trend tooling can refuse the record;
   *   - single-pass -1 rescue (round-7 post-mortem: the downshifted pass
   *     made q07's one capped attempt the final record): when only one
   *     pass ran and it left -1 entries, exactly those queries are
@@ -115,6 +125,22 @@ object Bench {
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toDouble
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
+    // Pass-START health gate (round-13 post-mortem: the official r13
+    // record was a single pass STARTED at host_factor 4.66 — external
+    // contention inflated its early queries 10-20x over clean-pass
+    // numbers, poisoning every cross-round trend drawn from it). The
+    // budget downshift already refuses to CONTINUE on a degraded host;
+    // this refuses to START recording into one: a pass whose start
+    // kernel reads above MAX_START_FACTOR waits GATE_WAIT seconds and
+    // re-measures, up to GATE_TRIES times, before running anyway —
+    // bounded, so a permanently-busy host still yields a record, with
+    // degraded_start=true marking it untrustworthy for trending.
+    val maxStartFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_START_FACTOR", "2.0").toDouble
+    val gateWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_WAIT", "60").toDouble
+    val gateTries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_TRIES", "5").toInt.max(0)
     // clear any stale last-line handoff: a previous run killed between
     // writing the file and sbt's exit hook would otherwise replay its
     // record into some LATER sbt invocation's stdout
@@ -769,10 +795,34 @@ object Bench {
 
     case class Pass(main: Seq[(String, Double)], scale: Seq[(String, Double)],
                     streaming: Seq[(String, Double)], hostFactor: Double,
-                    hostFactorEnd: Double)
+                    hostFactorEnd: Double, gateWaits: Int = 0,
+                    degradedStart: Boolean = false)
     def kernelFactor(): Double = {
       val kernelSec = timed("host_kernel") { hostKernelAction(spark) }
       if (kernelSec < 0) -1.0 else kernelSec / HostKernelRefSec
+    }
+    /** Start-gated calibration: re-measure (after a bounded wait) while
+      * the host reads degraded — above the gate OR a failed (-1)
+      * kernel, which on a wedged host means the watchdog cap fired.
+      * Returns (factor, waits, stillDegraded). */
+    def gatedStartFactor(): (Double, Int, Boolean) = {
+      var f = kernelFactor()
+      var waits = 0
+      def degraded = f < 0 || f > maxStartFactor
+      while (degraded && waits < gateTries) {
+        System.err.println(
+          f"[bench] pass-start host_factor $f%.2f breaches the " +
+            f"$maxStartFactor%.1f start gate; waiting ${gateWaitSec}%.0fs " +
+            s"(retry ${waits + 1}/$gateTries) for the host to calm down")
+        Thread.sleep((gateWaitSec * 1000).toLong)
+        f = kernelFactor()
+        waits += 1
+      }
+      if (degraded)
+        System.err.println(
+          f"[bench] start gate exhausted after $waits waits at " +
+            f"host_factor $f%.2f — recording anyway, degraded_start=true")
+      (f, waits, degraded)
     }
     var passes = Vector.empty[Pass]
     var pass = 0
@@ -787,7 +837,7 @@ object Bench {
       // the record). The kernel runs under the same watchdog/cap as the
       // queries — on a wedged host a hang or throw records factor=-1
       // instead of killing the whole pass before any line is emitted.
-      val hostFactor = kernelFactor()
+      val (hostFactor, gateWaits, degradedStart) = gatedStartFactor()
       // cold staging per pass: drop the t03/t14 verified-pairs checkpoint
       // AND every persisted frame (segStaging etc.), so each pass pays
       // each staging fill exactly once — the same work profile as the
@@ -798,7 +848,8 @@ object Bench {
       val pm = timePass(main)
       val ps = timePass(scale)
       val pt = timeStreamingPass()
-      val p = Pass(pm, ps, pt, hostFactor, kernelFactor())
+      val p = Pass(pm, ps, pt, hostFactor, kernelFactor(), gateWaits,
+        degradedStart)
       passes :+= p
       val wall = (System.nanoTime() - w0) / 1e9
       val passLine =
@@ -806,6 +857,8 @@ object Bench {
         s""""unit":"sec","wall":$wall,""" +
         s""""host_factor":${r3(p.hostFactor)},""" +
         s""""host_factor_end":${r3(p.hostFactorEnd)},""" +
+        s""""gate_waits":${p.gateWaits},""" +
+        s""""degraded_start":${p.degradedStart},""" +
         s""""queries":${jsonMap(p.main)},""" +
         s""""scale_queries":${jsonMap(p.scale)},""" +
         s""""streaming_queries":${jsonMap(p.streaming)},""" +
@@ -893,10 +946,15 @@ object Bench {
     // ignore -1 (failed-calibration) factors unless every pass failed
     val okFactors = passes.map(_.hostFactor).filter(_ >= 0)
     val bestFactor = if (okFactors.nonEmpty) okFactors.min else -1.0
+    // the RECORD is degraded only when every pass began degraded (the
+    // gate exhausted its waits each time) — one clean-start pass gives
+    // the per-query mins a trustworthy pass to draw from
+    val recordDegraded = passes.nonEmpty && passes.forall(_.degradedStart)
     val totalLine =
       s"""{"metric":"total","value":${sumOk(results)},"unit":"sec",""" +
       s""""reps":$pass,""" +
       s""""host_factor":${r3(bestFactor)},""" +
+      s""""degraded_start":$recordDegraded,""" +
       s""""queries":${jsonMap(results)},""" +
       s""""scale_queries":${jsonMap(scaleResults)},""" +
       s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}"""
@@ -919,6 +977,7 @@ object Bench {
     val compactLine =
       s"""{"metric":"total","value":${r3(sumOk(results))},"unit":"sec",""" +
       s""""reps":$pass,"host_factor":${r3(bestFactor)},""" +
+      s""""degraded_start":$recordDegraded,""" +
       s""""n_queries":${results.size},""" +
       s""""n_total":${results.size + scaleResults.size +
         streamingResults.size},""" +

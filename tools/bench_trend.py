@@ -26,6 +26,16 @@ state-update cost per trigger), normalized by host_factor:
    per-batch max stays flat are reported as sum-vs-max divergence —
    harness/pacing variance, informational, not a gate.
 
+Trust rules (round 14):
+ - records whose passes ALL began above Bench's start-health gate
+   (degraded_start, or derived for pre-flag records from per-pass
+   host_factor > 2.0) are reported and then SKIPPED for trending —
+   the r13 driver record (one pass begun at 4.66) is the archetype;
+ - the latest noop-era round is also compared against the clean r13
+   anchor in BASELINE_noop_anchor.json (see BASELINE.md), the
+   like-for-like baseline for the 2x gate after the count() -> noop
+   write action change.
+
 Usage: python3 tools/bench_trend.py [--threshold 1.5] [--floor 0.3]
 """
 import argparse
@@ -36,39 +46,57 @@ import re
 import sys
 
 
+def load_record(path):
+    """(host_factor, per-key times, per-pass streaming obs, degraded) or
+    None for an unreadable / empty record."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"  [skip] {os.path.basename(path)}: {e}", file=sys.stderr)
+        return None
+    total = d.get("total") or {}
+    queries = {}
+    for fam in ("queries", "scale_queries", "streaming_queries"):
+        queries.update(total.get(fam) or {})
+    if not queries:
+        return None
+    hf = total.get("host_factor") or 1.0
+    if "degraded_start" in total:
+        degraded = bool(total.get("degraded_start"))
+    else:
+        # pre-r14 records predate the flag: derive it the same way Bench
+        # does — degraded only when EVERY pass began above the start gate
+        # (2.0) or with a failed calibration. This retroactively marks the
+        # r13 driver record (one pass begun at host_factor 4.66).
+        starts = [p.get("host_factor") for p in d.get("passes") or []
+                  if p.get("metric") != "retry"
+                  and p.get("host_factor") is not None]
+        degraded = bool(starts) and all(s < 0 or s > 2.0 for s in starts)
+    stream = {}
+    for p in d.get("passes") or []:
+        phf = p.get("host_factor") or 1.0
+        det = p.get("streaming_detail") or {}
+        for k, secs in (p.get("streaming_queries") or {}).items():
+            if secs is None or secs <= 0:
+                continue
+            mb = (det.get(k) or {}).get("max_batch_ms")
+            mbn = mb / 1000.0 / phf if mb else None
+            stream.setdefault(k, []).append((secs / phf, mbn))
+    return hf, queries, stream, degraded
+
+
 def load_rounds(root):
     rounds = []
     for path in sorted(glob.glob(os.path.join(root, "bench_summary_r*.json"))):
         m = re.search(r"bench_summary_r(\d+)\.json$", path)
         if not m:
             continue
-        try:
-            with open(path) as f:
-                d = json.load(f)
-        except (json.JSONDecodeError, OSError) as e:
-            print(f"  [skip] {os.path.basename(path)}: {e}", file=sys.stderr)
+        rec = load_record(path)
+        if rec is None:
             continue
-        total = d.get("total") or {}
-        queries = {}
-        for fam in ("queries", "scale_queries", "streaming_queries"):
-            queries.update(total.get(fam) or {})
-        hf = total.get("host_factor") or 1.0
-        if not queries:
-            continue
-        # per-pass streaming observations: (normalized total seconds,
-        # normalized per-batch max seconds) per key — the within-round
-        # variance audit and the per-batch trend both read these
-        stream = {}
-        for p in d.get("passes") or []:
-            phf = p.get("host_factor") or 1.0
-            det = p.get("streaming_detail") or {}
-            for k, secs in (p.get("streaming_queries") or {}).items():
-                if secs is None or secs <= 0:
-                    continue
-                mb = (det.get(k) or {}).get("max_batch_ms")
-                mbn = mb / 1000.0 / phf if mb else None
-                stream.setdefault(k, []).append((secs / phf, mbn))
-        rounds.append((int(m.group(1)), hf, queries, stream))
+        hf, queries, stream, degraded = rec
+        rounds.append((int(m.group(1)), hf, queries, stream, degraded))
     return rounds
 
 
@@ -108,15 +136,26 @@ def main():
         os.path.dirname(os.path.abspath(__file__))))
     args = ap.parse_args()
 
-    rounds = load_rounds(args.root)
+    all_rounds = load_rounds(args.root)
+    # a degraded_start record (every pass began above Bench's start-health
+    # gate — round-13's driver record was one contended pass begun at
+    # host_factor 4.66, early keys 10-20x inflated) is untrustworthy for
+    # trending: report it, then trend across it as if it didn't exist
+    degraded = [r[0] for r in all_rounds if r[4]]
+    if degraded:
+        print("degraded_start records skipped for trending: "
+              f"{['r%02d' % r for r in degraded]}")
+    rounds = [r for r in all_rounds if not r[4]]
     if len(rounds) < 2:
-        print(f"need >=2 bench_summary_r*.json records, found {len(rounds)}")
+        print(f"need >=2 usable bench_summary_r*.json records, "
+              f"found {len(rounds)}")
         return 0
 
     print(f"rounds: {[r[0] for r in rounds]}  "
           f"(times normalized by each round's host_factor)")
     any_flag = False
-    for (ra, hfa, qa, sa_), (rb, hfb, qb, sb_) in zip(rounds, rounds[1:]):
+    for (ra, hfa, qa, sa_, _), (rb, hfb, qb, sb_, _) in zip(rounds,
+                                                            rounds[1:]):
         common = sorted(set(qa) & set(qb))
         na = sum(qa[k] for k in common if qa[k] > 0) / hfa
         nb = sum(qb[k] for k in common if qb[k] > 0) / hfb
@@ -204,7 +243,7 @@ def main():
     # flat is pass-scheduling / pacing noise the min-of-N hides —
     # report it so a masked regression can't hide behind "min looked
     # fine" (informational, never a gate)
-    rlast, _, _, slast = rounds[-1]
+    rlast, hflast, qlast, slast, _ = rounds[-1]
     div = []
     unstable = []
     for k, obs in sorted(slast.items()):
@@ -233,6 +272,34 @@ def main():
               f"across passes — the monitor cost itself is noisy")
     if not div and not unstable:
         print("  totals and per-batch maxima agree across passes")
+
+    # noop-era anchor comparison (BASELINE.md "Noop-write-era bench
+    # anchor"): the bench action changed count() -> noop write in round
+    # 13, so the like-for-like baseline for the 2x gate is the clean
+    # r13 min-of-3 preserved in BASELINE_noop_anchor.json, NOT the
+    # pre-r13 count()-era records. Compares the latest usable round
+    # against the anchor on common keys, host-factor-normalized.
+    anchor_path = os.path.join(args.root, "BASELINE_noop_anchor.json")
+    if rlast < NOOP_ACTION_FROM:
+        print(f"\n[anchor comparison skipped: latest usable round r{rlast} "
+              "predates the noop-write action — not like-for-like]")
+    elif os.path.exists(anchor_path):
+        rec = load_record(anchor_path)
+        if rec is not None:
+            ahf, aq, _, adeg = rec
+            common = sorted(k for k in set(aq) & set(qlast)
+                            if aq[k] > 0 and qlast[k] > 0)
+            if common and not adeg:
+                na = sum(aq[k] for k in common) / ahf
+                nl = sum(qlast[k] for k in common) / hflast
+                ratio = nl / na
+                verdict = "within" if ratio <= 2.0 else "BREACHES"
+                print(f"\nvs noop-era anchor (r13 clean min-of-3, "
+                      f"host_factor {ahf}): {len(common)} common keys, "
+                      f"normalized {na:.1f}s -> {nl:.1f}s = {ratio:.2f}x "
+                      f"— {verdict} the 2x gate")
+                if ratio > 2.0:
+                    any_flag = True
     return 1 if any_flag else 0
 
 
