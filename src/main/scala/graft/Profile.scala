@@ -22,7 +22,8 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(id: Int, name: String, runMs: Long, cpuMs: Long,
-                  shuffleReadMB: Double, shuffleWriteMB: Double, tasks: Int)
+                  shuffleReadMB: Double, shuffleWriteMB: Double, tasks: Int,
+                  gcMs: Long, spillMB: Double)
     val stages = ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -32,7 +33,8 @@ object Profile {
           stages += St(si.stageId, si.name, m.executorRunTime,
             m.executorCpuTime / 1000000,
             m.shuffleReadMetrics.totalBytesRead / 1e6,
-            m.shuffleWriteMetrics.bytesWritten / 1e6, si.numTasks)
+            m.shuffleWriteMetrics.bytesWritten / 1e6, si.numTasks,
+            m.jvmGCTime, m.memoryBytesSpilled / 1e6)
         }
       }
     })
@@ -45,24 +47,34 @@ object Profile {
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_PROFILE_REPS > 1 repeats each named query in the same
+    // JVM — the variance lens: run-to-run swings at matching host health
+    // implicate the plan/GC/spill, not the box (round-14 x44 hunt)
+    val repsN = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt
     names.foreach { name =>
-      stages.synchronized(stages.clear())
-      val t0 = System.nanoTime()
-      // noop write, not count() — the Bench action (count() prunes
-      // projection-shaped work to a bare scan, so the profile would
-      // hunt shuffles in a plan that isn't the one being graded)
-      val fn = SparkEntry.queries.getOrElse(name,
-        DataQueries.benchOnly(name))
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      val wall = (System.nanoTime() - t0) / 1e9
-      println(f"\n=== $name: $wall%.2f s wall ===")
-      val top = stages.synchronized(stages.sortBy(-_.runMs).take(12).toList)
-      top.foreach { s =>
-        println(f"  stage ${s.id}%4d run=${s.runMs}%6d ms cpu=${s.cpuMs}%6d ms " +
-          f"tasks=${s.tasks}%3d shR=${s.shuffleReadMB}%8.1f MB shW=${s.shuffleWriteMB}%8.1f MB  ${s.name.take(90)}")
+      (1 to repsN).foreach { rep =>
+        stages.synchronized(stages.clear())
+        val t0 = System.nanoTime()
+        // noop write, not count() — the Bench action (count() prunes
+        // projection-shaped work to a bare scan, so the profile would
+        // hunt shuffles in a plan that isn't the one being graded)
+        val fn = SparkEntry.queries.getOrElse(name,
+          DataQueries.benchOnly(name))
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"\n=== $name (rep $rep/$repsN): $wall%.2f s wall ===")
+        val top = stages.synchronized(stages.sortBy(-_.runMs).take(12).toList)
+        top.foreach { s =>
+          println(f"  stage ${s.id}%4d run=${s.runMs}%6d ms cpu=${s.cpuMs}%6d ms " +
+            f"gc=${s.gcMs}%5d ms spill=${s.spillMB}%7.1f MB " +
+            f"tasks=${s.tasks}%3d shR=${s.shuffleReadMB}%8.1f MB shW=${s.shuffleWriteMB}%8.1f MB  ${s.name.take(70)}")
+        }
+        val (totalRun, totalGc, totalSpill, nStages) = stages.synchronized(
+          (stages.map(_.runMs).sum, stages.map(_.gcMs).sum,
+            stages.map(_.spillMB).sum, stages.size))
+        println(f"  total executor run: ${totalRun}%d ms, gc ${totalGc}%d ms, " +
+          f"spill ${totalSpill}%.1f MB across ${nStages}%d stages")
       }
-      val totalRun = stages.synchronized(stages.map(_.runMs).sum)
-      println(f"  total executor run: ${totalRun}%d ms across ${stages.size}%d stages")
     }
     spark.stop()
   }

@@ -410,6 +410,37 @@ object VectorKernels {
     }
     acc
   }
+
+  /** Argmin over a broadcast centroid-vector array: the index i (0-based,
+    * = centroid RANK when the caller sorts the array by centroid id)
+    * minimizing the packed ordering
+    * `floor(-cosine(vec, cvecs[i]) * 1e12).toLong * 2^20 + i` — the
+    * EXACT long arithmetic graft.ops.Similarity.ivfAssign's min_by form
+    * used (1e-12-bucketed distance, rank tiebreak), so assignment is
+    * bit-identical to the aggregate it replaces and to the DuckDB
+    * oracles that replay `ORDER BY -cosine, centroid_id`. Null centroid
+    * vectors are skipped (min_by ignored null orderings); -1 when every
+    * element is null or the array is empty (the expression maps it to
+    * SQL NULL). Fails loud past 2^20 centroids — the packing bound. */
+  def ivfArgminIdx(vec: ArrayData, cvecs: ArrayData, isFloat: Boolean): Int = {
+    val n = cvecs.numElements()
+    if (n >= 1048576)
+      throw new IllegalArgumentException(
+        "ivf_argmin packs the centroid rank into 20 bits; the centroid " +
+          s"array has $n >= 2^20 elements")
+    var best = Long.MaxValue
+    var bestI = -1
+    var i = 0
+    while (i < n) {
+      if (!cvecs.isNullAt(i)) {
+        val c = cosine(vec, cvecs.getArray(i), isFloat)
+        val packed = Math.floor(-c * 1e12).toLong * 1048576L + i
+        if (packed < best) { best = packed; bestI = i }
+      }
+      i += 1
+    }
+    bestI
+  }
 }
 
 /** `cosine_sim(a, b)` — cosine similarity of two float/double arrays.
@@ -480,6 +511,52 @@ case class L2SqExpr(left: Expression, right: Expression)
   override def prettyName: String = "l2_sq"
 }
 
+/** `ivf_argmin(vec, cvecs)` — 0-based index of the centroid vector in
+  * `cvecs` (an array<array<float|double>> the caller has sorted into
+  * rank order) nearest to `vec` under ivfAssign's packed
+  * (1e-12-bucketed -cosine, rank) ordering; NULL when `cvecs` is empty
+  * or all-null. The join-free quantizer kernel: one native loop per
+  * corpus row over the broadcast centroid array — no corpus x k
+  * expansion, no aggregate, no exchange (round-14 x44 variance fix:
+  * the aggregate form's (id, vector) group key re-normalized and
+  * re-hashed the float array per expansion row, and its exchange
+  * never reused across semanticDedup's three assignment consumers). */
+case class IvfArgminExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) |
+           (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_argmin requires (array<float>, array<array<float>>) or " +
+            s"(array<double>, array<array<double>>), got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = VectorKernels.ivfArgminIdx(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], isFloat)
+    if (idx < 0) null else idx
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorKernels.ivfArgminIdx($a, $b, $isFloat);
+      if (${ev.value} < 0) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): IvfArgminExpr = copy(left = l, right = r)
+  override def prettyName: String = "ivf_argmin"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -499,6 +576,8 @@ object GraftFunctions {
     column(CosineSimExpr(expression(a), expression(b)))
   def l2_sq(a: Column, b: Column): Column =
     column(L2SqExpr(expression(a), expression(b)))
+  def ivf_argmin(vec: Column, cvecs: Column): Column =
+    column(IvfArgminExpr(expression(vec), expression(cvecs)))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

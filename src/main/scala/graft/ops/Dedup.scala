@@ -797,13 +797,15 @@ object Dedup {
     * regime sizes the cluster count so clusters stay ~sqrt(corpus).
     * The tau screen cuts candidates before the distinct/flag join, and
     * only (id) rows cross the final shuffle. The assignment pass is
-    * consumed twice (pair screen + flag join-back) and deliberately NOT
-    * materialized: it is a broadcast join plus a map-side-combined
-    * argmin aggregate ([[Similarity.ivfAssign]]'s min(struct) form), so
-    * each consumer replays one corpus scan and one id-keyed exchange of
-    * (id, vec) rows — where checkpointing it would pin corpus + vectors
-    * on executor storage, the wrong trade at 100 TB. Callers screening
-    * a small corpus repeatedly can pass a persisted frame instead. */
+    * consumed three times (pair screen both sides + flag join-back) and
+    * deliberately NOT materialized: since round 14 it is a PURE
+    * PROJECTION ([[Similarity.ivfAssign]]'s join-free ivf_argmin form,
+    * one native kernel call per corpus row against a one-row broadcast
+    * centroid array), so each consumer replays one map-only corpus scan
+    * and nothing else, where checkpointing it would pin corpus +
+    * vectors on executor storage, the wrong trade at 100 TB. Callers
+    * screening a small corpus repeatedly can pass a persisted frame
+    * instead. */
   def semanticDedup(vecs: DataFrame, centroids: DataFrame, tau: Double,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     cidCol: String = "centroid_id",

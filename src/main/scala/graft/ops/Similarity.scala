@@ -658,36 +658,6 @@ object Similarity {
       cb, k, excludeSelf = selfJoin)
   }
 
-  /** IVF-style coarse quantizer: assign each vector to the nearest of
-    * `centroids` (a small broadcast table (centroid_id, vec)); search
-    * ([[ivfTopK]]) then probes only the nprobe nearest lists. Centroids
-    * come from [[kmeansCentroids]] — or any clustering feeding
-    * (centroid_id, vec).
-    *
-    * The argmin is `min_by(cid, packed)` over a packed decimal
-    * comparable — the FULL [[pqEncode]] discipline, applied here in
-    * round 13 after the honest (noop-write) bench exposed what the old
-    * `min(struct(-cosine, cid, vec))` form cost: a struct-valued Min
-    * whose buffer carries an ARRAY is not UnsafeRow-mutable, so the
-    * aggregate fell to SortAggregate with interpreted struct ordering
-    * and a per-row vector copy — 512 s of CPU on x44's 32k x 256
-    * expansion, 15x the entire rest of the query (count()-based
-    * timing had pruned the aggregate away, which is why no round saw
-    * it). The packed form is ONE long:
-    * floor(-cos * 1e12) in the high bits (distance, 1e-12 buckets),
-    * the centroid RANK (row_number over cid, loud-guarded at 2^20) in
-    * the low 20 bits as the tiebreak — long arithmetic end to end, no
-    * per-row BigDecimal. Exactly-equal cosines (identical centroid
-    * vectors) share a bucket and tie to the lowest cid, the same
-    * winner the struct ordering picked; distinct cosines within one
-    * 1e-12 bucket also fall to the cid tiebreak where the old form
-    * compared doubles — the same accepted resolution bound as
-    * pqEncode's decimal packing. The vector no longer rides the buffer at all:
-    * it is functionally dependent on the id, so it moves to the GROUP
-    * KEY and the whole argmin hash-aggregates with a map-side combine
-    * (PlanSpec pins HashAggregate / forbids SortAggregate on t44's
-    * assignment). No sort, no window: the corpus x k expansion
-    * collapses map-side before the id-keyed exchange. */
   /** Align a centroid frame's vector element type to the corpus's (the
     * [[ivfTopK]]/[[kmeansStep]] rule, centralized): trained centroid
     * frames carry array<double> decimal-accumulated means while corpora
@@ -705,36 +675,69 @@ object Similarity {
       transform(col(cvecCol), x => x.cast(elemType)))
   }
 
+  /** IVF-style coarse quantizer: assign each vector to the nearest of
+    * `centroids` (a small table (centroid_id, vec)); search
+    * ([[ivfTopK]]) then probes only the nprobe nearest lists. Centroids
+    * come from [[kmeansCentroids]] — or any clustering feeding
+    * (centroid_id, vec).
+    *
+    * A PURE PROJECTION (the [[ivfAssignWithCos]] shape, round 14): the
+    * centroid table collapses to a one-row broadcast of two parallel
+    * rank-ordered arrays (cids, cvecs — sorted together by cid, so the
+    * array index IS the centroid rank), and each corpus row picks its
+    * list with ONE native `ivf_argmin` kernel call
+    * (graft.functions.IvfArgminExpr) — the exact packed ordering the
+    * round-13 min_by form used (floor(-cos * 1e12) 1e-12-bucketed
+    * distance in the high bits, rank in the low 20, loud-guarded at
+    * 2^20 centroids), so assignment winners are bit-identical and the
+    * DuckDB oracles (`ORDER BY -cosine, centroid_id`) replay unchanged.
+    *
+    * Why not the min_by aggregate (round-14 x44 variance post-mortem,
+    * PLANS.md "x44"): the corpus x k expansion + groupBy(id, VECTOR)
+    * re-normalized (NormalizeFloatingNumbers wraps array keys in a
+    * per-row transform — a fresh k-element array allocation per
+    * EXPANSION row) and re-hashed the 256-byte float array per row,
+    * ~95% of x44's executor time with GC-coupled 2.8x CPU swings; and
+    * the lambda-bearing exchange never reused across semanticDedup's
+    * three assignment consumers, so the whole subtree ran 3x. The
+    * projection form has no expansion, no aggregate, no exchange: each
+    * consumer replays one map-only corpus pass — k native cosines per
+    * row and nothing else.
+    *
+    * Semantics preserved exactly: empty centroid table -> empty output
+    * (the old cross join with an empty broadcast); a null corpus
+    * vector keeps its row with a null assignment (min_by over all-null
+    * orderings); null centroid vectors are skipped (null packed
+    * orderings were ignored); duplicate centroid ids rank
+    * nondeterministically among themselves, as Window.orderBy ties
+    * did. Output: (idCol, vecCol, cidCol) with cidCol in the centroid
+    * table's own id type (element_at of the broadcast cid array). */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",
                 cidCol: String = "centroid_id",
                 cvecCol: String = "cvec"): DataFrame = {
-    val ranked = alignCentroids(vecs, centroids, vecCol, cvecCol)
-      .select(col(cidCol), col(cvecCol))
-      .withColumn("__cr", (row_number().over(Window.orderBy(col(cidCol)))
-        - 1).cast("long"))
-    val rankGuard = when(col("__cr") >= 1048576L,
-        raise_error(lit("ivfAssign packs the centroid rank into 20 " +
-          "bits; the centroid table has >= 2^20 rows")))
-      .otherwise(col("__cr"))
-    // ALL-LONG packing (no per-row BigDecimal): distance bucket
-    // floor(-cos * 1e12) in the high bits, centroid rank in the low 20
-    // — |floor| <= 1e12, x 2^20 + rank < 2^60, no overflow. Ordering =
-    // (1e-12-bucketed distance, rank): exactly-equal cosines share a
-    // bucket and the rank picks the lowest cid (the old struct
-    // ordering's winner); distinct cosines within one 1e-12 bucket
-    // also fall to the rank — the same accepted resolution bound as
-    // [[pqEncode]]'s decimal packing. A decimal(25,24) form was ~4 us
-    // of BigDecimal per expansion row; this is long arithmetic on top
-    // of the native cosine kernel.
-    val packed =
-      floor((-cosine(col(vecCol), col(cvecCol))) * lit(1e12)) *
-        lit(1048576L) + rankGuard
+    val packedCents = alignCentroids(vecs, centroids, vecCol, cvecCol)
+      .agg(sort_array(collect_list(
+        struct(col(cidCol).as("cid"), col(cvecCol).as("cvec"))))
+        .as("__cs"))
+      .select(col("__cs.cid").as("__cids"), col("__cs.cvec").as("__cvecs"))
+    // the CASE WHEN around element_at is load-bearing, not style:
+    // ANSI ElementAt reports nullable=false when the array has
+    // non-null elements, IGNORING that its INDEX expression (the
+    // argmin, null for a null vector) is nullable — and projection
+    // writers trust expression.nullable, so the computed null was
+    // DROPPED and a garbage element written (last under codegen,
+    // first interpreted; SketchExprSpec pins the null-vec row). The
+    // isNotNull guard makes the top expression honestly nullable and
+    // keeps null vectors out of element_at entirely.
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(ranked))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(min_by(col(cidCol), packed).as(cidCol))
-      .select(col(idCol), col(vecCol), col(cidCol))
+      .crossJoin(broadcast(packedCents))
+      .filter(size(col("__cids")) > 0)
+      .select(col(idCol), col(vecCol),
+        when(col(vecCol).isNotNull,
+          element_at(col("__cids"),
+            graft.functions.GraftFunctions.ivf_argmin(
+              col(vecCol), col("__cvecs")) + 1)).as(cidCol))
   }
 
   /** End-to-end IVF search — the piece that makes a trained index

@@ -226,10 +226,16 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), p.take(2000))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         p.take(2000))
-      // the ivfAssign argmin must HASH-aggregate (min_by over a packed
-      // decimal, vector in the group key) — the old min(struct(..,vec))
-      // buffer fell to SortAggregate with interpreted struct ordering:
-      // 512 s of CPU on x44's expansion, invisible under count() timing
+      // round 14: ivfAssign is a pure projection (native ivf_argmin
+      // over a one-row broadcast centroid array) — no expansion, no
+      // argmin aggregate, no (id, vector)-keyed exchange anywhere. The
+      // r13 min_by form's lambda-bearing exchange never reused across
+      // the three assignment consumers and its per-expansion-row key
+      // normalization was 95% of x44's executor time (PLANS.md "x44")
+      assert(p.contains("ivf_argmin"), p.take(2000))
+      assert(!p.contains("min_by"), p.take(2000))
+      // the remaining aggregates (pair-screen distinct, flag join-back)
+      // must still hash-aggregate
       assert(!p.contains("SortAggregate"), p.take(2000))
       assert(p.contains("HashAggregate"), p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

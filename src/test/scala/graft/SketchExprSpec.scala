@@ -83,6 +83,54 @@ class SketchExprSpec extends SparkSpec {
       .getDouble(0) === 0.0)
   }
 
+  test("ivfAssign (native ivf_argmin projection) matches the r13 min_by " +
+      "aggregate formulation winner-for-winner, keeps null-vector rows " +
+      "with null assignment, and emits nothing on an empty centroid " +
+      "table") {
+    import graft.ops.Similarity
+    // deterministic pseudo-random corpus + centroids, float vectors
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(j => (((seed * 31 + j * 17) % 13) - 6).toFloat / 3f)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 6).map(i => (i.toLong * 10, vec(i * 7 + 3)))
+      .toDF("centroid_id", "cvec")
+    val got = Similarity.ivfAssign(corpus, cents)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the OLD formulation, inline: corpus x centroid expansion, packed
+    // long ordering floor(-cos*1e12)*2^20 + rank(cid), min_by argmin
+    val ranked = cents.withColumn("__cr",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("centroid_id"))) - 1).cast("long"))
+    val packed = floor((-Similarity.cosine(col("embedding"), col("cvec")))
+      * lit(1e12)) * lit(1048576L) + col("__cr")
+    val want = corpus.crossJoin(broadcast(ranked))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"), packed).as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // exact tie (corpus vector == two identical centroid vectors under
+    // different ids): lowest-rank (= lowest cid) wins, the old rule
+    val tieC = Seq((5L, vec(1)), (2L, vec(1))).toDF("centroid_id", "cvec")
+    val tie = Similarity.ivfAssign(
+        Seq((9L, vec(1))).toDF("vec_id", "embedding"), tieC)
+      .select("centroid_id").first().getLong(0)
+    assert(tie == 2L, s"tie went to $tie")
+    // null corpus vector: row kept, assignment null (min_by over
+    // all-null orderings)
+    val withNull = corpus.unionByName(
+      Seq(99L).toDF("vec_id").select(col("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val nullRow = Similarity.ivfAssign(withNull, cents)
+      .filter(col("vec_id") === 99L).collect()
+    assert(nullRow.length == 1 && nullRow.head.isNullAt(2), "null-vec row")
+    // empty centroid table -> empty output (old: cross join with an
+    // empty broadcast)
+    assert(Similarity.ivfAssign(corpus, cents.filter(lit(false))).count()
+      == 0L)
+  }
+
   test("simHashCandidates on the native path still finds planted dup") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base),
