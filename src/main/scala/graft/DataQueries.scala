@@ -2485,10 +2485,16 @@ object DataQueries {
     // t38's PQ encode 8x past fixture scale: the corpus x broadcast-
     // codebook expansion with the map-side min_by hash-agg argmin — 16k
     // vectors x 4 subspaces x ~81 codewords of the native L2 kernel
+    // exactSums=false on the scale twins (round 14, the x78 fast-sum
+    // precedent): the production path trades the decimal(27,12)
+    // accumulator's per-partial BigDecimal boxing for exact-double
+    // sums and a projection-shaped encode argmin; code/rank identity
+    // vs the exact path is SimilaritySpec-pinned on the fixture, and
+    // every t38-t45 ORACLE query keeps the exact default
     "x38_pq_encode_scale" -> ((s, d) => {
       val big = scaledEmbeddings(s, d, copies = 8)
       val cb = Similarity.pqCodebooksFromSample(big, m = 4, every = 200)
-      Similarity.pqEncode(big, cb, m = 4)
+      Similarity.pqEncode(big, cb, m = 4, exactSums = false)
     }),
     // t40's IVF-PQ at the 16k regime, TRAINING only: the sampled
     // codebook pass over the shared pre-materialized corpus — timed
@@ -2510,7 +2516,7 @@ object DataQueries {
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.ivfPqTopK(st.big, queries, st.cents, st.cb, m = 4, k = 8,
-        nprobe = 3)
+        nprobe = 3, exactSums = false)
     }),
     // t45's residual-encoded IVF-PQ, TRAINING only: assign + residual
     // pass + sampled codebooks over the residual space
@@ -2527,7 +2533,7 @@ object DataQueries {
       val queries = st.big
         .filter(col("vec_id") < 64 && col("vec_id") % 8 === 0)
       Similarity.ivfPqResidualTopK(st.big, queries, st.cents, st.cbr,
-        m = 4, k = 8, nprobe = 3)
+        m = 4, k = 8, nprobe = 3, exactSums = false)
     }),
     // t54's repeated-substring removal on the xxhash64 digest family:
     // same planted corpus, 8-byte gram digests instead of md5 hex on

@@ -441,6 +441,34 @@ object VectorKernels {
     }
     bestI
   }
+
+  /** Squared-L2 argmin over a broadcast codeword array: the index i
+    * (0-based = code RANK when the caller sorts by code id) minimizing
+    * exact-double l2sq(vec, ws[i]), strict `<` so the FIRST (lowest
+    * rank = lowest code id) wins exact ties — the fast-sum twin of
+    * pqEncode's decimal-packed argmin (the production `exactSums =
+    * false` path: no decimal packing, no aggregate; ordering can
+    * differ from the exact path only when two distances land within
+    * the decimal's 1e-12 truncation of each other, rank-identity
+    * spec-pinned on the fixture). Null codewords are skipped; -1 when
+    * every element is null or the array is empty. */
+  def l2ArgminIdx(vec: ArrayData, ws: ArrayData, isFloat: Boolean): Int = {
+    val n = ws.numElements()
+    var best = Double.PositiveInfinity
+    var bestI = -1
+    var i = 0
+    while (i < n) {
+      if (!ws.isNullAt(i)) {
+        // strict < : the first (lowest-rank) occurrence of the minimum
+        // wins ties; NaN/Infinite distances never satisfy it and are
+        // skipped — the exact path's decimal cast also nulls them out
+        val d = l2sq(vec, ws.getArray(i), isFloat)
+        if (d < best) { best = d; bestI = i }
+      }
+      i += 1
+    }
+    bestI
+  }
 }
 
 /** `cosine_sim(a, b)` — cosine similarity of two float/double arrays.
@@ -557,6 +585,48 @@ case class IvfArgminExpr(left: Expression, right: Expression)
   override def prettyName: String = "ivf_argmin"
 }
 
+/** `l2_argmin(vec, ws)` — 0-based index of the codeword in `ws` (an
+  * array<array<float|double>> sorted into rank order by the caller)
+  * nearest to `vec` by exact-double squared L2, first-lowest-rank tie
+  * rule; NULL when `ws` is empty or all-null. The PQ fast-sum
+  * (`exactSums = false`) encode kernel — see
+  * [[VectorKernels.l2ArgminIdx]] and graft.ops.Similarity.pqEncode. */
+case class L2ArgminExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private lazy val isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) |
+           (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_argmin requires (array<float>, array<array<float>>) or " +
+            s"(array<double>, array<array<double>>), got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = VectorKernels.l2ArgminIdx(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], isFloat)
+    if (idx < 0) null else idx
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.VectorKernels.l2ArgminIdx($a, $b, $isFloat);
+      if (${ev.value} < 0) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): L2ArgminExpr = copy(left = l, right = r)
+  override def prettyName: String = "l2_argmin"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -578,6 +648,8 @@ object GraftFunctions {
     column(L2SqExpr(expression(a), expression(b)))
   def ivf_argmin(vec: Column, cvecs: Column): Column =
     column(IvfArgminExpr(expression(vec), expression(cvecs)))
+  def l2_argmin(vec: Column, ws: Column): Column =
+    column(L2ArgminExpr(expression(vec), expression(ws)))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -913,10 +913,43 @@ object Similarity {
     * replay unchanged. Rank caps at 10^6 codewords per subspace
     * (row-level raise_error beyond — PQ codebooks are 256-4096 entries).
     * A codeword whose distance overflows decimal(27,12) packs to null
-    * and is skipped (the defined argmin over in-range distances). */
+    * and is skipped (the defined argmin over in-range distances).
+    *
+    * `exactSums = false` (round 14, the x78 fast-sum precedent applied
+    * to PQ): the argmin becomes a PURE PROJECTION — per-subspace
+    * codewords collapse to rank-sorted broadcast arrays and each
+    * (vector, subspace) row picks its code with one native `l2_argmin`
+    * kernel call (exact-double strict-<, first-lowest-rank tie rule) —
+    * no decimal packing, no aggregate, no (vec_id, subspace) exchange.
+    * Codes can differ from the exact path only where two codeword
+    * distances land within the decimal's 1e-12 truncation
+    * (SimilaritySpec pins code-identity on the fixture); every oracle
+    * (t38-t41/t45/t63/t65) keeps the exact default. */
   def pqEncode(vecs: DataFrame, codebooks: DataFrame, m: Int,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               exactSums: Boolean = true): DataFrame = {
+    if (!exactSums) {
+      val cb = alignCodebooks(codebooks, vecs, vecCol)
+        .groupBy(col("subspace"))
+        .agg(sort_array(collect_list(
+          struct(col("code_id"), col("w")))).as("__cs"))
+        .select(col("subspace"), col("__cs.code_id").as("__cids"),
+          col("__cs.w").as("__ws"))
+      // the CASE WHEN is the ElementAt nullability guard (see
+      // ivfAssign): a null argmin (all-null codewords) must surface as
+      // a null code, not a garbage element
+      return vecs.select(col(idCol).as("vec_id"),
+          explode(subVectors(col(vecCol), m)).as("sv"))
+        .select(col("vec_id"), col("sv.subspace").as("subspace"),
+          col("sv.sub").as("sub"))
+        .join(broadcast(cb), Seq("subspace"))
+        .withColumn("__ci", graft.functions.GraftFunctions.l2_argmin(
+          col("sub"), col("__ws")))
+        .select(col("vec_id"), col("subspace"),
+          when(col("__ci").isNotNull,
+            element_at(col("__cids"), col("__ci") + 1)).as("code_id"))
+    }
     val ranked = alignCodebooks(codebooks, vecs, vecCol)
       .withColumn("__cr", (row_number().over(
         Window.partitionBy(col("subspace")).orderBy(col("code_id")))
@@ -958,10 +991,12 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, codebooks: DataFrame,
              m: Int, k: Int, idCol: String = "vec_id",
              vecCol: String = "embedding",
-             selfJoin: Boolean = true): DataFrame = {
-    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol)
+             selfJoin: Boolean = true,
+             exactSums: Boolean = true): DataFrame = {
+    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol, exactSums)
       .withColumnRenamed("vec_id", "neighbor_id")
-    codes.join(broadcast(pqQueryTable(queries, codebooks, m, idCol, vecCol)),
+    codes.join(broadcast(
+        pqQueryTable(queries, codebooks, m, idCol, vecCol, exactSums)),
         Seq("subspace", "code_id"))
       .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")
               else lit(true))
@@ -972,14 +1007,20 @@ object Similarity {
     * (query, subspace, codeword) — |q| * m * K rows, meant to be
     * broadcast. Shared by [[pqTopK]] and [[ivfPqTopK]]. */
   private def pqQueryTable(queries: DataFrame, codebooks: DataFrame, m: Int,
-                           idCol: String, vecCol: String): DataFrame =
+                           idCol: String, vecCol: String,
+                           exactSums: Boolean = true): DataFrame =
     queries.select(col(idCol).as("query_id"),
         explode(subVectors(col(vecCol), m)).as("sv"))
       .select(col("query_id"), col("sv.subspace").as("subspace"),
         col("sv.sub").as("sub"))
       .join(alignCodebooks(codebooks, queries, vecCol), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
-        l2sqDec(col("sub"), col("w")).as("dq"))
+        // fast-sum path: plain double table entries; adcRank's sum
+        // follows dq's type, so the decimal accumulator (and its
+        // per-partial BigDecimal boxing) disappears end to end
+        (if (exactSums) l2sqDec(col("sub"), col("w"))
+         else graft.functions.GraftFunctions.l2_sq(col("sub"), col("w")))
+          .as("dq"))
 
   /** Sum the m per-subspace table entries and rank ascending — the ADC
     * tail shared by [[pqTopK]] and [[ivfPqTopK]]. Input rows:
@@ -1015,14 +1056,15 @@ object Similarity {
                 nprobe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding", cidCol: String = "centroid_id",
                 cvecCol: String = "cvec",
-                selfJoin: Boolean = true): DataFrame = {
+                selfJoin: Boolean = true,
+                exactSums: Boolean = true): DataFrame = {
     val elemType = corpus.schema(vecCol).dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val cents = centroids.withColumn(cvecCol,
       transform(col(cvecCol), x => x.cast(elemType)))
     val assigned = ivfAssign(corpus, cents, idCol, vecCol, cidCol, cvecCol)
       .select(col(idCol).as("neighbor_id"), col(cidCol))
-    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol)
+    val codes = pqEncode(corpus, codebooks, m, idCol, vecCol, exactSums)
       .withColumnRenamed("vec_id", "neighbor_id")
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
@@ -1037,7 +1079,8 @@ object Similarity {
               else lit(true))
       .select(col("query_id"), col("neighbor_id"))
       .join(codes, Seq("neighbor_id"))
-      .join(broadcast(pqQueryTable(queries, codebooks, m, idCol, vecCol)),
+      .join(broadcast(
+        pqQueryTable(queries, codebooks, m, idCol, vecCol, exactSums)),
         Seq("query_id", "subspace", "code_id"))
       .transform(adcRank(k))
   }
@@ -1103,14 +1146,15 @@ object Similarity {
                         vecCol: String = "embedding",
                         cidCol: String = "centroid_id",
                         cvecCol: String = "cvec",
-                        selfJoin: Boolean = true): DataFrame = {
+                        selfJoin: Boolean = true,
+                        exactSums: Boolean = true): DataFrame = {
     val elemType = corpus.schema(vecCol).dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val cents = centroids.withColumn(cvecCol,
       transform(col(cvecCol), x => x.cast(elemType)))
     val res = ivfResiduals(corpus, cents, idCol, vecCol, cidCol, cvecCol)
     val assigned = res.select(col(idCol).as("neighbor_id"), col(cidCol))
-    val codes = pqEncode(res, codebooks, m, idCol, "residual")
+    val codes = pqEncode(res, codebooks, m, idCol, "residual", exactSums)
       .withColumnRenamed("vec_id", "neighbor_id")
     // per-query probe set with the query residual in each probed list's
     // frame: (query_id, centroid_id, qres)
@@ -1132,7 +1176,9 @@ object Similarity {
         col("sv.subspace").as("subspace"), col("sv.sub").as("sub"))
       .join(alignCodebooks(codebooks, res, "residual"), Seq("subspace"))
       .select(col("query_id"), col(cidCol), col("subspace"), col("code_id"),
-        l2sqDec(col("sub"), col("w")).as("dq"))
+        (if (exactSums) l2sqDec(col("sub"), col("w"))
+         else graft.functions.GraftFunctions.l2_sq(col("sub"), col("w")))
+          .as("dq"))
     probes.select(col("query_id"), col(cidCol))
       .join(assigned, Seq(cidCol))
       .filter(if (selfJoin) col("query_id") =!= col("neighbor_id")

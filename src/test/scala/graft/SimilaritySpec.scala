@@ -315,6 +315,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("adc") === 0.0)
   }
 
+  test("exactSums=false fast-sum path: pqEncode codes are identical to " +
+      "the decimal-exact path on the fixture, and pqTopK / ivfPqTopK / " +
+      "ivfPqResidualTopK return identical (query, rank, neighbor) " +
+      "triples — the x78 rank-identity contract applied to PQ") {
+    val m = 4
+    val cb = Similarity.pqCodebooksFromSample(emb, m, every = 25)
+    def codeSet(exact: Boolean) =
+      Similarity.pqEncode(emb, cb, m, exactSums = exact).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codeSet(exact = true) === codeSet(exact = false))
+    val q = emb.filter(col("vec_id") % 16 === 0)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ranks(Similarity.pqTopK(emb, q, cb, m, k = 3)) ===
+      ranks(Similarity.pqTopK(emb, q, cb, m, k = 3, exactSums = false)))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    assert(
+      ranks(Similarity.ivfPqTopK(emb, q, cents, cb, m, k = 3, nprobe = 2))
+        === ranks(Similarity.ivfPqTopK(emb, q, cents, cb, m, k = 3,
+          nprobe = 2, exactSums = false)))
+    val cbr = Similarity.ivfPqResidualCodebooks(emb, cents, m, every = 25)
+    assert(
+      ranks(Similarity.ivfPqResidualTopK(emb, q, cents, cbr, m, k = 3,
+        nprobe = 2)) ===
+      ranks(Similarity.ivfPqResidualTopK(emb, q, cents, cbr, m, k = 3,
+        nprobe = 2, exactSums = false)))
+  }
+
   test("pqEncode raises on a dimension not divisible by m instead of " +
       "silently dropping trailing dims") {
     import spark.implicits._
