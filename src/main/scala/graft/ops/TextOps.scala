@@ -1498,13 +1498,30 @@ object TextOps {
       .select(col(idCol), col("term_rank"), col("term"), col("score"))
   }
 
+  /** Fan-out parallelism guard for the explode-style tokenizers: a
+    * tokenize/explode amplifies each input row ~100x, so a corpus
+    * whose SCAN parallelism is below the cluster's (locally: one
+    * sub-split-size parquet file -> ONE task carrying the whole
+    * tokenize; round-14 t84 profile: a single task with 5.5 s of CPU
+    * while 31 cores idled) round-robins up to defaultParallelism
+    * BEFORE the explode. A corpus already wider than the default —
+    * every real 100 TB table — passes through untouched, so the
+    * production path never pays the extra exchange; the shuffled
+    * payload in the small case is by definition small. Results are
+    * partition-independent (per-row scores, order-free aggregates),
+    * so every oracle replays unchanged. */
+  private def fanOutReady(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Lowercased whitespace tokens of >= `minLen` chars as
     * (__id, term) rows — the shared tokenizer of the postings family
     * ([[sparseCosineTopK]], [[bm25TopK]]). Its shape is mirrored
     * verbatim by the t77/t78/t79 oracle `tok` CTEs; a change here
     * must change those together. */
   private def termRows(df: DataFrame, minLen: Int, idCol: String,
-                       textCol: String): DataFrame = df
+                       textCol: String): DataFrame = fanOutReady(df)
     .select(col(idCol).as("__id"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     .filter(length(col("term")) >= minLen)
@@ -1659,8 +1676,20 @@ object TextOps {
       maxDfNum <= maxDfDen && k1 >= 0 && b >= 0 && b <= 1,
       "need a df cap fraction in (0,1], k1 >= 0, b in [0,1]")
     // tf feeds the token total, dl, df AND the postings — materialize
-    // the one corpus-sized shuffle once (the t77 discipline)
-    val tf = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
+    // the one corpus-sized shuffle once (the t77 discipline).
+    // Width guard (round-14 t84 profile): AQE coalesces a SMALL tf's
+    // final-agg exchange to one partition before localCheckpoint
+    // freezes it, and every downstream consumer inherits that width —
+    // the postings projection + dl/dfreq joins + idf*tfn scoring all
+    // ran as ONE task (4.5 s CPU, 31 cores idle). The checkpoint is
+    // already materialized, so its width is known for free: re-spread
+    // only when it froze narrower than the cluster's parallelism (the
+    // re-checkpoint is by definition tiny — that is WHY it coalesced);
+    // a corpus-scale tf is already wide and skips both steps.
+    val tf0 = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
+    val want = corpus.sparkSession.sparkContext.defaultParallelism
+    val tf = if (tf0.rdd.getNumPartitions < want)
+      tf0.repartition(want).localCheckpoint() else tf0
     val nDocs = corpus.agg(count(lit(1)).as("__n"))
     val ltot = tf.agg(sum(col("__tf")).as("__lt"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))
