@@ -1192,4 +1192,131 @@ class StreamingSpec extends SparkSpec {
       assert(!last(t)._3, s"organic $t traffic alarmed: ${last(t)}")
     }
   }
+
+  test("decayed-monitor soak (s19/s20 long-horizon contract): 88 " +
+      "half-lives of paced traffic keep state bounded — cardinality " +
+      "grid saturates at types x 88 register sets, frequency grid at " +
+      "types x depth x width cells — and the horizon raise_error " +
+      "fires exactly at epoch 88, not 87") {
+    val t0 = 1704067200000000L // 2024-01-01
+    val hl = 3600L             // 1-hour half-life -> 88 epochs in ~4 days
+    val hlUs = hl * 1000000L
+    val types = Seq("soak_a", "soak_b")
+    // epochs 0..87, every epoch populated: 5 users per (type, epoch),
+    // users 1..3 recurring every epoch (their e_last advances — the
+    // recency mechanism) and 2 epoch-local users (fresh mass each step).
+    // Written as 11 time-ordered part files of 8 epochs each, paced one
+    // file per trigger -> an 11-point state-size curve.
+    val dir = Files.createTempDirectory("graft_soak").toString
+    (0 until 11).foreach { part =>
+      val rows = for {
+        e <- (part * 8) until ((part + 1) * 8)
+        t <- types
+        u <- Seq(1L, 2L, 3L, 10000L + e * 2, 10001L + e * 2)
+      } yield (e * 1000L + u, new Timestamp((t0 / 1000L) + e * hl * 1000L
+          + 60000L), u, t, 1.0, "{}")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    // --- cardinality grid soak (s20 state shape) ---
+    var curve = Vector.empty[(Long, Long)] // (state rows, max epoch)
+    val p7 = 7
+    val q = Streams.epochCardinalityGrid(
+        Streams.eventsStreamPaced(spark, dir, 1), t0, hl, p = p7)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grid: org.apache.spark.sql.DataFrame, _: Long) =>
+        val g = grid.agg(count(lit(1)), max(col("epoch"))).first()
+        curve :+= (g.getLong(0), g.getLong(1))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    println(s"[soak] cardinality state-size curve (rows, maxEpoch): " +
+      curve.mkString(" "))
+    assert(curve.size == 11, s"expected 11 triggers, got ${curve.size}")
+    // the curve is exactly types x epochs-seen: linear growth to the
+    // 88-epoch horizon and NEVER beyond types x 88 — the bound that
+    // makes the monitor run forever (with re-anchor) in fixed state
+    curve.zipWithIndex.foreach { case ((rows, maxE), i) =>
+      val epochsSeen = (i + 1) * 8
+      assert(rows == types.size.toLong * epochsSeen,
+        s"trigger $i: $rows state rows, want ${types.size * epochsSeen}")
+      assert(maxE == epochsSeen - 1, s"trigger $i: max epoch $maxE")
+      assert(rows <= types.size.toLong * 88, "state bound breached")
+    }
+    // register payload per state row is fixed: 2^p ints
+    val gridB = Streams.epochCardinalityGrid(
+      spark.read.parquet(dir), t0, hl, p = p7)
+    val regLens = gridB.select(size(col("hll"))).distinct().collect()
+      .map(_.getInt(0)).toSeq
+    assert(regLens == Seq(1 << p7), s"register lengths $regLens")
+    // decayed read-out at the horizon edge still works and weighs the
+    // recurring users at ~1 (last seen in the as-of epoch) while each
+    // epoch-local pair from e < 87 contributes 2^-(87-e) -> the
+    // estimate sits near 3 + sum of decayed locals (~2 more), far
+    // under the 88 * 5 raw user-slots — recency weighting, not a sum
+    // of epoch counts
+    val est = graft.ops.Stats.hllDecayedDistinct(gridB,
+        Seq("event_type"), asOfMicros = t0 + 88L * hlUs - 1L,
+        t0Micros = t0, halfLifeSeconds = hl, p = p7)
+      .select(col("event_type"), col("est_decayed")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    types.foreach { t =>
+      assert(est(t) >= 3.0 && est(t) <= 12.0,
+        s"decayed distinct for $t = ${est(t)} out of the recency band")
+    }
+    // --- frequency grid soak (s19 state shape): cells never exceed
+    // types x depth x width no matter how many epochs stream in ---
+    var fcurve = Vector.empty[Long]
+    val qf = Streams.decayedFrequencyGrid(
+        Streams.eventsStreamPaced(spark, dir, 1), t0, hl,
+        depth = 2, width = 32)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grid: org.apache.spark.sql.DataFrame, _: Long) =>
+        fcurve :+= grid.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    qf.awaitTermination()
+    println(s"[soak] frequency state-size curve (cells): " +
+      fcurve.mkString(" "))
+    assert(fcurve.size == 11 && fcurve == fcurve.sorted,
+      s"cell curve must be nondecreasing: $fcurve")
+    assert(fcurve.last <= types.size.toLong * 2 * 32,
+      s"cells ${fcurve.last} exceed types x depth x width")
+
+    // --- the horizon contract, exactly at 88 ---
+    def eventAt(us: Long) = Seq((1L, new Timestamp(us / 1000L), 1L,
+        "soak_a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} | ${chain(t.getCause)}"
+    // one microsecond below the boundary -> epoch 87, legal in BOTH
+    // sketches (and the CMS's 2^87 forward weight must not overflow)
+    val edge = eventAt(t0 + 88L * hlUs - 1L)
+    assert(Streams.epochCardinalityGrid(edge, t0, hl, p = p7)
+      .select(max(col("epoch"))).first().getLong(0) == 87L)
+    // sum the MASS, not count(): count() prunes the cell-mass column
+    // where the horizon guard lives (the round-13 bench-action lesson,
+    // caught again here when count() silently passed the epoch-88 case)
+    assert(graft.ops.Stats.cmsDecayedSketchBy(edge, Seq("event_type"),
+        col("user_id").cast("string"), col("ts"), t0, hl,
+        depth = 2, width = 32)
+      .agg(sum(col("mass"))).first().getDecimal(0).signum() > 0)
+    // at the boundary -> epoch 88, loud in BOTH sketches
+    val over = eventAt(t0 + 88L * hlUs)
+    val e1 = intercept[Exception] {
+      Streams.epochCardinalityGrid(over, t0, hl, p = p7).count()
+    }
+    assert(chain(e1).contains("88-half-life horizon"), chain(e1).take(300))
+    val e2 = intercept[Exception] {
+      graft.ops.Stats.cmsDecayedSketchBy(over, Seq("event_type"),
+          col("user_id").cast("string"), col("ts"), t0, hl,
+          depth = 2, width = 32)
+        .agg(sum(col("mass"))).first()
+    }
+    assert(chain(e2).contains("88-half-life horizon"), chain(e2).take(300))
+  }
 }
