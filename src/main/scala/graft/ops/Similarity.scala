@@ -1576,21 +1576,33 @@ object Similarity {
                        vecCol: String = "embedding",
                        cidCol: String = "centroid_id",
                        cvecCol: String = "cvec"): DataFrame = {
-    val cs = alignCentroids(vecs, centroids, vecCol, cvecCol)
-      .agg(collect_list(
-        struct(col(cidCol).cast("long").as("cid"),
-          col(cvecCol).as("cvec"))).as("__cs"))
+    // the [[ivfAssign]] shape exactly (round 14): rank-sorted parallel
+    // broadcast arrays + ONE native ivf_argmin kernel call per row —
+    // the old interpreted transform/array_min fold allocated k structs
+    // per corpus row (HOFs have no doGenCode). Winner ordering is the
+    // packed (1e-12-bucketed -cosine, rank) rule, the same quantizer
+    // as ivfAssign and the same winners as the exact (-cosine, cid)
+    // struct ordering on anything coarser than 1e-12 ties (the t62
+    // oracle's fixture regime); the winning cosine is recomputed once
+    // for the winner only. Empty centroid tables now yield an EMPTY
+    // frame (ivfAssign's convention) and null vectors keep their row
+    // with null assignment/cosine.
+    val packedCents = alignCentroids(vecs, centroids, vecCol, cvecCol)
+      .agg(sort_array(collect_list(
+        struct(col(cidCol).cast("long").as("cid"), col(cvecCol).as("cvec"))))
+        .as("__cs"))
+      .select(col("__cs.cid").as("__cids"), col("__cs.cvec").as("__cvecs"))
     vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cs))
-      // one kernel evaluation per centroid: the (distance, id) structs
-      // materialize once, array_min picks the winner under the same
-      // lexicographic ordering min(struct(...)) uses
-      .withColumn("__best", array_min(transform(col("__cs"),
-        c => struct(
-          (-cosine(col(vecCol), c.getField("cvec"))).as("d"),
-          c.getField("cid").as("cid")))))
-      .select(col(idCol), col("__best.cid").as(cidCol),
-        (-col("__best.d")).as("cos_to_centroid"))
+      .crossJoin(broadcast(packedCents))
+      .filter(size(col("__cids")) > 0)
+      .withColumn("__ci", graft.functions.GraftFunctions.ivf_argmin(
+        col(vecCol), col("__cvecs")))
+      .select(col(idCol),
+        when(col("__ci").isNotNull,
+          element_at(col("__cids"), col("__ci") + 1)).as(cidCol),
+        when(col("__ci").isNotNull,
+          cosine(col(vecCol), element_at(col("__cvecs"), col("__ci") + 1)))
+          .as("cos_to_centroid"))
   }
 
   /** Frozen per-list profile for [[embeddingDriftMonitor]]: for every
