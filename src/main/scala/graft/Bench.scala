@@ -829,7 +829,6 @@ object Bench {
     var continue = true
     def runPass(): Double = {
       pass += 1
-      val w0 = System.nanoTime()
       // host-health calibration at pass START and again at pass END
       // (round-7 post-mortem: a host that measures healthy at pass start
       // can collapse mid-pass — 1.419 at start, then 346 s of wall for
@@ -838,6 +837,12 @@ object Bench {
       // queries — on a wedged host a hang or throw records factor=-1
       // instead of killing the whole pass before any line is emitted.
       val (hostFactor, gateWaits, degradedStart) = gatedStartFactor()
+      // the wall clock starts AFTER the start gate: its bounded sleeps
+      // are deliberate idling, not pass work — counting them would
+      // inflate "wall" and could trip the budget downshift (min-of-3 ->
+      // min-of-1, the round-7/9 noise regime) on a pass whose measured
+      // work was healthy (round-14 review finding)
+      val w0 = System.nanoTime()
       // cold staging per pass: drop the t03/t14 verified-pairs checkpoint
       // AND every persisted frame (segStaging etc.), so each pass pays
       // each staging fill exactly once — the same work profile as the

@@ -50,7 +50,8 @@ object Profile {
     // SPARK_GRAFT_PROFILE_REPS > 1 repeats each named query in the same
     // JVM — the variance lens: run-to-run swings at matching host health
     // implicate the plan/GC/spill, not the box (round-14 x44 hunt)
-    val repsN = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt
+    val repsN =
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt.max(1)
     names.foreach { name =>
       (1 to repsN).foreach { rep =>
         stages.synchronized(stages.clear())

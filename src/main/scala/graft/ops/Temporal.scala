@@ -467,6 +467,16 @@ object Temporal {
     * gap are windows over the SAME partitioning — no second shuffle.
     * The long-history user costs maxLen rows downstream no matter how
     * many events they have. */
+  /** Exact floor division of a long-micros column by a positive long
+    * width, staying in integer arithmetic end to end: `a - pmod(a, w)`
+    * is exactly divisible by `w`, and `div` is the integral divide.
+    * The obvious `floor(a / w)` routes through DOUBLE division, which
+    * is floor-exact only while |a| < 2^53 (~year 2255 in micros) — a
+    * far-future timestamp could mis-bucket at a boundary and silently
+    * drop a qualifying pair (round-13 ADVICE). */
+  private[graft] def floorDivMicros(a: Column, w: Long): Column =
+    call_function("div", a - pmod(a, lit(w)), lit(w))
+
   /** Point-in-interval range join: every (`points` row, `intervals` row)
     * pair where `startTs <= pointTs <= endTs` (inclusive both ends) and
     * the optional `keys` columns are equal — event-in-session,
@@ -501,16 +511,6 @@ object Temporal {
     * Output: all `points` columns, then all `intervals` columns except
     * the shared `keys` (kept once, from the point side). Non-key column
     * names must not collide — alias on the way in. */
-  /** Exact floor division of a long-micros column by a positive long
-    * width, staying in integer arithmetic end to end: `a - pmod(a, w)`
-    * is exactly divisible by `w`, and `div` is the integral divide.
-    * The obvious `floor(a / w)` routes through DOUBLE division, which
-    * is floor-exact only while |a| < 2^53 (~year 2255 in micros) — a
-    * far-future timestamp could mis-bucket at a boundary and silently
-    * drop a qualifying pair (round-13 ADVICE). */
-  private[graft] def floorDivMicros(a: Column, w: Long): Column =
-    call_function("div", a - pmod(a, lit(w)), lit(w))
-
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
                         pointTs: String, startTs: String, endTs: String,
                         bucketSeconds: Long, keys: Seq[String] = Nil,

@@ -1511,8 +1511,20 @@ object TextOps {
     * partition-independent (per-row scores, order-free aggregates),
     * so every oracle replays unchanged. */
   private def fanOutReady(df: DataFrame): DataFrame = {
+    // probe via OPTIMIZER STATS, never df.rdd (round-14 review finding:
+    // Dataset.rdd under AQE eagerly executes every upstream shuffle
+    // stage just to read a partition count — a joined/aggregated input
+    // would run its whole pipeline twice — and throws on a streaming
+    // frame). Stats are a plan-time estimate: small inputs (where the
+    // round-robin exchange is by definition cheap, and where a single
+    // sub-split file yields the one-task explode this guard exists for)
+    // repartition; anything estimated past want x 16 MB is already
+    // split-parallel at scan time and passes through untouched.
+    if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(want) * 16L * 1024 * 1024) df.repartition(want)
+    else df
   }
 
   /** Lowercased whitespace tokens of >= `minLen` chars as
@@ -1688,8 +1700,15 @@ object TextOps {
     // a corpus-scale tf is already wide and skips both steps.
     val tf0 = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
     val want = corpus.sparkSession.sparkContext.defaultParallelism
-    val tf = if (tf0.rdd.getNumPartitions < want)
-      tf0.repartition(want).localCheckpoint() else tf0
+    // tf0's .rdd is free here — localCheckpoint already materialized it
+    val tf = if (tf0.rdd.getNumPartitions < want) {
+      // the re-checkpoint is EAGER, so once it exists tf0's blocks are
+      // dead weight — drop them instead of leaking one tf copy per
+      // index build for the session lifetime (round-14 review finding)
+      val wide = tf0.repartition(want).localCheckpoint()
+      tf0.unpersist()
+      wide
+    } else tf0
     val nDocs = corpus.agg(count(lit(1)).as("__n"))
     val ltot = tf.agg(sum(col("__tf")).as("__lt"))
     val dl = tf.groupBy(col("__id")).agg(sum(col("__tf")).as("__dl"))

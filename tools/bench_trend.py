@@ -157,8 +157,12 @@ def main():
     for (ra, hfa, qa, sa_, _), (rb, hfb, qb, sb_, _) in zip(rounds,
                                                             rounds[1:]):
         common = sorted(set(qa) & set(qb))
-        na = sum(qa[k] for k in common if qa[k] > 0) / hfa
-        nb = sum(qb[k] for k in common if qb[k] > 0) / hfb
+        # symmetric filter: a key that failed (-1) in EITHER round is
+        # excluded from BOTH sums, otherwise its other-round time skews
+        # the headline pair ratio one-sidedly (round-14 review finding)
+        both_ok = [k for k in common if qa[k] > 0 and qb[k] > 0]
+        na = sum(qa[k] for k in both_ok) / hfa
+        nb = sum(qb[k] for k in both_ok) / hfb
         print(f"\nr{ra:02d} -> r{rb:02d}: {len(common)} common keys, "
               f"normalized totals {na:.1f}s -> {nb:.1f}s "
               f"({nb / na:.2f}x)  [host_factor {hfa} -> {hfb}]")
@@ -283,23 +287,41 @@ def main():
     if rlast < NOOP_ACTION_FROM:
         print(f"\n[anchor comparison skipped: latest usable round r{rlast} "
               "predates the noop-write action — not like-for-like]")
-    elif os.path.exists(anchor_path):
-        rec = load_record(anchor_path)
-        if rec is not None:
-            ahf, aq, _, adeg = rec
-            common = sorted(k for k in set(aq) & set(qlast)
-                            if aq[k] > 0 and qlast[k] > 0)
-            if common and not adeg:
-                na = sum(aq[k] for k in common) / ahf
-                nl = sum(qlast[k] for k in common) / hflast
-                ratio = nl / na
-                verdict = "within" if ratio <= 2.0 else "BREACHES"
-                print(f"\nvs noop-era anchor (r13 clean min-of-3, "
-                      f"host_factor {ahf}): {len(common)} common keys, "
-                      f"normalized {na:.1f}s -> {nl:.1f}s = {ratio:.2f}x "
-                      f"— {verdict} the 2x gate")
-                if ratio > 2.0:
-                    any_flag = True
+    else:
+        # the anchor gate must fail LOUDLY when it cannot run, never
+        # silently disable itself (round-14 review finding): a missing,
+        # unreadable, degraded or key-disjoint anchor would otherwise
+        # let a genuine regression exit 0 with no trace
+        skip = None
+        if not os.path.exists(anchor_path):
+            skip = "BASELINE_noop_anchor.json missing"
+        else:
+            rec = load_record(anchor_path)
+            if rec is None:
+                skip = "anchor record unreadable/empty"
+            else:
+                ahf, aq, _, adeg = rec
+                common = sorted(k for k in set(aq) & set(qlast)
+                                if aq[k] > 0 and qlast[k] > 0)
+                if adeg:
+                    skip = "anchor record is degraded_start"
+                elif not common:
+                    skip = "no common keys with the anchor"
+                else:
+                    na = sum(aq[k] for k in common) / ahf
+                    nl = sum(qlast[k] for k in common) / hflast
+                    ratio = nl / na
+                    verdict = "within" if ratio <= 2.0 else "BREACHES"
+                    print(f"\nvs noop-era anchor (r13 clean min-of-3, "
+                          f"host_factor {ahf}): {len(common)} common "
+                          f"keys, normalized {na:.1f}s -> {nl:.1f}s = "
+                          f"{ratio:.2f}x — {verdict} the 2x gate")
+                    if ratio > 2.0:
+                        any_flag = True
+        if skip is not None:
+            print(f"\nANCHOR GATE NOT EVALUATED: {skip} — the 2x "
+                  "noop-era comparison did NOT run; fix the anchor")
+            any_flag = True
     return 1 if any_flag else 0
 
 
