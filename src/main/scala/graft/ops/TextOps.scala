@@ -283,6 +283,12 @@ object TextOps {
   private def gramPositionRows(docs: DataFrame, n: Int, idCol: String,
                                textCol: String,
                                md5Keys: Boolean): DataFrame = {
+    // NO fanOutReady here (round-14 measurement): unlike the termRows
+    // tokenize (5.5 s serial, clear win), spreading the gram explode
+    // made the whole t27/t54/t61/t122 family 15-40% SLOWER at sf0.1 —
+    // the round-robin exchange of full text + 32-way fan-in overhead
+    // on the small digest aggregates exceeds the serial explode cost.
+    // Revisit only with profile evidence at a larger corpus.
     val withToks = docs.select(col(idCol).as("doc_id"),
       split(lower(trim(col(textCol))), "\\s+").as("__t"))
     val slices = (0 until n).map(i =>
@@ -831,6 +837,7 @@ object TextOps {
                                textCol: String = "text",
                                keep: Seq[String] = Nil): DataFrame = {
     val k0 = keep.map(col)
+    // no fanOutReady — see gramPositionRows (measured regression)
     val withToks = docs.select(
       k0 :+ split(lower(trim(col(textCol))), "\\s+").as("__t"): _*)
     val slices = (0 until n).map(i =>
