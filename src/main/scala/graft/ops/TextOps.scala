@@ -1530,7 +1530,17 @@ object TextOps {
     if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes < BigInt(want) * 16L * 1024 * 1024) df.repartition(want)
+    // lower bound (round-14 trend catch): a TINY input — an s12
+    // streaming microbatch is a ~75 KB part file — pays the exchange
+    // every trigger and its serial explode was never the bottleneck;
+    // the per-batch max doubled until this floor excluded it. Spread
+    // only the corpus-shaped middle: big enough that a one-task
+    // explode hurts (t84's corpus prunes to ~250 KB of (id, text) and
+    // cost 5.5 s serial — the floor sits at 128 KB because the stats
+    // are COLUMN-PRUNED estimates, not raw file size), small enough
+    // that the scan isn't already split-parallel.
+    if (bytes >= 128L * 1024 &&
+        bytes < BigInt(want) * 16L * 1024 * 1024) df.repartition(want)
     else df
   }
 
