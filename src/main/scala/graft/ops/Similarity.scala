@@ -724,20 +724,23 @@ object Similarity {
     // the CASE WHEN around element_at is load-bearing, not style:
     // ANSI ElementAt reports nullable=false when the array has
     // non-null elements, IGNORING that its INDEX expression (the
-    // argmin, null for a null vector) is nullable — and projection
-    // writers trust expression.nullable, so the computed null was
-    // DROPPED and a garbage element written (last under codegen,
-    // first interpreted; SketchExprSpec pins the null-vec row). The
-    // isNotNull guard makes the top expression honestly nullable and
-    // keeps null vectors out of element_at entirely.
+    // argmin) is nullable — and projection writers trust
+    // expression.nullable, so a computed null index was DROPPED and a
+    // garbage element written (last under codegen, first interpreted;
+    // SketchExprSpec pins the null-vec row). Guard on the ARGMIN
+    // result, not the input vector: ivf_argmin is null for a null
+    // vector (null-safe left input) AND for an all-null/empty centroid
+    // array — the vecCol.isNotNull form missed the second branch and
+    // let the wart emit a garbage cid where min_by produced null
+    // (round-14 ADVICE). Same rule as ivfAssignWithCos and pqEncode.
     vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(packedCents))
       .filter(size(col("__cids")) > 0)
+      .withColumn("__ci", graft.functions.GraftFunctions.ivf_argmin(
+        col(vecCol), col("__cvecs")))
       .select(col(idCol), col(vecCol),
-        when(col(vecCol).isNotNull,
-          element_at(col("__cids"),
-            graft.functions.GraftFunctions.ivf_argmin(
-              col(vecCol), col("__cvecs")) + 1)).as(cidCol))
+        when(col("__ci").isNotNull,
+          element_at(col("__cids"), col("__ci") + 1)).as(cidCol))
   }
 
   /** End-to-end IVF search — the piece that makes a trained index

@@ -1544,6 +1544,22 @@ object TextOps {
     else df
   }
 
+  /** Drop the storage blocks of a `localCheckpoint`-backed Dataset.
+    * `Dataset.unpersist` cannot do this: localCheckpoint persists the
+    * INTERNAL RDD directly (MEMORY_AND_DISK) without registering in
+    * the CacheManager, and Dataset.unpersist only uncaches via the
+    * CacheManager — the blocks would otherwise linger until the
+    * ContextCleaner GCs the RDD (round-14 ADVICE). The checkpointed
+    * RDD is the one captured in the Dataset's LogicalRDD leaf;
+    * non-blocking unpersist, and a non-LogicalRDD plan (not a
+    * checkpoint product) is left alone. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Lowercased whitespace tokens of >= `minLen` chars as
     * (__id, term) rows — the shared tokenizer of the postings family
     * ([[sparseCosineTopK]], [[bm25TopK]]). Its shape is mirrored
@@ -1720,10 +1736,13 @@ object TextOps {
     // tf0's .rdd is free here — localCheckpoint already materialized it
     val tf = if (tf0.rdd.getNumPartitions < want) {
       // the re-checkpoint is EAGER, so once it exists tf0's blocks are
-      // dead weight — drop them instead of leaking one tf copy per
-      // index build for the session lifetime (round-14 review finding)
+      // dead weight. Dataset.unpersist would be a NO-OP here —
+      // localCheckpoint persists the internal RDD directly without
+      // registering in the CacheManager, which is all
+      // Dataset.unpersist consults (round-14 ADVICE) — so reach into
+      // the LogicalRDD and drop the checkpointed RDD's blocks itself.
       val wide = tf0.repartition(want).localCheckpoint()
-      tf0.unpersist()
+      unpersistLocalCheckpoint(tf0)
       wide
     } else tf0
     val nDocs = corpus.agg(count(lit(1)).as("__n"))

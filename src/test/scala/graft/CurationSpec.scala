@@ -538,4 +538,24 @@ class CurationSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(landed2 === Set(300L), landed2.toString)
   }
+
+  test("bm25Index's narrow-tf re-spread leaves exactly ONE persisted " +
+      "tf copy: the stale pre-spread localCheckpoint's blocks are " +
+      "dropped at the RDD layer, not left to the ContextCleaner") {
+    // a tiny corpus always takes the narrow path (tf0 coalesces under
+    // defaultParallelism), i.e. two localCheckpoints run. Dataset
+    // .unpersist was a no-op on the first (not CacheManager-tracked,
+    // round-14 ADVICE); the fix unpersists the LogicalRDD's RDD.
+    // getPersistentRDDs tracks RDD.persist directly, so it sees both.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val idx = graft.ops.TextOps.bm25Index(
+      Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta epsilon"))
+        .toDF("doc_id", "text"))
+    assert(idx.count() > 0)
+    val fresh = sc.getPersistentRDDs.keySet -- before
+    assert(fresh.size === 1,
+      s"expected exactly the wide re-checkpoint to stay persisted, " +
+        s"found ${fresh.size} new persistent RDDs (ids $fresh)")
+  }
 }

@@ -129,6 +129,16 @@ class SketchExprSpec extends SparkSpec {
     // empty broadcast)
     assert(Similarity.ivfAssign(corpus, cents.filter(lit(false))).count()
       == 0L)
+    // ALL-NULL centroid vectors with a NON-null corpus vector: the
+    // argmin is null even though the vector isn't, and the old
+    // vecCol.isNotNull guard let the ANSI ElementAt wart emit a
+    // garbage element here (round-14 ADVICE). min_by semantics: null.
+    val nullCents = Seq((1L, null.asInstanceOf[Array[Float]]),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("centroid_id", "cvec")
+    val allNull = Similarity.ivfAssign(corpus.limit(3), nullCents).collect()
+    assert(allNull.length == 3 && allNull.forall(_.isNullAt(2)),
+      "all-null centroid table must yield null assignments, " +
+        s"got ${allNull.mkString(",")}")
   }
 
   test("simHashCandidates on the native path still finds planted dup") {

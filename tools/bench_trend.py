@@ -146,10 +146,21 @@ def main():
         print("degraded_start records skipped for trending: "
               f"{['r%02d' % r for r in degraded]}")
     rounds = [r for r in all_rounds if not r[4]]
+    # fewer than 2 usable rounds kills the PAIRWISE trend, but must NOT
+    # kill the anchor gate (round-14 ADVICE: returning 0 here let the
+    # exact scenario the trust rules target — latest round degraded, or
+    # all-but-one prior degraded — exit 0 with the 2x gate never
+    # evaluated). Zero usable rounds IS an anchor-gate failure.
+    if not rounds:
+        print("no usable (non-degraded) bench_summary_r*.json records")
+        print("\nANCHOR GATE NOT EVALUATED: no usable round to compare "
+              "— the 2x noop-era comparison did NOT run; record a "
+              "healthy pass")
+        return 1
     if len(rounds) < 2:
-        print(f"need >=2 usable bench_summary_r*.json records, "
-              f"found {len(rounds)}")
-        return 0
+        print(f"need >=2 usable records for the pairwise trend, found "
+              f"{len(rounds)} — skipping pair comparisons, anchor gate "
+              "still runs")
 
     print(f"rounds: {[r[0] for r in rounds]}  "
           f"(times normalized by each round's host_factor)")
@@ -163,7 +174,9 @@ def main():
         both_ok = [k for k in common if qa[k] > 0 and qb[k] > 0]
         na = sum(qa[k] for k in both_ok) / hfa
         nb = sum(qb[k] for k in both_ok) / hfb
-        print(f"\nr{ra:02d} -> r{rb:02d}: {len(common)} common keys, "
+        print(f"\nr{ra:02d} -> r{rb:02d}: {len(common)} common keys "
+              f"({len(both_ok)} in the totals — failed-either-round "
+              "excluded), "
               f"normalized totals {na:.1f}s -> {nb:.1f}s "
               f"({nb / na:.2f}x)  [host_factor {hfa} -> {hfb}]")
         # calibration-skew diagnosis for the PAIR (r10 post-mortem: an
