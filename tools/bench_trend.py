@@ -63,7 +63,13 @@ def load_record(path):
         return None
     hf = total.get("host_factor") or 1.0
     if "degraded_start" in total:
-        degraded = bool(total.get("degraded_start"))
+        # degraded_mid (round 15): no full pass was clean END TO END —
+        # Bench re-runs the calibration kernel at family boundaries and
+        # pass end, so a start-healthy pass that collapsed mid-pass
+        # (the r14 t101-t105 block, 20-40x inflated between healthy
+        # start/end kernels) now flags. Either flag refuses the record.
+        degraded = bool(total.get("degraded_start")) or \
+            bool(total.get("degraded_mid"))
     else:
         # pre-r14 records predate the flag: derive it the same way Bench
         # does — degraded only when EVERY pass began above the start gate
@@ -143,7 +149,7 @@ def main():
     # trending: report it, then trend across it as if it didn't exist
     degraded = [r[0] for r in all_rounds if r[4]]
     if degraded:
-        print("degraded_start records skipped for trending: "
+        print("degraded (start or mid-pass) records skipped for trending: "
               f"{['r%02d' % r for r in degraded]}")
     rounds = [r for r in all_rounds if not r[4]]
     # fewer than 2 usable rounds kills the PAIRWISE trend, but must NOT
