@@ -81,7 +81,20 @@ def load_record(path):
         degraded = bool(starts) and all(s < 0 or s > 2.0 for s in starts)
     stream = {}
     for p in d.get("passes") or []:
-        phf = p.get("host_factor") or 1.0
+        # Streams run LAST in a pass, so normalize streaming numbers by
+        # the kernel measured NEAREST to them: the scale->streaming
+        # boundary segment (host_factor_segments[-2], r15+), else the
+        # pass-END kernel, else the start factor. Normalizing by the
+        # START factor manufactured the r14 s18/s20 per-batch "drift":
+        # the anchor's pass 1 began at 3.327 and ended at 1.402 —
+        # dividing its end-of-pass per-batch maxima by 3.327 deflated
+        # the baselines ~2.4x, so later rounds measured on flat hosts
+        # read as 2x regressions that never happened (raw maxima were
+        # flat-to-better across all anchor passes).
+        segs = p.get("host_factor_segments") or []
+        cands = ([segs[-2]] if len(segs) >= 2 else []) + \
+            [p.get("host_factor_end"), p.get("host_factor")]
+        phf = next((c for c in cands if c is not None and c > 0), 1.0)
         det = p.get("streaming_detail") or {}
         for k, secs in (p.get("streaming_queries") or {}).items():
             if secs is None or secs <= 0:
