@@ -481,4 +481,39 @@ class PlanSpec extends SparkSpec {
     // and the per-query top-k ranks map-side before the final filter
     assert(p.contains("WindowGroupLimit"), p.take(2500))
   }
+
+  test("fanOutReady stats-floor contract (ENGINE.md): a sub-floor " +
+      "microbatch-sized input takes NO round-robin exchange through " +
+      "the postings tokenizer; a corpus-shaped mid-band input takes " +
+      "the pre-explode spread") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val idx = TextOps.bm25Index(
+      Seq((1L, "alpha beta gamma"), (2L, "alpha delta"))
+        .toDF("doc_id", "text")).localCheckpoint()
+    // sub-floor: a handful of rows — the s12 streaming-microbatch
+    // shape whose per-trigger exchange the 128 KB floor removed
+    // (round-14 trend catch; its serial explode was never the
+    // bottleneck at that size)
+    val tiny = Seq((10L, "alpha beta words here today fine"))
+      .toDF("doc_id", "text")
+    val pTiny = TextOps.bm25TopKIndexed(tiny, idx, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!pTiny.contains("RoundRobinPartitioning"),
+      s"sub-floor input must pass through unspread:\n${pTiny.take(2000)}")
+    // mid-band: past the 128 KB column-pruned-stats floor, far below
+    // the want x 16 MB ceiling — the regime where a sub-split-size
+    // corpus scans as ONE task and serializes a ~100x tokenize explode
+    // (round-14 t84 profile: 5.5 s of CPU on one core, 31 idle)
+    // LocalRelation stats use schema defaultSize (20 bytes per string
+    // regardless of content), so the row COUNT is what crosses the
+    // floor: 8000 x (8 + 20) = ~224 KB estimated
+    val midText = "lorem ipsum dolor sit amet consectetur adipiscing " * 10
+    val mid = (0 until 8000).map(i => (i.toLong, s"$midText token$i"))
+      .toDF("doc_id", "text")
+    val pMid = TextOps.bm25TopKIndexed(mid, idx, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(pMid.contains("RoundRobinPartitioning"),
+      s"mid-band input must spread before the explode:\n${pMid.take(2000)}")
+  }
 }
