@@ -598,6 +598,14 @@ object Dedup {
           e => e.cast("string")), ","))
       else xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
         lit(b))
+    // NO Par.fanOutReady here (round-15 A/B): the signature kernel IS
+    // per-row heavy (t56's build+probe sigs ran ~1.2 s on one core at
+    // sf0.1), but the 32-way spread regressed the key 2.7 -> 3.5 s
+    // wall with ~8x the executor time — the shuffled full-text rows
+    // plus 32-way fan-in on the small band aggregates exceed the
+    // serial kernel cost, the same measurement as the round-14 gram
+    // explode. A split-parallel production corpus never has the
+    // problem; revisit only with profile evidence at a larger corpus.
     docs
       .filter(size(TextOps.wordShingles(col(textCol), shingleSize)) > 0)
       .select(col(idCol).as("id"), sig.as("sig"))

@@ -48,6 +48,15 @@ object Similarity {
                      selfJoin: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("__qv")))
+    // NO Par.fanOutReady on the stream side (round-15 A/B): a
+    // sub-split corpus does run its |queries|-cosines-per-row loop as
+    // ONE task (t80: two 1.2 s serial passes), but the two brute
+    // subtrees of a marginMine already run CONCURRENTLY, and the
+    // 32-way spread regressed t80 2.1 -> 5.8 s wall at sf0.1 — ~35 ms
+    // of kernel work per task under ~0.8 s of task/fan-in/GC overhead
+    // (the round-14 gram-explode lesson on the vector path). A
+    // split-parallel production corpus never has the problem; this
+    // operator is the deliberate small-N exact baseline.
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     q.join(c, if (selfJoin) col("query_id") =!= col("neighbor_id")
               else lit(true))

@@ -1505,44 +1505,13 @@ object TextOps {
       .select(col(idCol), col("term_rank"), col("term"), col("score"))
   }
 
-  /** Fan-out parallelism guard for the explode-style tokenizers: a
-    * tokenize/explode amplifies each input row ~100x, so a corpus
-    * whose SCAN parallelism is below the cluster's (locally: one
-    * sub-split-size parquet file -> ONE task carrying the whole
-    * tokenize; round-14 t84 profile: a single task with 5.5 s of CPU
-    * while 31 cores idled) round-robins up to defaultParallelism
-    * BEFORE the explode. A corpus already wider than the default —
-    * every real 100 TB table — passes through untouched, so the
-    * production path never pays the extra exchange; the shuffled
-    * payload in the small case is by definition small. Results are
-    * partition-independent (per-row scores, order-free aggregates),
-    * so every oracle replays unchanged. */
-  private def fanOutReady(df: DataFrame): DataFrame = {
-    // probe via OPTIMIZER STATS, never df.rdd (round-14 review finding:
-    // Dataset.rdd under AQE eagerly executes every upstream shuffle
-    // stage just to read a partition count — a joined/aggregated input
-    // would run its whole pipeline twice — and throws on a streaming
-    // frame). Stats are a plan-time estimate: small inputs (where the
-    // round-robin exchange is by definition cheap, and where a single
-    // sub-split file yields the one-task explode this guard exists for)
-    // repartition; anything estimated past want x 16 MB is already
-    // split-parallel at scan time and passes through untouched.
-    if (df.isStreaming) return df
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // lower bound (round-14 trend catch): a TINY input — an s12
-    // streaming microbatch is a ~75 KB part file — pays the exchange
-    // every trigger and its serial explode was never the bottleneck;
-    // the per-batch max doubled until this floor excluded it. Spread
-    // only the corpus-shaped middle: big enough that a one-task
-    // explode hurts (t84's corpus prunes to ~250 KB of (id, text) and
-    // cost 5.5 s serial — the floor sits at 128 KB because the stats
-    // are COLUMN-PRUNED estimates, not raw file size), small enough
-    // that the scan isn't already split-parallel.
-    if (bytes >= 128L * 1024 &&
-        bytes < BigInt(want) * 16L * 1024 * 1024) df.repartition(want)
-    else df
-  }
+  /** Fan-out parallelism guard for the explode-style tokenizers —
+    * the shared [[Par.fanOutReady]] contract (stats window, streaming
+    * skip), kept as a local alias because every postings-family call
+    * site reads it. Round-14 t84 profile: one sub-split-size file ->
+    * ONE task carrying the whole ~100x tokenize explode, 5.5 s of CPU
+    * while 31 cores idled. */
+  private def fanOutReady(df: DataFrame): DataFrame = Par.fanOutReady(df)
 
   /** Drop the storage blocks of a `localCheckpoint`-backed Dataset.
     * `Dataset.unpersist` cannot do this: localCheckpoint persists the
