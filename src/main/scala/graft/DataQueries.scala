@@ -1790,6 +1790,12 @@ object DataQueries {
         ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
           .cast("decimal(18,9)") / 1000).cast("decimal(18,9)").as("weight"))
 
+  /** Spec-only accessor: the x102 fast-sum pin (TextQualitySpec) must
+    * compare exact vs double sums against the SAME model x102 times. */
+  private[graft] def md5SeedWeightsForSpec(docs: DataFrame,
+                                           vocabCap: Long): DataFrame =
+    md5SeedWeights(docs, vocabCap)
+
   val t102LinearScore: Q = (s, d) => {
     val docs = T.documents(s, d)
     TextOps.linearScore(docs.filter(col("doc_id") < 300),
@@ -2423,7 +2429,12 @@ object DataQueries {
     // oracle size, this times the uncapped width
     "x102_linear_score_scale" -> ((s, d) => {
       val docs = T.documents(s, d)
-      TextOps.linearScore(docs, md5SeedWeights(docs, 200), bias = 0.25)
+      // exactSums=false (round 15): the 100 TB inference pass takes
+      // double sums — the decimal accumulator boxed one BigDecimal per
+      // (doc, hit-term) row; round-6 score/prob identity vs the exact
+      // path is TextQualitySpec-pinned, t102's oracle stays exact
+      TextOps.linearScore(docs, md5SeedWeights(docs, 200), bias = 0.25,
+        exactSums = false)
     }),
     // t103's hard-negative mining at the 4k two-sided regime: the
     // labeled frame replicated 8x (replicas are EXACT same-label twins

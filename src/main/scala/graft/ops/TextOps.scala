@@ -968,7 +968,13 @@ object TextOps {
     * as DECIMAL(27,12) (order/partitioning-free); the sigmoid runs in
     * double on that exact sum and rounds to 6 (exp agrees across
     * engines to well past 6 dp — the t85 log precedent), so an oracle
-    * replays every document.
+    * replays every document. `exactSums = false` is the production
+    * knob (round 15, the x78/PQ fast-sum precedent): the per-doc sum
+    * accumulates in double — this is the 100 TB inference pass, and
+    * the decimal path pays one BigDecimal box per (doc, hit-term)
+    * row. Score/prob identity at the round-6 output granularity is
+    * TextQualitySpec-pinned on the fixture; the t102 ORACLE query
+    * keeps the exact default.
     *
     * Scale shape: tokenize map-side ([[ngramRows]] is codegen'd), one
     * (doc, term) aggregate, one broadcast join against the model-sized
@@ -976,18 +982,23 @@ object TextOps {
     * beyond the tf group. */
   def linearScore(docs: DataFrame, weights: DataFrame, bias: Double = 0.0,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  exactSums: Boolean = true): DataFrame = {
     val tf = ngramRows(docs, 1, textCol, keep = Seq(idCol))
       .filter(col("ngram") =!= "")
       .groupBy(col(idCol), col("ngram").as("term"))
       .agg(count(lit(1)).as("__tf"))
+    val rawSum =
+      if (exactSums)
+        sum((col("__tf") * col("__w")).cast("decimal(27,12)"))
+          .cast("double")
+      else sum(col("__tf").cast("double") * col("__w").cast("double"))
     val perDoc = tf
       .join(broadcast(weights.select(col("term"),
         col("weight").cast("decimal(18,9)").as("__w"))), Seq("term"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit_terms"),
-        sum((col("__tf") * col("__w")).cast("decimal(27,12)")).as("__raw"))
-    val s = coalesce(col("__raw").cast("double"), lit(0.0)) + lit(bias)
+      .agg(count(lit(1)).as("n_hit_terms"), rawSum.as("__raw"))
+    val s = coalesce(col("__raw"), lit(0.0)) + lit(bias)
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_hit_terms"), lit(0L)).as("n_hit_terms"),

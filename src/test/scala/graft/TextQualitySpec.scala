@@ -850,4 +850,22 @@ class TextQualitySpec extends SparkSpec {
       assert(out(i).getLong(1) == 0L && out(i).getDouble(2) == 0.1 &&
         out(i).getDouble(3) == sig(0.1), s"doc ${i + 1}")
   }
+
+  test("linearScore exactSums=false (the x102 production fast-sum " +
+      "path): round-6 scores and probs identical to the decimal " +
+      "default on the fixture corpus") {
+    import graft.etl.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the same md5-seeded model the x102 twin scores against
+    val weights = graft.DataQueries.md5SeedWeightsForSpec(docs, 200)
+    val exact = TextOps.linearScore(docs, weights, bias = 0.25)
+      .orderBy("doc_id").collect()
+    val fast = TextOps.linearScore(docs, weights, bias = 0.25,
+        exactSums = false)
+      .orderBy("doc_id").collect()
+    assert(exact.length == fast.length && exact.nonEmpty)
+    exact.zip(fast).foreach { case (e, f) =>
+      assert(e == f, s"fast-sum diverged at round-6 output: $e vs $f")
+    }
+  }
 }
