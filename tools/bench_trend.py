@@ -31,10 +31,11 @@ Trust rules (round 14):
    (degraded_start, or derived for pre-flag records from per-pass
    host_factor > 2.0) are reported and then SKIPPED for trending —
    the r13 driver record (one pass begun at 4.66) is the archetype;
- - the latest noop-era round is also compared against the clean r13
-   anchor in BASELINE_noop_anchor.json (see BASELINE.md), the
-   like-for-like baseline for the 2x gate after the count() -> noop
-   write action change.
+ - the latest noop-era round is also compared against the pinned
+   anchor in BASELINE_noop_anchor.json (see BASELINE.md — r15
+   health-gated min-of-4 since round 15, r13 clean min-of-3 before),
+   the like-for-like baseline for the 2x gate after the count() ->
+   noop write action change.
 
 Usage: python3 tools/bench_trend.py [--threshold 1.5] [--floor 0.3]
 """
@@ -344,7 +345,8 @@ def main():
                     nl = sum(qlast[k] for k in common) / hflast
                     ratio = nl / na
                     verdict = "within" if ratio <= 2.0 else "BREACHES"
-                    print(f"\nvs noop-era anchor (r13 clean min-of-3, "
+                    print(f"\nvs noop-era anchor (BASELINE.md; r15 "
+                          "health-gated min-of-4, "
                           f"host_factor {ahf}): {len(common)} common "
                           f"keys, normalized {na:.1f}s -> {nl:.1f}s = "
                           f"{ratio:.2f}x — {verdict} the 2x gate")
