@@ -1721,6 +1721,11 @@ object TextOps {
       // registering in the CacheManager, which is all
       // Dataset.unpersist consults (round-14 ADVICE) — so reach into
       // the LogicalRDD and drop the checkpointed RDD's blocks itself.
+      // (Failure semantics unchanged in kind: local checkpoints are
+      // unreliable by contract — losing an executor already fails any
+      // consumer of tf0; dropping tf0's blocks just extends that to
+      // `wide`-block recompute, which local checkpointing forbids
+      // anyway. Spark logs a WARN acknowledging the truncation.)
       val wide = tf0.repartition(want).localCheckpoint()
       unpersistLocalCheckpoint(tf0)
       wide
