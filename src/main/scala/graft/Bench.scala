@@ -986,18 +986,28 @@ object Bench {
     val results = minOver(passes.map(_.main))
     val scaleResults = minOver(passes.map(_.scale))
     val streamingResults = minOver(passes.map(_.streaming))
-    // the total line reports the BEST host_factor seen: the per-query mins
-    // it carries were most likely achieved near that health level
-    // ignore -1 (failed-calibration) factors unless every pass failed
+    // the total line reports the best host_factor among passes that
+    // were CLEAN END TO END (start gate passed, every segment under
+    // the gate) — a start kernel from a pass whose middle collapsed
+    // must not normalize the record (round-15 review finding: the
+    // min-start rule picked 1.042 from a pass that hit 2.9 mid-run,
+    // loosening the anchor gate ~1.45x). Fallback order: clean-pass
+    // starts, any pass start, -1 when every calibration failed.
+    val fullPasses = passes.filterNot(_.isRetry)
+    val cleanFactors = fullPasses
+      .filter(p => !p.degradedStart && !p.degradedMid(maxStartFactor))
+      .map(_.hostFactor).filter(_ >= 0)
     val okFactors = passes.map(_.hostFactor).filter(_ >= 0)
-    val bestFactor = if (okFactors.nonEmpty) okFactors.min else -1.0
+    val bestFactor =
+      if (cleanFactors.nonEmpty) cleanFactors.min
+      else if (okFactors.nonEmpty) okFactors.min
+      else -1.0
     // the RECORD is degraded only when every FULL pass began degraded
     // (the gate exhausted its waits each time) — one clean-start pass
     // gives the per-query mins a trustworthy pass to draw from. The
     // single-pass -1 retry is excluded from the forall: it re-times a
     // handful of failed queries, so its (usually healthy) start kernel
     // must not vouch for a record whose every full pass was degraded.
-    val fullPasses = passes.filterNot(_.isRetry)
     val recordDegraded =
       fullPasses.nonEmpty && fullPasses.forall(_.degradedStart)
     // degraded_mid at the record level: no full pass was clean end to

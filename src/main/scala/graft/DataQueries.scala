@@ -1783,18 +1783,15 @@ object DataQueries {
     * the seed docs' vocabulary with signed pseudo-weights in [-1, 1].
     * ONE definition — the formula is the contract the t102 oracle
     * replays, and the benched x102 must measure the same model. */
-  private def md5SeedWeights(docs: DataFrame, vocabCap: Long): DataFrame =
+  // private[graft]: the x102 fast-sum pin (TextQualitySpec) compares
+  // exact vs double sums against the SAME model x102 times
+  private[graft] def md5SeedWeights(docs: DataFrame,
+                                    vocabCap: Long): DataFrame =
     TextOps.ngramRows(docs.filter(col("doc_id") < vocabCap), 1)
       .filter(col("ngram") =!= "").distinct()
       .select(col("ngram").as("term"),
         ((TextOps.md5U32(col("ngram")) % 2001 - 1000)
           .cast("decimal(18,9)") / 1000).cast("decimal(18,9)").as("weight"))
-
-  /** Spec-only accessor: the x102 fast-sum pin (TextQualitySpec) must
-    * compare exact vs double sums against the SAME model x102 times. */
-  private[graft] def md5SeedWeightsForSpec(docs: DataFrame,
-                                           vocabCap: Long): DataFrame =
-    md5SeedWeights(docs, vocabCap)
 
   val t102LinearScore: Q = (s, d) => {
     val docs = T.documents(s, d)

@@ -857,15 +857,24 @@ class TextQualitySpec extends SparkSpec {
     import graft.etl.Tables
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the same md5-seeded model the x102 twin scores against
-    val weights = graft.DataQueries.md5SeedWeightsForSpec(docs, 200)
+    val weights = graft.DataQueries.md5SeedWeights(docs, 200)
     val exact = TextOps.linearScore(docs, weights, bias = 0.25)
       .orderBy("doc_id").collect()
     val fast = TextOps.linearScore(docs, weights, bias = 0.25,
         exactSums = false)
       .orderBy("doc_id").collect()
     assert(exact.length == fast.length && exact.nonEmpty)
+    // tolerance, not Row equality: the double path's accumulation
+    // order varies with partitioning, and a sum at a round(_, 6)
+    // knife edge could legitimately round the other way — the
+    // contract is agreement AT the 6-dp output granularity (<= 1 ulp
+    // of round-6), ids and hit counts exact
     exact.zip(fast).foreach { case (e, f) =>
-      assert(e == f, s"fast-sum diverged at round-6 output: $e vs $f")
+      assert(e.getLong(0) == f.getLong(0) && e.getLong(1) == f.getLong(1),
+        s"row identity diverged: $e vs $f")
+      assert(math.abs(e.getDouble(2) - f.getDouble(2)) <= 1e-6 &&
+        math.abs(e.getDouble(3) - f.getDouble(3)) <= 1e-6,
+        s"fast-sum diverged past 1e-6 at round-6 output: $e vs $f")
     }
   }
 }

@@ -80,22 +80,46 @@ def load_record(path):
                   if p.get("metric") != "retry"
                   and p.get("host_factor") is not None]
         degraded = bool(starts) and all(s < 0 or s > 2.0 for s in starts)
+    # When mid-pass segments exist (r15+), the record's own host_factor
+    # (min START kernel over all passes) can come from a pass whose
+    # MIDDLE breached the gate — the r15 anchor's 1.042 belongs to a
+    # pass that hit 2.149/2.911 mid-run — which loosens the anchor-gate
+    # normalization ~1.45x (round-15 review finding). Derive the record
+    # factor from passes that were clean END TO END instead; records
+    # without segments keep their recorded factor (nothing better is
+    # derivable).
+    clean_starts = []
+    for p in d.get("passes") or []:
+        if p.get("metric") == "retry":
+            continue
+        segs = p.get("host_factor_segments") or []
+        s0 = p.get("host_factor")
+        if segs and s0 is not None and s0 > 0 and \
+                not p.get("degraded_start") and not p.get("degraded_mid"):
+            clean_starts.append(s0)
+    if clean_starts:
+        hf = min(clean_starts)
     stream = {}
     for p in d.get("passes") or []:
-        # Streams run LAST in a pass, so normalize streaming numbers by
-        # the kernel measured NEAREST to them: the scale->streaming
-        # boundary segment (host_factor_segments[-2], r15+), else the
-        # pass-END kernel, else the start factor. Normalizing by the
-        # START factor manufactured the r14 s18/s20 per-batch "drift":
-        # the anchor's pass 1 began at 3.327 and ended at 1.402 —
-        # dividing its end-of-pass per-batch maxima by 3.327 deflated
-        # the baselines ~2.4x, so later rounds measured on flat hosts
-        # read as 2x regressions that never happened (raw maxima were
-        # flat-to-better across all anchor passes).
+        # Streams run LAST in a pass, BETWEEN the scale->streaming
+        # boundary kernel (host_factor_segments[-2], r15+) and the
+        # pass-END kernel — normalize by the MIN of the two adjacent
+        # kernels (fallback: end, then start). Min, not "nearest": a
+        # transient spike on one boundary kernel must not deflate the
+        # streaming numbers it brackets (round-15 review finding: the
+        # anchor's pass 4 read 2.911 at the boundary but 1.151 at end,
+        # with raw per-batch maxima equal to the clean pass's — dividing
+        # by 2.911 would halve every baseline). Normalizing by the
+        # START factor was the original sin that manufactured the r14
+        # s18/s20 "drift": the r13 anchor's pass 1 began at 3.327 and
+        # ended at 1.402, deflating its baselines ~2.4x.
         segs = p.get("host_factor_segments") or []
-        cands = ([segs[-2]] if len(segs) >= 2 else []) + \
-            [p.get("host_factor_end"), p.get("host_factor")]
-        phf = next((c for c in cands if c is not None and c > 0), 1.0)
+        cands = [c for c in
+                 ([segs[-2]] if len(segs) >= 2 else []) +
+                 [p.get("host_factor_end")] if c is not None and c > 0]
+        phf = min(cands) if cands else \
+            next((c for c in [p.get("host_factor")]
+                  if c is not None and c > 0), 1.0)
         det = p.get("streaming_detail") or {}
         for k, secs in (p.get("streaming_queries") or {}).items():
             if secs is None or secs <= 0:
@@ -116,7 +140,10 @@ def load_rounds(root):
         if rec is None:
             continue
         hf, queries, stream, degraded = rec
-        rounds.append((int(m.group(1)), hf, queries, stream, degraded))
+        rnd = int(m.group(1))
+        if rnd in KNOWN_MID_DEGRADED:
+            degraded = True
+        rounds.append((rnd, hf, queries, stream, degraded))
     return rounds
 
 
@@ -138,6 +165,16 @@ def batch_mins(stream):
 # Across that boundary gated/scale flags demote to an action-change
 # list; streaming keys always drove the noop sink and compare normally.
 NOOP_ACTION_FROM = 13
+
+# Records that predate host_factor_segments (r15) cannot carry
+# degraded_mid, so a mid-pass collapse between healthy start/end
+# kernels is underivable from the record itself. r14 is the verified
+# archetype: start 1.844 / end 1.953 (both under the gate) while
+# mid-pass contention inflated its t101-t105 block 20-40x over clean
+# passes (t105 64.1 s vs 1.48 s — adjudicated in the r14 verdict and
+# PLANS.md). Exclude it by round number, the same precedent as
+# NOOP_ACTION_FROM; r15+ records carry segments and self-flag.
+KNOWN_MID_DEGRADED = {14}
 
 
 def main():
@@ -312,10 +349,11 @@ def main():
 
     # noop-era anchor comparison (BASELINE.md "Noop-write-era bench
     # anchor"): the bench action changed count() -> noop write in round
-    # 13, so the like-for-like baseline for the 2x gate is the clean
-    # r13 min-of-3 preserved in BASELINE_noop_anchor.json, NOT the
-    # pre-r13 count()-era records. Compares the latest usable round
-    # against the anchor on common keys, host-factor-normalized.
+    # 13, so the like-for-like baseline for the 2x gate is whatever
+    # BASELINE_noop_anchor.json pins (r15 health-gated min-of-4 since
+    # round 15; r13 clean min-of-3 before), NOT the pre-r13 count()-era
+    # records. Compares the latest usable round against the anchor on
+    # common keys, host-factor-normalized.
     anchor_path = os.path.join(args.root, "BASELINE_noop_anchor.json")
     if rlast < NOOP_ACTION_FROM:
         print(f"\n[anchor comparison skipped: latest usable round r{rlast} "
