@@ -516,4 +516,26 @@ class PlanSpec extends SparkSpec {
     assert(pMid.contains("RoundRobinPartitioning"),
       s"mid-band input must spread before the explode:\n${pMid.take(2000)}")
   }
+
+  test("round-15 A/B decisions hold: the brute-force cosine pass and " +
+      "the near-dup gate signature kernel keep their NATURAL scan " +
+      "width — no round-robin exchange (spreading measured 2.8x/1.3x " +
+      "WORSE at sf0.1; PLANS.md amplification-audit table)") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Dedup, Similarity}
+    val emb = graft.etl.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+    val pBrute = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 50 === 0), k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!pBrute.contains("RoundRobinPartitioning"),
+      s"bruteForceTopK re-spread its stream side:\n${pBrute.take(1500)}")
+    val docs = graft.etl.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val idx2 = Dedup.nearDupIndexMd5(docs)
+    val pGate = Dedup.nearDupFlagMd5(docs, idx2)
+      .queryExecution.executedPlan.toString
+    assert(!pGate.contains("RoundRobinPartitioning"),
+      s"gateBands re-spread its corpus:\n${pGate.take(1500)}")
+  }
 }
