@@ -742,6 +742,11 @@ object Similarity {
     // array — the vecCol.isNotNull form missed the second branch and
     // let the wart emit a garbage cid where min_by produced null
     // (round-14 ADVICE). Same rule as ivfAssignWithCos and pqEncode.
+    // Plan note: a downstream equi-join on cidCol inlines this CASE
+    // WHEN, so argmin also appears in the inferred isnotnull join
+    // condition (plans/t11_ann_ivf.txt); the condition's argmin is
+    // unconditional, codegen subexpression elimination reuses it, and
+    // both r15 bench records show every consumer flat-to-improved.
     vecs.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(packedCents))
       .filter(size(col("__cids")) > 0)
