@@ -43,7 +43,21 @@ import org.apache.spark.sql.functions._
   *   - single-pass -1 rescue (round-7 post-mortem: the downshifted pass
   *     made q07's one capped attempt the final record): when only one
   *     pass ran and it left -1 entries, exactly those queries are
-  *     retried once (a "retry" JSON line) before the total line.
+  *     retried once (a "retry" JSON line) before the total line;
+  *   - contention salvage (round 16: the driver's official record was
+  *     health-degraded three rounds running — r13 start, r14/r15
+  *     mid-pass — leaving the 2x anchor gate unevaluated): each key's
+  *     min carries PROVENANCE (the kernels bracketing its family
+  *     segment in the pass the min came from). Keys whose every
+  *     observation ran between degraded kernels are re-measured after
+  *     the rep loop — health-gated, budget-bounded
+  *     (SPARK_GRAFT_BENCH_SALVAGE tries, default 2;
+  *     SPARK_GRAFT_BENCH_SALVAGE_BUDGET wall seconds, default 420) —
+  *     under fresh bracket kernels ("salvage" JSON lines). The total
+  *     line reports all_keys_clean / unclean_keys / per-key
+  *     query_factors (pass-of-origin bracket-min normalization), so
+  *     trend tooling can trust a record whose every reported key is
+  *     clean-backed even when no full pass was clean end to end.
   *
   * Timing protocol (round-3 verdict: identical code swung 3-8x between
   * rounds, so single-shot numbers are JIT/GC noise): one untimed warm-up
@@ -754,13 +768,17 @@ object Bench {
             tol = 0.1,
             sink = _.write.format("noop").mode("overwrite").save()))
       }))
+    // `only` is re-evaluated just before each stream runs (not once up
+    // front) so a stateful predicate — the salvage wall-budget check —
+    // can cut the pass short between streams
     def timeStreamingPass(only: String => Boolean = _ => true)
         : Seq[(String, Double)] =
-      streaming.filter(p => keep(p._1) && only(p._1)).map { case (name, fn) =>
-        name -> timed(name) { fn(streamSpark, sfDir) }
+      streaming.filter(p => keep(p._1)).flatMap { case (name, fn) =>
+        if (!only(name)) None
+        else Some(name -> timed(name) { fn(streamSpark, sfDir) })
       }
-    def streamDetailJson(): String =
-      streamDetail.toSeq.sortBy(_._1)
+    def streamDetailJson(only: String => Boolean = _ => true): String =
+      streamDetail.toSeq.filter(p => only(p._1)).sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
 
@@ -820,6 +838,43 @@ object Bench {
         * refuses degraded_start records. */
       def degradedMid(maxFactor: Double): Boolean =
         (midFactors :+ hostFactorEnd).exists(f => f < 0 || f > maxFactor)
+      /** The family's timings (0=gated main, 1=scale, 2=streaming). */
+      def famSeq(fam: Int): Seq[(String, Double)] = fam match {
+        case 0 => main
+        case 1 => scale
+        case _ => streaming
+      }
+      /** The calibration kernels BRACKETING a family's segment within
+        * this pass: main runs between the start and first boundary
+        * kernel, scale between the two boundary kernels, streaming
+        * between the second boundary kernel and the end kernel. A pass
+        * built without boundary kernels (the legacy single-pass -1
+        * rescue) falls back to (start, end). */
+      def brackets(fam: Int): (Double, Double) = fam match {
+        case 0 => (hostFactor, midFactors.lift(0).getOrElse(hostFactorEnd))
+        case 1 => (midFactors.lift(0).getOrElse(hostFactor),
+          midFactors.lift(1).getOrElse(hostFactorEnd))
+        case _ => (midFactors.lift(1).getOrElse(hostFactor), hostFactorEnd)
+      }
+      /** Both bracketing kernels measured AND under the health gate:
+        * a measurement inside such a segment cannot have been taken
+        * during a detectable contention window, so a per-key min with
+        * at least one clean-bracketed observation is trustworthy even
+        * when the record's FULL passes were all degraded elsewhere. */
+      def cleanBracket(fam: Int, maxFactor: Double): Boolean = {
+        val (l, r) = brackets(fam)
+        l > 0 && r > 0 && l <= maxFactor && r <= maxFactor
+      }
+      /** Normalization factor for this pass's family segment: the MIN
+        * of the positive bracketing kernels — bench_trend's streaming
+        * lens rule (min, not nearest, so a transient boundary spike
+        * cannot deflate the segment it brackets) generalized to every
+        * family. -1 when both kernels failed. */
+      def bracketFactor(fam: Int): Double = {
+        val (l, r) = brackets(fam)
+        val ok = Seq(l, r).filter(_ > 0)
+        if (ok.nonEmpty) ok.min else -1.0
+      }
     }
     def kernelFactor(): Double = {
       val kernelSec = timed("host_kernel") { hostKernelAction(spark) }
@@ -976,16 +1031,145 @@ object Bench {
       writeSummary(None)
     }
 
-    // per-query min over passes, ignoring failed (-1) passes; a query that
-    // never succeeded stays -1 and is excluded from the total
-    def minOver(per: Seq[Seq[(String, Double)]]): Seq[(String, Double)] =
-      per.flatten.groupBy(_._1).map { case (k, vs) =>
-        val ok = vs.map(_._2).filter(_ >= 0)
-        k -> (if (ok.nonEmpty) ok.min else -1.0)
+    // Per-query min over passes WITH PROVENANCE (round 16): alongside
+    // the min (failed -1 observations ignored; a query that never
+    // succeeded stays -1 and is excluded from the total), each key
+    // carries (a) the bracket-min factor of the pass its min came from
+    // — the per-key pass-of-origin normalization that collapses the
+    // one-record-factor ambiguity BASELINE.md documents (0.42-0.61x on
+    // the r15 anchor) — and (b) a clean bit: some successful
+    // observation ran inside a clean-bracketed segment. Contention
+    // only ever ADDS time, so a clean observation bounds the min from
+    // above and the reported min cannot be contention-inflated.
+    def provOver(fam: Int): Seq[(String, (Double, Double, Boolean))] =
+      passes.flatMap(p => p.famSeq(fam).map { case (k, v) =>
+        (k, v, p.bracketFactor(fam), p.cleanBracket(fam, maxStartFactor))
+      }).groupBy(_._1).map { case (k, obs) =>
+        val ok = obs.filter(_._2 >= 0)
+        if (ok.isEmpty) k -> ((-1.0, -1.0, false))
+        else {
+          val minV = ok.map(_._2).min
+          // among observations achieving the min prefer one from a
+          // clean-bracketed segment, then the smaller factor
+          val w = ok.filter(_._2 == minV).minBy(o => (!o._4, o._3))
+          k -> ((minV, w._3, ok.exists(_._4)))
+        }
       }.toSeq.sortBy(_._1)
-    val results = minOver(passes.map(_.main))
-    val scaleResults = minOver(passes.map(_.scale))
-    val streamingResults = minOver(passes.map(_.streaming))
+    def uncleanOf(fam: Int): Seq[String] =
+      provOver(fam).collect { case (k, (v, _, false)) if v >= 0 => k }
+
+    // ---- contention salvage (round-16 mandate: the driver's official
+    // record has been health-degraded three rounds running, leaving
+    // the 2x anchor gate unevaluated). A degraded pass typically
+    // pollutes a HANDFUL of keys (r15: ~5 — t79/q01/seg_staging/...),
+    // so instead of refusing the whole record, keys that ended the rep
+    // loop without clean-bracket provenance are re-measured here:
+    // health-gated (the same bounded start-gate waits), in pass order
+    // (staging fillers before their consumers), under fresh bracket
+    // kernels, within a wall budget — minutes for the usual handful,
+    // never another full pass forced onto a dying host (the gate
+    // aborts salvage when the host won't calm down). A salvaged key's
+    // time folds into the min like any pass (it can only lower it) and
+    // its clean brackets grant provenance; trend tooling may then
+    // trust a record whose every reported key is clean-backed even
+    // when no FULL pass was clean end to end ("all_keys_clean").
+    val salvageTries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SALVAGE", "2").toInt.max(0)
+    val salvageBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SALVAGE_BUDGET", "420").toDouble
+    var salvageWall = 0.0
+    var salvageAttempt = 0
+    var salvageAbandoned = false
+    while (salvageAttempt < salvageTries && !salvageAbandoned &&
+        salvageWall < salvageBudgetSec &&
+        (0 to 2).exists(f => uncleanOf(f).nonEmpty)) {
+      salvageAttempt += 1
+      val (un0, un1, un2) = (uncleanOf(0).toSet, uncleanOf(1).toSet,
+        uncleanOf(2).toSet)
+      System.err.println(s"[bench] salvage $salvageAttempt/$salvageTries: " +
+        s"${un0.size + un1.size + un2.size} keys lack clean-bracket " +
+        s"provenance: ${(un0 ++ un1 ++ un2).toSeq.sorted.mkString(", ")}")
+      val (f0, waits, stillDeg) = gatedStartFactor()
+      if (stillDeg) {
+        System.err.println("[bench] salvage abandoned: host still " +
+          f"degraded (factor $f0%.2f) after the gate's waits — unclean " +
+          "keys stay flagged")
+        salvageAbandoned = true
+      } else {
+        val w0 = System.nanoTime()
+        val deadline = w0 + ((salvageBudgetSec - salvageWall) * 1e9).toLong
+        def overBudget: Boolean = System.nanoTime() > deadline
+        // staging discipline: a selected FILLER re-pays its fill (its
+        // memo is cleared — the first-in-pass-order semantics every
+        // pass has), while a selected CONSUMER whose filler is absent
+        // times against warm staging exactly as it would mid-pass
+        if (un0.contains("seg_staging")) CoreQueries.clearStagingCache()
+        if ((un0 ++ un1).exists(k =>
+          k.startsWith("t03") || k.startsWith("t14")))
+          DataQueries.clearStagingCache()
+        def budgeted(qs: Seq[(String, (SparkSession, String) => DataFrame)],
+            sel: Set[String]): Seq[(String, Double)] =
+          qs.filter(p => sel(p._1)).flatMap { case (name, fn) =>
+            if (overBudget) {
+              System.err.println(s"[bench] salvage budget exhausted " +
+                s"before $name — stays unclean")
+              None
+            } else Some(name -> timed(name) {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              ()
+            })
+          }
+        val pm = budgeted(main, un0)
+        val fMid1 = kernelFactor()
+        val ps = budgeted(scale, un1)
+        val fMid2 = kernelFactor()
+        val pt = timeStreamingPass(k => un2(k) && !overBudget)
+        val p = Pass(pm, ps, pt, f0, kernelFactor(), waits,
+          degradedStart = false, midFactors = Seq(fMid1, fMid2),
+          isRetry = true)
+        passes :+= p
+        salvageWall += (System.nanoTime() - w0) / 1e9
+        val salvageLine =
+          s"""{"metric":"salvage","attempt":$salvageAttempt,""" +
+          s""""host_factor":${r3(p.hostFactor)},""" +
+          s""""host_factor_end":${r3(p.hostFactorEnd)},""" +
+          s""""host_factor_segments":${(Seq(p.hostFactor) ++ p.midFactors :+
+            p.hostFactorEnd).map(r3).mkString("[", ",", "]")},""" +
+          s""""gate_waits":${p.gateWaits},""" +
+          s""""degraded_mid":${p.degradedMid(maxStartFactor)},""" +
+          s""""queries":${jsonMap(p.main)},""" +
+          s""""scale_queries":${jsonMap(p.scale)},""" +
+          s""""streaming_queries":${jsonMap(p.streaming)},""" +
+          // only streams this attempt actually ran — a stale entry
+          // from the last full pass must not sit next to salvage times
+          s""""streaming_detail":${streamDetailJson(
+            p.streaming.map(_._1).toSet)},"sf":"$sfDir"}"""
+        println(salvageLine)
+        passLines :+= salvageLine
+        writeSummary(None)
+      }
+    }
+
+    val provMain = provOver(0)
+    val provScale = provOver(1)
+    val provStream = provOver(2)
+    def minsOf(prov: Seq[(String, (Double, Double, Boolean))])
+        : Seq[(String, Double)] = prov.map { case (k, (v, _, _)) => k -> v }
+    val results = minsOf(provMain)
+    val scaleResults = minsOf(provScale)
+    val streamingResults = minsOf(provStream)
+    val provAll = provMain ++ provScale ++ provStream
+    // keys whose reported number has no clean-bracketed backing (a -1
+    // key is its own alarm and is excluded); all_keys_clean makes the
+    // record trend-usable even when no FULL pass was clean end to end
+    val uncleanKeys = provAll.collect {
+      case (k, (v, _, false)) if v >= 0 => k }.sorted
+    val allKeysClean = uncleanKeys.isEmpty
+    // per-key pass-of-origin normalization factors (bracket-min of the
+    // pass each min came from); consumers fall back to the record
+    // host_factor for keys absent here (factor unmeasurable, -1)
+    val queryFactors = provAll.collect {
+      case (k, (v, f, _)) if v >= 0 && f > 0 => k -> r3(f) }
     // the total line reports the best host_factor among passes that
     // were CLEAN END TO END (start gate passed, every segment under
     // the gate) — a start kernel from a pass whose middle collapsed
@@ -997,7 +1181,12 @@ object Bench {
     val cleanFactors = fullPasses
       .filter(p => !p.degradedStart && !p.degradedMid(maxStartFactor))
       .map(_.hostFactor).filter(_ >= 0)
-    val okFactors = passes.map(_.hostFactor).filter(_ >= 0)
+    // fallback draws from FULL passes only, matching the documented
+    // "clean-pass starts, any FULL pass start, -1" order — a retry
+    // pass's (usually healthy, post-cooldown) start kernel must not
+    // become the record factor for mins it didn't produce (round-15
+    // review finding)
+    val okFactors = fullPasses.map(_.hostFactor).filter(_ >= 0)
     val bestFactor =
       if (cleanFactors.nonEmpty) cleanFactors.min
       else if (okFactors.nonEmpty) okFactors.min
@@ -1024,6 +1213,11 @@ object Bench {
       s""""host_factor":${r3(bestFactor)},""" +
       s""""degraded_start":$recordDegraded,""" +
       s""""degraded_mid":$recordDegradedMid,""" +
+      s""""all_keys_clean":$allKeysClean,""" +
+      s""""n_unclean":${uncleanKeys.size},""" +
+      s""""unclean_keys":${uncleanKeys
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""query_factors":${jsonMap(queryFactors)},""" +
       s""""queries":${jsonMap(results)},""" +
       s""""scale_queries":${jsonMap(scaleResults)},""" +
       s""""streaming_queries":${jsonMap(streamingResults)},"sf":"$sfDir"}"""
@@ -1048,6 +1242,8 @@ object Bench {
       s""""reps":$pass,"host_factor":${r3(bestFactor)},""" +
       s""""degraded_start":$recordDegraded,""" +
       s""""degraded_mid":$recordDegradedMid,""" +
+      s""""all_keys_clean":$allKeysClean,""" +
+      s""""n_unclean":${uncleanKeys.size},""" +
       s""""n_queries":${results.size},""" +
       s""""n_total":${results.size + scaleResults.size +
         streamingResults.size},""" +

@@ -49,10 +49,13 @@ object FanoutXp {
         .write.mode("overwrite").parquet(corpusPath)
       println(s"[xp] corpus written: $corpusPath")
     }
-    val bytes = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(corpusPath)).toArray
-      .map(p => p.asInstanceOf[java.nio.file.Path].toFile)
-      .filter(_.isFile).map(_.length).sum
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(corpusPath))
+    val bytes =
+      try walk.toArray
+        .map(p => p.asInstanceOf[java.nio.file.Path].toFile)
+        .filter(_.isFile).map(_.length).sum
+      finally walk.close()
     println(f"[xp] corpus bytes on disk: ${bytes / 1e6}%.0f MB, " +
       s"replicas=$replicas")
 
