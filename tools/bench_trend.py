@@ -26,16 +26,27 @@ state-update cost per trigger), normalized by host_factor:
    per-batch max stays flat are reported as sum-vs-max divergence —
    harness/pacing variance, informational, not a gate.
 
-Trust rules (round 14):
+Trust rules (round 14, extended round 16):
  - records whose passes ALL began above Bench's start-health gate
    (degraded_start, or derived for pre-flag records from per-pass
    host_factor > 2.0) are reported and then SKIPPED for trending —
    the r13 driver record (one pass begun at 4.66) is the archetype;
+ - EXCEPT when the record self-reports all_keys_clean=true (r16+
+   Bench: contention salvage re-measured every key that lacked a
+   clean-bracketed observation, so each reported min is backed by a
+   measurement taken between healthy calibration kernels) — such a
+   record is usable even though no FULL pass was clean end to end;
+ - r16+ records carry total.query_factors (per-key pass-of-origin
+   bracket-min factors); when present each key normalizes by ITS
+   factor instead of the one record-level host_factor, collapsing
+   the cross-pass normalization ambiguity BASELINE.md documents;
  - the latest noop-era round is also compared against the pinned
    anchor in BASELINE_noop_anchor.json (see BASELINE.md — r15
    health-gated min-of-4 since round 15, r13 clean min-of-3 before),
    the like-for-like baseline for the 2x gate after the count() ->
-   noop write action change.
+   noop write action change. When noop-era rounds exist but NONE is
+   usable, the gate loudly reports NOT EVALUATED and exits 1 — it
+   must never silently fall back to the pre-noop informational skip.
 
 Usage: python3 tools/bench_trend.py [--threshold 1.5] [--floor 0.3]
 """
@@ -48,8 +59,8 @@ import sys
 
 
 def load_record(path):
-    """(host_factor, per-key times, per-pass streaming obs, degraded) or
-    None for an unreadable / empty record."""
+    """(host_factor, per-key times, per-pass streaming obs, degraded,
+    per-key factors) or None for an unreadable / empty record."""
     try:
         with open(path) as f:
             d = json.load(f)
@@ -63,6 +74,10 @@ def load_record(path):
     if not queries:
         return None
     hf = total.get("host_factor") or 1.0
+    # per-key pass-of-origin bracket-min factors (r16+): normalize each
+    # key by the host health of the segment its min was measured in,
+    # not one record-level number
+    factors = total.get("query_factors") or {}
     if "degraded_start" in total:
         # degraded_mid (round 15): no full pass was clean END TO END —
         # Bench re-runs the calibration kernel at family boundaries and
@@ -71,6 +86,14 @@ def load_record(path):
         # start/end kernels) now flags. Either flag refuses the record.
         degraded = bool(total.get("degraded_start")) or \
             bool(total.get("degraded_mid"))
+        # salvage rescue (round 16): the pass-level flags stay honest,
+        # but when contention salvage left EVERY reported key with a
+        # clean-bracketed observation the mins cannot be inflated —
+        # the record is usable despite its degraded passes
+        if degraded and total.get("all_keys_clean") is True:
+            print(f"  [{os.path.basename(path)}: degraded at pass level "
+                  "but all_keys_clean (salvage provenance) — usable]")
+            degraded = False
     else:
         # pre-r14 records predate the flag: derive it the same way Bench
         # does — degraded only when EVERY pass began above the start gate
@@ -90,7 +113,10 @@ def load_record(path):
     # derivable).
     clean_starts = []
     for p in d.get("passes") or []:
-        if p.get("metric") == "retry":
+        # retry and salvage lines re-time a targeted subset after a
+        # cooldown; their (usually healthy) start kernels must not
+        # become the record factor for mins whole passes produced
+        if p.get("metric") in ("retry", "salvage"):
             continue
         segs = p.get("host_factor_segments") or []
         s0 = p.get("host_factor")
@@ -127,7 +153,14 @@ def load_record(path):
             mb = (det.get(k) or {}).get("max_batch_ms")
             mbn = mb / 1000.0 / phf if mb else None
             stream.setdefault(k, []).append((secs / phf, mbn))
-    return hf, queries, stream, degraded
+    return hf, queries, stream, degraded, factors
+
+
+def norm(queries, factors, hf):
+    """Per-key normalized times: each key divides by its own
+    pass-of-origin factor when the record carries one (r16+), else by
+    the record-level host_factor."""
+    return {k: v / (factors.get(k) or hf) for k, v in queries.items()}
 
 
 def load_rounds(root):
@@ -139,11 +172,11 @@ def load_rounds(root):
         rec = load_record(path)
         if rec is None:
             continue
-        hf, queries, stream, degraded = rec
+        hf, queries, stream, degraded, factors = rec
         rnd = int(m.group(1))
         if rnd in KNOWN_MID_DEGRADED:
             degraded = True
-        rounds.append((rnd, hf, queries, stream, degraded))
+        rounds.append((rnd, hf, queries, stream, degraded, factors))
     return rounds
 
 
@@ -222,15 +255,16 @@ def main():
     print(f"rounds: {[r[0] for r in rounds]}  "
           f"(times normalized by each round's host_factor)")
     any_flag = False
-    for (ra, hfa, qa, sa_, _), (rb, hfb, qb, sb_, _) in zip(rounds,
-                                                            rounds[1:]):
+    for (ra, hfa, qa, sa_, _, fa), (rb, hfb, qb, sb_, _, fb) in zip(
+            rounds, rounds[1:]):
+        qan, qbn = norm(qa, fa, hfa), norm(qb, fb, hfb)
         common = sorted(set(qa) & set(qb))
         # symmetric filter: a key that failed (-1) in EITHER round is
         # excluded from BOTH sums, otherwise its other-round time skews
         # the headline pair ratio one-sidedly (round-14 review finding)
         both_ok = [k for k in common if qa[k] > 0 and qb[k] > 0]
-        na = sum(qa[k] for k in both_ok) / hfa
-        nb = sum(qb[k] for k in both_ok) / hfb
+        na = sum(qan[k] for k in both_ok)
+        nb = sum(qbn[k] for k in both_ok)
         print(f"\nr{ra:02d} -> r{rb:02d}: {len(common)} common keys "
               f"({len(both_ok)} in the totals — failed-either-round "
               "excluded), "
@@ -265,7 +299,7 @@ def main():
             a, b = qa[k], qb[k]
             if a <= 0 or b <= 0:
                 continue  # -1 = failed/capped entry; absence is its own alarm
-            an, bn = a / hfa, b / hfb
+            an, bn = qan[k], qbn[k]
             if bn > an * args.threshold and bn - an > args.floor:
                 # streaming keys are s<digit>… (seg_staging is gated)
                 if action_change and not re.match(r"s\d", k):
@@ -317,7 +351,7 @@ def main():
     # flat is pass-scheduling / pacing noise the min-of-N hides —
     # report it so a masked regression can't hide behind "min looked
     # fine" (informational, never a gate)
-    rlast, hflast, qlast, slast, _ = rounds[-1]
+    rlast, hflast, qlast, slast, _, flast = rounds[-1]
     div = []
     unstable = []
     for k, obs in sorted(slast.items()):
@@ -356,8 +390,22 @@ def main():
     # common keys, host-factor-normalized.
     anchor_path = os.path.join(args.root, "BASELINE_noop_anchor.json")
     if rlast < NOOP_ACTION_FROM:
-        print(f"\n[anchor comparison skipped: latest usable round r{rlast} "
-              "predates the noop-write action — not like-for-like]")
+        # fail LOUDLY, not open (round-15 ADVICE): when noop-era rounds
+        # exist but every one was refused as degraded, the latest USABLE
+        # round predates the action change — the old informational skip
+        # here let exactly the scenario the trust rules target (r13-r15
+        # all degraded) exit 0 with the 2x gate never evaluated
+        if any(r[0] >= NOOP_ACTION_FROM for r in all_rounds):
+            print("\nANCHOR GATE NOT EVALUATED: every noop-era round "
+                  f"(r>={NOOP_ACTION_FROM}) was refused as degraded and "
+                  f"the latest usable round r{rlast} predates the action "
+                  "change — the 2x comparison did NOT run; record a "
+                  "healthy (or salvage-rescued all_keys_clean) pass")
+            any_flag = True
+        else:
+            print(f"\n[anchor comparison skipped: latest usable round "
+                  f"r{rlast} predates the noop-write action — not "
+                  "like-for-like]")
     else:
         # the anchor gate must fail LOUDLY when it cannot run, never
         # silently disable itself (round-14 review finding): a missing,
@@ -371,7 +419,7 @@ def main():
             if rec is None:
                 skip = "anchor record unreadable/empty"
             else:
-                ahf, aq, _, adeg = rec
+                ahf, aq, _, adeg, af = rec
                 common = sorted(k for k in set(aq) & set(qlast)
                                 if aq[k] > 0 and qlast[k] > 0)
                 if adeg:
@@ -379,8 +427,10 @@ def main():
                 elif not common:
                     skip = "no common keys with the anchor"
                 else:
-                    na = sum(aq[k] for k in common) / ahf
-                    nl = sum(qlast[k] for k in common) / hflast
+                    aqn = norm(aq, af, ahf)
+                    qln = norm(qlast, flast, hflast)
+                    na = sum(aqn[k] for k in common)
+                    nl = sum(qln[k] for k in common)
                     ratio = nl / na
                     verdict = "within" if ratio <= 2.0 else "BREACHES"
                     print(f"\nvs noop-era anchor (BASELINE.md; r15 "

@@ -13,7 +13,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from bench_trend import load_record, load_rounds, batch_mins, \
+from bench_trend import load_record, load_rounds, batch_mins, norm, \
     KNOWN_MID_DEGRADED
 
 
@@ -59,14 +59,14 @@ def main():
         mkpass(2, 1.506, 1.429, segs=[1.506, 1.36, 1.312, 1.429],
                deg_mid=False)],
         "total": total(1.042)}
-    hf, q, stream, deg = load_record(write(tmp, "a.json", rec))
+    hf, q, stream, deg, _ = load_record(write(tmp, "a.json", rec))
     assert hf == 1.506, f"clean-pass factor expected, got {hf}"
     assert not deg
 
     # 2. ...but falls back to the recorded factor when no pass carries
     #    segments (pre-r15 records: nothing better is derivable)
     rec = {"passes": [mkpass(1, 0.88, 1.455)], "total": total(0.88)}
-    hf, _, _, _ = load_record(write(tmp, "b.json", rec))
+    hf, _, _, _, _ = load_record(write(tmp, "b.json", rec))
     assert hf == 0.88, f"recorded factor expected, got {hf}"
 
     # 3. STREAMING normalizer = MIN of the bracketing kernels
@@ -77,7 +77,7 @@ def main():
                deg_mid=True, stream={"s1": 5.0},
                detail={"s1": {"max_batch_ms": 1302.0}})],
         "total": total(1.042)}
-    _, _, stream, _ = load_record(write(tmp, "c.json", rec))
+    _, _, stream, _, _ = load_record(write(tmp, "c.json", rec))
     mb = batch_mins(stream)["s1"]
     assert abs(mb - 1.302 / 1.151) < 1e-9, \
         f"min-bracket normalization expected 1.302/1.151, got {mb}"
@@ -88,7 +88,7 @@ def main():
         mkpass(1, 3.327, 1.402, stream={"s1": 5.0},
                detail={"s1": {"max_batch_ms": 1402.0}})],
         "total": total(0.88)}
-    _, _, stream, _ = load_record(write(tmp, "d.json", rec))
+    _, _, stream, _, _ = load_record(write(tmp, "d.json", rec))
     mb = batch_mins(stream)["s1"]
     assert abs(mb - 1.402 / 1.402) < 1e-9, \
         f"end-kernel normalization expected 1.0, got {mb}"
@@ -96,7 +96,7 @@ def main():
     # 5. degraded_mid at the TOTAL refuses the record like
     #    degraded_start does
     rec = {"passes": [], "total": total(1.0, deg_mid=True)}
-    _, _, _, deg = load_record(write(tmp, "e.json", rec))
+    _, _, _, deg, _ = load_record(write(tmp, "e.json", rec))
     assert deg, "degraded_mid total must mark the record degraded"
 
     # 6. KNOWN_MID_DEGRADED rounds are excluded by load_rounds even
@@ -116,10 +116,84 @@ def main():
          "queries": {"q1": 0.5}, "scale_queries": {},
          "streaming_queries": {}}],
         "total": total(2.5, deg_start=True)}
-    hf, _, _, deg = load_record(write(tmp, "f.json", rec))
+    hf, _, _, deg, _ = load_record(write(tmp, "f.json", rec))
     assert hf == 2.5 and deg, (hf, deg)
 
-    print("bench_trend self-test: 7/7 rules hold")
+    # 8. SALVAGE RESCUE (r16): a record whose passes were all degraded
+    #    is usable when it self-reports all_keys_clean=true (every key
+    #    re-measured between healthy kernels); without the field the
+    #    degraded flags still refuse it
+    t = total(1.0, deg_mid=True)
+    t["all_keys_clean"] = True
+    rec = {"passes": [], "total": t}
+    _, _, _, deg, _ = load_record(write(tmp, "g.json", rec))
+    assert not deg, "all_keys_clean=true must rescue a degraded record"
+    t2 = total(1.0, deg_mid=True)
+    t2["all_keys_clean"] = False
+    rec = {"passes": [], "total": t2}
+    _, _, _, deg, _ = load_record(write(tmp, "h.json", rec))
+    assert deg, "all_keys_clean=false must NOT rescue"
+
+    # 9. PER-KEY FACTORS (r16): query_factors flow through load_record
+    #    and norm() divides each key by ITS factor, falling back to the
+    #    record host_factor for keys without one
+    t3 = total(2.0, queries={"q1": 4.0, "q2": 3.0})
+    t3["query_factors"] = {"q1": 0.8}
+    rec = {"passes": [], "total": t3}
+    hf, q, _, _, factors = load_record(write(tmp, "i.json", rec))
+    n = norm(q, factors, hf)
+    assert abs(n["q1"] - 4.0 / 0.8) < 1e-9, n
+    assert abs(n["q2"] - 3.0 / 2.0) < 1e-9, n
+
+    # 10. salvage lines, like retry lines, never contribute the record
+    #     factor (their post-cooldown start kernel vouches only for the
+    #     keys they re-timed)
+    rec = {"passes": [
+        mkpass(1, 2.5, 2.6, segs=[2.5, 2.6, 2.6, 2.6], deg_mid=True),
+        {"metric": "salvage", "attempt": 1, "host_factor": 0.9,
+         "host_factor_end": 0.95,
+         "host_factor_segments": [0.9, 0.92, 0.93, 0.95],
+         "degraded_mid": False, "queries": {"q1": 0.5},
+         "scale_queries": {}, "streaming_queries": {}}],
+        "total": total(2.5, deg_mid=True)}
+    hf, _, _, _, _ = load_record(write(tmp, "j.json", rec))
+    assert hf == 2.5, f"salvage start must not become the record " \
+        f"factor, got {hf}"
+
+    # 11. ANCHOR GATE fails LOUDLY when noop-era rounds exist but every
+    #     one was refused as degraded (round-15 ADVICE: the
+    #     informational pre-noop skip let this exit 0) — and still
+    #     skips informationally when NO noop-era round exists at all
+    import contextlib
+    import io
+    import bench_trend
+    tmp2 = tempfile.mkdtemp(prefix="btt2")
+    write(tmp2, "bench_summary_r12.json",
+          {"passes": [mkpass(1, 1.0, 1.0)], "total": total(1.0)})
+    write(tmp2, "bench_summary_r15.json",
+          {"passes": [], "total": total(1.0, deg_mid=True)})
+    out = io.StringIO()
+    old_argv = sys.argv
+    sys.argv = ["bench_trend", "--root", tmp2]
+    try:
+        with contextlib.redirect_stdout(out):
+            rc = bench_trend.main()
+    finally:
+        sys.argv = old_argv
+    assert rc == 1 and "ANCHOR GATE NOT EVALUATED" in out.getvalue(), \
+        (rc, out.getvalue())
+    os.remove(os.path.join(tmp2, "bench_summary_r15.json"))
+    out = io.StringIO()
+    sys.argv = ["bench_trend", "--root", tmp2]
+    try:
+        with contextlib.redirect_stdout(out):
+            rc = bench_trend.main()
+    finally:
+        sys.argv = old_argv
+    assert rc == 0 and "anchor comparison skipped" in out.getvalue(), \
+        (rc, out.getvalue())
+
+    print("bench_trend self-test: 11/11 rules hold")
     return 0
 
 
