@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   *   - -1 entries are excluded from every total; a query that never
   *     succeeded appears as -1 in "queries" so breakage is visible;
   *   - reps auto-downshift: if a completed pass exceeds
-  *     SPARK_GRAFT_BENCH_BUDGET wall seconds (default 600 — raised in
-  *     round 13 when the honest noop-write action pushed a healthy
-  *     full pass to ~400 s wall, where the old 300 s budget forced
-  *     every record down to noisy min-of-1), remaining passes are
-  *     skipped — a 10-50x-degraded host yields one honest pass
-  *     instead of a dead process;
+  *     SPARK_GRAFT_BENCH_BUDGET wall seconds (default 720 — raised in
+  *     round 13 to 600 when the honest noop-write action pushed a
+  *     healthy full pass to ~400 s wall, and again in round 16 when a
+  *     healthy-START pass measured 637 s: the suite grew, and a budget
+  *     under the healthy wall forces EVERY record to min-of-1 +
+  *     salvage), remaining passes are skipped — a 10-50x-degraded
+  *     host yields one honest pass instead of a dead process;
   *   - pass-START health gate (round-13 post-mortem: the official r13
   *     record was one pass begun at host_factor 4.66 — contention
   *     inflated early queries 10-20x and poisoned every trend drawn
@@ -147,7 +148,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "120").toDouble
     val budgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "720").toDouble
     // Pass-START health gate (round-13 post-mortem: the official r13
     // record was a single pass STARTED at host_factor 4.66 — external
     // contention inflated its early queries 10-20x over clean-pass
@@ -877,8 +878,32 @@ object Bench {
       }
     }
     def kernelFactor(): Double = {
+      // prompt a collection first: the kernel measures the HOST, not
+      // the just-finished family's heap debt — without this the run
+      // pays the previous stage's accumulated garbage inside the
+      // timed region
+      System.gc()
       val kernelSec = timed("host_kernel") { hostKernelAction(spark) }
       if (kernelSec < 0) -1.0 else kernelSec / HostKernelRefSec
+    }
+    /** Boundary/end kernels: re-measure once after a short settle when
+      * the first read breaches the gate, taking the MIN. Round-16 live
+      * finding: the kernel immediately after the scale family read
+      * 2.09/2.44/2.71 across three same-run measurements while the
+      * kernels before and after read 0.94-1.9 (and the r15 anchor's
+      * passes show the same mid-kernel elevation) — residual JVM state
+      * from the heaviest family, not host contention, was flagging
+      * whole families unclean. A genuinely contended host reads high
+      * on BOTH samples and still flags; the start kernel keeps its own
+      * longer gate-wait loop (gatedStartFactor). */
+    def boundaryKernelFactor(): Double = {
+      val f1 = kernelFactor()
+      if (f1 >= 0 && f1 <= maxStartFactor) f1
+      else {
+        Thread.sleep(5000)
+        val f2 = kernelFactor()
+        if (f1 < 0) f2 else if (f2 < 0) f1 else math.min(f1, f2)
+      }
     }
     /** Start-gated calibration: re-measure (after a bounded wait) while
       * the host reads degraded — above the gate OR a failed (-1)
@@ -935,11 +960,11 @@ object Bench {
       // AND end kernels read under the gate) is caught at the nearest
       // boundary; ~0.7 s each on a healthy host, same watchdog as the
       // queries
-      val fMid1 = kernelFactor()
+      val fMid1 = boundaryKernelFactor()
       val ps = timePass(scale)
-      val fMid2 = kernelFactor()
+      val fMid2 = boundaryKernelFactor()
       val pt = timeStreamingPass()
-      val p = Pass(pm, ps, pt, hostFactor, kernelFactor(), gateWaits,
+      val p = Pass(pm, ps, pt, hostFactor, boundaryKernelFactor(), gateWaits,
         degradedStart, midFactors = Seq(fMid1, fMid2))
       if (p.degradedMid(maxStartFactor))
         System.err.println(
@@ -1120,11 +1145,11 @@ object Bench {
             })
           }
         val pm = budgeted(main, un0)
-        val fMid1 = kernelFactor()
+        val fMid1 = boundaryKernelFactor()
         val ps = budgeted(scale, un1)
-        val fMid2 = kernelFactor()
+        val fMid2 = boundaryKernelFactor()
         val pt = timeStreamingPass(k => un2(k) && !overBudget)
-        val p = Pass(pm, ps, pt, f0, kernelFactor(), waits,
+        val p = Pass(pm, ps, pt, f0, boundaryKernelFactor(), waits,
           degradedStart = false, midFactors = Seq(fMid1, fMid2),
           isRetry = true)
         passes :+= p
