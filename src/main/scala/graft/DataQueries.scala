@@ -2286,6 +2286,27 @@ object DataQueries {
     * Kernel parity between the two families is spec-guarded
     * (TextDedupSpec / SketchExprSpec). */
   val benchOnly: Map[String, Q] = Map(
+    // REAL media codec pipeline (round 16): genuine PNG/WAV bytes
+    // synthesized per partition from the corpus, then (x08r) a
+    // header-only metadata parse — ImageReader dims / WAV frame
+    // header, NO raster decode — and (x08z) the full pixel path:
+    // decode -> bilinear fit-to-max -> PNG re-encode. JDK built-in
+    // codecs (javax.imageio / javax.sound.sampled), zero external
+    // libs; DuckDB cannot replay a PNG parse, so these are bench-only
+    // with MultimodalSpec round-trip verification (synthesized dims ==
+    // decoded dims; resized bytes re-decode to the claimed dims).
+    "x08r_media_real_meta" -> ((s, d) =>
+      Multimodal.extractMetaReal(Multimodal.asAssetsReal(
+          T.documents(s, d).select(col("doc_id"), col("text")))).toDF()
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("bytes"),
+          avg(col("duration_ms")).as("avg_ms"))),
+    "x08z_media_real_resize" -> ((s, d) =>
+      Multimodal.resizeReal(Multimodal.asAssetsReal(
+          T.documents(s, d).select(col("doc_id"), col("text"))),
+          maxDim = 24)
+        .select(col("asset_id"), col("new_w"), col("new_h"),
+          length(col("content")).as("resized_bytes"))),
     // t78's BM25 at the UNCAPPED query width (100 queries at sf0.1,
     // ~8.4M postings-join rows) on the production double-sum
     // accumulator — the regime the gated entry's doc_id cap avoids

@@ -141,4 +141,200 @@ object Multimodal {
         least(floor(col("duration_ms") / everyMs).cast("int"), lit(maxFrames - 1)))))
       .select(col("asset_id"), col("frame_idx"),
         (col("frame_idx") * everyMs).as("ts_ms"))
+
+  // --------------------------------------------------------------------
+  // REAL decoders (round 16). The carried "environment-blocked" framing
+  // was only true for VIDEO: the JDK itself ships real codecs —
+  // javax.imageio (PNG/JPEG/GIF/BMP decode + encode) and
+  // javax.sound.sampled (WAV parse + write) — so the image and audio
+  // halves of the seam run genuine byte-level work with zero external
+  // libraries. The DuckDB oracle cannot replay a PNG parse, so these
+  // paths are verified by spec round-trips (MultimodalSpec: synthesized
+  // dims == decoded dims; resized payloads re-decode to the claimed
+  // dims) and benched (x08 keys); the md5-stub paths above keep the
+  // cross-engine oracle rows. Video keeps the stub — no JDK video
+  // codec exists; that swap genuinely needs JavaCV/JNI on the cluster.
+  // --------------------------------------------------------------------
+
+  /** Real byte-level codec helpers over JDK built-ins. One instance of
+    * the underlying readers per call — cheap relative to codec work and
+    * safe under mapPartitions concurrency (ImageIO static entry points
+    * are thread-safe; reader instances are not shared). */
+  object RealMediaDecoder {
+    /** Header-only dimension read: acquires an ImageReader and asks for
+      * width/height WITHOUT decoding the raster. At 100 TB, metadata
+      * extraction must not pay a full pixel decode — this is the
+      * streaming-parse discipline a production media pipeline uses. */
+    def imageDims(payload: Array[Byte]): (Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException(
+            "no ImageIO reader recognizes the payload")
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0)) }
+        finally r.dispose()
+      } finally iis.close()
+    }
+
+    /** Full raster decode (the expensive path — resize needs pixels). */
+    def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) throw new IllegalArgumentException(
+        "ImageIO could not decode the payload")
+      img
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** WAV header parse (no sample decode): frame count / frame rate. */
+    def wavDurationMs(payload: Array[Byte]): Int = {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(payload))
+      val frames = aff.getFrameLength
+      val rate = aff.getFormat.getFrameRate
+      if (frames < 0 || rate <= 0) throw new IllegalArgumentException(
+        "WAV header carries no frame length/rate")
+      math.round(frames * 1000.0 / rate).toInt
+    }
+
+    /** Decode, fit the longest side to `maxDim` (never upscale, aspect
+      * preserved — the same rule as [[resizePlan]]), bilinear rescale,
+      * re-encode PNG. Returns (bytes, origW, origH, newW, newH). */
+    def resizeImage(payload: Array[Byte], maxDim: Int)
+        : (Array[Byte], Int, Int, Int, Int) = {
+      val img = decodeImage(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val long0 = math.max(w, h)
+      if (long0 <= maxDim) (encodePng(img), w, h, w, h)
+      else {
+        val nw = math.max(1, w * maxDim / long0)
+        val nh = math.max(1, h * maxDim / long0)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        (encodePng(out), w, h, nw, nh)
+      }
+    }
+  }
+
+  /** Deterministic REAL payload synthesis: even ids become actual PNG
+    * images (dimensions derived from the id, pixels from an id-seeded
+    * LCG), odd ids actual 16-bit mono WAV clips (sample count derived
+    * from the id). The fixtures carry text, not media — this gives the
+    * real codec path genuine bytes to chew on, deterministically, so
+    * specs can verify decode output against the synthesis parameters.
+    * Runs as mapPartitions: one encoder scope per partition, the same
+    * distribution shape a real ingest's decode stage has. */
+  def asAssetsReal(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, _) =>
+          if (id % 2 == 0) {
+            val (w, h) = synthImageDims(id)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var seed = id * 6364136223846793005L + 1442695040888963407L
+            val px = new Array[Int](w * h)
+            var i = 0
+            while (i < px.length) {
+              seed = seed * 6364136223846793005L + 1442695040888963407L
+              px(i) = (seed >>> 40).toInt & 0xffffff
+              i += 1
+            }
+            img.setRGB(0, 0, w, h, px, 0, w)
+            (id, "image", RealMediaDecoder.encodePng(img))
+          } else {
+            val n = synthWavSamples(id)
+            val pcm = new Array[Byte](n * 2)
+            var seed = id * 2862933555777941757L + 3037000493L
+            var i = 0
+            while (i < n) {
+              seed = seed * 2862933555777941757L + 3037000493L
+              val s = (seed >>> 48).toShort
+              pcm(2 * i) = (s & 0xff).toByte
+              pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+              i += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+              true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (id, "audio", bos.toByteArray)
+          }
+        }
+      }.toDF("asset_id", "modality", "content")
+  }
+
+  /** Synthesis parameters, exposed so specs can verify decode output
+    * against them independently. */
+  def synthImageDims(id: Long): (Int, Int) =
+    ((16 + id % 48).toInt, (16 + (id / 48) % 48).toInt)
+  def synthWavSamples(id: Long): Int = (800 + id % 8000).toInt
+
+  /** [[extractMeta]] over REAL payloads: header-only image dimension
+    * parse, WAV header duration — no raster/sample decode anywhere in
+    * the metadata path. Same MediaMeta schema as the stub path, so
+    * downstream consumers (resizePlan, frameSamplePlan) are reusable
+    * unchanged. */
+  def extractMetaReal(assets: DataFrame): Dataset[MediaMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, modality, payload) =>
+          val (w, h, d) = modality match {
+            case "image" =>
+              val (iw, ih) = RealMediaDecoder.imageDims(payload)
+              (iw, ih, 0)
+            case "audio" =>
+              (0, 0, RealMediaDecoder.wavDurationMs(payload))
+            case _ =>
+              // video: no JDK codec — the one genuinely stubbed branch
+              MediaDecoder.decodeStub(modality, payload)
+          }
+          MediaMeta(id, modality, payload.length, w, h, d,
+            MediaDecoder.contentHash(payload))
+        }
+      }
+  }
+
+  /** Real resize over image payloads: decode → bilinear fit-to-max →
+    * PNG re-encode, per partition. Output carries the resized BYTES —
+    * the thing [[resizePlan]]'s stub replaced with a hash. */
+  def resizeReal(assets: DataFrame, maxDim: Int = 256): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.filter(col("modality") === "image")
+      .select("asset_id", "content")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (bytes, w, h, nw, nh) =
+            RealMediaDecoder.resizeImage(payload, maxDim)
+          (id, w, h, nw, nh, bytes)
+        }
+      }.toDF("asset_id", "width", "height", "new_w", "new_h", "content")
+  }
 }
