@@ -255,8 +255,16 @@ def main():
     print(f"rounds: {[r[0] for r in rounds]}  "
           f"(times normalized by each round's host_factor)")
     any_flag = False
+    # only the LATEST pair (and the anchor gate below) sets the exit
+    # code: a historical pair's flags were that round's gate and were
+    # adjudicated then (the r8->r9 host artifacts, the r11->r12
+    # calibration skew) — re-failing every future run on them makes
+    # the exit code permanently useless as a gate for NEW regressions
+    latest_rb = rounds[-1][0] if len(rounds) >= 2 else None
     for (ra, hfa, qa, sa_, _, fa), (rb, hfb, qb, sb_, _, fb) in zip(
             rounds, rounds[1:]):
+        gates = rb == latest_rb
+        hist = "" if gates else " [historical — report-only]"
         qan, qbn = norm(qa, fa, hfa), norm(qb, fb, hfb)
         common = sorted(set(qa) & set(qb))
         # symmetric filter: a key that failed (-1) in EITHER round is
@@ -315,8 +323,9 @@ def main():
                   "records only)")
         for k, an, bn, a, b in sorted(flagged, key=lambda t: t[1] - t[2]):
             print(f"  REGRESSED {k}: {an:.2f}s -> {bn:.2f}s "
-                  f"({bn / an:.2f}x normalized, {b / a:.2f}x raw)")
-            any_flag = True
+                  f"({bn / an:.2f}x normalized, {b / a:.2f}x raw){hist}")
+            if gates:
+                any_flag = True
         if suspects:
             sa = sum(t[3] for t in suspects)
             sb = sum(t[4] for t in suspects)
@@ -340,8 +349,9 @@ def main():
                 bflag.append((k, ba[k], bb[k]))
         for k, a, b in bflag:
             print(f"  REGRESSED (per-batch) {k}: {a:.2f}s -> {b:.2f}s "
-                  f"({b / a:.2f}x normalized per-batch max)")
-            any_flag = True
+                  f"({b / a:.2f}x normalized per-batch max){hist}")
+            if gates:
+                any_flag = True
         if ba and bb and not bflag:
             print(f"  streaming per-batch max: {len(set(ba) & set(bb))} "
                   f"keys, no regressions")
