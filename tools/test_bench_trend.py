@@ -193,7 +193,44 @@ def main():
     assert rc == 0 and "anchor comparison skipped" in out.getvalue(), \
         (rc, out.getvalue())
 
-    print("bench_trend self-test: 11/11 rules hold")
+    # 12. HISTORICAL pair flags are report-only: a regression between
+    #     two old rounds (adjudicated when it was the latest pair) must
+    #     not set the exit code; the same regression on the LATEST pair
+    #     must. Records are noop-era so the anchor gate runs cleanly
+    #     against an anchor matching the latest round's keys.
+    tmp3 = tempfile.mkdtemp(prefix="btt3")
+    fast = {"q1": 1.0, "q2": 1.0}
+    slow = {"q1": 9.0, "q2": 1.0}
+    def rec(qs):
+        return {"passes": [mkpass(1, 1.0, 1.0)],
+                "total": total(1.0, queries=dict(qs))}
+    write(tmp3, "BASELINE_noop_anchor.json", rec(fast))
+    # r15-r17 (avoiding the KNOWN_MID_DEGRADED r14 exclusion)
+    write(tmp3, "bench_summary_r15.json", rec(fast))
+    write(tmp3, "bench_summary_r16.json", rec(slow))   # historical jump
+    write(tmp3, "bench_summary_r17.json", rec(fast))   # latest recovered
+    out = io.StringIO()
+    sys.argv = ["bench_trend", "--root", tmp3]
+    try:
+        with contextlib.redirect_stdout(out):
+            rc = bench_trend.main()
+    finally:
+        sys.argv = old_argv
+    assert rc == 0 and "report-only" in out.getvalue(), \
+        (rc, out.getvalue())
+    # now make the regression land on the LATEST pair -> exit 1
+    write(tmp3, "bench_summary_r17.json", rec(slow))
+    out = io.StringIO()
+    sys.argv = ["bench_trend", "--root", tmp3]
+    try:
+        with contextlib.redirect_stdout(out):
+            rc = bench_trend.main()
+    finally:
+        sys.argv = old_argv
+    assert rc == 1 and "REGRESSED q1" in out.getvalue(), \
+        (rc, out.getvalue())
+
+    print("bench_trend self-test: 12/12 rules hold")
     return 0
 
 
