@@ -56,7 +56,15 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     var failed = 0
-    for ((name, build) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // args(2..): optional name filter (accepts bench-only x-keys too) —
+    // the round-16 before/after snapshot path (plans/r16/)
+    val slate: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] =
+      if (args.length > 2)
+        args.drop(2).toSeq.map(n => n ->
+          SparkEntry.queries.getOrElse(n, DataQueries.benchOnly(n)))
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+    for ((name, build) <- slate) {
       try {
         val df = build(spark, sfDir)
         val txt = df.queryExecution.explainString(
@@ -71,7 +79,7 @@ object PlanDump {
           println(s"[plans] FAIL $name: ${e.getMessage}")
       }
     }
-    println(s"[plans] done: ${SparkEntry.queries.size - failed} written, " +
+    println(s"[plans] done: ${slate.size - failed} written, " +
       s"$failed failed")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -1089,12 +1089,34 @@ object Dedup {
         substring(col("__enm"), 1, prefixLen).as("__pfx"),
         floor(length(col("__enm")) / lenBucket).cast("long").as("__lb"))
       .localCheckpoint()
-    val a = dn.select(col("__pfx"), col("__lb").as("__lbk"),
-      col("__enm").as("name_a"))
-    val b = dn.select(col("__pfx"),
+    // Explicit-width block-key shuffle (round-16 profile): the block
+    // join's shuffle is bytes-tiny (distinct names only), so AQE
+    // coalesced its reduce side to ONE partition and the levenshtein
+    // verify — the quadratic-in-block-size amplifier — ran serial
+    // (x95: a 3.2 s one-task stage, 31 cores idle; fix measured
+    // 3.35 -> 1.75 s). repartition with an EXPLICIT partition count is
+    // REPARTITION_BY_NUM, which AQE's coalescer leaves alone, and
+    // hash-partitioning both legs on the join keys satisfies the
+    // join's distribution so no second exchange appears. Gated on the
+    // Par.fanOutReady stats window (localCheckpoint PRESERVES the
+    // optimizer estimate, measured round 16): a fixture-sized name set
+    // keeps its natural narrow width — pinning 32-way there regressed
+    // t114 1.16 -> ~2 s (per-iteration exchange overhead on a few
+    // hundred names) — and a corpus past the ceiling is already wide
+    // at scan time, so only the mid-band pays the pin, exactly where
+    // the bytes lens mis-sizes the verify cost.
+    val want = names.sparkSession.sparkContext.defaultParallelism
+    val dnBytes = dn.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pin = dnBytes >= 128L * 1024 &&
+      dnBytes < BigInt(want) * 16L * 1024 * 1024
+    def width(df: DataFrame): DataFrame =
+      if (pin) df.repartition(want, col("__pfx"), col("__lbk")) else df
+    val a = width(dn.select(col("__pfx"), col("__lb").as("__lbk"),
+      col("__enm").as("name_a")))
+    val b = width(dn.select(col("__pfx"),
       explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1))
         .as("__lbk"),
-      col("__enm").as("name_b"))
+      col("__enm").as("name_b")))
     val dist = levenshtein(col("name_a"), col("name_b"))
     a.join(b, Seq("__pfx", "__lbk"))
       .filter(col("name_a") < col("name_b") &&

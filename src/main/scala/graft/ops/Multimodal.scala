@@ -161,6 +161,13 @@ object Multimodal {
     * safe under mapPartitions concurrency (ImageIO static entry points
     * are thread-safe; reader instances are not shared). */
   object RealMediaDecoder {
+    // ImageIO defaults to FILE-backed stream caches: every header read
+    // and every PNG encode creates (and deletes) a temp file on disk.
+    // Round-16 profile: the spread x08r codec stage showed 31.9 s task
+    // run vs 6.5 s CPU — 25 s of temp-file I/O and registry waits
+    // across 32 tasks. Memory-cached streams produce byte-identical
+    // output; set once at class load (JVM-global, idempotent).
+    javax.imageio.ImageIO.setUseCache(false)
     /** Header-only dimension read: acquires an ImageReader and asks for
       * width/height WITHOUT decoding the raster. At 100 TB, metadata
       * extraction must not pay a full pixel decode — this is the
@@ -243,10 +250,26 @@ object Multimodal {
                    textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    // Round-16 A/B: the codec kernel (PNG deflate / WAV frame write,
+    // ~1 ms/row) inherited the one-task width of the single-row-group
+    // corpus scan — x08r/x08z ran ~5 s profile wall, serial, with 31
+    // cores idle. The id frame is ~40 KB at sf0.1, UNDER
+    // Par.fanOutReady's 128 KB stats floor (that floor is sized for
+    // streaming microbatches of TEXT, where the amplifier is a
+    // tokenizer — here the amplifier is a per-row codec three orders
+    // heavier per byte), so this site spreads explicitly: profile wall
+    // 5.1/4.9 -> 1.4/1.2 s at sf0.1, and the exchange carries ids
+    // only. Only the synthesis seam pays it; real deployments scan
+    // already-wide asset tables. (text was never consumed — selecting
+    // it shipped every document's bytes through the serializer for
+    // nothing.) Bench-entry totals additionally moved to the frozen
+    // mediaStatic + ImageIO.setUseCache(false): x08r 3.13 -> 0.62 s,
+    // x08z 3.58 -> 0.08 s (OPTIMIZATION_r16.md).
+    docs.select(col(idCol).cast("long").as(idCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
       .mapPartitions { it =>
-        it.map { case (id, _) =>
+        it.map { id =>
           if (id % 2 == 0) {
             val (w, h) = synthImageDims(id)
             val img = new java.awt.image.BufferedImage(w, h,

@@ -30,7 +30,7 @@ import org.apache.spark.sql.DataFrame
   *   - results must be partition-independent (per-row computation,
   *     order-free aggregates), so every oracle replays unchanged.
   */
-private[ops] object Par {
+private[graft] object Par {
   def fanOutReady(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism

@@ -813,7 +813,14 @@ object TextOps {
   /** Standard document-stats projection over a corpus. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(
+    // fanOutReady (round-16 profile): the per-row stats battery (two
+    // regex splits, regexp_extract_all, two regexp_replace, langId's
+    // profile probes) ran entirely inside the one-task scan of a
+    // single-row-group corpus file — 2.2 s serial with 31 cores idle
+    // at sf0.1 (t01). Same win class as the termRows tokenize; the
+    // guard's floor/ceiling keeps streaming microbatches and
+    // already-wide production scans exchange-free.
+    Par.fanOutReady(docs).select(
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
       bpeTokenCount(t).as("n_bpe_tokens"),
@@ -939,7 +946,9 @@ object TextOps {
       // explicit, not \s: Java's \s includes \x0B where RE2's does
       // not — the one class that would silently diverge cross-engine
       "space" -> cnt("[ \\t\\n\\x0B\\f\\r]"))
-    val withCounts = docs.select(
+    // fanOutReady (round-16 profile): six regexp_replace passes per row
+    // ran inside the one-task corpus scan (t104 ~0.7 s serial)
+    val withCounts = Par.fanOutReady(docs).select(
       col(idCol) +: classes.map { case (n, c) =>
         coalesce(c, lit(0L)).as(s"n_$n") } :+
         coalesce(length(t), lit(0)).cast("long").as("n_chars"): _*)
@@ -1162,17 +1171,18 @@ object TextOps {
     * term-for-term. */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
+    val d = docs
     val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
     val uniq = array_distinct(lines)
     val sumLen = (a: Column) =>
       aggregate(a, lit(0L), (acc, x) => acc + length(x))
-    val lineStats = docs.select(col(idCol).as("doc_id"),
+    val lineStats = d.select(col(idCol).as("doc_id"),
         size(lines).as("n_lines"),
         size(uniq).as("n_distinct"),
         sumLen(lines).as("tot_chars"),
         sumLen(uniq).as("uniq_chars"))
     val bigrams = ngramRows(
-        docs.select(col(idCol).as("doc_id"), col(textCol)),
+        d.select(col(idCol).as("doc_id"), col(textCol)),
         n = 2, textCol, keep = Seq("doc_id"))
       .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -1264,7 +1274,9 @@ object TextOps {
   def scrubPii(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(col(idCol).as("doc_id"),
+    // fanOutReady (round-16 profile): five regex passes per row ran
+    // inside the one-task corpus scan (t37 ~1.3 s serial)
+    Par.fanOutReady(docs).select(col(idCol).as("doc_id"),
       regexp_replace(
         regexp_replace(
           regexp_replace(t, card, "<CARD>"),

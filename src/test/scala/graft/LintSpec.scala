@@ -86,7 +86,12 @@ class LintSpec extends SparkSpec {
       "etl/Tables.scala" -> 4,
       "DataQueries.scala" -> 4,
       "FanoutXp.scala" -> 1,
-      "ops/Par.scala" -> 1)
+      "ops/Par.scala" -> 1,
+      // round-16 A/B (OPTIMIZATION_r16.md): the per-row codec kernel
+      // ran serial behind a one-task corpus scan; the 40 KB id frame
+      // sits under fanOutReady's 128 KB stats floor, so the site
+      // spreads explicitly with the measurement note at the call site
+      "ops/Multimodal.scala" -> 1)
     val walk = Files.walk(root)
     val found =
       try walk.iterator().asScala
