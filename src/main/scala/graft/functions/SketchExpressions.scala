@@ -61,6 +61,21 @@ object SketchKernels {
   }
 
   /** Distinct shingle hashes (sorted — set identity is what matters). */
+  /** |a ∩ b| over two ascending-sorted duplicate-free long arrays —
+    * the [[graft.functions.SortedIntersectCountExpr]] kernel. Both
+    * preconditions are what [[distinctShingles]] guarantees. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val la = a.numElements(); val lb = b.numElements()
+    var i = 0; var j = 0; var n = 0L
+    while (i < la && j < lb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def distinctShingles(text: UTF8String, shingleSize: Int): Array[Long] = {
     val sh = shingleHashes(tokenHashes(text, 42L), shingleSize)
     if (sh.length <= 1) return sh
@@ -251,6 +266,38 @@ case class ShingleHashesExpr(child: Expression, shingleSize: Int = 3)
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `sorted_intersect_count(a, b)` — |a ∩ b| for two ASCENDING-sorted
+  * duplicate-free long arrays (what [[ShingleHashesExpr]] emits), one
+  * two-pointer pass, zero allocation. Round-16: jaccardVerify's
+  * intersection previously EXPLODED both shingle sets and counted the
+  * equality join's rows — the count is identical (distinct arrays make
+  * the join multiplicity 1 per shared value), but the exploded form
+  * sort-merge-sorted millions of (id, shingle) rows per side where
+  * this kernel walks two already-sorted arrays per candidate pair. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count requires two array<bigint>, got " +
+            s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchKernels.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.functions.SketchKernels.sortedIntersectCount($a, $b);""")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedIntersectCountExpr = copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_count"
 }
 
 /** `minhash_sig_md5(text)` — the md5-derived MinHash signature (same
@@ -650,6 +697,8 @@ object GraftFunctions {
     column(IvfArgminExpr(expression(vec), expression(cvecs)))
   def l2_argmin(vec: Column, ws: Column): Column =
     column(L2ArgminExpr(expression(vec), expression(ws)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCountExpr(expression(a), expression(b)))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -362,24 +362,42 @@ object Dedup {
     val p = pairs.localCheckpoint()
     // prune the corpus to docs that actually appear in a candidate pair
     // BEFORE the shingle kernel: at 100 TB candidates are a sliver of the
-    // corpus, and the expensive explode should only touch that sliver.
-    // Checkpoint the exploded frame — it feeds three consumers (two
+    // corpus, and the expensive kernel should only touch that sliver.
+    // Checkpoint the shingle-SET frame — it feeds three consumers (two
     // intersection sides, sizes) and is candidate-sized, not corpus-sized.
+    //
+    // Round-16: shingle sets stay ARRAYS end to end. The old form
+    // exploded both sides to (id, shingle) rows and counted the
+    // shingle-equality join's output per pair — value-identical
+    // (shingle_hashes emits distinct hashes, so the join multiplicity
+    // is 1 per shared value and count(rows) == |a ∩ b|; sizes ==
+    // size(arr)), but each join leg sort-merge-sorted millions of
+    // exploded rows (t04 profile: two ~9.5 s/64-task sort stages, ~5 s
+    // CPU each). sorted_intersect_count walks the two already-sorted
+    // arrays once per pair: t04 1.91 -> 1.36 s / t03 2.56 -> 1.97 /
+    // x03 2.43 -> 1.98 raw while same-run untouched keys read ~1.3x
+    // high (host) — ~0.55x host-adjusted; the explode/sort stages are
+    // gone from the plan. Pairs with no shared shingle now get an
+    // inter row with 0 instead of no row — identical after the
+    // assembly's left-join + coalesce(0).
     val pairIds = p.select(col("id_a").as("__pid"))
       .unionByName(p.select(col("id_b").as("__pid"))).distinct()
     val sh = docs
       .join(pairIds, col(idCol) === col("__pid"), "left_semi")
       .select(col(idCol).as("__id"),
-        explode(graft.functions.GraftFunctions.shingle_hashes(col(textCol),
-          shingleSize)).as("__sh"))
+        graft.functions.GraftFunctions.shingle_hashes(col(textCol),
+          shingleSize).as("__shs"))
       .localCheckpoint()
-    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val sizes = sh.select(col("__id"), size(col("__shs")).cast("long")
+      .as("__n"))
     val inter = p
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
-      .join(sh.select(col("__id").as("__idb"), col("__sh").as("__shb")),
-        col("id_b") === col("__idb") && col("__sha") === col("__shb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__inter"))
+      .join(sh.select(col("__id").as("id_a"), col("__shs").as("__sha")),
+        Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__shs").as("__shb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.sorted_intersect_count(
+          col("__sha"), col("__shb")).as("__inter"))
     p
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")),
         Seq("id_a"), "left")
@@ -607,7 +625,21 @@ object Dedup {
     // explode. A split-parallel production corpus never has the
     // problem; revisit only with profile evidence at a larger corpus.
     docs
-      .filter(size(TextOps.wordShingles(col(textCol), shingleSize)) > 0)
+      // round-16: `size(wordShingles(text, n)) > 0` evaluated the
+      // INTERPRETED zip_with/transform shingle builder per row just to
+      // test emptiness (wordShingles' own scaladoc records the HOF
+      // fallback's cost), and the codegen sig kernel then re-derived
+      // the shingles anyway. A document shingles iff it has >=
+      // shingleSize whitespace tokens — the same predicate as one
+      // codegen split/size, value-identical (wordShingles slices to
+      // greatest(size(toks) - n + 1, 0) elements, which is > 0 iff
+      // size(toks) >= n, for every n >= 1 — both forms read the same
+      // split(lower(trim(text))) token array, so even the empty-text
+      // [""] row agrees). Measured: t46 2.34 -> 1.80 s, t56 2.96 ->
+      // 2.65 s raw while same-run untouched keys read 1.3-1.4x high
+      // (host) — ~0.6x host-adjusted.
+      .filter(size(split(lower(trim(col(textCol))), "\\s+"))
+        >= shingleSize)
       .select(col(idCol).as("id"), sig.as("sig"))
       .select(col("id"),
         posexplode(array((0 until bands).map(key): _*)))

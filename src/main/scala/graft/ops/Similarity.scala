@@ -1432,11 +1432,23 @@ object Similarity {
                 else lit(true))
         .select(col("query_id"), col("__nid"),
           cosine(col("__qv"), col("__nv")).as("__cos"))
+    // Round-16: beam selection as ONE aggregate instead of
+    // distinct + window. The old per-round chain paid three exchanges
+    // (candidate distinct, scored distinct, window repartition) and a
+    // sort per round; collect_set dedups the (negCos, nid) structs and
+    // the ascending struct sort sliced to `beam` picks exactly the
+    // window's (__cos desc, __nid asc) top rows (struct ordering is
+    // field-by-field; double negation is a sign flip, bit-exact both
+    // ways, and Double.compare puts -0.0 before 0.0 on BOTH forms).
+    // Values identical — the t69 oracle replays ranking unchanged.
     def topBeam(scored: DataFrame): DataFrame =
-      scored.withColumn("__rn", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("__cos").desc, col("__nid"))))
-        .filter(col("__rn") <= beam).drop("__rn")
+      scored.groupBy(col("query_id"))
+        .agg(slice(sort_array(collect_set(struct(
+            (-col("__cos")).as("negCos"), col("__nid").as("nid")))),
+          1, beam).as("__top"))
+        .select(col("query_id"), explode(col("__top")).as("__t"))
+        .select(col("query_id"), col("__t.nid").as("__nid"),
+          (-col("__t.negCos")).as("__cos"))
     val entries = q.select(col("query_id"))
       .crossJoin(broadcast(corpus
         .select(col(idCol).as("__nid"))
@@ -1456,10 +1468,14 @@ object Similarity {
       .localCheckpoint()
     var frontier = topBeam(score(entries)).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // no pre-score distinct (round 16): duplicate (query, nbr)
+      // candidates score to identical rows that collect_set dedups
+      // anyway — the distinct's exchange cost more than the few extra
+      // cosines (candidates are bounded by beam x degree per query)
       val expanded = frontier
         .join(edges, Seq("__nid"))
-        .select(col("query_id"), col("nbr_id").as("__nid")).distinct()
-      frontier = topBeam(score(expanded).unionByName(frontier).distinct())
+        .select(col("query_id"), col("nbr_id").as("__nid"))
+      frontier = topBeam(score(expanded).unionByName(frontier))
         .localCheckpoint()
     }
     frontier.withColumn("rank", row_number().over(

@@ -1723,7 +1723,17 @@ object TextOps {
     // only when it froze narrower than the cluster's parallelism (the
     // re-checkpoint is by definition tiny — that is WHY it coalesced);
     // a corpus-scale tf is already wide and skips both steps.
-    val tf0 = termFreq(corpus, minLen, idCol, textCol).localCheckpoint()
+    // Round-16: spread BEFORE the checkpoint. The tf aggregate's final
+    // exchange is bytes-small, so AQE coalesced it to one partition and
+    // the checkpoint froze width 1 — the widening below then paid a
+    // SECOND full materialization of tf every build (profile: ~0.5 s
+    // narrow checkpoint + 1.6 s re-spread checkpoint per t78 run).
+    // fanOutReady's stats window pre-spreads exactly the small-corpus
+    // case (a corpus-scale tf is past the ceiling, stays untouched),
+    // so the width check below it almost never fires and one
+    // materialization survives as a fallback for mis-estimated stats.
+    val tf0 = Par.fanOutReady(termFreq(corpus, minLen, idCol, textCol))
+      .localCheckpoint()
     val want = corpus.sparkSession.sparkContext.defaultParallelism
     // tf0's .rdd is free here — localCheckpoint already materialized it
     val tf = if (tf0.rdd.getNumPartitions < want) {

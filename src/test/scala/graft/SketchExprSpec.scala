@@ -141,6 +141,49 @@ class SketchExprSpec extends SparkSpec {
         s"got ${allNull.mkString(",")}")
   }
 
+  test("sorted_intersect_count == exploded-join intersection on every " +
+      "shape (round-16 jaccardVerify kernel swap)") {
+    import graft.functions.GraftFunctions.sorted_intersect_count
+    // crafted shapes: empty/empty, empty/full, disjoint, subset,
+    // interleaved partial overlap, negative longs around the signed
+    // ordering boundary
+    val cases = Seq(
+      (Array.empty[Long], Array.empty[Long], 0L),
+      (Array.empty[Long], Array(1L, 2L), 0L),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L), 0L),
+      (Array(2L, 4L), Array(1L, 2L, 3L, 4L, 5L), 2L),
+      (Array(-9L, -1L, 0L, 7L), Array(-1L, 7L, 8L), 2L),
+      (Array(Long.MinValue, -1L, Long.MaxValue),
+        Array(Long.MinValue, 0L, Long.MaxValue), 2L))
+    val df = cases.zipWithIndex.map { case ((a, b, w), i) =>
+      (i, a, b, w) }.toDF("i", "a", "b", "want")
+    val got = df.select(col("i"),
+        sorted_intersect_count(col("a"), col("b")).as("n"),
+        col("want")).collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"case ${r.getInt(0)}: got ${r.getLong(1)} want ${r.getLong(2)}"))
+    // null on either side -> null (the old explode form dropped the
+    // doc's rows; assembly coalesces both to 0)
+    val n = Seq((Array(1L, 2L), null.asInstanceOf[Array[Long]]))
+      .toDF("a", "b")
+      .select(sorted_intersect_count(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+    // equivalence with the exploded-join formulation on real shingle
+    // sets, incl. a zero-overlap pair (which the old form expressed as
+    // an ABSENT row): jaccardVerify end-to-end must agree with a
+    // hand-computed set intersection
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "x y z w q r"), (4L, "")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(pairs, docs, shingleSize = 3)
+      .orderBy(col("id_a"), col("id_b")).collect()
+    assert(out.length == 3)
+    assert(out(0).getDouble(2) == 1.0)   // identical docs
+    assert(out(1).getDouble(2) == 0.0)   // disjoint shingles, row kept
+    assert(out(2).getDouble(2) == 0.0)   // empty doc, row kept
+  }
+
   test("simHashCandidates on the native path still finds planted dup") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base),
