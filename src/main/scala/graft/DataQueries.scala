@@ -2899,6 +2899,14 @@ object DataQueries {
         emb.select((col("vec_id") * copies + i).as("vec_id"),
           col("embedding")))
       .reduce(_ unionByName _)
+      // round-16 profile: the union of `copies` one-task scans froze
+      // the checkpoint at `copies` partitions (the fixture is one row
+      // group), and every consumer's cosine kernel inherited that
+      // width — x29's candidate-verify stage ran 8-way with 8.3 s CPU
+      // on 24 idle cores. A corpus table at real scale is
+      // split-parallel at scan time; the spread here reproduces that
+      // shape for the consumers the harness exists to measure.
+      .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint()
   }
 }
