@@ -1098,7 +1098,14 @@ object DataQueries {
     * every code and the full ranking — one element rounded the other
     * way anywhere in the corpus moves a cosine and breaks the hash. */
   val t63SqTopK: Q = (s, d) => {
-    val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // fanOutReady at the CALL SITE, not inside sqEncode (round-16 A/B):
+    // here the corpus is a one-task scan and the encode feeds the
+    // cosine amplifier — the guard took t63 0.89 -> 0.47 s; but inside
+    // sqEncode it also fired on x63/x65's ALREADY-WIDE warm statics
+    // (stats can't see width) and regressed them ~1.3-1.4x, so the
+    // operator stays guard-free and narrow call sites opt in.
+    val emb = graft.ops.Par.fanOutReady(
+      T.embeddings(s, d).select(col("vec_id"), col("embedding")))
     Similarity.sqTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
       .select(col("query_id").cast("long").as("query_id"),
         col("rank").cast("long").as("rank"),

@@ -1316,13 +1316,7 @@ object Similarity {
                vecCol: String = "embedding"): DataFrame = {
     val maxabs = array_max(transform(col(vecCol),
       x => abs(x.cast("double"))))
-    // fanOutReady (round-16 A/B): the encode is pure per-row work and
-    // feeds the cosine amplifier in sqTopK; guarding it took t63 from
-    // 0.89 to 0.54 s at sf0.1. (The same guard on pqEncode and
-    // randomProject MEASURED NEUTRAL-TO-WORSE — their downstream is a
-    // broadcast join / plain projection, no amplifier — and was
-    // reverted; see OPTIMIZATION_r16.md.)
-    Par.fanOutReady(vecs).select(col(idCol),
+    vecs.select(col(idCol),
       when(maxabs > 0,
         transform(col(vecCol),
           x => round(x.cast("double") * 127.0 / maxabs).cast("int")))
