@@ -61,8 +61,15 @@ object PlanDump {
     val slate: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] =
       if (args.length > 2)
+        // resolve lazily: an unknown/typo'd name must report a per-name
+        // FAIL below, not crash the whole dump with a bare
+        // NoSuchElementException (round-16 ADVICE)
         args.drop(2).toSeq.map(n => n ->
-          SparkEntry.queries.getOrElse(n, DataQueries.benchOnly(n)))
+          SparkEntry.queries.get(n)
+            .orElse(DataQueries.benchOnly.get(n))
+            .getOrElse((_: org.apache.spark.sql.SparkSession,
+                _: String) => sys.error(s"unknown key '$n' (not in " +
+              "SparkEntry.queries or DataQueries.benchOnly)")))
       else SparkEntry.queries.toSeq.sortBy(_._1)
     for ((name, build) <- slate) {
       try {

@@ -1435,8 +1435,15 @@ object Similarity {
     // field-by-field; double negation is a sign flip, bit-exact both
     // ways, and Double.compare puts -0.0 before 0.0 on BOTH forms).
     // Values identical — the t69 oracle replays ranking unchanged.
+    // Null cosines (null embeddings) are dropped BEFORE the aggregate:
+    // the old row_number window ranked __cos desc NULLS LAST (a null
+    // never made the beam), but the ascending (negCos, nid) struct sort
+    // puts nulls FIRST — without this filter a null vector would
+    // silently enter every beam (round-16 ADVICE). Fixture vectors are
+    // non-null, so plans gain one codegen Filter and results are
+    // byte-identical (t69 oracle unchanged).
     def topBeam(scored: DataFrame): DataFrame =
-      scored.groupBy(col("query_id"))
+      scored.filter(col("__cos").isNotNull).groupBy(col("query_id"))
         .agg(slice(sort_array(collect_set(struct(
             (-col("__cos")).as("negCos"), col("__nid").as("nid")))),
           1, beam).as("__top"))
