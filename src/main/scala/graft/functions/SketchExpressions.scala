@@ -140,6 +140,30 @@ object SketchKernels {
     (c0, c1)
   }
 
+  /** First `hexChars` hex characters of md5(s) as an unsigned long —
+    * the value `conv(substring(md5(s), 1, hexChars), 16, 10)` computes,
+    * read straight off the digest bytes (hex char i is nibble i of the
+    * big-endian digest) instead of hex-encoding 32 chars, substringing
+    * and string-parsing base 16 per row. Value-identical for every
+    * input; hexChars <= 15 keeps the result in [0, 2^60) non-negative.
+    * This chain sat under every hash60 consumer (gram digests, KMV,
+    * CMS x depth rows, shard shuffle, stratified split), several of
+    * which run it inside single-task fixture scans. */
+  def md5Prefix(s: UTF8String, hexChars: Int): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexChars) {
+      val nibble =
+        if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+      v = (v << 4) | nibble
+      i += 1
+    }
+    v
+  }
+
   private final val MersennePrime = 2147483647L
 
   /** md5-derived MinHash signature — bit-identical to
@@ -674,6 +698,33 @@ case class L2ArgminExpr(left: Expression, right: Expression)
   override def prettyName: String = "l2_argmin"
 }
 
+/** `md5_prefix(s, hexChars)` — first hexChars hex digits of md5(s) as a
+  * long; the native form of `conv(substring(md5(s),1,hexChars),16,10)`
+  * (value-identical — see [[SketchKernels.md5Prefix]]). */
+case class Md5PrefixExpr(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars $hexChars must be in [1, 15] to stay non-negative in a long")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix requires a string child, got ${t.simpleString(10)}")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.md5Prefix(input.asInstanceOf[UTF8String], hexChars)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SketchKernels.md5Prefix($c, $hexChars);""")
+  override protected def withNewChildInternal(c: Expression): Md5PrefixExpr =
+    copy(child = c)
+  override def prettyName: String = "md5_prefix"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -699,6 +750,8 @@ object GraftFunctions {
     column(L2ArgminExpr(expression(vec), expression(ws)))
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCountExpr(expression(a), expression(b)))
+  def md5_prefix(c: Column, hexChars: Int): Column =
+    column(Md5PrefixExpr(expression(c), hexChars))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

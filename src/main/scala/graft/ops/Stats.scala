@@ -100,7 +100,11 @@ object Stats {
     * [[graft.functions.BloomBits]] discipline: sketch build and oracle
     * replay provably hash the same way. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // native kernel; value-identical to
+    // conv(substring(md5(c), 1, 15), 16, 10).cast("long") — the hex
+    // encode + substring + base-16 string parse ran per row under every
+    // sketch/digest consumer (round-17; SketchExprSpec pins equality)
+    graft.functions.GraftFunctions.md5_prefix(c, 15)
 
   /** Per-group approximate distinct count of `valueCol` via the
     * [[graft.functions.KMinValues]] bottom-k sketch: rows hash through

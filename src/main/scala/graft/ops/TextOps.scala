@@ -145,7 +145,9 @@ object TextOps {
     * deterministic, cross-engine-recomputable uniform hash used for
     * sampling decisions (DuckDB: ('0x'||substr(md5(s),1,8))::bigint). */
   def md5U32(s: Column): Column =
-    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+    // native kernel; value-identical to the conv/substring/md5 chain
+    // (see Stats.hash60)
+    graft.functions.GraftFunctions.md5_prefix(s, 8)
 
   /** Deterministic hash-threshold sampling: keep a row iff
     * md5_u32(salt || key) < rate * 2^32. Reproducible across runs,
@@ -305,8 +307,11 @@ object TextOps {
     // measured on t123: string keys 9.3 MB / 22 s executor time at
     // sf0.1, long keys ~1/4 the shuffle and most of the wait gone.
     val dg = if (md5Keys)
-        conv(substring(md5(concat_ws(" ", fields: _*)), 1, 15), 16, 10)
-          .cast("long")
+        // native kernel (= conv(substring(md5(g),1,15),16,10) — the
+        // DuckDB-replayable hash60); the hex/conv chain ran per gram
+        // inside the serial fixture scan (t54: 1.4 s one-task stage)
+        graft.functions.GraftFunctions.md5_prefix(
+          concat_ws(" ", fields: _*), 15)
       else xxhash64(fields: _*)
     zipped.select(col("doc_id"), col("pos"), dg.as("dg"))
   }
@@ -1773,14 +1778,42 @@ object TextOps {
     * [[bm25Index]]: (__qid, __did, __score). */
   private def bm25Scores(queries: DataFrame, index: DataFrame,
                          minLen: Int, idCol: String, textCol: String,
-                         exactSums: Boolean): DataFrame = {
+                         exactSums: Boolean,
+                         pinWidth: Boolean = true): DataFrame = {
     val pairSum =
       if (exactSums) sum(col("__s").cast("decimal(27,12)")).cast("double")
       else sum(col("__s"))
-    termRows(queries, minLen, idCol, textCol)
+    val qterms = termRows(queries, minLen, idCol, textCol)
       .select(col("__id").as("__qid"), col("term")).distinct()
-      .join(index.select(col("term"), col("doc_id").as("__did"),
-        col("s").as("__s")), "term")
+    val post = index.select(col("term"), col("doc_id").as("__did"),
+      col("s").as("__s"))
+    // Explicit-width postings shuffle (round-17 profile): the term join
+    // is bytes-tiny (terms + doubles), so AQE coalesced its reduce side
+    // to ONE partition and the pair fan-out + the exact-decimal partial
+    // sums — the CPU amplifier — ran serial (t78: a 1.9 s one-task
+    // stage, 31 cores idle; coalesce-off A/B read exec 2.9 -> 1.4 s).
+    // The x95 discipline: REPARTITION_BY_NUM on the join key (AQE's
+    // coalescer leaves it alone, the join reuses it — no extra
+    // exchange), gated on the Par stats window so an above-ceiling
+    // corpus (already split-parallel at scan time) keeps its natural
+    // width. `pinWidth = false` is the per-trigger opt-out: the gate
+    // reads the INDEX size (always past the floor), so a streaming
+    // microbatch probe would pay the exchanges EVERY trigger for a
+    // fan-out a ~75 KB probe never produces — the round-14 s12 floor
+    // lesson; the streaming runner opts out at the call site (the
+    // round-16 x63 discipline). Dev-lens A/B read s12 flat either way
+    // (cold-JVM floor dominates a single-key stream run); the opt-out
+    // is kept on the floor principle, not a measured win.
+    val want = queries.sparkSession.sparkContext.defaultParallelism
+    val pin = pinWidth && !queries.isStreaming && !index.isStreaming && {
+      val b = post.queryExecution.optimizedPlan.stats.sizeInBytes
+      b >= 128L * 1024 && b < BigInt(want) * 16L * 1024 * 1024
+    }
+    val (ql, pl) =
+      if (pin) (qterms.repartition(want, col("term")),
+        post.repartition(want, col("term")))
+      else (qterms, post)
+    ql.join(pl, "term")
       .groupBy(col("__qid"), col("__did"))
       .agg(pairSum.as("__score"))
   }
@@ -1825,8 +1858,10 @@ object TextOps {
   def bm25ScreenFlag(docs: DataFrame, index: DataFrame, tau: Double,
                      minLen: Int = 3, idCol: String = "doc_id",
                      textCol: String = "text",
-                     exactSums: Boolean = true): DataFrame = {
-    val top = bm25Scores(docs, index, minLen, idCol, textCol, exactSums)
+                     exactSums: Boolean = true,
+                     pinWidth: Boolean = true): DataFrame = {
+    val top = bm25Scores(docs, index, minLen, idCol, textCol, exactSums,
+      pinWidth)
       .groupBy(col("__qid").as(idCol))
       .agg(max(col("__score")).as("__top"))
     docs.join(top, Seq(idCol), "left")

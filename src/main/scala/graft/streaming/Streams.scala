@@ -1067,8 +1067,12 @@ object Streams {
     val q = docsStreamPaced(spark, dir, filesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pinWidth=false: the postings width pin would pay its
+        // exchanges EVERY trigger on a ~75 KB microbatch probe whose
+        // fan-out never needs the width (the round-14 s12 floor
+        // lesson); the batch keys (t78/t79/t84) keep the pin
         sink(graft.ops.TextOps.bm25ScreenFlag(batch, index, tau,
-          minLen = minLen, exactSums = exactSums))
+          minLen = minLen, exactSums = exactSums, pinWidth = false))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -192,4 +192,29 @@ class SketchExprSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(!out.exists(r => r.getLong(1) == 3L))
   }
+
+  test("md5_prefix == conv(substring(md5(s),1,n),16,10) for n=8 and 15 " +
+      "(round-17 hash60 kernel swap)") {
+    // crafted shapes: empty string, single char, whitespace, unicode
+    // (multi-byte UTF-8), long text, digits, a leading-zero-digest
+    // probe set large enough to hit varied first nibbles
+    val base = Seq("", "a", " ", "\t\n", "héllo wörld ✓",
+      "the quick brown fox jumps over the lazy dog",
+      "0123456789abcdef") ++ (0 until 200).map(i => s"probe-$i")
+    val df = base.toDF("s")
+    for (n <- Seq(8, 15)) {
+      val got = df.select(col("s"),
+          GraftFunctions.md5_prefix(col("s"), n).as("kernel"),
+          conv(substring(md5(col("s")), 1, n), 16, 10).cast("long")
+            .as("chain"))
+        .collect()
+      got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"n=$n s='${r.getString(0)}': kernel ${r.getLong(1)} != " +
+          s"chain ${r.getLong(2)}"))
+    }
+    // null stays null
+    val nr = Seq(Option.empty[String]).toDF("s")
+      .select(GraftFunctions.md5_prefix(col("s"), 15)).collect()
+    assert(nr.head.isNullAt(0))
+  }
 }
