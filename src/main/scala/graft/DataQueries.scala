@@ -1207,6 +1207,11 @@ object DataQueries {
   val t69GraphSearch: Q = (s, d) => {
     val emb = T.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") < 1024)
+    // NO call-site spread (round-17 A/B): fanOutReady on the build
+    // input read t69 1.09 adj vs same-run calibration — the 0.96 s
+    // serial cosine stage sits inside the edge checkpoint's broadcast
+    // path where the exchange only adds cost. Reverted, matching the
+    // round-15 t80 brute-family conclusion.
     val graph = Similarity.knnGraphExact(emb, degree = 4)
     Similarity.graphSearch(emb, graph, emb.filter(col("vec_id") < 8),
         k = 4, beam = 4, rounds = 2, entryCount = 10)

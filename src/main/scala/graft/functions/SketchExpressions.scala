@@ -164,6 +164,96 @@ object SketchKernels {
     v
   }
 
+  /** Per-position word-n-gram digests: element i is the digest of the
+    * space-joined gram tokens[i..i+n-1] over the [[columnTokens]]
+    * tokenization (= split(lower(trim(text)), "\\s+")) — one compact
+    * long array per document, the native form of the shifted-slices +
+    * arrays_zip + posexplode + per-window digest column chain
+    * (value-identical, SketchExprSpec pins both families). md5Keys
+    * selects hash60 of the joined gram (digest streamed over the token
+    * bytes + single ' ' separators — byte-identical to digesting the
+    * joined string, UTF-8 being context-free); the xxhash64 family
+    * chains each token through XXH64 with seed 42, exactly
+    * xxhash64(s0, ..., s(n-1)). Fewer than n tokens -> empty array
+    * (the complete-window filter); n = 1 emits every token incl. the
+    * [""] of empty text, matching the column form. */
+  def gramDigests(text: UTF8String, n: Int, md5Keys: Boolean): Array[Long] = {
+    val toks = columnTokens(text)
+    val m = toks.length - n
+    if (m < 0) return Array.emptyLongArray
+    val out = new Array[Long](m + 1)
+    if (md5Keys) {
+      val md = md5Local.get()
+      var i = 0
+      while (i <= m) {
+        md.reset()
+        var k = 0
+        while (k < n) {
+          if (k > 0) md.update(' '.toByte)
+          md.update(toks(i + k)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          k += 1
+        }
+        val d = md.digest()
+        out(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        i += 1
+      }
+    } else {
+      val tb = new Array[Array[Byte]](toks.length)
+      var j = 0
+      while (j < toks.length) {
+        tb(j) = toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
+      var i = 0
+      while (i <= m) {
+        var h = 42L
+        var k = 0
+        while (k < n) {
+          val b = tb(i + k)
+          h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(b,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              b.length, h)
+          k += 1
+        }
+        out(i) = h
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Per-position word-n-gram STRINGS (space-joined) over the
+    * [[columnTokens]] tokenization — the native form of the
+    * shifted-slices + arrays_zip + explode + concat_ws chain for
+    * consumers whose gram keys stay strings (the lm/dsir/top-ngram
+    * family joins and oracle-replays the literal bigram text). Same
+    * window semantics as [[gramDigests]]: fewer than n tokens -> empty
+    * array; n = 1 emits every token including the [""] of empty
+    * text. */
+  def gramStrings(text: UTF8String, n: Int): Array[UTF8String] = {
+    val toks = columnTokens(text)
+    val m = toks.length - n
+    if (m < 0) return Array.empty[UTF8String]
+    val out = new Array[UTF8String](m + 1)
+    var i = 0
+    while (i <= m) {
+      if (n == 1) out(i) = UTF8String.fromString(toks(i))
+      else {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    out
+  }
+
   private final val MersennePrime = 2147483647L
 
   /** md5-derived MinHash signature — bit-identical to
@@ -725,6 +815,66 @@ case class Md5PrefixExpr(child: Expression, hexChars: Int)
   override def prettyName: String = "md5_prefix"
 }
 
+/** `gram_digests(text, n, md5Keys)` — per-position word-n-gram digest
+  * array (see [[SketchKernels.gramDigests]]); `posexplode` over it
+  * yields the (pos, dg) rows of the gram-position frame. */
+case class GramDigestsExpr(child: Expression, n: Int, md5Keys: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"gram width $n must be >= 1")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_digests requires a string child, got ${t.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.gramDigests(
+      input.asInstanceOf[UTF8String], n, md5Keys))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.SketchKernels.gramDigests($c, $n, $md5Keys));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): GramDigestsExpr =
+    copy(child = c)
+  override def prettyName: String = "gram_digests"
+}
+
+/** `gram_strings(text, n)` — per-position space-joined word-n-gram
+  * strings (see [[SketchKernels.gramStrings]]); `explode` over it
+  * yields the `ngram` rows of the lm/dsir/top-ngram family. */
+case class GramStringsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram width $n must be >= 1")
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_strings requires a string child, got ${t.simpleString(10)}")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SketchKernels.gramStrings(
+      input.asInstanceOf[UTF8String], n)
+      .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.SketchKernels.gramStrings($c, $n));
+         |""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): GramStringsExpr =
+    copy(child = c)
+  override def prettyName: String = "gram_strings"
+}
+
 /** Column API + SQL registration for the native sketch expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
@@ -752,6 +902,10 @@ object GraftFunctions {
     column(SortedIntersectCountExpr(expression(a), expression(b)))
   def md5_prefix(c: Column, hexChars: Int): Column =
     column(Md5PrefixExpr(expression(c), hexChars))
+  def gram_digests(c: Column, n: Int, md5Keys: Boolean): Column =
+    column(GramDigestsExpr(expression(c), n, md5Keys))
+  def gram_strings(c: Column, n: Int): Column =
+    column(GramStringsExpr(expression(c), n))
 
   /** Register as SQL functions (graft_minhash_sig / graft_simhash64). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

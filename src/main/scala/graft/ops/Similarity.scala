@@ -1079,6 +1079,11 @@ object Similarity {
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val cents = centroids.withColumn(cvecCol,
       transform(col(cvecCol), x => x.cast(elemType)))
+    // NO entry-level corpus spread (round-17 A/B): fanOutReady here
+    // read t40/t45 ~0.90 adj — inside the same-run noise band of
+    // UNTOUCHED keys — while the x40/x45 scale twins regressed ~1.10
+    // (their statics are already wide; the stats window cannot see
+    // width — the round-16 x63 lesson). Reverted.
     val assigned = ivfAssign(corpus, cents, idCol, vecCol, cidCol, cvecCol)
       .select(col(idCol).as("neighbor_id"), col(cidCol))
     val codes = pqEncode(corpus, codebooks, m, idCol, vecCol, exactSums)
@@ -1169,6 +1174,8 @@ object Similarity {
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val cents = centroids.withColumn(cvecCol,
       transform(col(cvecCol), x => x.cast(elemType)))
+    // no entry-level corpus spread — see ivfPqTopK (round-17 A/B
+    // reverted: t-key wins inside noise, x-twins regressed ~1.10)
     val res = ivfResiduals(corpus, cents, idCol, vecCol, cidCol, cvecCol)
     val assigned = res.select(col(idCol).as("neighbor_id"), col(cidCol))
     val codes = pqEncode(res, codebooks, m, idCol, "residual", exactSums)

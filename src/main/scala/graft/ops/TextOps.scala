@@ -291,14 +291,6 @@ object TextOps {
     // the round-robin exchange of full text + 32-way fan-in overhead
     // on the small digest aggregates exceeds the serial explode cost.
     // Revisit only with profile evidence at a larger corpus.
-    val withToks = docs.select(col(idCol).as("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+").as("__t"))
-    val slices = (0 until n).map(i =>
-      slice(col("__t"), i + 1, 1 << 30).as(s"__s$i"))
-    val zipped = withToks.select(col("doc_id"), arrays_zip(slices: _*).as("__a"))
-      .select(col("doc_id"), posexplode(col("__a")))
-      .filter(col(s"col.__s${n - 1}").isNotNull)
-    val fields = (0 until n).map(i => col(s"col.__s$i"))
     // both families carry the digest as a LONG: the oracle family is
     // hash60 (first 15 hex chars of md5 — DuckDB replays it as
     // ('0x'||substr(md5(g),1,15))::bigint, the KMV discipline). The
@@ -306,14 +298,17 @@ object TextOps {
     // dg-keyed aggregates ran GC-bound on 32-char comparisons —
     // measured on t123: string keys 9.3 MB / 22 s executor time at
     // sf0.1, long keys ~1/4 the shuffle and most of the wait gone.
-    val dg = if (md5Keys)
-        // native kernel (= conv(substring(md5(g),1,15),16,10) — the
-        // DuckDB-replayable hash60); the hex/conv chain ran per gram
-        // inside the serial fixture scan (t54: 1.4 s one-task stage)
-        graft.functions.GraftFunctions.md5_prefix(
-          concat_ws(" ", fields: _*), 15)
-      else xxhash64(fields: _*)
-    zipped.select(col("doc_id"), col("pos"), dg.as("dg"))
+    // Round-17: the whole window machinery (n shifted slices,
+    // arrays_zip, struct posexplode, per-window concat_ws + digest
+    // chain) collapsed into ONE native kernel emitting the compact
+    // per-position digest array — value-identical on both families
+    // (SketchExprSpec pins kernel == column chain), and the serial
+    // fixture-scan gram stage (t54: 1.9 s one-task) does a fraction of
+    // the allocation per window.
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.GraftFunctions.gram_digests(
+          col(textCol), n, md5Keys)))
+      .select(col("doc_id"), col("pos"), col("col").as("dg"))
   }
 
   /** Cross-document repeated-substring removal (Lee et al. 2022,
@@ -849,17 +844,13 @@ object TextOps {
                                textCol: String = "text",
                                keep: Seq[String] = Nil): DataFrame = {
     val k0 = keep.map(col)
-    // no fanOutReady — see gramPositionRows (measured regression)
-    val withToks = docs.select(
-      k0 :+ split(lower(trim(col(textCol))), "\\s+").as("__t"): _*)
-    val slices = (0 until n).map(i =>
-      slice(col("__t"), i + 1, 1 << 30).as(s"__s$i"))
-    val zipped = withToks.select(k0 ++ slices: _*)
-      .select(k0 :+ explode(arrays_zip(
-        (0 until n).map(i => col(s"__s$i")): _*)).as("__z"): _*)
-    zipped.filter(col(s"__z.__s${n - 1}").isNotNull)
-      .select(k0 :+ concat_ws(" ",
-        (0 until n).map(i => col(s"__z.__s$i")): _*).as("ngram"): _*)
+    // no fanOutReady — see gramPositionRows (measured regression).
+    // Round-17: the slices/arrays_zip/struct-explode/concat_ws window
+    // machinery collapsed into the native gram_strings kernel —
+    // value-identical (SketchExprSpec pins kernel == column chain for
+    // every token-count shape), one compact string array per doc.
+    docs.select(k0 :+ explode(graft.functions.GraftFunctions
+      .gram_strings(col(textCol), n)).as("ngram"): _*)
   }
 
   /** Bigram-LM document quality score — the CCNet-style language-model

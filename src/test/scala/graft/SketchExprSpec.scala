@@ -217,4 +217,78 @@ class SketchExprSpec extends SparkSpec {
       .select(GraftFunctions.md5_prefix(col("s"), 15)).collect()
     assert(nr.head.isNullAt(0))
   }
+
+  test("gram_digests == shifted-slices/arrays_zip/posexplode digest chain " +
+      "on both families and every token-count shape (round-17 kernel)") {
+    // shapes: empty text (tokenizes to [\"\"]), fewer tokens than n,
+    // exactly n, n+1, repeated/mixed whitespace (tabs, newlines,
+    // trailing — split keeps a trailing empty token), unicode,
+    // duplicate grams, long text
+    val texts = Seq("", "a", "a b", "a b c", "a b c d",
+      "  leading and  double  spaces ", "tab\tsep\nnewline mix",
+      "trailing space ", "héllo wörld ✓ mixed ünicode tokens here",
+      "x y x y x y x y", ("tok " * 40).trim, "UPPER Case MiXeD case")
+    for (n <- Seq(1, 2, 5); md5Keys <- Seq(true, false)) {
+      val df = texts.zipWithIndex.map(_.swap).toDF("i", "text")
+      // the pre-round-17 column formulation, verbatim
+      val slices = (0 until n).map(j =>
+        slice(split(lower(trim(col("text"))), "\\s+"), j + 1, 1 << 30)
+          .as(s"__s$j"))
+      val zipped = df.select(col("i"), arrays_zip(slices: _*).as("__a"))
+        .select(col("i"), posexplode(col("__a")))
+        .filter(col(s"col.__s${n - 1}").isNotNull)
+      val fields = (0 until n).map(j => col(s"col.__s$j"))
+      val oldDg = if (md5Keys)
+          conv(substring(md5(concat_ws(" ", fields: _*)), 1, 15), 16, 10)
+            .cast("long")
+        else xxhash64(fields: _*)
+      val want = zipped.select(col("i"), col("pos"), oldDg.as("dg"))
+        .orderBy(col("i"), col("pos")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val got = df.select(col("i"),
+          posexplode(GraftFunctions.gram_digests(col("text"), n, md5Keys)))
+        .select(col("i"), col("pos"), col("col"))
+        .orderBy(col("i"), col("pos")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq,
+        s"n=$n md5Keys=$md5Keys: kernel rows differ from column chain " +
+          s"(got ${got.length}, want ${want.length})")
+    }
+    // null text -> null array -> posexplode drops the row, like the
+    // old chain (split(null) is null all the way down)
+    val nr = Seq((1, Option.empty[String])).toDF("i", "text")
+      .select(col("i"),
+        posexplode(GraftFunctions.gram_digests(col("text"), 2, true)))
+      .collect()
+    assert(nr.isEmpty)
+  }
+
+  test("gram_strings == shifted-slices/arrays_zip/explode/concat_ws chain " +
+      "on every token-count shape (round-17 kernel)") {
+    val texts = Seq("", "a", "a b", "a b c", "a b c d",
+      "  leading and  double  spaces ", "tab\tsep\nnewline mix",
+      "trailing space ", "héllo wörld ✓ mixed ünicode tokens here",
+      "x y x y x y", ("tok " * 40).trim, "UPPER Case MiXeD case")
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.zipWithIndex.map(_.swap).toDF("i", "text")
+      val slices = (0 until n).map(j =>
+        slice(split(lower(trim(col("text"))), "\\s+"), j + 1, 1 << 30)
+          .as(s"__s$j"))
+      val zipped = df.select(col("i") +: slices: _*)
+        .select(col("i"), explode(arrays_zip(
+          (0 until n).map(j => col(s"__s$j")): _*)).as("__z"))
+        .filter(col(s"__z.__s${n - 1}").isNotNull)
+      val want = zipped.select(col("i"), concat_ws(" ",
+          (0 until n).map(j => col(s"__z.__s$j")): _*).as("ngram"))
+        .orderBy(col("i"), col("ngram")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      val got = df.select(col("i"),
+          explode(GraftFunctions.gram_strings(col("text"), n)).as("ngram"))
+        .orderBy(col("i"), col("ngram")).collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+      assert(got.toSeq == want.toSeq,
+        s"n=$n: kernel grams differ from column chain " +
+          s"(got ${got.length}, want ${want.length})")
+    }
+  }
 }
