@@ -650,17 +650,15 @@ object CoreQueries {
     // the checkpoint — the in-process analog of the reference's staging
     // table (S1:5 TRUNCATE+INSERT). Re-deriving it per side doubled the
     // most expensive scan of the monthly load.
-    // Spread BEFORE the hash + checkpoint (round-17 profile): the
-    // orders x customer join's reduce side is bytes-small, so AQE
-    // coalesced it to one partition and the md5 simhash chain — the
-    // CPU amplifier — ran serial (0.9 s one-task stage), with the
-    // checkpoint freezing that width for both anti-join consumers.
-    // Keyed repartition, the q07 pattern (fanOutReady can't gate here:
-    // join-output stats are multiplicative estimates, far past the
-    // ceiling): AQE sizes the exchange by bytes, so a cluster-scale
-    // header stays wide and the fixture un-serializes to a few tasks.
-    val hashed = Fingerprint.withHashes(
-      header.repartition(col("id")), "md5").localCheckpoint()
+    // NO spread before the hash (round-17 A/B, REVERTED): the md5
+    // simhash chain runs serial behind AQE's coalesce of the
+    // orders x customer join (0.9 s one-task stage), but a keyed
+    // repartition before the checkpoint (the q07 pattern) shipped
+    // 11 MB of header to parallelize ~0.6 s of CPU — dev-flat and
+    // 1.38 -> 1.62 s in the full protocol. fanOutReady cannot gate
+    // here either (join-output stats are multiplicative estimates,
+    // far past the ceiling).
+    val hashed = Fingerprint.withHashes(header, "md5").localCheckpoint()
     val existing = hashed.filter(col("MerchantNumber").cast("long") % 2 === 0)
       .select(col("__simhash").as("SimHash"))
     Fingerprint.newFingerprints(hashed, existing,

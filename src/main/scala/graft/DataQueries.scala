@@ -1026,12 +1026,16 @@ object DataQueries {
     * group size and the integer rank·4 <= n·3 cut, so one row on the
     * wrong side of any source's boundary breaks the hash. */
   val t60QualityPrune: Q = (s, d) => {
+    // score ONCE: the window sort key and the output column are
+    // different Projects, and Catalyst does not CSE across them — the
+    // 3-regex qualityScore battery ran twice per row (round-17)
     val docs = T.documents(s, d)
+      .withColumn("quality", TextOps.qualityScore(col("text")))
     TextOps.keepTopFraction(docs, col("source"),
-        TextOps.qualityScore(col("text")), col("doc_id"),
+        col("quality"), col("doc_id"),
         num = 3, den = 4)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        TextOps.qualityScore(col("text")).as("quality"),
+        col("quality"),
         col("grp_rank").cast("long").as("grp_rank"),
         col("grp_n"), col("is_kept"))
       .orderBy(col("doc_id"))

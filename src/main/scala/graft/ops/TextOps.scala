@@ -1850,7 +1850,13 @@ object TextOps {
                      minLen: Int = 3, idCol: String = "doc_id",
                      textCol: String = "text",
                      exactSums: Boolean = true,
-                     pinWidth: Boolean = true): DataFrame = {
+                     pinWidth: Boolean = false): DataFrame = {
+    // pinWidth defaults OFF for the screen shape (round-17 full-bench
+    // A/B): its query side is a corpus-sized incoming batch, so the
+    // postings fan-out is bytes-large and AQE keeps natural width
+    // anyway (t84's pair stage already ran 32-wide) — the pin only
+    // added exchanges (t84 2.77 -> 3.11 s). The few-query topK probes
+    // (t78/t79: 0.74x/0.70x) keep it.
     val top = bm25Scores(docs, index, minLen, idCol, textCol, exactSums,
       pinWidth)
       .groupBy(col("__qid").as(idCol))
